@@ -1,0 +1,49 @@
+"""Replay configuration mirroring the reference CLI surface (OP-CLI).
+
+Defaults mirror /root/reference/src/main/java/com/amazonaws/samples/kinesis/
+replay/RePlayer.java:20-28; option names follow RePlayer.java:64-76.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    """All knobs of the reference replay job, as a config dataclass.
+
+    Reference defaults: RePlayer.java:20-28 (speedup 6480, timestamp attr
+    ``dropoff_datetime``, stats every 20 s, 100k reorder buffer, 5k sink
+    buffer, 4 sender threads); Kinesis constants KinesisProducer.java:24-28.
+    """
+
+    # -- source (OP-SRC-*) ---------------------------------------------------
+    source_path: str = ""                      # S3 prefix / local dir of NDJSON
+    object_suffix_to_skip: str = "README.md"   # JsonEventS3Iterator.java:71-73
+    timestamp_attribute: str = "dropoff_datetime"  # RePlayer.java:25
+
+    # -- replay semantics (OP-PROJ-INGEST / OP-RATE-*) -----------------------
+    speedup_factor: float = 6480.0             # RePlayer.java:23
+    seek_to_epoch: str | None = None           # ISO-8601; RePlayer.java:49-51
+
+    # -- buffering / parallelism (OP-SORT-EVENTTIME / OP-FLOW-*) -------------
+    reader_buffer_size: int = 100_000          # RePlayer.java:26
+    producer_buffer_size: int = 5_000          # RePlayer.java:27
+    sender_threads: int = 4                    # RePlayer.java:28
+
+    # -- sink (OP-SINK-*) -----------------------------------------------------
+    stream_arn: str | None = None              # required in reference CLI
+    max_records_per_request: int = 500         # KinesisProducer.java:25
+    max_retries: int = 100                     # KinesisProducer.java:27
+    max_backoff_ms: int = 2_000                # KinesisProducer.java:26
+    backoff_base_ms: int = 100                 # KinesisProducer.java:28,147
+    idle_poll_ms: int = 500                    # KinesisProducer.java:24
+
+    # -- monitoring (OP-AGG-*) -------------------------------------------------
+    statistics_frequency_ms: int = 20_000      # RePlayer.java:24
+
+    # -- spark-side tuning (no reference analogue; scale knobs) ---------------
+    watermark_delay: str = "10 minutes"        # bounded-disorder window
+    shuffle_partitions: int = 32
+    extra_spark_conf: dict = field(default_factory=dict)

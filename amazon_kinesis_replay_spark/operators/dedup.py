@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, n-gram Jaccard, MinHash+LSH, SimHash. All JVM-side column
+expressions (no Python UDFs): shingling via split/transform, hashing via
+xxhash64, LSH banding via groupBy on band buckets — every step is a
+map-side-combinable aggregation or an equi-join, so the plans scale to
+100 TB (the pairwise work is confined to LSH buckets, never a full
+cross-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row id per exact key (hash-groupBy; one
+    shuffle, map-side combine). Returns (keep_id, dup_count) per key group."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("dup_count"),
+    ).select("keep_id", "dup_count")
+
+
+def distinct_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """dropDuplicates over the key columns."""
+    return df.dropDuplicates(key_cols)
+
+
+# --------------------------------------------------------------------------
+# Shingling
+# --------------------------------------------------------------------------
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array column — computed with
+    transform over an index sequence, no explode needed until the op
+    requires per-shingle rows."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard (exact, SQL-checkable)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact pairwise Jaccard over word k-shingles, restricted to pairs that
+    share >=1 shingle (the shingle equi-join prunes the quadratic space —
+    same shape DuckDB executes for the oracle).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    jaccard = common / (|A| + |B| - common) — all-integer until one double
+    division, so the value is bit-identical across engines.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(text_col: Column, num_hashes: int = 64,
+                      k: int = 3) -> Column:
+    """num_hashes-wide MinHash signature as array<bigint>.
+
+    Hash family: xxhash64(seed_i, shingle) — 64-bit, JVM-side, seeded by a
+    leading literal column; min over the shingle array via array_min of a
+    transform (no explode, no shuffle for the signature itself).
+    """
+    sh = word_shingles(text_col, k)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    signature -> `bands` bands of num_hashes/bands rows; band hash =
+    xxhash64 over the band slice; pairs = self-equi-join on
+    (band_idx, band_hash). The join key is a 64-bit bucket id, so the
+    quadratic blow-up is limited to genuine collision buckets; skew-prone
+    giant buckets are handled by AQE skew-join at scale.
+
+    Output: distinct (id_a, id_b), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), num_hashes, k).alias("sig"))
+    band_entries = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                           for r in range(rows_per_band)])).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 64, bands: int = 16, k: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified by exact Jaccard (estimate from signatures is
+    also available; exact verification keeps the result deterministic).
+    Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k)
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), k).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (joined
+            .withColumn("jaccard", inter.cast("double") / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document: explode tokens, xxhash64 each, and for
+    every bit position accumulate +1/-1; bit j of the simhash is the sign.
+
+    One explode + one groupBy with 64 integer sums — map-side combinable,
+    scales linearly.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(_tokens(F.col(text_col))).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    bit_sums = h.groupBy("id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ])
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** j).cast("long") if j < 63 else \
+            F.when(F.col(f"b{j}") > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("id", sim.alias(out_col))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on 16-bit chunks (a pair within Hamming<=3 of a 64-bit
+    hash must agree exactly on >=1 of 4 chunks — pigeonhole), then verify
+    with bit_count on the XOR. Avoids the full cross-join.
+    """
+    sim = simhash64(df, id_col, text_col)
+    chunks = sim.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_idx"),
+                     F.shiftrightunsigned(F.col("simhash"), c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for c in range(4)
+        ])).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant is
+the scale path (prunes candidates to matching sign-buckets before scoring).
+
+Determinism across engines (the DuckDB oracle): per-element products are
+cast to DECIMAL before summation, so the dot product is an *exact* sum —
+independent of accumulation order — and the final double is bit-identical
+in Spark and DuckDB. See SURVEY §5.2 determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Exact-sum element type: products of N(0,1)-ish floats stay well inside
+#: decimal(24,12); 12 fractional digits captures the double product closely
+#: enough that both engines round the SAME double to the SAME decimal.
+_PROD_DEC = "decimal(24,12)"
+_ACC_DEC = "decimal(30,12)"
+
+
+def _exact_dot(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product -> double."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_PROD_DEC))
+    dec = F.aggregate(
+        prods,
+        F.lit(0).cast(_ACC_DEC),
+        lambda acc, v: (acc + v).cast(_ACC_DEC),
+    )
+    return dec.cast("double")
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_exact_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _exact_dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of `emb` against a 1-row query DataFrame
+    (columns: q_vec). Broadcast the query; score every vector (one scan, no
+    shuffle until the tiny top-k); deterministic tie-break on id.
+
+    At 100 TB this is the exact baseline: a single pass with a
+    TakeOrderedAndProject at the end — no global sort materialization.
+    """
+    scored = (
+        emb.crossJoin(F.broadcast(query_df))
+        .select(F.col(id_col),
+                cosine(F.col(vec_col), F.col("q_vec")).alias("cosine"))
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sign_bucket(vec_col: Column, n_bits: int = 4) -> Column:
+    """Random-hyperplane-style LSH bucket from the signs of the first
+    n_bits components (deterministic; a production variant draws seeded
+    hyperplanes — the bucketing/probing plumbing is identical)."""
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bit = F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket.cast("int")
+
+
+def lsh_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_bits: int = 4) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign-bucket.
+
+    Scale path: bucket is a pre-computable partition key (write the corpus
+    bucketed-by `bucket` and the probe prunes to 1/2^n_bits of the data).
+    """
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+    q = query_df.withColumn("q_bucket", sign_bucket(F.col("q_vec"), n_bits))
+    probed = bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+    scored = probed.select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("q_vec")).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pairwise_topk_per_label(emb: DataFrame, k: int = 3,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            label_col: str = "label") -> DataFrame:
+    """Within-label all-pairs cosine, top-k pairs per label — the blocked
+    (grouped) form of pairwise similarity: the equi-join on label confines
+    the quadratic term to label groups."""
+    a = emb.select(F.col(label_col).alias("lbl"), F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(label_col).alias("lbl"), F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    pairs = a.join(b, "lbl").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select("lbl", "id_a", "id_b",
+                          cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lbl").orderBy(F.col("cosine").desc(),
+                                          F.col("id_a").asc(), F.col("id_b").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("lbl", "id_a", "id_b", "cosine", "rank"))

@@ -1,0 +1,83 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (whole-stage codegen, zero Python in the hot
+path): language-ID by stopword-ratio heuristic, quality scoring, token
+counting (whitespace + BPE-ish estimate), document fingerprinting.
+
+Determinism: ratios are int-count / int-count double divisions; fingerprints
+are md5 hex strings — bit-identical across Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English function-word list for the n-gram/stopword heuristic.
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_token_estimate(text_col: Column) -> Column:
+    """BPE-ish token-count estimate: word-piece regex matches plus the
+    classic chars/4 correction for long words, all integer arithmetic."""
+    words = token_count(text_col)
+    chars = F.length(text_col)
+    return F.greatest(words, F.ceil(chars / F.lit(4)).cast("int")).alias("bpe_tokens")
+
+
+def stopword_ratio(text_col: Column,
+                   stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    stops = F.filter(toks, lambda t: t.isin(*stopwords))
+    return F.size(stops).cast("double") / F.size(toks)
+
+
+def lang_id(text_col: Column, threshold: float = 0.02) -> Column:
+    """Heuristic language-ID: English iff stopword ratio >= threshold.
+    (Real pipelines swap in fastText/CLD3 via a Pandas UDF; the surrounding
+    plan — a narrow projection — is identical.)"""
+    return F.when(stopword_ratio(text_col) >= threshold, F.lit("en")) \
+        .otherwise(F.lit("unknown"))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    score = 0.4*len_ok + 0.3*(1-punct_ratio) + 0.3*stop_ratio_capped —
+    every term a deterministic double from integer counts.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = stopword_ratio(t)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (F.lit(0.4) * len_ok
+             + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+             + F.lit(0.3) * F.least(stop_ratio * 10, F.lit(1.0)))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text.
+    (Content-defined rolling-hash chunking reduces to the same normalize+
+    hash shape; md5 keeps the oracle cross-engine checkable.)"""
+    norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+    return F.md5(norm)

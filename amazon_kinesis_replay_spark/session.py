@@ -1,0 +1,57 @@
+"""SparkSession construction with scale-aware defaults.
+
+Single place to encode the engine's execution posture: AQE on (runtime
+re-planning, skew-join handling), UTC session timezone (deterministic
+timestamp arithmetic for the DuckDB oracle), Arrow enabled (fast Pandas-UDF
+boundary for the few operators that need Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs applied to sessions we build AND re-asserted (when runtime-settable)
+#: on sessions handed to us by the driver.
+ENGINE_RUNTIME_CONF = {
+    # Determinism: all timestamp <-> epoch math in UTC, matching DuckDB.
+    "spark.sql.session.timeZone": "UTC",
+    # Let AQE coalesce shuffle partitions and split skewed ones at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The events fixture stores TIMESTAMP(NANOS) parquet, which Spark's
+    # vectorized reader rejects; read as long and convert (tables.load).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def build_spark(app_name: str = "amazon-kinesis-replay-spark",
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a local session sized from $SPARK_GRAFT_CPUS."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = str(shuffle_partitions or int(cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in ENGINE_RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Re-assert runtime-settable engine configs on an externally built
+    session (the driver owns the session in `__spark_entry__` calls)."""
+    for k, v in ENGINE_RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build; keep going
+    return spark

@@ -1,0 +1,46 @@
+"""Fixture-table loaders (TESTDATA.md tables, one parquet per table).
+
+Scans stay columnar + prunable: callers select/filter on the returned
+DataFrame and Catalyst pushes projections/predicates into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_engine_conf
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor — their
+#: cardinality is fixed (region) or grows sub-linearly (nation); customer /
+#: supplier / part are broadcastable at bench SFs and the joins that use
+#: them mark the broadcast explicitly where it is safe at 100 TB too.
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_engine_conf(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # `events.ts` is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces
+    # as epoch-nanos BIGINT — convert to microsecond TimestampType exactly
+    # the way DuckDB does (integer truncation), keeping the oracle aligned.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
