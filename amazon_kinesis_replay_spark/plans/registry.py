@@ -262,7 +262,7 @@ _ORACLES_REFERENCE = {
                    ) AS BIGINT) AS ingestion_ms
             FROM events e CROSS JOIN anchor a)
         SELECT max({NOW_MS} - ingestion_ms) AS max_lag_ms,
-               CAST(sum({NOW_MS} - ingestion_ms) AS DOUBLE) / count(*)
+               CAST(CAST(sum({NOW_MS} - ingestion_ms) AS VARCHAR) AS DOUBLE) / count(*)
                    AS avg_lag_ms
         FROM ing
     """,
@@ -303,6 +303,574 @@ _ORACLES_REFERENCE = {
 
 
 # ===========================================================================
+# Extensions — TPC-H-style relational queries (SURVEY §7.4/M5; Spark
+# primitives the north star adds beyond the reference surface)
+# ===========================================================================
+
+# The fixture's money/ratio doubles are exact decimals (prices 2dp,
+# discount/tax 4dp, events.value 6dp — verified against round()). Casting
+# the INPUT columns to decimal is therefore exact in both engines, and all
+# downstream arithmetic stays in decimal (exact, order-independent) until
+# one final cast to double — bit-identical cross-engine. Never cast a
+# double *product* to decimal: Spark routes double->decimal through the
+# shortest string repr, which can round differently from DuckDB's binary
+# cast at deep scales.
+_DEC_MONEY = "decimal(12,2)"   # l_extendedprice / l_quantity / o_totalprice
+_DEC_RATE = "decimal(6,4)"     # l_discount / l_tax
+_DEC_VALUE = "decimal(18,6)"   # events.value
+
+
+def _money(col):
+    return col.cast(_DEC_MONEY)
+
+
+def _one_minus(col):
+    return F.lit(1).cast(_DEC_RATE) - col.cast(_DEC_RATE)
+
+
+def _one_plus(col):
+    return F.lit(1).cast(_DEC_RATE) + col.cast(_DEC_RATE)
+
+
+def _disc_price():
+    return _money(F.col("l_extendedprice")) * _one_minus(F.col("l_discount"))
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: one wide grouped aggregation with
+    map-side partial aggregation; all sums exact in decimal."""
+    ensure_engine_conf(spark)
+    l = load(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    charge = _disc_price() * _one_plus(F.col("l_tax"))
+    return (l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_money(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(_DEC_RATE)).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order")))
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join + grouped revenue + top-10.
+
+    Join order customer->orders->lineitem (selective segment filter first);
+    AQE picks broadcast vs shuffle join by runtime size — at 100 TB the
+    filtered customer side is still the small build side."""
+    ensure_engine_conf(spark)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    l = load(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5-style: 6-way star join, revenue by nation.
+
+    region/nation are broadcast explicitly (fixed tiny cardinality at any
+    SF); the fact-side joins shuffle on their keys with AQE skew handling."""
+    ensure_engine_conf(spark)
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (c
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(o, F.col("o_custkey") == F.col("c_custkey"))
+            .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
+            .groupBy("n_name")
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+
+
+def q_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14-style: lineitem x part join + conditional aggregate ratio."""
+    ensure_engine_conf(spark)
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    p = load(spark, sf_dir, "part")
+    # disc_price is decimal(20,6) (12,2 x 7,4); zero branch matches the type
+    promo = F.when(F.col("p_type").startswith("PROMO"), _disc_price()) \
+        .otherwise(F.lit(0).cast("decimal(20,6)"))
+    joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (F.lit(100.0) * F.sum(promo).cast("double")
+         / F.sum(_disc_price()).cast("double")).alias("promo_revenue_pct"))
+
+
+def q_agg_events_by_type(spark, sf_dir):
+    """Grouped aggregation over the event stream table (count / exact sum /
+    manual avg per event_type)."""
+    e = _events(spark, sf_dir)
+    val = F.col("value").cast(_DEC_VALUE)
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(val).cast("double").alias("sum_value"),
+        (F.sum(val).cast("double") / F.count("*")).alias("avg_value"))
+
+
+def q_top_users_by_value(spark, sf_dir):
+    """Top-k grouped aggregate (TakeOrderedAndProject — no global sort
+    materialization)."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy("user_id")
+            .agg(F.sum(F.col("value").cast(_DEC_VALUE)).cast("double")
+                 .alias("total_value"),
+                 F.count("*").alias("n_events"))
+            .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+            .limit(10))
+
+
+# SQL twins of the input-decimal scheme: cast inputs, multiply in decimal.
+_SQL_DISC_PRICE = ("(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+                   "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))")
+_SQL_CHARGE = (f"({_SQL_DISC_PRICE} * "
+               "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4))))")
+
+_ORACLES_TPCH = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sum({_SQL_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+               CAST(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier": f"""
+        SELECT n_name,
+               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "q14_promo_effect": f"""
+        SELECT 100.0 * CAST(CAST(sum(
+                   CASE WHEN p_type LIKE 'PROMO%'
+                        THEN {_SQL_DISC_PRICE}
+                        ELSE CAST(0 AS DECIMAL(20,6)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    "agg_events_by_type": """
+        SELECT event_type, count(*) AS n,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "top_users_by_value": """
+        SELECT user_id,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC
+        LIMIT 10
+    """,
+}
+
+
+# ===========================================================================
+# Extensions — training-data pipeline: text analysis
+# ===========================================================================
+
+_STOPWORD_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish estimate (chars/4 floor
+    corrected by word count). Pure column expressions."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_tokens"))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-ratio threshold (SURVEY extensions;
+    swap in a real classifier via Pandas UDF without changing the plan)."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword features + composite."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return text.quality_features(d, "doc_id", "text") \
+        .withColumn("n_tokens", F.col("n_tokens").cast("long")) \
+        .withColumn("n_chars_measured", F.col("n_chars_measured").cast("long"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized text."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_ORACLES_TEXT = {
+    "doc_token_stats": r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')),
+                             CAST(ceil(length(text) / 4.0) AS INTEGER)) AS BIGINT) AS bpe_tokens
+        FROM documents
+    """,
+    "doc_lang_id": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(w, t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CASE WHEN CAST(len(list_filter(w, t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
+                         / len(w) >= 0.02
+                    THEN 'en' ELSE 'unknown' END AS lang_pred
+        FROM toks
+    """,
+    "doc_quality": rf"""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                       / length(text) AS punct_ratio,
+                   CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                        t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
+                       / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stopword_ratio
+            FROM documents)
+        SELECT doc_id, n_tokens, n_chars_measured, punct_ratio, stopword_ratio,
+               0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * least(stopword_ratio * 10, 1.0) AS quality_score
+        FROM feat
+    """,
+    "doc_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+}
+
+
+# ===========================================================================
+# Extensions — training-data pipeline: deduplication
+# ===========================================================================
+
+_JACCARD_THRESHOLD = 0.5
+_SHINGLE_SQL = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM corpus),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                     ELSE [array_to_string(w, ' ')] END)) AS shingle
+            FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+"""
+
+_JACCARD_ORACLE = ("WITH corpus AS (SELECT doc_id, text FROM documents), "
+                   + _SHINGLE_SQL.replace("WITH toks", "toks", 1) + """
+        SELECT id_a, id_b,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """)
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup (hash-groupBy): duplicated corpus (documents unioned with
+    an id-shifted copy) -> one representative id + duplicate count per
+    distinct text. One shuffle, map-side combinable."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup.exact_dedup(d.unionAll(copy), ["text"], "doc_id")
+
+
+def q_ngram_jaccard_dedup(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle equi-join prunes the
+    quadratic space); threshold 0.5."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                     threshold=_JACCARD_THRESHOLD)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+
+    Banded LSH (16 bands x 4 rows) gives ~certain recall at J>=0.8 (the
+    fixture's planted near-dups are J~0.99), so the verified output equals
+    the exact-Jaccard oracle while doing only bucket-local comparisons —
+    the 100 TB-safe plan shape."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    out = dedup.minhash_dedup(d, "doc_id", "text", num_hashes=64, bands=16,
+                              k=3, threshold=_JACCARD_THRESHOLD)
+    return out.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
+                      "jaccard")
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming<=3 via 16-bit chunk blocking).
+    Rows-only check: the 64-bit hash family (xxhash64) has no DuckDB twin."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+_ORACLES_DEDUP = {
+    "dedup_exact": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents)
+        SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM corpus GROUP BY text
+    """,
+    "ngram_jaccard_dedup": _JACCARD_ORACLE,
+    # minhash verified output == exact jaccard pairs at this threshold
+    # (recall ~1 for the fixture's J>=0.8 planted dups; see docstring).
+    "minhash_dedup": _JACCARD_ORACLE,
+}
+
+
+# ===========================================================================
+# Extensions — similarity search over embeddings
+# ===========================================================================
+
+_DOT_DEC = "DECIMAL(24,12)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"CAST(CAST(list_sum(list_transform(range(1, len({a})+1), "
+            f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+            f"AS {_DOT_DEC}))) AS VARCHAR) AS DOUBLE)")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (f"{_dot_sql(a, b)} / "
+            f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))")
+
+
+def _query_vec(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"))
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 query vector — the
+    exact ANN baseline (single scan + TakeOrderedAndProject). Dot products
+    are DECIMAL-exact, so scores are bit-identical to the SQL oracle."""
+    ensure_engine_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (sign-bucket on leading components):
+    the scale path — probe prunes to the query's bucket."""
+    ensure_engine_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10, n_bits=4)
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector math sanity surface: dimension count + exact L2 norm."""
+    ensure_engine_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.sqrt(similarity._exact_dot(F.col("embedding"), F.col("embedding")))
+        .alias("l2_norm"))
+
+
+def q_pairwise_topk_per_label(spark, sf_dir):
+    """Within-label pairwise cosine top-3 (label equi-join blocks the
+    quadratic term), over a deterministic 1-in-5 sample."""
+    ensure_engine_conf(spark)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    out = similarity.pairwise_topk_per_label(emb, k=3)
+    return out.select(F.col("lbl").alias("label"), "id_a", "id_b", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+_SIGN_BUCKET_SQL = ("(CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END"
+                    " + CASE WHEN {v}[2] >= 0 THEN 4 ELSE 0 END"
+                    " + CASE WHEN {v}[3] >= 0 THEN 2 ELSE 0 END"
+                    " + CASE WHEN {v}[4] >= 0 THEN 1 ELSE 0 END)")
+
+_ORACLES_SIM = {
+    "ann_topk_cosine": f"""
+        WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'q.q_vec')} AS cosine
+        FROM embeddings e, q
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "ann_lsh_topk": f"""
+        WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               {_cosine_sql('e.embedding', 'q.q_vec')} AS cosine
+        FROM embeddings e, q
+        WHERE {_SIGN_BUCKET_SQL.format(v='e.embedding')}
+            = {_SIGN_BUCKET_SQL.format(v='q.q_vec')}
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "embedding_norms": f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               sqrt({_dot_sql('embedding', 'embedding')}) AS l2_norm
+        FROM embeddings
+    """,
+    "pairwise_topk_per_label": f"""
+        WITH sample AS (
+            SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+        scored AS (
+            SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+            FROM sample a JOIN sample b
+              ON a.label = b.label AND a.vec_id < b.vec_id),
+        ranked AS (
+            SELECT label, id_a, id_b, cosine,
+                   row_number() OVER (PARTITION BY label
+                       ORDER BY cosine DESC, id_a ASC, id_b ASC) AS rank
+            FROM scored)
+        SELECT label, id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
+}
+
+
+# ===========================================================================
+# Extensions — multimodal metadata (binary-column plumbing; decode kernels
+# are Pandas-UDF stubs in operators/multimodal.py)
+# ===========================================================================
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """JVM-side binary metadata (byte length + digest) — the cheap
+    pre-filter that runs before any Python decode at scale. Text payloads
+    stand in for opaque media bytes (no binary fixture table)."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("digest"))
+
+
+_ORACLES_MM = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+    """,
+}
+
+
+# ===========================================================================
+# Composed replay plan — the full batch prefix of the reference pipeline
+# ===========================================================================
+
+
+def q_replay_plan(spark, sf_dir):
+    """The reference's whole batch dataflow in one plan: seek -> derive
+    ingestion time -> order -> batch ids -> surrogate shards
+    (RePlayer.java:114-177 minus pacing/sink, which are streaming-only)."""
+    e = _events(spark, sf_dir)
+    seeked = replay_ops.seek(e, "ts", SEEK_TS)
+    ing = replay_ops.with_ingestion_time(seeked, "ts", INGESTION_START_MS, SPEEDUP)
+    batched = replay_ops.assign_batches(ing, ["ts", "event_id"], BATCH_MAX)
+    sharded = replay_ops.surrogate_shard(batched, "event_id", N_SHARDS)
+    return sharded.select("event_id", "ingestion_ms", "batch_id", "shard")
+
+
+_ORACLE_REPLAY_PLAN = f"""
+    WITH seeked AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '{SEEK_TS}'),
+    anchor AS (SELECT min(ts) AS first_ts FROM seeked),
+    ing AS (
+        SELECT s.event_id, s.ts,
+               {INGESTION_START_MS} + CAST(round(
+                   (epoch_ms(s.ts) - epoch_ms(a.first_ts)) / {SPEEDUP}
+               ) AS BIGINT) AS ingestion_ms
+        FROM seeked s CROSS JOIN anchor a)
+    SELECT event_id, ingestion_ms,
+           CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
+                      / {BATCH_MAX}) AS BIGINT) AS batch_id,
+           CAST(event_id % {N_SHARDS} AS INTEGER) AS shard
+    FROM ing
+"""
+
+
+# ===========================================================================
 # Registry assembly
 # ===========================================================================
 
@@ -332,3 +900,37 @@ for _name, _fn in [
     ("validate_arn_regex", q_validate_arn_regex),
 ]:
     _register(_name, _fn, _ORACLES_REFERENCE.get(_name))
+
+_ORACLES_EXT = {**_ORACLES_TPCH, **_ORACLES_TEXT, **_ORACLES_DEDUP,
+                **_ORACLES_SIM, **_ORACLES_MM,
+                "replay_plan": _ORACLE_REPLAY_PLAN}
+
+for _name, _fn in [
+    # TPC-H-style relational extensions
+    ("q1_pricing_summary", q_q1_pricing_summary),
+    ("q3_shipping_priority", q_q3_shipping_priority),
+    ("q5_local_supplier", q_q5_local_supplier),
+    ("q14_promo_effect", q_q14_promo_effect),
+    ("agg_events_by_type", q_agg_events_by_type),
+    ("top_users_by_value", q_top_users_by_value),
+    # text analysis
+    ("doc_token_stats", q_doc_token_stats),
+    ("doc_lang_id", q_doc_lang_id),
+    ("doc_quality", q_doc_quality),
+    ("doc_fingerprint", q_doc_fingerprint),
+    # dedup
+    ("dedup_exact", q_dedup_exact),
+    ("ngram_jaccard_dedup", q_ngram_jaccard_dedup),
+    ("minhash_dedup", q_minhash_dedup),
+    ("simhash_dedup", q_simhash_dedup),          # rows-only (hash family)
+    # similarity search
+    ("ann_topk_cosine", q_ann_topk_cosine),
+    ("ann_lsh_topk", q_ann_lsh_topk),
+    ("embedding_norms", q_embedding_norms),
+    ("pairwise_topk_per_label", q_pairwise_topk_per_label),
+    # multimodal plumbing
+    ("multimodal_meta", q_multimodal_meta),
+    # composed end-to-end batch replay plan
+    ("replay_plan", q_replay_plan),
+]:
+    _register(_name, _fn, _ORACLES_EXT.get(_name))
