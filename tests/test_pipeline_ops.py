@@ -1,0 +1,89 @@
+"""Training-data pipeline operators: dedup recall, similarity, multimodal
+plumbing."""
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.operators import (
+    dedup, multimodal, similarity)
+from amazon_kinesis_replay_spark.tables import load
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidates (16 bands x 4 rows) must recover every exact-Jaccard
+    pair at the 0.5 threshold on the fixture's planted near-dups."""
+    d = load(spark, sf_dir, "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in
+          dedup.minhash_dedup(d, "doc_id", "text", 64, 16, 3, 0.5).collect()}
+    assert exact, "fixture should contain planted near-duplicates"
+    assert mh == exact
+
+
+def test_simhash_hamming_symmetry(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sim = dedup.simhash64(d, "doc_id", "text")
+    assert sim.count() == d.count()
+    pairs = dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    rows = pairs.collect()
+    assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in rows)
+
+
+def test_exact_dedup_representative(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(d.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                                  "text"))
+    out = dedup.exact_dedup(doubled, ["text"], "doc_id")
+    rows = out.collect()
+    assert all(r["dup_count"] == 2 for r in rows)        # every text twice
+    assert all(r["keep_id"] < 10_000 for r in rows)      # keeps the original
+
+
+def test_brute_force_topk_self_is_best(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q_vec"))
+    top = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 7                          # self-match first
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+    scores = [r["cosine"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q_vec"))
+    approx = similarity.lsh_topk(emb, q, k=5, n_bits=4).collect()
+    assert approx and approx[0]["vec_id"] == 7            # probe finds self
+
+
+def test_multimodal_fake_decode_plumbing(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(50)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("data"))
+    feats = multimodal.decode_images(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(64 <= r["width"] <= 256 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["features"]
+             for r in multimodal.decode_images(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+    frames = multimodal.sample_frames(media, every_n=2, fake=True)
+    assert frames.count() >= 50                           # >=1 frame per doc
+
+    meta = multimodal.media_metadata(media)
+    m = meta.filter(F.col("media_id") == rows[0]["media_id"]).collect()[0]
+    assert m["n_bytes"] == rows[0]["n_bytes"]
+
+
+def test_multimodal_real_decode_is_gated(spark, sf_dir):
+    import pytest
+    d = load(spark, sf_dir, "documents").limit(1)
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "UTF-8").alias("data"))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(media)

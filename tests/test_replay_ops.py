@@ -1,0 +1,70 @@
+"""Batch replay-operator semantics (SURVEY §2.2-§2.6)."""
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.operators import replay_ops, stats
+from amazon_kinesis_replay_spark.tables import load
+
+
+def test_seek_exact_lower_bound(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = replay_ops.seek(e, "ts", "2024-01-15 00:00:00")
+    assert out.agg(F.min("ts")).collect()[0][0].isoformat() >= "2024-01-15"
+    # exactness: complement + result = whole table (sampled seek would drop rows)
+    assert out.count() + e.filter(
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")).count() \
+        == e.count()
+
+
+def test_ingestion_time_affine_map(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = replay_ops.with_ingestion_time(e, "ts", 1_000_000, 100.0)
+    rows = out.select("ts", "ingestion_ms").orderBy("ts").collect()
+    first = rows[0]["ts"]
+    for r in (rows[0], rows[len(rows) // 2], rows[-1]):
+        expect = 1_000_000 + round(
+            (r["ts"] - first).total_seconds() * 1000.0 / 100.0)
+        assert abs(r["ingestion_ms"] - expect) <= 1  # ms rounding
+    # monotone in event time (affine, positive speedup)
+    ing = [r["ingestion_ms"] for r in rows]
+    assert ing == sorted(ing)
+
+
+def test_normalize_payload_idempotent(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(F.col("props").alias("payload"))
+    once = replay_ops.normalize_payload(e, "payload")
+    twice = replay_ops.normalize_payload(once, "payload")
+    assert once.filter(~F.col("payload").endswith("\n")).count() == 0
+    assert twice.filter(F.col("payload").endswith("\n\n")).count() == 0
+
+
+def test_global_index_and_batches(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    idx = replay_ops.with_global_index(e, ["ts", "event_id"], out_col="rn")
+    n = e.count()
+    rns = [r["rn"] for r in idx.select("rn").collect()]
+    assert sorted(rns) == list(range(1, n + 1))  # dense, 1-based, no dupes
+    # row numbers agree with the global (ts, event_id) order
+    ordered = idx.orderBy("ts", "event_id").select("rn").collect()
+    assert [r["rn"] for r in ordered] == list(range(1, n + 1))
+
+    batched = replay_ops.assign_batches(e, ["ts", "event_id"], max_per_batch=500)
+    sizes = batched.groupBy("batch_id").count().collect()
+    assert all(r["count"] <= 500 for r in sizes)
+    assert sum(r["count"] for r in sizes) == n
+
+
+def test_surrogate_shard_spread(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = replay_ops.surrogate_shard(e, "event_id", 8)
+    shards = {r["shard"] for r in out.select("shard").distinct().collect()}
+    assert shards == set(range(8))
+
+
+def test_window_rate_stats_totals(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = stats.window_rate_stats(e, "ts", 20_000)
+    assert w.agg(F.sum("n_events")).collect()[0][0] == e.count()
+    rt = stats.running_total(e, "ts", 20_000)
+    last = rt.orderBy(F.col("window_start_ms").desc()).limit(1).collect()[0]
+    assert last["running_total"] == e.count()
