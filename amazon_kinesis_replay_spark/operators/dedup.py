@@ -69,10 +69,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     jaccard = common / (|A| + |B| - common) — all-integer until one double
     division, so the value is bit-identical across engines.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    )
+    sh = shingle_rows(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -97,17 +94,40 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # --------------------------------------------------------------------------
 
 
-def minhash_signature(text_col: Column, num_hashes: int = 64,
-                      k: int = 3) -> Column:
-    """num_hashes-wide MinHash signature as array<bigint>.
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 3) -> DataFrame:
+    """Exploded (id, shingle) rows — the shared physical form for MinHash
+    and Jaccard verification. Shingle construction happens exactly once per
+    document here; everything downstream is hashing/aggregation on rows.
+    (Building the shingle array inside per-hash expressions instead lets
+    Catalyst's CollapseProject re-inline the expensive array construction
+    into every one of the 64 hash computations — 60x slower measured.)
+
+    The input is round-robin repartitioned to the session's parallelism
+    first: document corpora often arrive as few large (or one small)
+    parquet files, and shingling is the CPU-dominant step — one cheap
+    shuffle of raw text buys full-width parallelism for it. At real scale
+    the source already has many partitions and the repartition coalesces
+    to a near-no-op."""
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return df.repartition(width).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 64, k: int = 3) -> DataFrame:
+    """num_hashes-wide MinHash signature, one column per hash.
 
     Hash family: xxhash64(seed_i, shingle) — 64-bit, JVM-side, seeded by a
-    leading literal column; min over the shingle array via array_min of a
-    transform (no explode, no shuffle for the signature itself).
+    leading literal. Signature = num_hashes map-side-combinable MIN
+    aggregates over the exploded shingles: one shuffle keyed by doc id,
+    linear scaling, no per-row array recomputation.
     """
-    sh = word_shingles(text_col, k)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+    sh = shingle_rows(df, id_col, text_col, k)
+    return sh.groupBy("id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ])
 
@@ -118,23 +138,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     signature -> `bands` bands of num_hashes/bands rows; band hash =
-    xxhash64 over the band slice; pairs = self-equi-join on
+    xxhash64 over the band's columns; pairs = self-equi-join on
     (band_idx, band_hash). The join key is a 64-bit bucket id, so the
     quadratic blow-up is limited to genuine collision buckets; skew-prone
-    giant buckets are handled by AQE skew-join at scale.
+    giant buckets are handled by AQE skew-join at scale. The signature
+    aggregation is computed once (identical plan on both join sides ->
+    ReusedExchange).
 
     Output: distinct (id_a, id_b), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), num_hashes, k).alias("sig"))
+    sig = minhash_signature(df, id_col, text_col, num_hashes, k)
     band_entries = sig.select(
         "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(F.concat_ws(
-                    ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                    ",", *[F.col(f"h{b * rows_per_band + r}")
                            for r in range(rows_per_band)])).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
@@ -154,19 +175,32 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified by exact Jaccard (estimate from signatures is
     also available; exact verification keeps the result deterministic).
+
+    Verification is row-joins on the exploded shingles restricted to the
+    candidate pairs (common-shingle count vs sizes) — never an
+    array_intersect over recomputed per-document arrays.
+
     Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k)
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), k).alias("sh"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (joined
-            .withColumn("jaccard", inter.cast("double") / union)
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    sh = shingle_rows(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = (
+        cand.join(sa, F.col("sa.id") == F.col("id_a"))
+        .join(sb, (F.col("sb.id") == F.col("id_b"))
+              & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard", F.col("common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # --------------------------------------------------------------------------
