@@ -63,8 +63,13 @@ def q_scan_events(spark, sf_dir):
 
 def q_filter_seek(spark, sf_dir):
     """OP-FILTER-SEEK (JsonEventS3Iterator.java:79-101) — exact range
-    predicate; parquet min/max pruning replaces the 10k-line skip sampling."""
-    return replay_ops.seek(_events(spark, sf_dir), "ts", SEEK_TS).select(
+    predicate; parquet min/max pruning replaces the 10k-line skip sampling.
+    The bound is applied on the raw epoch-nanos column pre-conversion so it
+    pushes into the parquet scan (tables.load events_min_ts); seek() on the
+    converted column keeps the operator contract explicit."""
+    ensure_engine_conf(spark)
+    e = load(spark, sf_dir, "events", events_min_ts=SEEK_TS)
+    return replay_ops.seek(e, "ts", SEEK_TS).select(
         "event_id", "ts", "event_type")
 
 
@@ -844,7 +849,8 @@ def q_replay_plan(spark, sf_dir):
     """The reference's whole batch dataflow in one plan: seek -> derive
     ingestion time -> order -> batch ids -> surrogate shards
     (RePlayer.java:114-177 minus pacing/sink, which are streaming-only)."""
-    e = _events(spark, sf_dir)
+    ensure_engine_conf(spark)
+    e = load(spark, sf_dir, "events", events_min_ts=SEEK_TS)
     seeked = replay_ops.seek(e, "ts", SEEK_TS)
     ing = replay_ops.with_ingestion_time(seeked, "ts", INGESTION_START_MS, SPEEDUP)
     batched = replay_ops.assign_batches(ing, ["ts", "event_id"], BATCH_MAX)

@@ -6,6 +6,7 @@ DataFrame and Catalyst pushes projections/predicates into the parquet scan.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,7 +30,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str,
+         events_min_ts: str | None = None) -> DataFrame:
+    """Load one fixture table.
+
+    events_min_ts (ISO-8601, whole seconds, UTC): optional event-time lower
+    bound applied BEFORE the ns->us timestamp conversion, on the raw
+    epoch-nanos long — a parquet-pushable predicate (row-group min/max
+    pruning), whereas a filter on the converted timestamp column cannot push
+    through the conversion expression. For whole-second bounds the two
+    predicates are exactly equivalent (ns >= T*1e9 <=> floor(ns/1000) >=
+    T*1e6).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_engine_conf(spark)
@@ -38,7 +50,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # as epoch-nanos BIGINT — convert to microsecond TimestampType exactly
     # the way DuckDB does (integer truncation), keeping the oracle aligned.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        if events_min_ts is not None:
+            ns = int(_dt.datetime.fromisoformat(events_min_ts)
+                     .replace(tzinfo=_dt.timezone.utc).timestamp()) * 1_000_000_000
+            df = df.filter(F.col("ts") >= F.lit(ns))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif events_min_ts is not None and "ts" in df.columns:
+        df = df.filter(
+            F.col("ts") >= F.lit(events_min_ts).cast("timestamp"))
     return df
 
 

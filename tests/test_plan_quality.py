@@ -1,0 +1,68 @@
+"""Plan-quality regression tests: the physical plans we ship, not just the
+answers. A correct query with the wrong plan shape is a 100 TB incident."""
+
+import re
+
+import pytest
+
+from amazon_kinesis_replay_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_seek_filter_pushes_to_parquet(spark):
+    """The seek bound must reach the scan (row-group min/max pruning) —
+    applied on the raw nanos column, not the converted timestamp."""
+    p = _plan(spark, "filter_seek")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p[:500]
+    assert "GreaterThanOrEqual(ts," in m.group(1)
+
+
+def test_q1_scan_prunes_columns(spark):
+    """Q1 projects 7 of 11 lineitem columns; the scan must not read more."""
+    p = _plan(spark, "q1_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert m
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"} <= cols
+    assert "LessThanOrEqual(l_shipdate" in p  # date filter pushed too
+
+
+def test_star_joins_broadcast_small_dims(spark):
+    """q5's region/nation (and with AQE every dim at this SF) must hash-
+    broadcast — no sort-merge join for fixed-cardinality dimensions."""
+    p = _plan(spark, "q5_local_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ingestion_anchor_is_broadcast_not_window(spark):
+    """min(ts) anchor must come back as a broadcast join, never a
+    single-partition global Window over the events."""
+    p = _plan(spark, "derive_ingestion_time")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Window" not in p
+
+
+def test_topk_avoids_global_sort_materialization(spark):
+    """LIMIT + ORDER BY must plan as TakeOrderedAndProject, not a full
+    global sort followed by limit."""
+    p = _plan(spark, "top_users_by_value")
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize("name", ["window_rate_stats", "agg_events_by_type"])
+def test_aggregates_are_partial(spark, name):
+    """Grouped aggregates must have a map-side partial phase (two
+    HashAggregate levels around the exchange)."""
+    p = _plan(spark, name)
+    assert p.count("HashAggregate") >= 2
