@@ -1,0 +1,89 @@
+"""Stateful streaming operators: watermark windows, cross-batch dedup,
+running per-key totals — driven end-to-end through a file stream."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.config import ReplayConfig
+from amazon_kinesis_replay_spark.sources import ndjson
+from amazon_kinesis_replay_spark.streaming import stateful
+from amazon_kinesis_replay_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def keyed_fixture(spark, sf_dir, tmp_path_factory):
+    """Two NDJSON files; user_id keys repeat within and across files."""
+    root = tmp_path_factory.mktemp("keyed")
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id")
+            .orderBy("ts").limit(300).collect())
+    half = len(rows) // 2
+    for fi, chunk in enumerate((rows[:half], rows[half:])):
+        with open(root / f"part-{fi:03d}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({
+                    "event_id": r["event_id"],
+                    "user_id": r["user_id"],
+                    "dropoff_datetime": r["ts"].isoformat()}) + "\n")
+    return str(root), rows
+
+
+def _run_to_memory(spark, df, name, tmp_path, mode="append"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation", str(tmp_path / f"ck-{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _with_user(spark, cfg, path):
+    ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    return ev.withColumn(
+        "user_id", F.get_json_object("payload", "$.user_id").cast("long"))
+
+
+def test_windowed_rate_counts_stream(spark, keyed_fixture, tmp_path):
+    path, rows = keyed_fixture
+    cfg = ReplayConfig(source_path=path)
+    ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    out = stateful.windowed_rate_counts(ev, frequency_ms=3_600_000,
+                                        watermark_delay="0 seconds")
+    got = _run_to_memory(spark, out, "win_counts", tmp_path)
+    # append mode emits only windows closed by the watermark; totals bounded
+    # by input and conserved per emitted window
+    emitted = got.agg(F.sum("n_events")).collect()[0][0] or 0
+    assert emitted <= len(rows)
+    assert got.filter(F.col("n_events") <= 0).count() == 0
+
+
+def test_dedup_stream_first_occurrence_only(spark, keyed_fixture, tmp_path):
+    path, rows = keyed_fixture
+    cfg = ReplayConfig(source_path=path)
+    ev = _with_user(spark, cfg, path)
+    out = stateful.dedup_stream(ev, "user_id")
+    got = _run_to_memory(spark, out, "dedup_keys", tmp_path)
+    keys = [r["key"] for r in got.select("key").collect() if r["key"] is not None]
+    distinct_users = {str(r["user_id"]) for r in rows}
+    assert sorted(set(keys)) == sorted(keys)          # no key emitted twice
+    assert set(keys) == distinct_users                # every key exactly once
+
+
+def test_running_counts_stream_totals(spark, keyed_fixture, tmp_path):
+    path, rows = keyed_fixture
+    cfg = ReplayConfig(source_path=path)
+    ev = _with_user(spark, cfg, path)
+    out = stateful.running_counts_stream(ev, "user_id")
+    got = _run_to_memory(spark, out, "run_counts", tmp_path)
+    # the LAST emission per key carries that key's grand total
+    import collections
+    per_key = collections.Counter(str(r["user_id"]) for r in rows)
+    finals = (got.groupBy("key")
+              .agg(F.max("total_events").alias("total")).collect())
+    assert {r["key"]: r["total"] for r in finals} == dict(per_key)
+    # per-batch emissions sum to the same totals (no loss, no double count)
+    sums = {r["key"]: r["s"] for r in
+            got.groupBy("key").agg(F.sum("batch_events").alias("s")).collect()}
+    assert sums == dict(per_key)
