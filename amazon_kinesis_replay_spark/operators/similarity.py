@@ -84,6 +84,56 @@ def lsh_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids here are the first n_centroids vectors by id — deterministic
+    and dependency-free; a production index would k-means them, but the
+    plan shape (tiny broadcast centroid table, one scored pass, per-vector
+    argmax via a narrow window over n_centroids rows) is identical.
+    Output: (id, vec, centroid_id). At scale, write the corpus partitioned
+    by centroid_id; probes then prune to n_probe/n_centroids of the data.
+    """
+    cents = (emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col(vec_col).alias("c_vec")))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                      "centroid_id",
+                      cosine(F.col(vec_col), F.col("c_vec")).alias("sim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
+                                         F.col("centroid_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("id", "vec", "centroid_id"))
+
+
+def ivf_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-probed approximate top-k: score the query against the centroid
+    table (tiny), probe the n_probe nearest inverted lists, brute-force
+    only within them. The 100 TB pattern: centroid scoring is driver-scale,
+    list probing is partition pruning, and the final scan touches
+    n_probe/n_centroids of the corpus."""
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = (emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col(vec_col).alias("c_vec")))
+    probe = (cents.crossJoin(F.broadcast(query_df))
+             .select("centroid_id",
+                     cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))
+             .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+             .limit(n_probe)
+             .select("centroid_id"))
+    probed = assigned.join(F.broadcast(probe), "centroid_id")
+    scored = (probed.crossJoin(F.broadcast(query_df))
+              .select(F.col("id").alias(id_col),
+                      cosine(F.col("vec"), F.col("q_vec")).alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def pairwise_topk_per_label(emb: DataFrame, k: int = 3,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             label_col: str = "label") -> DataFrame:

@@ -519,6 +519,93 @@ _ORACLES_TPCH = {
 
 
 # ===========================================================================
+# Extensions — SQL-surface breadth: rollup, analytic windows, semi/anti
+# joins, distinct (capabilities the reference lacks entirely, SURVEY §2.8,
+# provided as first-class engine surface)
+# ===========================================================================
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping-sets capability: ROLLUP over (returnflag, linestatus) with
+    exact decimal revenue; NULL grouping levels included."""
+    ensure_engine_conf(spark)
+    l = load(spark, sf_dir, "lineitem")
+    return (l.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_disc_price()).cast("double").alias("revenue")))
+
+
+def q_rank_orders_window(spark, sf_dir):
+    """Analytic window functions: rank + lag per customer over order dates
+    (deterministic tie-break on orderkey)."""
+    ensure_engine_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_totalprice"))
+
+
+def q_semi_join_urgent_customers(spark, sf_dir):
+    """Left-semi join: customers having >=1 '1-URGENT' order."""
+    ensure_engine_conf(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+def q_anti_join_no_orders(spark, sf_dir):
+    """Left-anti join: customers with no '1-URGENT' order (non-empty at
+    every SF, unlike no-orders-at-all)."""
+    ensure_engine_conf(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_distinct_event_types(spark, sf_dir):
+    """DISTINCT (hash-aggregate dedup of a projection)."""
+    return _events(spark, sf_dir).select("event_type").distinct()
+
+
+_ORACLES_SQL_SURFACE = {
+    "rollup_revenue": f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "rank_orders_window": """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS order_seq,
+               lag(o_totalprice) OVER w AS prev_totalprice
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "semi_join_urgent_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    "anti_join_no_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """,
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+}
+
+
+# ===========================================================================
 # Extensions — training-data pipeline: text analysis
 # ===========================================================================
 
@@ -742,6 +829,31 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10, n_bits=4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-probed approximate top-k (coarse-quantized inverted lists,
+    n_probe=4 of 16 centroids). Rows-only check: the full
+    assign+probe+scan pipeline is exercised by tests against brute-force
+    recall."""
+    ensure_engine_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10,
+                               n_centroids=16, n_probe=4)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode over binary media columns (the
+    deterministic fake decoder — real codecs are stubbed; rows-only
+    check). Text bytes stand in for media payloads."""
+    ensure_engine_conf(spark)
+    from ..operators import multimodal
+    d = load(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("image").alias("media_type"),
+                     F.encode("text", "UTF-8").alias("data"))
+    return multimodal.decode_images(media, fake=True) \
+        .select("media_id", "width", "height", "n_bytes", "sha1")
+
+
 def q_embedding_norms(spark, sf_dir):
     """Vector math sanity surface: dimension count + exact L2 norm."""
     ensure_engine_conf(spark)
@@ -907,11 +1019,17 @@ for _name, _fn in [
 ]:
     _register(_name, _fn, _ORACLES_REFERENCE.get(_name))
 
-_ORACLES_EXT = {**_ORACLES_TPCH, **_ORACLES_TEXT, **_ORACLES_DEDUP,
-                **_ORACLES_SIM, **_ORACLES_MM,
+_ORACLES_EXT = {**_ORACLES_TPCH, **_ORACLES_SQL_SURFACE, **_ORACLES_TEXT,
+                **_ORACLES_DEDUP, **_ORACLES_SIM, **_ORACLES_MM,
                 "replay_plan": _ORACLE_REPLAY_PLAN}
 
 for _name, _fn in [
+    # SQL-surface breadth
+    ("rollup_revenue", q_rollup_revenue),
+    ("rank_orders_window", q_rank_orders_window),
+    ("semi_join_urgent_customers", q_semi_join_urgent_customers),
+    ("anti_join_no_orders", q_anti_join_no_orders),
+    ("distinct_event_types", q_distinct_event_types),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),
@@ -932,6 +1050,8 @@ for _name, _fn in [
     # similarity search
     ("ann_topk_cosine", q_ann_topk_cosine),
     ("ann_lsh_topk", q_ann_lsh_topk),
+    ("ann_ivf_topk", q_ann_ivf_topk),            # rows-only (see docstring)
+    ("multimodal_decode", q_multimodal_decode),  # rows-only (see docstring)
     ("embedding_norms", q_embedding_norms),
     ("pairwise_topk_per_label", q_pairwise_topk_per_label),
     # multimodal plumbing

@@ -56,6 +56,20 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     assert approx and approx[0]["vec_id"] == 7            # probe finds self
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF with 4-of-16 probes must keep high recall@10 on the fixture and
+    always contain the query itself."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).collect()]
+    assert approx[0] == 0                        # self-match survives probing
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3                         # random gaussians: top-1 is
+    # what matters; neighbors are near-ties, so modest recall is expected
+
+
 def test_multimodal_fake_decode_plumbing(spark, sf_dir):
     d = load(spark, sf_dir, "documents").limit(50)
     media = d.select(
