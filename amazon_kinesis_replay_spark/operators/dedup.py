@@ -69,7 +69,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     jaccard = common / (|A| + |B| - common) — all-integer until one double
     division, so the value is bit-identical across engines.
     """
-    sh = shingle_rows(df, id_col, text_col, k)
+    # The exploded shingles feed three consumers (sizes + both join sides);
+    # persist so the CPU-heavy shingling runs once. MEMORY_AND_DISK: spills
+    # rather than OOMs when the corpus is large; at 100 TB an explicit
+    # materialization (bucketed write) replaces this.
+    sh = shingle_rows(df, id_col, text_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -182,7 +186,7 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 
     Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k)
-    sh = shingle_rows(df, id_col, text_col, k)
+    sh = shingle_rows(df, id_col, text_col, k).persist()  # 3 consumers
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     common = (

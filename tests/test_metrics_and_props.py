@@ -1,0 +1,92 @@
+"""Streaming progress listener + property-based operator invariants."""
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.config import ReplayConfig
+from amazon_kinesis_replay_spark.sources import ndjson
+from amazon_kinesis_replay_spark.streaming.metrics import ReplayProgressListener
+
+
+def test_progress_listener_counts(spark, sf_dir, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    from amazon_kinesis_replay_spark.tables import load
+    rows = (load(spark, sf_dir, "events").select("ts")
+            .orderBy("ts").limit(100).collect())
+    with open(src / "e.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(
+                {"dropoff_datetime": r["ts"].isoformat()}) + "\n")
+
+    listener = ReplayProgressListener(printer=None)
+    spark.streams.addListener(listener)
+    try:
+        ev = ndjson.read_events_stream(
+            spark, ReplayConfig(source_path=str(src)), max_files_per_trigger=1)
+        q = (ev.writeStream.format("memory").queryName("mtest")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener events arrive asynchronously
+        import time
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and listener.total_events < 100:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.total_events == 100
+    assert any(s["batch_events"] > 0 for s in listener.history)
+
+
+# -- property-based invariants (hypothesis) ---------------------------------
+
+_texts = st.lists(
+    st.text(alphabet="abcd efg", min_size=1, max_size=60),
+    min_size=2, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_texts)
+def test_jaccard_pairs_invariants(texts):
+    """Jaccard output: id_a<id_b, 0<j<=1, and symmetric under id relabeling."""
+    import tests.conftest as c
+    from amazon_kinesis_replay_spark.operators import dedup
+    from amazon_kinesis_replay_spark.session import build_spark
+    spark = build_spark("engine-tests", shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(i, t if t.strip() else "x") for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING")
+    rows = dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                     k=2, threshold=0.0).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+    # identical texts must appear with jaccard exactly 1
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault((t if t.strip() else "x").strip().lower(), []).append(i)
+    dup_pairs = {(a, b) for ids in by_text.values() if len(ids) > 1
+                 for a in ids for b in ids if a < b}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    for pair in dup_pairs:
+        assert got.get(pair) == 1.0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=200, unique=True))
+def test_global_index_is_a_permutation(keys):
+    from amazon_kinesis_replay_spark.operators import replay_ops
+    from amazon_kinesis_replay_spark.session import build_spark
+    spark = build_spark("engine-tests", shuffle_partitions=8)
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    out = replay_ops.with_global_index(df, ["k"], out_col="rn")
+    got = {r["k"]: r["rn"] for r in out.collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect
