@@ -64,6 +64,23 @@ def test_suffix_skip_is_exact(spark, fixture_dir):
     assert out.count() == pruned.count() == n_total - n_malformed
 
 
+def test_bz2_and_corrupt_files(spark, tmp_path):
+    """OP-SRC-DECOMP (.bz2) + OP-SRC-SKIPBAD (corrupt archive skipped
+    without failing the scan)."""
+    import bz2 as bz2lib
+    root = tmp_path / "mixed"
+    root.mkdir()
+    with bz2lib.open(root / "good.json.bz2", "wt") as fh:
+        for i in range(20):
+            fh.write(json.dumps({"dropoff_datetime":
+                                 f"2024-01-01T00:00:{i:02d}"}) + "\n")
+    # truncated gz: a valid header then garbage -> decompressor error
+    (root / "bad.json.gz").write_bytes(b"\x1f\x8b\x08\x00garbage-not-gz")
+    cfg = ReplayConfig(source_path=str(root))
+    out = ndjson.read_events(spark, cfg)
+    assert out.count() == 20
+
+
 def test_send_with_retry_failed_subset():
     cfg = ReplayConfig(backoff_base_ms=1, max_backoff_ms=2)
     # request 0 fails records 1 and 3; request 1 (the retry of those 2)
