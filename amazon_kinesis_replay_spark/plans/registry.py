@@ -574,6 +574,36 @@ def q_distinct_event_types(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization as a window composition: a session breaks after a
+    30-minute gap; session_id = running count of breaks per user. The
+    window partitions by user (parallel) — the standard scale shape."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_break = F.when(gap_s > 1800, F.lit(1)).otherwise(F.lit(0))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.sum(is_break).over(wcum).cast("long").alias("session_id"))
+
+
+def q_asof_last_error(spark, sf_dir):
+    """As-of join expressed as a conditional running max: for each event,
+    the timestamp of the same user's most recent STRICTLY PRIOR 'error'
+    event (epoch-millis; NULL if none). The canonical as-of-join-as-window
+    composition — no range join, no shuffle beyond the user partition."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    err_ts = F.when(F.col("event_type") == "error", F.unix_millis("ts"))
+    return e.select(
+        "event_id", "user_id",
+        F.max(err_ts).over(w).alias("last_error_ms"))
+
+
 _ORACLES_SQL_SURFACE = {
     "rollup_revenue": f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -602,6 +632,28 @@ _ORACLES_SQL_SURFACE = {
                             AND o_orderpriority = '1-URGENT')
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "sessionize_events": """
+        SELECT event_id, user_id,
+               CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                       AS gap_s
+            FROM events)
+    """,
+    "asof_last_error": """
+        SELECT event_id, user_id,
+               max(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_error_ms
+        FROM events
+    """,
 }
 
 
@@ -1030,6 +1082,8 @@ for _name, _fn in [
     ("semi_join_urgent_customers", q_semi_join_urgent_customers),
     ("anti_join_no_orders", q_anti_join_no_orders),
     ("distinct_event_types", q_distinct_event_types),
+    ("sessionize_events", q_sessionize_events),
+    ("asof_last_error", q_asof_last_error),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),
