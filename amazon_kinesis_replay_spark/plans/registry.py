@@ -574,6 +574,17 @@ def q_distinct_event_types(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
 
+def q_event_value_quantiles(spark, sf_dir):
+    """Exact grouped percentiles (sort-based; linear interpolation matches
+    DuckDB quantile_cont bit-for-bit). percentile_approx is the sketch
+    variant for 100 TB; the exact form is the oracle-checkable surface."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"))
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization as a window composition: a session breaks after a
     30-minute gap; session_id = running count of breaks per user. The
@@ -632,6 +643,13 @@ _ORACLES_SQL_SURFACE = {
                             AND o_orderpriority = '1-URGENT')
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "event_value_quantiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """,
     "sessionize_events": """
         SELECT event_id, user_id,
                CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
@@ -1084,6 +1102,7 @@ for _name, _fn in [
     ("distinct_event_types", q_distinct_event_types),
     ("sessionize_events", q_sessionize_events),
     ("asof_last_error", q_asof_last_error),
+    ("event_value_quantiles", q_event_value_quantiles),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),
