@@ -1,1 +1,2 @@
-from . import replay_ops, stats, dedup, similarity, text, multimodal  # noqa: F401
+from . import (  # noqa: F401
+    dedup, multimodal, replay_ops, similarity, skew, stats, text)

@@ -54,6 +54,25 @@ def main():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # Streaming-engine throughput: pace-free replay of the events table
+    # through the driver-mode engine (sort + pacing loop + 500-record
+    # batched sink) — the reference's replay loop with Kinesis swapped for
+    # an in-memory sink.
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.streaming.replay import ReplayEngine
+    from amazon_kinesis_replay_spark.streaming.sinks import InMemorySink
+    from amazon_kinesis_replay_spark.tables import load
+
+    events = load(spark, sf_dir, "events").select(
+        F.col("props").alias("payload"), "ts")
+    engine = ReplayEngine(
+        ReplayConfig(speedup_factor=1e12), InMemorySink(), mode="driver")
+    t0 = time.monotonic()
+    engine.process_batch(events, 0)
+    timings["replay_emit_stream"] = round(time.monotonic() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
