@@ -84,20 +84,63 @@ def lsh_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _seed_centroids(emb: DataFrame, n_centroids: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    return (emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("c_vec")))
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
+                     n_iters: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over embeddings, expressed as DataFrame ops.
+
+    Per iteration: broadcast the centroid table, assign by max cosine
+    (narrow window over n_centroids rows per vector), recompute centroids
+    as per-dimension means via posexplode + two map-side-combinable
+    aggregations. Deterministic seed (first n vectors by id); each
+    iteration materializes only the tiny centroid table on the driver —
+    the corpus is scanned, never collected.
+    """
+    cents = _seed_centroids(emb, n_centroids, id_col, vec_col)
+    from pyspark.sql import Window
+    for _ in range(n_iters):
+        scored = (emb.crossJoin(F.broadcast(cents))
+                  .select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"), "centroid_id",
+                          cosine(F.col(vec_col), F.col("c_vec")).alias("sim")))
+        w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
+                                             F.col("centroid_id").asc())
+        assigned = (scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1))
+        dims = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("pos", "x"))
+        means = dims.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+        cents = (means.groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("centroid_id",
+                         F.transform("pm", lambda s: s["m"].cast("float"))
+                         .alias("c_vec")))
+    return cents
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
-    Centroids here are the first n_centroids vectors by id — deterministic
-    and dependency-free; a production index would k-means them, but the
-    plan shape (tiny broadcast centroid table, one scored pass, per-vector
-    argmax via a narrow window over n_centroids rows) is identical.
+    Default centroids are the first n_centroids vectors by id —
+    deterministic and dependency-free; pass `centroids` from
+    `kmeans_centroids` for a trained index. The plan shape (tiny broadcast
+    centroid table, one scored pass, per-vector argmax via a narrow window
+    over n_centroids rows) is identical either way.
     Output: (id, vec, centroid_id). At scale, write the corpus partitioned
     by centroid_id; probes then prune to n_probe/n_centroids of the data.
     """
-    cents = (emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.col(vec_col).alias("c_vec")))
+    cents = centroids if centroids is not None else _seed_centroids(
+        emb, n_centroids, id_col, vec_col)
     scored = (emb.crossJoin(F.broadcast(cents))
               .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                       "centroid_id",
@@ -111,16 +154,16 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16,
 
 def ivf_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-probed approximate top-k: score the query against the centroid
     table (tiny), probe the n_probe nearest inverted lists, brute-force
     only within them. The 100 TB pattern: centroid scoring is driver-scale,
     list probing is partition pruning, and the final scan touches
     n_probe/n_centroids of the corpus."""
-    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
-    cents = (emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.col(vec_col).alias("c_vec")))
+    cents = centroids if centroids is not None else _seed_centroids(
+        emb, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents)
     probe = (cents.crossJoin(F.broadcast(query_df))
              .select("centroid_id",
                      cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))

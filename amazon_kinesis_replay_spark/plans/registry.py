@@ -899,6 +899,23 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10, n_bits=4)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the last dedup modality of the
+    north star): all pairs with cosine >= 0.4 over a deterministic 1-in-2
+    sample. Exact DECIMAL dot products keep the score bit-identical to the
+    oracle. Scale path: replace the sampled all-pairs with the LSH/IVF
+    bucket join (ann_lsh_topk / ann_ivf_topk machinery)."""
+    ensure_engine_conf(spark)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        similarity.cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    return scored.filter(F.col("cosine") >= 0.4)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-probed approximate top-k (coarse-quantized inverted lists,
     n_probe=4 of 16 centroids). Rows-only check: the full
@@ -951,6 +968,14 @@ _SIGN_BUCKET_SQL = ("(CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END"
                     " + CASE WHEN {v}[4] >= 0 THEN 1 ELSE 0 END)")
 
 _ORACLES_SIM = {
+    "dedup_embedding_cosine": f"""
+        WITH sample AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
     "ann_topk_cosine": f"""
         WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id,
@@ -1120,6 +1145,7 @@ for _name, _fn in [
     ("ngram_jaccard_dedup", q_ngram_jaccard_dedup),
     ("minhash_dedup", q_minhash_dedup),
     ("simhash_dedup", q_simhash_dedup),          # rows-only (hash family)
+    ("dedup_embedding_cosine", q_dedup_embedding_cosine),
     # similarity search
     ("ann_topk_cosine", q_ann_topk_cosine),
     ("ann_lsh_topk", q_ann_lsh_topk),

@@ -40,6 +40,7 @@ def build_spark(app_name: str = "amazon-kinesis-replay-spark",
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
     )
     for k, v in ENGINE_RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -70,6 +70,21 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     # what matters; neighbors are near-ties, so modest recall is expected
 
 
+def test_kmeans_ivf_training(spark, sf_dir):
+    """Trained centroids: right shape, all vectors assigned, probe still
+    finds the query itself."""
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    rows = cents.collect()
+    assert len(rows) <= 8 and all(len(r["c_vec"]) == 64 for r in rows)
+    assigned = similarity.ivf_assign(emb, 8, centroids=cents)
+    assert assigned.count() == emb.count()                 # total assignment
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2,
+                              centroids=cents).collect()
+    assert top and top[0]["vec_id"] == 0
+
+
 def test_multimodal_fake_decode_plumbing(spark, sf_dir):
     d = load(spark, sf_dir, "documents").limit(50)
     media = d.select(
