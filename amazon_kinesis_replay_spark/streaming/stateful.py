@@ -90,6 +90,19 @@ def dedup_stream(events: DataFrame, key_col: str,
     )
 
 
+def dedup_stream_builtin(events: DataFrame, key_col: str,
+                         ts_col: str = "ts",
+                         watermark_delay: str = "10 minutes") -> DataFrame:
+    """Built-in comparison point for `dedup_stream`:
+    dropDuplicatesWithinWatermark keeps state only within the watermark
+    horizon (bounded state for unbounded streams), where the
+    applyInPandasWithState version holds keys forever. Prefer this for
+    unbounded key spaces; prefer `dedup_stream` when the first-occurrence
+    payload (e.g. first_ts) must be emitted."""
+    return (events.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark([key_col]))
+
+
 _COUNT_OUT = StructType([
     StructField("key", StringType()),
     StructField("batch_events", LongType()),

@@ -81,6 +81,17 @@ def test_bz2_and_corrupt_files(spark, tmp_path):
     assert out.count() == 20
 
 
+def test_kinesis_source_is_gated(spark):
+    """Without a connector on the classpath the Kinesis source raises
+    NotImplementedError with packaging guidance (never a cryptic py4j
+    error)."""
+    from amazon_kinesis_replay_spark.sources.kinesis import read_kinesis_stream
+    cfg = ReplayConfig(
+        stream_arn="arn:aws:kinesis:us-east-1:123456789012:stream/x")
+    with pytest.raises(NotImplementedError, match="connector"):
+        read_kinesis_stream(spark, cfg)
+
+
 def test_send_with_retry_failed_subset():
     cfg = ReplayConfig(backoff_base_ms=1, max_backoff_ms=2)
     # request 0 fails records 1 and 3; request 1 (the retry of those 2)

@@ -71,6 +71,54 @@ def test_dedup_stream_first_occurrence_only(spark, keyed_fixture, tmp_path):
     assert set(keys) == distinct_users                # every key exactly once
 
 
+def test_dedup_stream_builtin_variant(spark, keyed_fixture, tmp_path):
+    """dropDuplicatesWithinWatermark emits one row per key for in-horizon
+    duplicates."""
+    path, rows = keyed_fixture
+    cfg = ReplayConfig(source_path=path)
+    ev = _with_user(spark, cfg, path)
+    out = stateful.dedup_stream_builtin(ev, "user_id", watermark_delay="1 hour")
+    got = _run_to_memory(spark, out, "dedup_builtin", tmp_path)
+    keys = [r["user_id"] for r in got.select("user_id").collect()]
+    # every distinct user present; duplicates only possible across
+    # watermark horizons (fixture spans < horizon per batch)
+    assert set(keys) == {r["user_id"] for r in rows}
+
+
+def test_cross_batch_disorder_watermark(spark, tmp_path):
+    """Events older than the watermark arriving in a LATER file are dropped
+    from stateful windows (documented deviation: the reference would emit
+    them late instead). In-horizon disorder is aggregated correctly."""
+    import json as js
+    src = tmp_path / "disorder"
+    src.mkdir()
+    # file 0: 00:00..00:59 (one event per second)
+    with open(src / "a.json", "w") as fh:
+        for i in range(60):
+            fh.write(js.dumps({"dropoff_datetime":
+                               f"2024-01-01T00:00:{i:02d}"}) + "\n")
+    # file 1: jumps to 02:00 (advances watermark), plus one very-late event
+    with open(src / "b.json", "w") as fh:
+        for i in range(10):
+            fh.write(js.dumps({"dropoff_datetime":
+                               f"2024-01-01T02:00:{i:02d}"}) + "\n")
+    # file 2: late event at 00:30 — beyond the 10-min watermark after file 1
+    with open(src / "c.json", "w") as fh:
+        fh.write(js.dumps({"dropoff_datetime":
+                           "2024-01-01T00:30:00"}) + "\n")
+    cfg = ReplayConfig(source_path=str(src))
+    ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    out = stateful.windowed_rate_counts(ev, frequency_ms=60_000,
+                                        watermark_delay="10 minutes")
+    got = _run_to_memory(spark, out, "disorder_counts", tmp_path,
+                         mode="append")
+    emitted = {r["window_start_ms"]: r["n_events"] for r in got.collect()}
+    base = 1704067200000  # 2024-01-01T00:00:00Z
+    # the 00:00 window closed with exactly its 60 in-order events; the
+    # beyond-watermark straggler did NOT reopen it
+    assert emitted.get(base) == 60
+
+
 def test_running_counts_stream_totals(spark, keyed_fixture, tmp_path):
     path, rows = keyed_fixture
     cfg = ReplayConfig(source_path=path)

@@ -25,16 +25,22 @@ def stream_fixture(spark, sf_dir, tmp_path_factory):
             .select("event_id", "ts").orderBy("ts").limit(400).collect())
     files = 4
     per = len(rows) // files
+    import os
     for fi in range(files):
         chunk = rows[fi * per:(fi + 1) * per]
         # bounded disorder: swap adjacent pairs
         for i in range(0, len(chunk) - 1, 2):
             chunk[i], chunk[i + 1] = chunk[i + 1], chunk[i]
-        with open(root / f"part-{fi:03d}.json", "w") as fh:
+        fpath = root / f"part-{fi:03d}.json"
+        with open(fpath, "w") as fh:
             for r in chunk:
                 fh.write(json.dumps({
                     "event_id": r["event_id"],
                     "dropoff_datetime": r["ts"].isoformat()}) + "\n")
+        # FileStreamSource orders files by MODIFICATION TIME; same-tick
+        # mtimes make processing order (and the global-order assertion)
+        # nondeterministic — force strictly increasing mtimes.
+        os.utime(fpath, (1_700_000_000 + fi, 1_700_000_000 + fi))
     span_s = (rows[-1]["ts"] - rows[0]["ts"]).total_seconds()
     return str(root), len(rows) // files * files, span_s
 
