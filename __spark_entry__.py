@@ -12,11 +12,19 @@ registry.py (operator IDs and reference citations in SURVEY.md §2).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from amazon_kinesis_replay_spark.plans import QUERIES
+# Defensive: make the package importable even when this module is loaded by
+# file path from another working directory.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from amazon_kinesis_replay_spark.plans import QUERIES  # noqa: E402
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

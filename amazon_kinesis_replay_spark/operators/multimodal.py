@@ -110,6 +110,43 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
     return df.select("media_id", "data").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("duration_s", FloatType(), True),
+    StructField("n_bytes", LongType(), True),
+    StructField("mfcc", ArrayType(FloatType()), True),
+])
+
+
+def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract audio payloads via mapInPandas (fake
+    decoder derives sample rate / duration / a 13-dim MFCC-shaped vector
+    from the payload digest; real path needs torchaudio/librosa)."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires torchaudio/librosa (not installed); "
+            "call with fake=True for the deterministic test decoder")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "duration_s": [],
+                   "n_bytes": [], "mfcc": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                digest = hashlib.sha1(raw).digest()
+                rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["duration_s"].append(round(len(raw) / (rate * 2.0), 6))
+                out["n_bytes"].append(len(raw))
+                out["mfcc"].append(
+                    [round(b / 255.0 - 0.5, 6) for b in digest[1:14]])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "data").mapInPandas(_decode, AUDIO_FEATURES_SCHEMA)
+
+
 def media_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
     """JVM-side metadata over binary payloads — no Python needed: byte
     length, md5, magic-byte sniff. The cheap pre-filter that should always

@@ -109,6 +109,17 @@ def test_multimodal_fake_decode_plumbing(spark, sf_dir):
     assert m["n_bytes"] == rows[0]["n_bytes"]
 
 
+def test_multimodal_audio_plumbing(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(20)
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "UTF-8").alias("data"))
+    rows = multimodal.decode_audio(media, fake=True).collect()
+    assert len(rows) == 20
+    assert all(len(r["mfcc"]) == 13 for r in rows)
+    assert all(r["sample_rate"] in (8000, 16000, 22050, 44100) for r in rows)
+    assert all(r["duration_s"] >= 0 for r in rows)
+
+
 def test_multimodal_real_decode_is_gated(spark, sf_dir):
     import pytest
     d = load(spark, sf_dir, "documents").limit(1)
