@@ -73,6 +73,27 @@ def main():
     engine.process_batch(events, 0)
     timings["replay_emit_stream"] = round(time.monotonic() - t0, 3)
 
+    # Honest self-baseline: time the DuckDB oracle for each headline query
+    # that has one (single-threaded C++ columnar engine on the same data —
+    # the floor for "is Spark overhead reasonable at this tiny SF").
+    oracle_timings: dict[str, float] = {}
+    try:
+        import duckdb
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name in HEADLINE:
+            oracle = QUERIES[name].oracle
+            if not oracle:
+                continue
+            t0 = time.monotonic()
+            con.execute(oracle).fetchall()
+            oracle_timings[name] = round(time.monotonic() - t0, 3)
+    except Exception:
+        pass  # oracle timing is informational only
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -83,6 +104,7 @@ def main():
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "oracle_sec": oracle_timings,
         "sf": sf_val,
     }))
 
