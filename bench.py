@@ -47,12 +47,19 @@ def main():
     # warm-up: JVM, codegen, parquet footer caches
     QUERIES["head_min_event"].fn(spark, sf_dir).collect()
 
+    # min of 2 runs per query: the box is shared, and a single sample can
+    # be 40%+ noise from co-tenant load; min-of-N measures the plan, not
+    # the neighbors.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # Streaming-engine throughput: pace-free replay of the events table
     # through the driver-mode engine (sort + pacing loop + 500-record
