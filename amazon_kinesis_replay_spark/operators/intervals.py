@@ -1,0 +1,64 @@
+"""Range/interval join — the bucketed equi-join pattern.
+
+Spark has no native interval-join operator; a naive `a.ts BETWEEN b.lo AND
+b.hi` join plans as BroadcastNestedLoop/Cartesian, which is quadratic and
+dies at scale. The scale pattern: quantize time into fixed buckets, explode
+each interval over the buckets it covers, equi-join on the bucket id (hash
+join, shuffle on a 64-bit key), then re-check exact containment. Work is
+proportional to (#points + #interval-bucket entries + #true matches), not
+#points x #intervals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_ts: str = "ts", lo: str = "lo", hi: str = "hi",
+                  bucket_width_s: int = 3600) -> DataFrame:
+    """Join each point to every interval containing it ([lo, hi) semantics).
+
+    points: any columns + `point_ts` timestamp.
+    intervals: any columns + `lo`/`hi` timestamps; hi - lo may exceed the
+    bucket width (intervals explode over all covered buckets).
+    """
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_width_s)
+    p = points.withColumn("__bucket", p_bucket)
+
+    lo_b = F.floor(F.unix_timestamp(F.col(lo)) / bucket_width_s)
+    # hi is exclusive: the last covered bucket is the one holding hi-1s
+    hi_b = F.floor((F.unix_timestamp(F.col(hi)) - 1) / bucket_width_s)
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b))))
+
+    joined = p.join(iv, "__bucket").filter(
+        (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi)))
+    return joined.drop("__bucket")
+
+
+def multi_resolution_rollup(events: DataFrame, ts_col: str = "ts",
+                            resolutions_s: tuple[int, ...] = (60, 3600, 86400),
+                            group_col: str | None = None) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup at several resolutions
+    in one pass shape: per resolution, counts per (bucket, group), stacked
+    with a `resolution_s` discriminator. Each level is an independent
+    map-side-combinable aggregate; at scale the coarser levels can instead
+    fold the finer level's partials (same result, one scan).
+    """
+    outs = []
+    for res in resolutions_s:
+        bucket_ms = (F.floor(F.unix_timestamp(F.col(ts_col)) / res)
+                     * res * 1000).cast("long")
+        keys = [bucket_ms.alias("bucket_start_ms")]
+        if group_col:
+            keys.append(F.col(group_col))
+        out = (events.groupBy(*keys)
+               .agg(F.count("*").alias("n_events"))
+               .withColumn("resolution_s", F.lit(res).cast("long")))
+        outs.append(out)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -574,6 +574,31 @@ def q_distinct_event_types(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
 
+def q_interval_join_counts(spark, sf_dir):
+    """Range/interval join via bucketed equi-join (operators/intervals.py):
+    1-hour intervals anchored at every 97th event; output = events per
+    interval. The oracle runs the naive BETWEEN join — same result, but
+    the engine's plan is a hash join on bucket ids, not a nested loop."""
+    ensure_engine_conf(spark)
+    from ..operators import intervals as iv
+    e = _events(spark, sf_dir)
+    spans = (e.filter(F.col("event_id") % 97 == 0)
+             .select(F.col("event_id").alias("interval_id"),
+                     F.col("ts").alias("lo"),
+                     (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi")))
+    joined = iv.interval_join(e.select("event_id", "ts"), spans,
+                              bucket_width_s=3600)
+    return (joined.groupBy("interval_id")
+            .agg(F.count("*").alias("n_events")))
+
+
+def q_multi_resolution_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate at 1min/1h/1day resolutions."""
+    ensure_engine_conf(spark)
+    from ..operators import intervals as iv
+    return iv.multi_resolution_rollup(_events(spark, sf_dir))
+
+
 def q_event_value_quantiles(spark, sf_dir):
     """Exact grouped percentiles (sort-based; linear interpolation matches
     DuckDB quantile_cont bit-for-bit). percentile_approx is the sketch
@@ -643,6 +668,29 @@ _ORACLES_SQL_SURFACE = {
                             AND o_orderpriority = '1-URGENT')
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "interval_join_counts": """
+        WITH spans AS (
+            SELECT event_id AS interval_id, ts AS lo,
+                   ts + INTERVAL 1 HOUR AS hi
+            FROM events WHERE event_id % 97 = 0)
+        SELECT s.interval_id, count(*) AS n_events
+        FROM events e JOIN spans s
+          ON e.ts >= s.lo AND e.ts < s.hi
+        GROUP BY s.interval_id
+    """,
+    "multi_resolution_rollup": """
+        SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60000 AS bucket_start_ms,
+               count(*) AS n_events, CAST(60 AS BIGINT) AS resolution_s
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000, count(*),
+               CAST(3600 AS BIGINT)
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400000, count(*),
+               CAST(86400 AS BIGINT)
+        FROM events GROUP BY 1
+    """,
     "event_value_quantiles": """
         SELECT event_type,
                quantile_cont(value, 0.5) AS p50,
@@ -1128,6 +1176,8 @@ for _name, _fn in [
     ("sessionize_events", q_sessionize_events),
     ("asof_last_error", q_asof_last_error),
     ("event_value_quantiles", q_event_value_quantiles),
+    ("interval_join_counts", q_interval_join_counts),
+    ("multi_resolution_rollup", q_multi_resolution_rollup),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),

@@ -60,6 +60,16 @@ def test_topk_avoids_global_sort_materialization(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The bucketed range join must plan as an equi hash/sort-merge join;
+    a naive BETWEEN join would be BroadcastNestedLoop/Cartesian."""
+    p = _plan(spark, "interval_join_counts")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p)
+
+
 @pytest.mark.parametrize("name", ["window_rate_stats", "agg_events_by_type"])
 def test_aggregates_are_partial(spark, name):
     """Grouped aggregates must have a map-side partial phase (two

@@ -61,6 +61,23 @@ def test_surrogate_shard_spread(spark, sf_dir):
     assert shards == set(range(8))
 
 
+def test_interval_join_containment(spark, sf_dir):
+    """Bucketed interval join == exact containment semantics, including
+    intervals spanning multiple buckets and [lo, hi) boundary exclusivity."""
+    from amazon_kinesis_replay_spark.operators import intervals as iv
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    spans = (e.filter(F.col("event_id") % 151 == 0)
+             .select(F.col("event_id").alias("interval_id"),
+                     F.col("ts").alias("lo"),
+                     (F.col("ts") + F.expr("INTERVAL 5 HOURS")).alias("hi")))
+    bucketed = iv.interval_join(e, spans, bucket_width_s=3600)  # 5 buckets
+    naive = e.join(spans, (F.col("ts") >= F.col("lo"))
+                   & (F.col("ts") < F.col("hi")))
+    got = {(r["event_id"], r["interval_id"]) for r in bucketed.collect()}
+    want = {(r["event_id"], r["interval_id"]) for r in naive.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_window_rate_stats_totals(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = stats.window_rate_stats(e, "ts", 20_000)
