@@ -574,6 +574,45 @@ def q_distinct_event_types(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
 
+def q_count_distinct_users(spark, sf_dir):
+    """Exact distinct aggregation (two-phase distinct-agg shuffle) per
+    event_type + global. approx_count_distinct is the sketch path at scale
+    (not oracle-comparable: different HLL implementations)."""
+    e = _events(spark, sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    total = e.select(F.lit("__all__").alias("event_type"),
+                     F.col("user_id")).groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    return per_type.unionByName(total)
+
+
+def q_user_value_trend(spark, sf_dir):
+    """Per-user linear-regression slope of value over time:
+    slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²). The moment sums (Σx, Σy, Σxy,
+    Σxx) are EXACT decimal aggregations (order-independent); they are then
+    cast to double and combined with the identical IEEE expression tree in
+    both engines — deterministic without needing >38-digit decimals.
+    x = seconds since 2024-01-01 (small ints keep decimals narrow);
+    y = value (exact at 6dp). Top-20 users by |slope|, id tiebreak."""
+    e = _events(spark, sf_dir)
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("decimal(12,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    agg = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(30,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(26,0)")).cast("double").alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    out = agg.select("user_id", (num / den).alias("slope"))
+    return out.orderBy(F.abs(F.col("slope")).desc(), F.col("user_id").asc()) \
+        .limit(20)
+
+
 def q_interval_join_counts(spark, sf_dir):
     """Range/interval join via bucketed equi-join (operators/intervals.py):
     1-hour intervals anchored at every 97th event; output = events per
@@ -668,6 +707,39 @@ _ORACLES_SQL_SURFACE = {
                             AND o_orderpriority = '1-URGENT')
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "count_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+    """,
+    "user_value_trend": """
+        WITH m AS (
+            SELECT user_id,
+                   count(*) AS n,
+                   CAST(CAST(sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200
+                                      AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(sum(CAST(CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200
+                                           AS DECIMAL(12,0))
+                                      * CAST(value AS DECIMAL(18,6))
+                                      AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(sum(CAST(CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200
+                                           AS DECIMAL(12,0))
+                                      * CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200
+                                             AS DECIMAL(12,0))
+                                      AS DECIMAL(26,0))) AS VARCHAR) AS DOUBLE) AS sxx
+            FROM events GROUP BY user_id HAVING count(*) >= 2)
+        SELECT user_id,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+        FROM m
+        ORDER BY abs((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx)) DESC,
+                 user_id ASC
+        LIMIT 20
+    """,
     "interval_join_counts": """
         WITH spans AS (
             SELECT event_id AS interval_id, ts AS lo,
@@ -1178,6 +1250,8 @@ for _name, _fn in [
     ("event_value_quantiles", q_event_value_quantiles),
     ("interval_join_counts", q_interval_join_counts),
     ("multi_resolution_rollup", q_multi_resolution_rollup),
+    ("count_distinct_users", q_count_distinct_users),
+    ("user_value_trend", q_user_value_trend),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),
