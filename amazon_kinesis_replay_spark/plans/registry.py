@@ -574,6 +574,40 @@ def q_distinct_event_types(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
 
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority): all 4 grouping sets in one pass."""
+    ensure_engine_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast(_DEC_MONEY))
+                 .cast("double").alias("total")))
+
+
+def q_click_purchase_attribution(spark, sf_dir):
+    """Event attribution: for each purchase, the number of clicks by the
+    same user in the preceding hour. Equi-join on user_id carries the
+    range predicate as a post-join filter — a hash join at any scale
+    (user_id is the shuffle key), never a nested loop."""
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"))
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"))
+    # range predicate INSIDE the left-join condition (join-on-filter-after
+    # would drop purchases whose clicks all miss the window); Catalyst
+    # still extracts user_id as the hash-join key.
+    cond = ((F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") < F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr("INTERVAL 1 HOUR")))
+    joined = purchases.join(clicks, cond, "left")
+    return (joined.groupBy("purchase_id")
+            .agg(F.count("click_ts").alias("n_clicks_1h")))
+
+
 def q_count_distinct_users(spark, sf_dir):
     """Exact distinct aggregation (two-phase distinct-agg shuffle) per
     event_type + global. approx_count_distinct is the sketch path at scale
@@ -707,6 +741,28 @@ _ORACLES_SQL_SURFACE = {
                             AND o_orderpriority = '1-URGENT')
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "cube_orders": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                    AS VARCHAR) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "click_purchase_attribution": """
+        WITH clicks AS (
+            SELECT user_id, ts AS click_ts FROM events
+            WHERE event_type = 'click'),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, count(c.click_ts) AS n_clicks_1h
+        FROM purchases p
+        LEFT JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.click_ts < p.purchase_ts
+         AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        GROUP BY p.purchase_id
+    """,
     "count_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
@@ -1252,6 +1308,8 @@ for _name, _fn in [
     ("multi_resolution_rollup", q_multi_resolution_rollup),
     ("count_distinct_users", q_count_distinct_users),
     ("user_value_trend", q_user_value_trend),
+    ("cube_orders", q_cube_orders),
+    ("click_purchase_attribution", q_click_purchase_attribution),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),

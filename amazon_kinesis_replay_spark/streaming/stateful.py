@@ -103,6 +103,30 @@ def dedup_stream_builtin(events: DataFrame, key_col: str,
             .dropDuplicatesWithinWatermark([key_col]))
 
 
+def attribute_stream(clicks: DataFrame, purchases: DataFrame,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     window: str = "1 hour",
+                     watermark_delay: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase paired
+    with same-user clicks in the preceding `window`.
+
+    Both sides carry watermarks so Spark can bound the join state: click
+    state is dropped once the purchase-side watermark passes click_ts +
+    window (the range condition gives the planner the eviction bound).
+    """
+    c = clicks.select(F.col(user_col).alias("c_user"),
+                      F.col(ts_col).alias("click_ts")) \
+        .withWatermark("click_ts", watermark_delay)
+    p = purchases.select(F.col(user_col).alias("p_user"),
+                         F.col(ts_col).alias("purchase_ts")) \
+        .withWatermark("purchase_ts", watermark_delay)
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") < F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {window}")))
+    return c.join(p, cond)
+
+
 _COUNT_OUT = StructType([
     StructField("key", StringType()),
     StructField("batch_events", LongType()),

@@ -119,6 +119,49 @@ def test_cross_batch_disorder_watermark(spark, tmp_path):
     assert emitted.get(base) == 60
 
 
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream join matches the batch attribution join on
+    the same data."""
+    import json as js
+    src = tmp_path / "attr"
+    src.mkdir()
+    rows = []
+    for i in range(200):
+        etype = "click" if i % 3 else "purchase"
+        rows.append({"event_id": i, "user_id": i % 7, "event_type": etype,
+                     "dropoff_datetime":
+                         f"2024-01-01T{i//60:02d}:{i%60:02d}:00"})
+    with open(src / "events.json", "w") as fh:
+        for r in rows:
+            fh.write(js.dumps(r) + "\n")
+    cfg = ReplayConfig(source_path=str(src))
+    ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    ev = (ev.withColumn("user_id",
+                        F.get_json_object("payload", "$.user_id").cast("long"))
+          .withColumn("event_type",
+                      F.get_json_object("payload", "$.event_type")))
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = stateful.attribute_stream(clicks, purchases, window="1 hour",
+                                    watermark_delay="2 hours")
+    got = _run_to_memory(spark, out, "attr_join", tmp_path)
+    n_stream = got.count()
+
+    # batch reference on the same data
+    b = spark.read.json(str(src / "events.json")) \
+        .withColumn("ts", F.to_timestamp("dropoff_datetime"))
+    bc = b.filter(F.col("event_type") == "click") \
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    bp = b.filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") < F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr("INTERVAL 1 HOUR")))
+    n_batch = bc.join(bp, cond).count()
+    assert n_stream == n_batch > 0
+
+
 def test_running_counts_stream_totals(spark, keyed_fixture, tmp_path):
     path, rows = keyed_fixture
     cfg = ReplayConfig(source_path=path)
