@@ -574,6 +574,34 @@ def q_distinct_event_types(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
 
+def q_explode_embedding_dims(spark, sf_dir):
+    """Lateral explode (posexplode) of array columns to rows — the
+    wide-to-long pivot every vector/feature pipeline needs. Sampled 1-in-25
+    to keep row counts honest."""
+    ensure_engine_conf(spark)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")) \
+        .withColumn("pos", F.col("pos").cast("long")) \
+        .withColumn("x", F.col("x").cast("double"))
+
+
+def q_string_functions(spark, sf_dir):
+    """Scalar string-function suite over documents: case map, substring,
+    length, trim, replace, levenshtein — all codegen'd JVM expressions with
+    bit-identical DuckDB twins."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, 24)
+    return d.select(
+        "doc_id",
+        F.upper(head).alias("head_upper"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("len_trimmed"),
+        F.regexp_replace(head, "a", "@").alias("head_subst"),
+        F.levenshtein(head, F.lit("the quick brown fox jump"))
+        .cast("long").alias("lev_to_probe"))
+
+
 def q_cube_orders(spark, sf_dir):
     """CUBE over (status, priority): all 4 grouping sets in one pass."""
     ensure_engine_conf(spark)
@@ -741,6 +769,23 @@ _ORACLES_SQL_SURFACE = {
                             AND o_orderpriority = '1-URGENT')
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "explode_embedding_dims": """
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+               CAST(embedding[generate_subscripts(embedding, 1)] AS DOUBLE) AS x
+        FROM embeddings
+        WHERE vec_id % 25 = 0
+    """,
+    "string_functions": """
+        SELECT doc_id,
+               upper(substring(text, 1, 24)) AS head_upper,
+               CAST(length(trim(text)) AS BIGINT) AS len_trimmed,
+               regexp_replace(substring(text, 1, 24), 'a', '@', 'g') AS head_subst,
+               CAST(levenshtein(substring(text, 1, 24),
+                                'the quick brown fox jump') AS BIGINT)
+                   AS lev_to_probe
+        FROM documents
+    """,
     "cube_orders": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
@@ -1310,6 +1355,8 @@ for _name, _fn in [
     ("user_value_trend", q_user_value_trend),
     ("cube_orders", q_cube_orders),
     ("click_purchase_attribution", q_click_purchase_attribution),
+    ("explode_embedding_dims", q_explode_embedding_dims),
+    ("string_functions", q_string_functions),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),
