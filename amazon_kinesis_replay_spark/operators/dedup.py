@@ -10,7 +10,7 @@ cross-join).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------------
@@ -60,32 +60,72 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact pairwise Jaccard over word k-shingles, restricted to pairs that
-    share >=1 shingle (the shingle equi-join prunes the quadratic space —
-    same shape DuckDB executes for the oracle).
+                        k: int = 3, threshold: float = 0.5,
+                        prefix_filter: bool = True) -> DataFrame:
+    """Exact pairwise Jaccard over word k-shingles.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     jaccard = common / (|A| + |B| - common) — all-integer until one double
-    division, so the value is bit-identical across engines.
+    division, so the value is bit-identical across engines (the DuckDB
+    oracle runs the naive shingle self-join; results are provably equal).
+
+    With prefix_filter (default), candidate pairs come from a PPJoin-style
+    prefix join instead of the full shingle self-join — EXACT, no recall
+    loss. Lemma (set-similarity-join literature): under a global shingle
+    order, if J(A,B) >= t then |A∩B| >= α := ceil(t/(1+t)·(|A|+|B|)), and
+    two sets with overlap >= α must collide within their first
+    |S| − α + 1 elements. Since J >= t also forces |B| >= t·|A|, α >=
+    ceil(t·|S|) for each side, so indexing the first |S| − ceil(t·|S|) + 1
+    elements (a superset of the required prefix) is safe. Ordering by
+    ascending global frequency puts the RAREST shingles in the prefix, so
+    the join avoids exactly the hot shingles that blow up the naive join.
+    Verification then counts common shingles over the FULL sets for the
+    surviving candidates only.
     """
-    # The exploded shingles feed three consumers (sizes + both join sides);
-    # persist so the CPU-heavy shingling runs once. MEMORY_AND_DISK: spills
+    # The exploded shingles feed several consumers; persist so the
+    # CPU-heavy shingling runs once. MEMORY_AND_DISK semantics: spills
     # rather than OOMs when the corpus is large; at 100 TB an explicit
     # materialization (bucketed write) replaces this.
     sh = shingle_rows(df, id_col, text_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+        w = Window.partitionBy("id").orderBy(F.col("freq").asc(),
+                                             F.col("shingle").asc())
+        ranked = (sh.join(freq, "shingle")
+                  .withColumn("rank", F.row_number().over(w)))
+        pref = (ranked.join(sizes, "id")
+                .filter(F.col("rank") <= F.col("n_shingles")
+                        - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
+                .select("id", "shingle"))
+        a, b = pref.alias("a"), pref.alias("b")
+        cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+                .distinct())
+        sa, sb = sh.alias("sa"), sh.alias("sb")
+        common = (
+            cand.join(sa, F.col("sa.id") == F.col("id_a"))
+            .join(sb, (F.col("sb.id") == F.col("id_b"))
+                  & (F.col("sa.shingle") == F.col("sb.shingle")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("common"))
+        )
+
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        common.join(na, "id_a").join(nb, "id_b")
         .withColumn("jaccard", F.col("common").cast("double")
                     / (F.col("na") + F.col("nb") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)

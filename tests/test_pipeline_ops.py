@@ -20,6 +20,20 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     assert mh == exact
 
 
+def test_prefix_filter_is_exact(spark, sf_dir):
+    """PPJoin prefix filtering must produce the identical pair set as the
+    naive shingle self-join at several thresholds (exactness, not recall)."""
+    d = load(spark, sf_dir, "documents").limit(200)
+    for t in (0.3, 0.5, 0.8):
+        naive = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+                 dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, t,
+                                           prefix_filter=False).collect()}
+        pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+                dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, t,
+                                          prefix_filter=True).collect()}
+        assert pref == naive
+
+
 def test_simhash_hamming_symmetry(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     sim = dedup.simhash64(d, "doc_id", "text")
