@@ -1268,6 +1268,59 @@ _ORACLES_MM = {
 }
 
 
+def q_training_data_pipeline(spark, sf_dir):
+    """The composed training-data cleaning pipeline — the extensions'
+    answer to `replay_plan`: language filter -> quality gate -> near-dup
+    removal (keep the lowest-id representative of each Jaccard>=0.5 pair)
+    -> per-document features. One Catalyst plan end to end."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        text.lang_id(F.col("text")).alias("lang_pred"),
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        text.stopword_ratio(F.col("text")).alias("stop_ratio"))
+    kept = enriched.filter(
+        (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10))
+    dup_pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5)
+    losers = dup_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return kept.join(losers, "doc_id", "left_anti") \
+        .select("doc_id", "n_tokens", "fingerprint", "stop_ratio")
+
+
+_ORACLE_TRAINING_PIPELINE = (
+    "WITH corpus AS (SELECT doc_id, text FROM documents), "
+    + _SHINGLE_SQL.replace("WITH toks", "toks", 1) + f"""
+    , losers AS (
+        SELECT DISTINCT id_b AS doc_id FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+    enriched AS (
+        SELECT doc_id,
+               CASE WHEN CAST(len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_pred,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint,
+               CAST(len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS stop_ratio
+        FROM documents)
+    SELECT doc_id, n_tokens, fingerprint, stop_ratio
+    FROM enriched e
+    WHERE lang_pred = 'en' AND n_tokens >= 10
+      AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+""")
+
+
 # ===========================================================================
 # Composed replay plan — the full batch prefix of the reference pipeline
 # ===========================================================================
@@ -1337,7 +1390,8 @@ for _name, _fn in [
 
 _ORACLES_EXT = {**_ORACLES_TPCH, **_ORACLES_SQL_SURFACE, **_ORACLES_TEXT,
                 **_ORACLES_DEDUP, **_ORACLES_SIM, **_ORACLES_MM,
-                "replay_plan": _ORACLE_REPLAY_PLAN}
+                "replay_plan": _ORACLE_REPLAY_PLAN,
+                "training_data_pipeline": _ORACLE_TRAINING_PIPELINE}
 
 for _name, _fn in [
     # SQL-surface breadth
@@ -1386,5 +1440,7 @@ for _name, _fn in [
     ("multimodal_meta", q_multimodal_meta),
     # composed end-to-end batch replay plan
     ("replay_plan", q_replay_plan),
+    # composed training-data cleaning pipeline
+    ("training_data_pipeline", q_training_data_pipeline),
 ]:
     _register(_name, _fn, _ORACLES_EXT.get(_name))

@@ -49,10 +49,41 @@ def build_spark(app_name: str = "amazon-kinesis-replay-spark",
 
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Re-assert runtime-settable engine configs on an externally built
-    session (the driver owns the session in `__spark_entry__` calls)."""
+    session (the driver owns the session in `__spark_entry__` calls), and
+    make this package importable on executor Python workers."""
     for k, v in ENGINE_RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build; keep going
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile (once per session).
+
+    Python-UDF closures (mapInPandas decoders, foreachPartition senders)
+    reference module-level functions, which cloudpickle serializes BY
+    REFERENCE — workers must be able to import the package. When the driver
+    process was launched from outside the repo, the workers' sys.path does
+    not include it; a zipped copy on the Spark files channel fixes that in
+    both local and cluster mode.
+    """
+    if getattr(spark, "_akrs_pyfiles_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        staging = tempfile.mkdtemp(prefix="akrs-pyfiles-")
+        zip_base = os.path.join(staging, "amazon_kinesis_replay_spark")
+        archive = shutil.make_archive(
+            zip_base, "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir))
+        spark.sparkContext.addPyFile(archive)
+        spark._akrs_pyfiles_shipped = True
+    except Exception:
+        pass  # best-effort: repo-rooted runs work without it
