@@ -24,12 +24,18 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     intervals: any columns + `lo`/`hi` timestamps; hi - lo may exceed the
     bucket width (intervals explode over all covered buckets).
     """
-    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_width_s)
+    # Bucket from exact epoch millis: unix_timestamp() truncates sub-second
+    # precision, which would place a point in the same whole second as an
+    # exclusive `hi` one bucket past the interval's exploded range whenever
+    # that second is a bucket boundary (missed match, not just a false
+    # positive the exact re-check could repair).
+    width_ms = bucket_width_s * 1000
+    p_bucket = F.floor(F.unix_millis(F.col(point_ts)) / width_ms)
     p = points.withColumn("__bucket", p_bucket)
 
-    lo_b = F.floor(F.unix_timestamp(F.col(lo)) / bucket_width_s)
-    # hi is exclusive: the last covered bucket is the one holding hi-1s
-    hi_b = F.floor((F.unix_timestamp(F.col(hi)) - 1) / bucket_width_s)
+    lo_b = F.floor(F.unix_millis(F.col(lo)) / width_ms)
+    # hi is exclusive: the last covered bucket is the one holding hi - 1ms
+    hi_b = F.floor((F.unix_millis(F.col(hi)) - 1) / width_ms)
     iv = intervals.withColumn(
         "__bucket", F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b))))
 

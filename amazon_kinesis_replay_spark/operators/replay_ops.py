@@ -128,29 +128,48 @@ def with_global_index(df: DataFrame, order_cols: list[str],
                       out_col: str = "rn", num_partitions: int | None = None) -> DataFrame:
     """Scalable global 1-based row number in `order_cols` order.
 
-    Two-pass partition-offset scheme:
-      1. range-partition by the order keys (one shuffle) and window-number
-         WITHIN each partition (parallel — Window.partitionBy(pid));
-      2. count rows per partition (tiny aggregate), prefix-sum the counts on
-         the driver (#partitions values, not #rows), broadcast-join offsets.
+    Partition-offset scheme, expressed as ONE declarative plan:
+      1. range-partition by the order keys (the only full-data shuffle),
+         sortWithinPartitions, and number rows per partition via
+         monotonically_increasing_id's documented bit layout (partition id
+         in the upper bits, a 0-based in-partition counter in the lower 33
+         — assigned in row order, i.e. in sort order here). This avoids the
+         second full-data hash shuffle a Window.partitionBy(pid) would add.
+      2. per-partition counts → prefix-sum offsets (a window over
+         #partitions rows, not #rows) → broadcast-join back on pid.
+
+    Both the numbering branch and the offsets branch hang off the SAME
+    repartitionByRange subplan, so Catalyst's ReuseExchange materializes
+    the shuffle once and both consumers read identical partitions (same
+    AQE coalescing — decided once per shuffle stage). This is what makes
+    the scheme correct under retries/speculation: range sampling "may not
+    be consistent" across separate executions, so an earlier version that
+    collect()ed counts in one job and re-ran the shuffle in the next could
+    in principle see different bounds and emit duplicate/gapped indexes.
+    No driver collect, no extra job, one shuffle of the data.
 
     Equivalent result to `row_number() over (order by ...)` but never
     serializes the dataset through a single task.
     """
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(*(([num_partitions] if num_partitions else []) + cols))
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    local = ranged.withColumn("__local_rn", F.row_number().over(w))
-    counts = (local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-              .orderBy("__pid").collect())
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["__cnt"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid INT, __off LONG")
+    local_mask = (1 << 33) - 1
+    local = (ranged.sortWithinPartitions(*cols)
+             .withColumn("__mid", F.monotonically_increasing_id())
+             .withColumn("__pid", F.shiftrightunsigned("__mid", 33).cast("int"))
+             .withColumn("__local_rn",
+                         (F.col("__mid").bitwiseAND(F.lit(local_mask)) + 1))
+             .drop("__mid"))
+    # Offsets as a subplan over the same exchange: exclusive prefix sum of
+    # per-partition counts. The cumsum window runs in a single task over
+    # #partitions rows — O(parallelism), not O(data).
+    off_w = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = (ranged.groupBy(F.spark_partition_id().alias("__pid"))
+              .agg(F.count("*").alias("__cnt"))
+              .withColumn("__off", F.coalesce(F.sum("__cnt").over(off_w),
+                                              F.lit(0)).cast("long"))
+              .drop("__cnt"))
     return (local.join(F.broadcast(off_df), "__pid")
             .withColumn(out_col, F.col("__local_rn") + F.col("__off"))
             .drop("__pid", "__local_rn", "__off"))

@@ -78,6 +78,28 @@ def test_interval_join_containment(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_interval_join_subsecond_hi_boundary(spark):
+    """Regression: an exclusive `hi` with sub-second precision must still
+    cover points in the same whole second. With second-truncated bucketing,
+    hi=11:00:00.5 computed its last covered bucket from 11:00:00-1s (the
+    10:00 bucket), so a point at 11:00:00.2 (bucket 11:00) was missed."""
+    from amazon_kinesis_replay_spark.operators import intervals as iv
+    pts = spark.createDataFrame(
+        [("p1", "2024-01-01 11:00:00.2"),   # inside, same second as hi
+         ("p2", "2024-01-01 11:00:00.5"),   # == hi: excluded ([lo, hi))
+         ("p3", "2024-01-01 10:00:00.4"),   # < lo: excluded
+         ("p4", "2024-01-01 10:00:00.5")],  # == lo: included
+        "point_id string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    spans = spark.createDataFrame(
+        [("i1", "2024-01-01 10:00:00.5", "2024-01-01 11:00:00.5")],
+        "interval_id string, lo string, hi string") \
+        .withColumn("lo", F.col("lo").cast("timestamp")) \
+        .withColumn("hi", F.col("hi").cast("timestamp"))
+    got = {r["point_id"]
+           for r in iv.interval_join(pts, spans, bucket_width_s=3600).collect()}
+    assert got == {"p1", "p4"}
+
+
 def test_window_rate_stats_totals(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = stats.window_rate_stats(e, "ts", 20_000)
