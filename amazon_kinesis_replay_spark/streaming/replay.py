@@ -150,16 +150,24 @@ class ReplayEngine:
     def _process_partitioned(self, batch_df: DataFrame):
         """Range-partition by ts into `sender_threads` partitions, each paced
         independently (the reference's sender fan-out). The sink must be
-        worker-constructible: a zero-arg factory is required."""
+        worker-constructible: a zero-arg factory is required.
+
+        One emit action per micro-batch: event counts and per-partition
+        SinkStats flow back through accumulators, so the driver-side
+        summary (cli.py end-of-run) reflects partitioned-mode sends — an
+        earlier version ran shaped.count() before foreachPartition, which
+        recomputed the repartitionByRange+sort shuffle and reported no
+        sink counters at all."""
         cfg = self.cfg
         sink_factory = self.sink
         if not callable(sink_factory):
             raise TypeError("partitioned mode needs a sink FACTORY "
                             "(zero-arg callable usable on executors)")
-        rows_min = batch_df.agg(F.min("ts")).collect()[0][0]
-        if rows_min is None:
+        bounds = batch_df.agg(F.min("ts").alias("mn"),
+                              F.max("ts").alias("mx")).collect()[0]
+        if bounds["mn"] is None:
             return
-        self._ensure_anchor(rows_min)
+        self._ensure_anchor(bounds["mn"])
         first_ts = self._first_event_ts
         ingestion_start_wall = time.time() - (self.clock() - self._ingestion_start)
         speedup = cfg.speedup_factor
@@ -169,10 +177,19 @@ class ReplayEngine:
                   .repartitionByRange(cfg.sender_threads, F.col("ts"))
                   .sortWithinPartitions("ts"))
 
+        sc = batch_df.sparkSession.sparkContext
+        acc_events = sc.accumulator(0)
+        acc_requests = sc.accumulator(0)
+        acc_retried = sc.accumulator(0)
+        acc_sent = sc.accumulator(0)
+
         def _emit(rows_iter):
             sink = sink_factory()
+            part_stats = SinkStats()
             buffer = []
+            n = 0
             for row in rows_iter:
+                n += 1
                 target = ingestion_start_wall + max(
                     0.0, (row["ts"] - first_ts).total_seconds()) / speedup
                 gap = target - time.time()
@@ -181,14 +198,24 @@ class ReplayEngine:
                 buffer.append({"payload": row["payload"],
                                "ts": row["ts"].isoformat()})
                 if len(buffer) >= max_per_request:
-                    send_with_retry(sink, buffer, cfg)
+                    send_with_retry(sink, buffer, cfg, stats=part_stats)
                     buffer = []
             if buffer:
-                send_with_retry(sink, buffer, cfg)
+                send_with_retry(sink, buffer, cfg, stats=part_stats)
+            acc_events.add(n)
+            acc_requests.add(part_stats.requests)
+            acc_retried.add(part_stats.retried_records)
+            acc_sent.add(part_stats.records_sent)
 
-        count = shaped.count()
         shaped.foreachPartition(_emit)
-        self.stats.tick(count, self.clock(), cfg.statistics_frequency_ms)
+        self.stats.sink.requests += acc_requests.value
+        self.stats.sink.retried_records += acc_retried.value
+        self.stats.sink.records_sent += acc_sent.value
+        if (self.stats.max_emitted_ts is None
+                or bounds["mx"] > self.stats.max_emitted_ts):
+            self.stats.max_emitted_ts = bounds["mx"]    # OP-AGG-MAXWM
+        self.stats.tick(acc_events.value, self.clock(),
+                        cfg.statistics_frequency_ms)
 
 
 def run_replay_stream(events: DataFrame, engine: ReplayEngine,

@@ -80,6 +80,21 @@ def main():
     engine.process_batch(events, 0)
     timings["replay_emit_stream"] = round(time.monotonic() - t0, 3)
 
+    # The scale path: partitioned-mode replay (repartitionByRange by ts,
+    # per-partition pacing, executor-side sinks, stats via accumulators).
+    # Discard-sink so the measurement is the emit pipeline, not I/O.
+    class _NoopSink:
+        def put_records(self, records):
+            return []
+
+    part_engine = ReplayEngine(
+        ReplayConfig(speedup_factor=1e12, sender_threads=8),
+        _NoopSink, mode="partitioned")
+    t0 = time.monotonic()
+    part_engine.process_batch(events, 0)
+    timings["replay_emit_partitioned"] = round(time.monotonic() - t0, 3)
+    assert part_engine.stats.sink.records_sent == part_engine.stats.total_events
+
     # Honest self-baseline: time the DuckDB oracle for each headline query
     # that has one (single-threaded C++ columnar engine on the same data —
     # the floor for "is Spark overhead reasonable at this tiny SF").

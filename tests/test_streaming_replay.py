@@ -102,6 +102,48 @@ def test_partitioned_mode_replay(spark, stream_fixture, tmp_path):
     for f in out_dir.glob("*.ndjson"):
         per_file[f.name] = sum(1 for _ in open(f))
     assert max(per_file.values()) <= 50
+    # executor-side SinkStats flow back to the driver via accumulators:
+    # the end-of-run summary must reflect partitioned-mode sends
+    assert engine.stats.total_events == n_events
+    assert engine.stats.sink.records_sent == n_events
+    assert engine.stats.sink.requests == len(per_file)
+    assert engine.stats.max_emitted_ts is not None
+
+
+def test_partitioned_batch_is_single_computation(spark, sf_dir, tmp_path):
+    """The emit path must run exactly 3 jobs per micro-batch: the bounds
+    aggregate, repartitionByRange's range-bounds sampling pass, and the
+    foreachPartition emit. More means the shuffle pipeline is being
+    computed twice (the round-1 count()-then-emit bug ran 5: sampling and
+    the shuffle executed once for count and again for emit)."""
+    from amazon_kinesis_replay_spark.streaming.sinks import FileSink
+    out_dir = tmp_path / "sink"
+    cfg = ReplayConfig(speedup_factor=1e12, sender_threads=4,
+                       max_records_per_request=100)
+    engine = ReplayEngine(cfg, lambda: FileSink(str(out_dir)),
+                          mode="partitioned")
+    # filter, not limit: CollectLimit executes incrementally (extra jobs)
+    batch = (load(spark, sf_dir, "events")
+             .filter(F.col("event_id") % 3 == 0)
+             .select(F.col("props").alias("payload"), "ts"))
+    expected_n = batch.count()
+    sc = spark.sparkContext
+    group = "partitioned-replay-jobcount"
+    # AQE runs each query stage as its own job, which makes raw job counts
+    # depend on plan internals; without it the mapping is deterministic:
+    # 1 job for the bounds aggregate + 1 for the emit action.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "count jobs per micro-batch")
+    try:
+        engine.process_batch(batch, 0)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 3, \
+        f"expected 3 jobs (bounds + range sampling + emit), got {len(jobs)}"
+    assert engine.stats.total_events == expected_n
+    assert engine.stats.sink.records_sent == expected_n
 
 
 def test_stats_windows(spark, stream_fixture, tmp_path):
