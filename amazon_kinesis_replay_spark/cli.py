@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="partitioned")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--checkpoint", default="/tmp/replay-ckpt")
+    p.add_argument("--codec", choices=["text", "sniff"], default="text",
+                   help="'text' = extension-dispatched Hadoop codecs (fast "
+                        "JVM path, .gz/.bz2); 'sniff' = content-sniffed "
+                        "binary path (handles the reference's default "
+                        ".json.lz4 frames and mislabeled objects)")
     return p
 
 
@@ -85,7 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     from .streaming.sinks import FileSink, KinesisSink
 
     spark = build_spark("kinesis-replay")
-    events = ndjson.read_events_stream(
+    read_stream = (ndjson.read_events_stream_sniffed if args.codec == "sniff"
+                   else ndjson.read_events_stream)
+    events = read_stream(
         spark, cfg, max_files_per_trigger=args.max_files_per_trigger)
     if cfg.seek_to_epoch:  # OP-FILTER-SEEK on the stream
         events = events.filter(

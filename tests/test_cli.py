@@ -62,3 +62,33 @@ def test_cli_end_to_end_file_sink(tmp_path):
         with open(f) as fh:
             sent.extend(json.loads(line) for line in fh)
     assert len(sent) == 120
+
+
+def test_cli_end_to_end_lz4_sniffed_partitioned(tmp_path):
+    """The reference's default data shape end-to-end: .json.lz4 frame input
+    through --codec sniff, partitioned mode, file sink — and the summary
+    line reflects executor-side sends (accumulator-backed stats)."""
+    from amazon_kinesis_replay_spark.sources import lz4frame
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = "".join(
+        json.dumps({"event_id": i,
+                    "dropoff_datetime": f"2024-01-01T00:{i//60:02d}:{i%60:02d}"})
+        + "\n" for i in range(120))
+    (src / "events.json.lz4").write_bytes(lz4frame.frame_compress(lines.encode()))
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [sys.executable, "-m", "amazon_kinesis_replay_spark.cli",
+         "--source", str(src), "--sink-dir", str(out),
+         "--mode", "partitioned", "--codec", "sniff", "-speedup", "100000",
+         "-kinesisSenderThreads", "2",
+         "--checkpoint", str(tmp_path / "ckpt")],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "replayed 120 events" in res.stdout
+    assert "requests=0" not in res.stdout   # stats flow back from executors
+    sent = []
+    for f in out.glob("*.ndjson"):
+        with open(f) as fh:
+            sent.extend(json.loads(line) for line in fh)
+    assert len(sent) == 120

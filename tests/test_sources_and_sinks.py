@@ -119,3 +119,103 @@ def test_send_with_retry_exhaustion():
 def test_chunked_500():
     chunks = list(sinks.chunked(list(range(1201)), 500))
     assert [len(c) for c in chunks] == [500, 500, 201]
+
+
+# ---------------------------------------------------------------------------
+# LZ4 frame codec + content-sniffed binary source
+# ---------------------------------------------------------------------------
+
+
+def test_lz4_block_roundtrip_properties():
+    """Block codec round-trips across literal-only, repetitive (overlapping
+    match copies, incl. offset<matchlen RLE), and pseudo-random content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_replay_spark.sources import lz4frame
+
+    cases = [
+        b"",
+        b"short",
+        b"a" * 1000,                       # RLE: offset 1 overlap copy
+        b"abcabcabcabc" * 50,              # offset 3 overlap copy
+        bytes(range(256)) * 16,            # incompressible-ish
+        (b"the quick brown fox " * 40)[:777],
+    ]
+    for data in cases:
+        assert lz4frame.block_decompress(lz4frame.block_compress(data)) == data
+
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=200, deadline=None)
+    def roundtrip(data):
+        assert lz4frame.block_decompress(lz4frame.block_compress(data)) == data
+
+    roundtrip()
+
+
+def test_lz4_frame_roundtrip_and_multiblock():
+    from amazon_kinesis_replay_spark.sources import lz4frame
+
+    data = (b'{"k": %d}\n' % 12345) * 10_000
+    for stored in (False, True):
+        framed = lz4frame.frame_compress(data, block_size=16_384,
+                                         store_uncompressed=stored)
+        assert framed[:4] == b"\x04\x22\x4d\x18"
+        assert lz4frame.frame_decompress(framed) == data
+    # concatenated frames decode as one stream (lz4-CLI cat behavior)
+    two = lz4frame.frame_compress(b"hello ") + lz4frame.frame_compress(b"world")
+    assert lz4frame.frame_decompress(two) == b"hello world"
+
+
+def test_sniff_codec_dispatch():
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    from amazon_kinesis_replay_spark.sources import lz4frame
+
+    raw = b'{"a": 1}\n'
+    assert lz4frame.sniff_codec(_gzip.compress(raw)[:8]) == "gzip"
+    assert lz4frame.sniff_codec(_bz2.compress(raw)[:8]) == "bz2"
+    assert lz4frame.sniff_codec(_lzma.compress(raw)[:8]) == "xz"
+    assert lz4frame.sniff_codec(lz4frame.frame_compress(raw)[:8]) == "lz4"
+    assert lz4frame.sniff_codec(raw[:8]) == "plain"
+    for blob in (raw, _gzip.compress(raw), _bz2.compress(raw),
+                 _lzma.compress(raw), lz4frame.frame_compress(raw)):
+        assert lz4frame.decompress_auto(blob) == raw
+
+
+def test_read_events_sniffed_lz4_fixture(spark, sf_dir, tmp_path):
+    """The reference's default data shape: .json.lz4 frame files round-trip
+    through the binary sniffing source; mislabeled plain text falls back;
+    corrupt objects are skipped; gz still works — all in one directory."""
+    from amazon_kinesis_replay_spark.sources import lz4frame
+
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts").orderBy("ts").limit(300).collect())
+
+    def line(r):
+        return json.dumps({"event_id": r["event_id"],
+                           "dropoff_datetime": r["ts"].isoformat()})
+
+    third = len(rows) // 3
+    ndj = [("\n".join(line(r) for r in rows[:third]) + "\n"),
+           ("\n".join(line(r) for r in rows[third:2 * third]) + "\n"),
+           ("\n".join(line(r) for r in rows[2 * third:]) + "\n")]
+    # lz4-CLI-framed, gzip, and PLAIN TEXT mislabeled as .lz4 (sniffing
+    # must fall back rather than trust the extension)
+    (tmp_path / "a.json.lz4").write_bytes(
+        lz4frame.frame_compress(ndj[0].encode()))
+    (tmp_path / "b.json.gz").write_bytes(gzip.compress(ndj[1].encode()))
+    (tmp_path / "c.json.lz4").write_bytes(ndj[2].encode())
+    # corrupt lz4 frame: valid magic, truncated body -> whole file skipped
+    (tmp_path / "bad.json.lz4").write_bytes(
+        lz4frame.frame_compress(b"x" * 500)[:20])
+    (tmp_path / "README.md").write_text("decoy\n")
+
+    cfg = ReplayConfig(source_path=str(tmp_path))
+    out = ndjson.read_events_sniffed(spark, cfg)
+    got = out.select("payload", "ts").collect()
+    assert len(got) == len(rows)
+    got_ids = sorted(json.loads(r["payload"])["event_id"] for r in got)
+    assert got_ids == sorted(r["event_id"] for r in rows)
