@@ -177,6 +177,55 @@ def ivf_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
+                    train_iters: int = 0, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    centroids: DataFrame | None = None) -> None:
+    """Build and persist an IVF index: the corpus assigned to inverted
+    lists and written as parquet PARTITIONED BY centroid_id, plus the
+    centroid table alongside.
+
+    This is the 100 TB probe story made physical: because each inverted
+    list is a hive-style partition directory, a probe filter on
+    centroid_id prunes at the FILE LISTING level (PartitionFilters in the
+    scan, not a post-scan filter) — a probe of n_probe/n_centroids lists
+    reads exactly that fraction of the index from storage. Build cost is
+    one assign pass (corpus x broadcast centroids) + one shuffle-free
+    partitioned write."""
+    cents = centroids
+    if cents is None:
+        cents = (kmeans_centroids(emb, n_centroids, train_iters,
+                                  id_col, vec_col)
+                 if train_iters > 0
+                 else _seed_centroids(emb, n_centroids, id_col, vec_col))
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents)
+    (assigned.write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(path + "/vectors"))
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
+                   n_probe: int = 4, id_col: str = "vec_id") -> DataFrame:
+    """Query a persisted IVF index: score the query against the (tiny)
+    centroid table, collect the n_probe nearest list ids — metadata-scale,
+    not data — and scan ONLY those partitions of the vectors table via a
+    static centroid_id IN (...) filter, which Spark turns into partition
+    pruning at file-listing time. Exact cosine within the probed lists."""
+    cents = spark.read.parquet(path + "/centroids")
+    probe = (cents.crossJoin(F.broadcast(query_df))
+             .select("centroid_id",
+                     cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))
+             .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+             .limit(n_probe))
+    lists = [r["centroid_id"] for r in probe.collect()]
+    vecs = (spark.read.parquet(path + "/vectors")
+            .filter(F.col("centroid_id").isin(lists)))
+    scored = (vecs.crossJoin(F.broadcast(query_df))
+              .select(F.col("id").alias(id_col),
+                      cosine(F.col("vec"), F.col("q_vec")).alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def pairwise_topk_per_label(emb: DataFrame, k: int = 3,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             label_col: str = "label") -> DataFrame:

@@ -1138,14 +1138,17 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-probed approximate top-k (coarse-quantized inverted lists,
-    n_probe=4 of 16 centroids). Rows-only check: the full
-    assign+probe+scan pipeline is exercised by tests against brute-force
-    recall."""
+    """IVF-probed approximate top-k over k-means-TRAINED inverted lists
+    (2 Lloyd iterations, n_probe=4 of 16 centroids). Rows-only check: the
+    train+assign+probe+scan pipeline is exercised by tests against
+    brute-force recall, and the persisted-index variant
+    (similarity.ivf_index_write/ivf_probe_topk) is plan-tested for
+    centroid_id partition pruning."""
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iters=2)
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10,
-                               n_centroids=16, n_probe=4)
+                               n_centroids=16, n_probe=4, centroids=cents)
 
 
 def q_multimodal_decode(spark, sf_dir):

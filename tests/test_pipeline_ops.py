@@ -130,6 +130,47 @@ def test_kmeans_ivf_training(spark, sf_dir):
     assert top and top[0]["vec_id"] == 0
 
 
+def test_ivf_index_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index must deliver the probe story physically:
+    a probe scan carries PartitionFilters on centroid_id (file-listing
+    pruning, not a post-scan filter), reads only the probed lists, and
+    returns the same top-k as the in-memory ivf_topk with the same
+    centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    index = str(tmp_path / "ivf")
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    similarity.ivf_index_write(emb, index, n_centroids=8, centroids=cents)
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_probe_topk(spark, index, q, k=5, n_probe=2)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split(
+        "PartitionFilters: [", 1)[1][:200]
+
+    # the probed scan reads exactly the 2 chosen lists, not the corpus
+    probed = (spark.read.parquet(index + "/vectors")
+              .filter(F.col("centroid_id").isin(_probe_lists(spark, index, q, 2))))
+    n_lists = probed.select("centroid_id").distinct().count()
+    assert n_lists <= 2
+    assert probed.count() < emb.count()
+
+    got = [r["vec_id"] for r in top.collect()]
+    want = [r["vec_id"] for r in similarity.ivf_topk(
+        emb, q, k=5, n_centroids=8, n_probe=2, centroids=cents).collect()]
+    assert got == want and got[0] == 0
+
+
+def _probe_lists(spark, index, query_df, n_probe):
+    cents = spark.read.parquet(index + "/centroids")
+    probe = (cents.crossJoin(F.broadcast(query_df))
+             .select("centroid_id",
+                     similarity.cosine(F.col("c_vec"),
+                                       F.col("q_vec")).alias("sim"))
+             .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+             .limit(n_probe))
+    return [r["centroid_id"] for r in probe.collect()]
+
+
 def test_multimodal_fake_decode_plumbing(spark, sf_dir):
     d = load(spark, sf_dir, "documents").limit(50)
     media = d.select(
