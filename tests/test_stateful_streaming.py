@@ -119,6 +119,57 @@ def test_cross_batch_disorder_watermark(spark, tmp_path):
     assert emitted.get(base) == 60
 
 
+def test_in_horizon_disorder_across_triggers_matches_batch(spark, tmp_path):
+    """Event-time disorder that SPANS micro-batches (later file carries
+    earlier timestamps) but stays inside the watermark horizon must
+    aggregate exactly like the batch computation on the sorted data —
+    the watermark is the principled form of the reference's 100k reorder
+    buffer (DEVIATIONS §3), and within the horizon nothing is lost."""
+    import json as js
+    src = tmp_path / "xbatch_disorder"
+    src.mkdir()
+    # trigger 1: minutes 0,2,4 — trigger 2 then delivers the MISSING
+    # minutes 1,3 (older than everything already seen in trigger 1)
+    with open(src / "a.json", "w") as fh:
+        for m in (0, 2, 4):
+            for s in range(10):
+                fh.write(js.dumps({"dropoff_datetime":
+                                   f"2024-01-01T00:{m:02d}:{s:02d}"}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        for m in (1, 3):
+            for s in range(7):
+                fh.write(js.dumps({"dropoff_datetime":
+                                   f"2024-01-01T00:{m:02d}:{s:02d}"}) + "\n")
+    # trigger 3: sentinel far in the future closes all real windows
+    with open(src / "z.json", "w") as fh:
+        fh.write(js.dumps({"dropoff_datetime":
+                           "2024-01-01T01:00:00"}) + "\n")
+    import os
+    for i, name in enumerate(("a.json", "b.json", "z.json")):
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    cfg = ReplayConfig(source_path=str(src))
+    ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    out = stateful.windowed_rate_counts(ev, frequency_ms=60_000,
+                                        watermark_delay="10 minutes")
+    got = _run_to_memory(spark, out, "xbatch_disorder", tmp_path)
+    streamed = {r["window_start_ms"]: r["n_events"] for r in got.collect()}
+
+    # batch reference: same data, global event-time aggregation
+    b = (spark.read.json(str(src))
+         .withColumn("ts", F.to_timestamp("dropoff_datetime")))
+    batch = {r["w"]: r["n"] for r in
+             (b.groupBy(F.window("ts", "60 seconds").alias("win"))
+              .agg(F.count("*").alias("n"))
+              .select(F.unix_millis("win.start").alias("w"), "n")).collect()}
+    sentinel_w = 1704070800000  # 2024-01-01T01:00:00Z — never closes
+    del batch[sentinel_w]
+    assert streamed == batch
+    # and the disorder really spanned triggers: minutes 1 and 3 exist
+    base = 1704067200000
+    assert streamed[base + 60_000] == 7 and streamed[base + 180_000] == 7
+
+
 def test_stream_stream_attribution_join(spark, tmp_path):
     """Watermarked stream-stream join matches the batch attribution join on
     the same data."""
