@@ -1043,10 +1043,20 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
 
-    Banded LSH (16 bands x 4 rows) gives ~certain recall at J>=0.8 (the
-    fixture's planted near-dups are J~0.99), so the verified output equals
-    the exact-Jaccard oracle while doing only bucket-local comparisons —
-    the 100 TB-safe plan shape."""
+    Banded LSH (16 bands x 4 rows) gives ~certain recall at J>=0.8, so
+    the verified output equals the exact-Jaccard oracle while doing only
+    bucket-local comparisons — the 100 TB-safe plan shape.
+
+    ORACLE FIXTURE DEPENDENCY (deliberate, asserted): the oracle is the
+    FULL exact-Jaccard pair set at threshold 0.5, but 16x4 banding only
+    has ~64% collision probability at J=0.5 — equality holds because
+    every qualifying fixture pair in fact has J>=0.8 (miss probability
+    ~2e-4 there; measured min J: 0.89/0.90/0.80 at sf0.001/0.01/0.1).
+    `test_minhash_fixture_profile_supports_oracle` makes this assumption
+    executable so a fixture change fails loudly in tests, not in the
+    gate. (The banded-semantics-in-the-oracle fix used for
+    dedup_embedding_cosine is unavailable here: the xxhash64 min-hash
+    family has no DuckDB twin.)"""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
     out = dedup.minhash_dedup(d, "doc_id", "text", num_hashes=64, bands=16,

@@ -80,7 +80,7 @@ class KinesisSink:
     (JsonEvent.java:118-120): UTF-8 payload bytes + a random partition key
     per record (KinesisProducer.java:182,197-199)."""
 
-    def __init__(self, stream_arn: str):
+    def __init__(self, stream_arn: str, endpoint_url: str | None = None):
         try:
             import boto3  # noqa: PLC0415
         except ImportError as exc:  # pragma: no cover - env without boto3
@@ -88,7 +88,12 @@ class KinesisSink:
         from ..functions.arn import extract_region
         region = extract_region(stream_arn)
         self._stream_arn = stream_arn
-        self._client = boto3.client("kinesis", region_name=region)
+        # endpoint injection (LocalStack-style stacks): explicit arg wins,
+        # else AWS_ENDPOINT_URL — boto3 only honors that env var natively
+        # from recent versions, so resolve it here for consistency
+        endpoint = endpoint_url or os.environ.get("AWS_ENDPOINT_URL") or None
+        self._client = boto3.client("kinesis", region_name=region,
+                                    endpoint_url=endpoint)
 
     def put_records(self, records: list[dict]) -> list[int]:  # pragma: no cover
         entries = [{

@@ -20,6 +20,19 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     assert mh == exact
 
 
+def test_minhash_fixture_profile_supports_oracle(spark, sf_dir):
+    """minhash_dedup's driver oracle is the FULL exact-Jaccard pair set at
+    0.5, which 16x4 banding only recovers reliably for J>=0.8 — this
+    asserts the fixture keeps every qualifying pair in that high-recall
+    region, so the oracle-equality gate rests on an invariant that is
+    checked, not on luck. If a new fixture plants pairs with 0.5<=J<0.8,
+    this fails before the correctness gate silently flips."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()
+    assert pairs, "fixture should contain planted near-duplicates"
+    assert min(r["jaccard"] for r in pairs) >= 0.8
+
+
 def test_prefix_filter_is_exact(spark, sf_dir):
     """PPJoin prefix filtering must produce the identical pair set as the
     naive shingle self-join at several thresholds (exactness, not recall)."""

@@ -219,3 +219,25 @@ def test_read_events_sniffed_lz4_fixture(spark, sf_dir, tmp_path):
     assert len(got) == len(rows)
     got_ids = sorted(json.loads(r["payload"])["event_id"] for r in got)
     assert got_ids == sorted(r["event_id"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Real-Kinesis endpoint injection (gated: needs boto3 + AWS_ENDPOINT_URL)
+# ---------------------------------------------------------------------------
+
+
+def test_kinesis_sink_endpoint_injection():
+    """Exercises the real boto3 PutRecords request shape against a
+    LocalStack-style endpoint. Skipped unless boto3 is installed AND
+    AWS_ENDPOINT_URL points at a Kinesis-compatible stack with a
+    'replay-test' stream."""
+    import os
+    pytest.importorskip("boto3")
+    endpoint = os.environ.get("AWS_ENDPOINT_URL")
+    if not endpoint:
+        pytest.skip("AWS_ENDPOINT_URL not set")
+    arn = "arn:aws:kinesis:us-east-1:000000000000:stream/replay-test"
+    sink = sinks.KinesisSink(arn)
+    failed = sink.put_records(
+        [{"payload": '{"event_id": 1}'}, {"payload": '{"event_id": 2}'}])
+    assert failed == []
