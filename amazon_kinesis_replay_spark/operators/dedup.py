@@ -374,3 +374,59 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
         "id_a", "id_b",
         similarity.cosine(F.col("va"), F.col("vb")).alias("cosine"))
     return scored.filter(F.col("cosine") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# Dedup cluster formation (connected components + representative choice)
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+    """Group near-dup PAIRS into CLUSTERS and pick one representative per
+    cluster — the step that turns any pairwise dedup modality (Jaccard,
+    MinHash, SimHash, embedding-cosine) into a keep/drop decision.
+
+    Connected components by iterative min-label propagation: every node
+    starts labeled with its own id; each round, a node's label becomes the
+    min of its own and its neighbors' labels; at fixpoint the label is the
+    component's min id. Each round is one equi-join + one
+    map-side-combinable min-aggregate — all hash-shuffle on ids, no
+    driver-side graph. Rounds needed = component diameter, and near-dup
+    clusters are star-like (diameter 2-3) because every member overlaps
+    the same core content, so the loop converges in a handful of rounds;
+    `max_iters` bounds pathological chains, and convergence is checked
+    with a count action per round on the (tiny) changed-label set.
+
+    Returns (id, cluster_id, cluster_size, is_representative) for EVERY
+    node — singletons form their own cluster.
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    edges = edges.persist()
+    labels = ids.withColumn("lbl", F.col("id")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges["src"] == labels["id"])
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.min("lbl").alias("n_lbl")))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id", F.least("lbl", "n_lbl").alias("lbl"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    out = (labels.join(sizes, "lbl")
+           .select(F.col("id").alias(id_col),
+                   F.col("lbl").alias("cluster_id"),
+                   F.col("cluster_size").cast("long").alias("cluster_size"),
+                   (F.col("id") == F.col("lbl")).alias("is_representative")))
+    return out

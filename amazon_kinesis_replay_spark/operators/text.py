@@ -81,3 +81,38 @@ def fingerprint(text_col: Column) -> Column:
     hash shape; md5 keeps the oracle cross-engine checkable.)"""
     norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
     return F.md5(norm)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# --------------------------------------------------------------------------
+
+#: RE2-safe patterns (no lookaround/backrefs) so the DuckDB oracle matches
+#: Java regex semantics exactly.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\s().-]{6,}\d"
+
+
+def pii_redact(df, id_col: str, text_col: str):
+    """Scrub emails, IPv4s, and phone-like digit runs from text, counting
+    each kind — the redaction pass a training corpus gets before
+    tokenization. Applied in a FIXED order (email, then ip on the
+    email-clean text, then phone) so counts are deterministic and
+    engine-portable; all pure column expressions (regexp_replace /
+    regexp_extract_all), no UDFs."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0))
+    t1 = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(_PII_IPV4), 0))
+    t2 = F.regexp_replace(t1, _PII_IPV4, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(_PII_PHONE), 0))
+    t3 = F.regexp_replace(t2, _PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        (n_emails + n_ips + n_phones).cast("long").alias("n_redactions"),
+    )

@@ -420,6 +420,97 @@ def q_q14_promo_effect(spark, sf_dir):
          / F.sum(_disc_price()).cast("double")).alias("promo_revenue_pct"))
 
 
+_Q7_NATIONS = [f"NATION_{i}" for i in range(5)]
+
+
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7-style volume shipping: lineitem joined to BOTH a supplier
+    nation and a customer nation (the same dim broadcast twice under
+    different roles), revenue by (supp_nation, cust_nation, year).
+    Dimension tables broadcast; year extraction stays in codegen."""
+    ensure_engine_conf(spark)
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    return (l
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(F.col("supp_nation").isin(_Q7_NATIONS)
+                    & F.col("cust_nation").isin(_Q7_NATIONS)
+                    & (F.col("supp_nation") != F.col("cust_nation")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-style returned-item report: revenue lost to returns per
+    customer in a 6-month window, top 20 (TakeOrderedAndProject)."""
+    ensure_engine_conf(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders: HAVING over a grouped quantity
+    sum (exact decimal), semi-joined back to orders+customer. The heavy
+    aggregation is map-side combinable; the HAVING output is small, so the
+    back-join broadcasts under AQE."""
+    ensure_engine_conf(spark)
+    l = load(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum(_money(F.col("l_quantity"))).alias("qty"))
+           .filter(F.col("qty") > F.lit(170).cast(_DEC_MONEY)))
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    "o_totalprice",
+                    F.col("qty").cast("double").alias("sum_qty")))
+
+
+def q_q19_bracket_disjunction(spark, sf_dir):
+    """TPC-H Q19-style disjunctive bracket predicates: lineitem x part
+    equi-join whose residual filter is an OR of brand/size/quantity
+    brackets — the shape that must stay a hash join with a post-join
+    filter, never degrade to a nested-loop."""
+    ensure_engine_conf(spark)
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 25))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50)))
+    return joined.filter(bracket).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"))
+
+
 def q_agg_events_by_type(spark, sf_dir):
     """Grouped aggregation over the event stream table (count / exact sum /
     manual avg per event_type)."""
@@ -490,6 +581,57 @@ _ORACLES_TPCH = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "q7_nation_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+          AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+          AND n1.n_name <> n2.n_name
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 170)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(CAST(qty AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_bracket_disjunction": f"""
+        SELECT CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 25)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
     """,
     "q14_promo_effect": f"""
         SELECT 100.0 * CAST(CAST(sum(
@@ -941,7 +1083,65 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_doc_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus (emails / IPv4 / phone-like digit runs ->
+    typed placeholders, per-kind counts) — pure column expressions, fixed
+    application order for engine-portable determinism."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    return text.pii_redact(d, "doc_id", "text")
+
+
+def q_doc_train_split(spark, sf_dir):
+    """Deterministic train/valid/test split by multiplicative hashing of
+    doc_id (80/10/10) — reproducible across engines and runs, no RNG
+    state; the split a training pipeline pins alongside its data."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)).cast("long")
+    return d.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").alias("split"))
+
+
 _ORACLES_TEXT = {
+    "doc_pii_redact": r"""
+        WITH s1 AS (
+            SELECT doc_id, text,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+            FROM documents),
+        s2 AS (
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   regexp_replace(t1,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t2
+            FROM s1),
+        s3 AS (
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                        '\+?\d[\d\s().-]{6,}\d')) AS BIGINT) AS n_phones,
+                   regexp_replace(t2, '\+?\d[\d\s().-]{6,}\d',
+                        '<PHONE>', 'g') AS clean_text
+            FROM s2)
+        SELECT doc_id, clean_text, n_emails, n_ips, n_phones,
+               n_emails + n_ips + n_phones AS n_redactions
+        FROM s3
+    """,
+    "doc_train_split": """
+        SELECT doc_id,
+               CAST((doc_id * 2654435761) % 100 AS BIGINT) AS bucket,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
     "doc_token_stats": r"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
@@ -1020,6 +1220,29 @@ _JACCARD_ORACLE = ("WITH corpus AS (SELECT doc_id, text FROM documents), "
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
     """)
 
+# Connected components over the exact-Jaccard pair graph via recursive CTE:
+# reach(id, lbl) closes over the symmetrized edges; min reachable label ==
+# min id in the component — the same fixpoint the Spark label-propagation
+# loop converges to.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_id AS is_representative
+    FROM comp
+"""
+
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup (hash-groupBy): duplicated corpus (documents unioned with
@@ -1038,6 +1261,21 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
                                      threshold=_JACCARD_THRESHOLD)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER formation: connected components over the exact
+    n-gram-Jaccard pair graph (threshold 0.5) + one representative (min
+    id) per cluster — the keep/drop decision step of a dedup pipeline.
+    Spark side is iterative min-label propagation (per round: equi-join +
+    map-side-combinable min; rounds = component diameter, tiny for
+    near-dup stars); the oracle is the equivalent recursive-CTE
+    transitive closure."""
+    ensure_engine_conf(spark)
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                      threshold=_JACCARD_THRESHOLD)
+    return dedup.dedup_clusters(d, pairs, id_col="doc_id")
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -1086,6 +1324,7 @@ _ORACLES_DEDUP = {
     # minhash verified output == exact jaccard pairs at this threshold
     # (recall ~1 for the fixture's J>=0.8 planted dups; see docstring).
     "minhash_dedup": _JACCARD_ORACLE,
+    "dedup_clusters": _CLUSTERS_ORACLE,
 }
 
 
@@ -1448,6 +1687,10 @@ for _name, _fn in [
     ("q3_shipping_priority", q_q3_shipping_priority),
     ("q5_local_supplier", q_q5_local_supplier),
     ("q14_promo_effect", q_q14_promo_effect),
+    ("q7_nation_volume", q_q7_nation_volume),
+    ("q10_returned_items", q_q10_returned_items),
+    ("q18_large_orders", q_q18_large_orders),
+    ("q19_bracket_disjunction", q_q19_bracket_disjunction),
     ("agg_events_by_type", q_agg_events_by_type),
     ("top_users_by_value", q_top_users_by_value),
     # text analysis
@@ -1459,6 +1702,9 @@ for _name, _fn in [
     ("dedup_exact", q_dedup_exact),
     ("ngram_jaccard_dedup", q_ngram_jaccard_dedup),
     ("minhash_dedup", q_minhash_dedup),
+    ("dedup_clusters", q_dedup_clusters),
+    ("doc_pii_redact", q_doc_pii_redact),
+    ("doc_train_split", q_doc_train_split),
     ("simhash_dedup", q_simhash_dedup),          # rows-only (hash family)
     ("dedup_embedding_cosine", q_dedup_embedding_cosine),
     # similarity search

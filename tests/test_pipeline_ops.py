@@ -87,6 +87,22 @@ def test_embedding_cosine_dedup_matches_numpy_reference(spark, sf_dir):
     assert got <= exact          # verify step: no false positives
 
 
+def test_dedup_clusters_chain_and_singleton(spark):
+    """Label propagation must close a CHAIN (multi-round convergence, not
+    just star graphs), merge two pair-lists into one component, and keep
+    singletons as their own representative."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3-4-5 (diameter 4) + isolated pair 6-7... minus 7: make 6
+    # a singleton by pairing nothing; pair (6,7) removed -> both singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"],
+                         r["is_representative"])
+           for r in dedup.dedup_clusters(nodes, pairs).collect()}
+    assert all(out[i] == (1, 5, i == 1) for i in range(1, 6))
+    assert out[6] == (6, 1, True) and out[7] == (7, 1, True)
+
+
 def test_exact_dedup_representative(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionAll(d.select((F.col("doc_id") + 10_000).alias("doc_id"),
@@ -226,3 +242,30 @@ def test_multimodal_real_decode_is_gated(spark, sf_dir):
                      F.encode("text", "UTF-8").alias("data"))
     with pytest.raises(NotImplementedError):
         multimodal.decode_images(media)
+
+
+def test_pii_redact_crafted_strings(spark):
+    """The corpus has no natural PII, so behavior is pinned here: emails,
+    IPv4s, and phone-like runs are replaced by typed placeholders with
+    correct per-kind counts; clean text passes through untouched."""
+    from amazon_kinesis_replay_spark.operators import text as textops
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or alice@ex.org today"),
+        (2, "server at 10.0.255.3 answered"),
+        (3, "call +1 (415) 555-0199 now"),
+        (4, "no pii here at all"),
+        (5, "mix: a@b.io from 192.168.1.1 dial 555-867-5309 ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.pii_redact(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "contact <EMAIL> or <EMAIL> today"
+    assert out[1]["n_emails"] == 2 and out[1]["n_redactions"] == 2
+    assert out[2]["clean_text"] == "server at <IP> answered"
+    assert out[2]["n_ips"] == 1
+    assert out[3]["clean_text"] == "call <PHONE> now"
+    assert out[3]["n_phones"] == 1
+    assert out[4]["clean_text"] == "no pii here at all"
+    assert out[4]["n_redactions"] == 0
+    assert out[5]["clean_text"] == "mix: <EMAIL> from <IP> dial <PHONE> ok"
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 1, 1)
