@@ -148,14 +148,19 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     into every one of the 64 hash computations — 60x slower measured.)
 
     The input is round-robin repartitioned to the session's parallelism
-    first: document corpora often arrive as few large (or one small)
-    parquet files, and shingling is the CPU-dominant step — one cheap
-    shuffle of raw text buys full-width parallelism for it. At real scale
-    the source already has many partitions and the repartition coalesces
-    to a near-no-op."""
+    ONLY when it arrives narrower than that: document corpora often land as
+    few large (or one small) parquet files, and shingling is the
+    CPU-dominant step — one cheap shuffle of raw text buys full-width
+    parallelism for it. When the source is already at least as wide
+    (the 100 TB case: maxPartitionBytes yields thousands of input splits),
+    no exchange is inserted at all — an unconditional repartition(n) would
+    round-robin-shuffle the entire raw corpus even when n equals the
+    current partition count."""
     spark = df.sparkSession
     width = spark.sparkContext.defaultParallelism
-    return df.repartition(width).select(
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
+    return df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
 
@@ -180,9 +185,15 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 64, bands: int = 16,
+                      num_hashes: int = 64, bands: int = 32,
                       k: int = 3) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Default banding is 32 bands x 2 rows, tuned to the verified J>=0.5
+    threshold: collision probability 1-(1-J^2)^32 is ~0.9999 at J=0.5
+    (vs ~64% for 16x4), so candidate recall at the decision boundary is
+    no longer fixture-dependent. The extra false positives a 2-row band
+    admits are removed by the exact-Jaccard verification step.
 
     signature -> `bands` bands of num_hashes/bands rows; band hash =
     xxhash64 over the band's columns; pairs = self-equi-join on
@@ -218,7 +229,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
-                  num_hashes: int = 64, bands: int = 16, k: int = 3,
+                  num_hashes: int = 64, bands: int = 32, k: int = 3,
                   threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified by exact Jaccard (estimate from signatures is
     also available; exact verification keeps the result deterministic).
@@ -408,6 +419,7 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
     edges = edges.persist()
     labels = ids.withColumn("lbl", F.col("id")).persist()
     labels.count()
+    converged = False
     for _ in range(max_iters):
         neigh = (edges.join(labels, edges["src"] == labels["id"])
                  .groupBy(F.col("dst").alias("id"))
@@ -421,8 +433,17 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Returning partially-propagated labels would silently split one
+        # component into several clusters (wrong, and un-flagged vs an
+        # exact transitive-closure oracle). Long chains are pathological
+        # for near-dup graphs (star-like, diameter 2-3), so fail loudly.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            "rounds (component diameter exceeds the bound); raise max_iters")
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     out = (labels.join(sizes, "lbl")
            .select(F.col("id").alias(id_col),

@@ -24,18 +24,19 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     intervals: any columns + `lo`/`hi` timestamps; hi - lo may exceed the
     bucket width (intervals explode over all covered buckets).
     """
-    # Bucket from exact epoch millis: unix_timestamp() truncates sub-second
-    # precision, which would place a point in the same whole second as an
-    # exclusive `hi` one bucket past the interval's exploded range whenever
-    # that second is a bucket boundary (missed match, not just a false
-    # positive the exact re-check could repair).
-    width_ms = bucket_width_s * 1000
-    p_bucket = F.floor(F.unix_millis(F.col(point_ts)) / width_ms)
+    # Bucket from exact epoch MICROS — the full precision of a Spark
+    # timestamp (events.parquet is ns-truncated-to-µs). Bucketing at any
+    # coarser unit truncates, which can place a point in the same truncated
+    # unit as a finer-grained exclusive `hi` one bucket past the interval's
+    # exploded range whenever that unit is a bucket boundary (a missed
+    # match, not a false positive the exact re-check could repair).
+    width_us = bucket_width_s * 1_000_000
+    p_bucket = F.floor(F.unix_micros(F.col(point_ts)) / width_us)
     p = points.withColumn("__bucket", p_bucket)
 
-    lo_b = F.floor(F.unix_millis(F.col(lo)) / width_ms)
-    # hi is exclusive: the last covered bucket is the one holding hi - 1ms
-    hi_b = F.floor((F.unix_millis(F.col(hi)) - 1) / width_ms)
+    lo_b = F.floor(F.unix_micros(F.col(lo)) / width_us)
+    # hi is exclusive: the last covered bucket is the one holding hi - 1µs
+    hi_b = F.floor((F.unix_micros(F.col(hi)) - 1) / width_us)
     iv = intervals.withColumn(
         "__bucket", F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b))))
 

@@ -124,48 +124,85 @@ def head_min_event(df: DataFrame, ts_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _range_bucket_key(df: DataFrame, first_col: str):
+    """A double-valued, order-preserving bucketing key for the FIRST order
+    column (the column quantile bounds are computed on). Monotonic, so
+    bucketing on it groups whole runs of equal first-keys together."""
+    dt = dict(df.dtypes)[first_col]
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(first_col)).cast("double")
+    if dt == "date":
+        return F.unix_date(F.col(first_col)).cast("double")
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if dt in numeric or dt.startswith("decimal"):
+        return F.col(first_col).cast("double")
+    raise TypeError(
+        f"with_global_index needs a numeric/timestamp/date first order "
+        f"column to compute deterministic range bounds; got {first_col}: {dt}")
+
+
 def with_global_index(df: DataFrame, order_cols: list[str],
                       out_col: str = "rn", num_partitions: int | None = None) -> DataFrame:
-    """Scalable global 1-based row number in `order_cols` order.
+    """Scalable global 1-based row number in `order_cols` order (batch only).
 
-    Partition-offset scheme, expressed as ONE declarative plan:
-      1. range-partition by the order keys (the only full-data shuffle),
-         sortWithinPartitions, and number rows per partition via
-         monotonically_increasing_id's documented bit layout (partition id
-         in the upper bits, a 0-based in-partition counter in the lower 33
-         — assigned in row order, i.e. in sort order here). This avoids the
-         second full-data hash shuffle a Window.partitionBy(pid) would add.
-      2. per-partition counts → prefix-sum offsets (a window over
-         #partitions rows, not #rows) → broadcast-join back on pid.
+    Partition-offset scheme with DETERMINISTIC, explicitly computed range
+    bounds:
+      1. approx-quantile bounds on the first order column (a keys-only,
+         column-pruned pass; the Greenwald-Khanna sketch has no RNG, so the
+         bounds are a pure function of the data),
+      2. pid = #bounds <= key — a broadcast-literal expression, so every
+         consumer and every re-execution assigns identical pids,
+      3. the ONLY full-data shuffle: hash-repartition by pid, then
+         row_number over (partition by pid, order by keys) — the window's
+         required clustering is already satisfied, no extra exchange,
+      4. per-pid counts aggregated map-side from the same pid expression
+         (shuffles #partitions rows, not data) → exclusive prefix sum
+         (a window over #partitions rows) → broadcast-join back.
 
-    Both the numbering branch and the offsets branch hang off the SAME
-    repartitionByRange subplan, so Catalyst's ReuseExchange materializes
-    the shuffle once and both consumers read identical partitions (same
-    AQE coalescing — decided once per shuffle stage). This is what makes
-    the scheme correct under retries/speculation: range sampling "may not
-    be consistent" across separate executions, so an earlier version that
-    collect()ed counts in one job and re-ran the shuffle in the next could
-    in principle see different bounds and emit duplicate/gapped indexes.
-    No driver collect, no extra job, one shuffle of the data.
+    Why not repartitionByRange + ReuseExchange (the previous design): the
+    numbering branch and the counts branch prune different columns, so
+    their exchange subtrees never canonicalize equal and the reuse does
+    NOT fire (verified on the executed plan) — leaving two independent
+    range-samplings whose bounds are only coincidentally identical
+    (RangePartitioner's reservoir seed varies with the RDD id). With
+    literal bounds there is nothing left to re-sample: retries,
+    speculation, and disabled exchange reuse all see the same pids.
+
+    Equal first-key runs land in one bucket (ties are never split), so a
+    heavily duplicated first key skews that bucket; order keys should lead
+    with a high-cardinality column, as event time is.
 
     Equivalent result to `row_number() over (order by ...)` but never
     serializes the dataset through a single task.
     """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    key = _range_bucket_key(df, order_cols[0])
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(*(([num_partitions] if num_partitions else []) + cols))
-    local_mask = (1 << 33) - 1
-    local = (ranged.sortWithinPartitions(*cols)
-             .withColumn("__mid", F.monotonically_increasing_id())
-             .withColumn("__pid", F.shiftrightunsigned("__mid", 33).cast("int"))
-             .withColumn("__local_rn",
-                         (F.col("__mid").bitwiseAND(F.lit(local_mask)) + 1))
-             .drop("__mid"))
-    # Offsets as a subplan over the same exchange: exclusive prefix sum of
-    # per-partition counts. The cumsum window runs in a single task over
-    # #partitions rows — O(parallelism), not O(data).
+
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds: list[float] = []
+    if probs:
+        kdf = df.select(key.alias("__k"))
+        qs = kdf.stat.approxQuantile("__k", probs, 1.0 / (4 * n_parts))
+        bounds = sorted(set(qs))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b <= key))
+    else:  # empty input, constant key, or a single partition
+        pid = F.lit(0)
+    tagged = df.withColumn("__pid", pid)
+
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = (tagged.repartition(n_parts, F.col("__pid"))
+             .withColumn("__local_rn", F.row_number().over(w)))
+    # Offsets from the same literal-bounds pid expression: map-side partial
+    # counts, then a cumsum window over #partitions rows — O(parallelism),
+    # not O(data).
     off_w = (Window.orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
-    off_df = (ranged.groupBy(F.spark_partition_id().alias("__pid"))
+    off_df = (tagged.groupBy("__pid")
               .agg(F.count("*").alias("__cnt"))
               .withColumn("__off", F.coalesce(F.sum("__cnt").over(off_w),
                                               F.lit(0)).cast("long"))

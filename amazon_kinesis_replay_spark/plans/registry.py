@@ -120,34 +120,35 @@ def q_order_by_event_time(spark, sf_dir):
         _events(spark, sf_dir).select("event_id", "ts"), "ts", "event_id")
 
 
-def q_head_min_event(spark, sf_dir):
-    """OP-PEEK-MIN (JsonEventBufferedReader.java:84-86)."""
-    return replay_ops.head_min_event(_events(spark, sf_dir), "ts")
-
-
-def q_max_watermark(spark, sf_dir):
-    """OP-AGG-MAXWM (RePlayer.java:153-157)."""
-    return stats.max_watermark(_events(spark, sf_dir), "ts")
+def q_replay_watermarks(spark, sf_dir):
+    """OP-PEEK-MIN + OP-AGG-MAXWM + OP-AGG-LAG in ONE single-row aggregate
+    (JsonEventBufferedReader.java:84-86, RePlayer.java:136,153-157): the
+    reference reports min event time, the emitted high-watermark, and lag
+    vs the pacing schedule from the same replay loop — one scan computes
+    all of them (merged from three single-row queries so each keeps a
+    driver-verified correctness row; r2 verdict item 1). Literal 'now' for
+    determinism."""
+    e = _events(spark, sf_dir)
+    ing = replay_ops.with_ingestion_time(e, "ts", INGESTION_START_MS, SPEEDUP)
+    lag = F.lit(NOW_MS) - F.col("ingestion_ms")
+    return ing.agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.max(lag).alias("max_lag_ms"),
+        (F.sum(lag).cast("double") / F.count("*")).alias("avg_lag_ms"))
 
 
 def q_window_rate_stats(spark, sf_dir):
-    """OP-AGG-WINDOWCOUNT (RePlayer.java:145-162) — 20 s tumbling counts +
-    events/sec, map-side combinable."""
-    return stats.window_rate_stats(_events(spark, sf_dir), "ts", FREQ_MS)
-
-
-def q_running_total(spark, sf_dir):
-    """OP-AGG-RUNNINGTOTAL (RePlayer.java:115,146) — cumulative count over
-    stat windows (window runs over aggregated slots, not raw rows)."""
-    return stats.running_total(_events(spark, sf_dir), "ts", FREQ_MS)
-
-
-def q_replay_lag(spark, sf_dir):
-    """OP-AGG-LAG (RePlayer.java:136,153-157) — lag vs pacing schedule,
-    literal 'now' for determinism."""
-    e = _events(spark, sf_dir)
-    ing = replay_ops.with_ingestion_time(e, "ts", INGESTION_START_MS, SPEEDUP)
-    return stats.replay_lag(ing, "ingestion_ms", NOW_MS)
+    """OP-AGG-WINDOWCOUNT + OP-AGG-RUNNINGTOTAL (RePlayer.java:115,145-162)
+    — 20 s tumbling counts + events/sec (map-side combinable), with the
+    cumulative running total layered over the aggregated slots (one row
+    per bucket, so the single-partition running-sum window is safe at any
+    scale)."""
+    slots = stats.window_rate_stats(_events(spark, sf_dir), "ts", FREQ_MS)
+    w = Window.orderBy("window_start_ms").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return slots.withColumn(
+        "running_total", F.sum("n_events").over(w).cast("long"))
 
 
 def q_batch_assignment(spark, sf_dir):
@@ -236,40 +237,35 @@ _ORACLES_REFERENCE = {
     "order_by_event_time": """
         SELECT event_id, ts FROM events ORDER BY ts, event_id
     """,
-    "head_min_event": "SELECT min(ts) AS min_ts FROM events",
-    "max_watermark": "SELECT max(ts) AS max_ts FROM events",
-    "window_rate_stats": f"""
-        SELECT CAST(floor(epoch_ms(ts) / {FREQ_MS}) AS BIGINT) * {FREQ_MS}
-                   AS window_start_ms,
-               count(*) AS n_events,
-               CAST(round(count(*) * 1000.0 / {FREQ_MS}.0) AS BIGINT)
-                   AS events_per_sec
-        FROM events GROUP BY 1
+    "replay_watermarks": f"""
+        WITH anchor AS (SELECT min(ts) AS first_ts FROM events),
+        ing AS (
+            SELECT e.ts,
+                   {INGESTION_START_MS} + CAST(round(
+                       (epoch_ms(e.ts) - epoch_ms(a.first_ts)) / {SPEEDUP}
+                   ) AS BIGINT) AS ingestion_ms
+            FROM events e CROSS JOIN anchor a)
+        SELECT min(ts) AS min_ts,
+               max(ts) AS max_ts,
+               max({NOW_MS} - ingestion_ms) AS max_lag_ms,
+               CAST(CAST(sum({NOW_MS} - ingestion_ms) AS VARCHAR) AS DOUBLE) / count(*)
+                   AS avg_lag_ms
+        FROM ing
     """,
-    "running_total": f"""
+    "window_rate_stats": f"""
         WITH slots AS (
             SELECT CAST(floor(epoch_ms(ts) / {FREQ_MS}) AS BIGINT) * {FREQ_MS}
                        AS window_start_ms,
-                   count(*) AS n_events
+                   count(*) AS n_events,
+                   CAST(round(count(*) * 1000.0 / {FREQ_MS}.0) AS BIGINT)
+                       AS events_per_sec
             FROM events GROUP BY 1)
-        SELECT window_start_ms, n_events,
+        SELECT window_start_ms, n_events, events_per_sec,
                CAST(sum(n_events) OVER (
                    ORDER BY window_start_ms
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS running_total
         FROM slots
-    """,
-    "replay_lag": f"""
-        WITH anchor AS (SELECT min(ts) AS first_ts FROM events),
-        ing AS (
-            SELECT {INGESTION_START_MS} + CAST(round(
-                       (epoch_ms(e.ts) - epoch_ms(a.first_ts)) / {SPEEDUP}
-                   ) AS BIGINT) AS ingestion_ms
-            FROM events e CROSS JOIN anchor a)
-        SELECT max({NOW_MS} - ingestion_ms) AS max_lag_ms,
-               CAST(CAST(sum({NOW_MS} - ingestion_ms) AS VARCHAR) AS DOUBLE) / count(*)
-                   AS avg_lag_ms
-        FROM ing
     """,
     "batch_assignment": f"""
         SELECT event_id,
@@ -513,13 +509,18 @@ def q_q19_bracket_disjunction(spark, sf_dir):
 
 def q_agg_events_by_type(spark, sf_dir):
     """Grouped aggregation over the event stream table (count / exact sum /
-    manual avg per event_type)."""
+    manual avg / EXACT DISTINCT user count per event_type). countDistinct
+    exercises the two-phase distinct-aggregate shuffle alongside the plain
+    aggregates (the former standalone count-distinct query was folded in;
+    approx_count_distinct is the sketch path at 100 TB — not
+    oracle-comparable, different HLL implementations)."""
     e = _events(spark, sf_dir)
     val = F.col("value").cast(_DEC_VALUE)
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(val).cast("double").alias("sum_value"),
-        (F.sum(val).cast("double") / F.count("*")).alias("avg_value"))
+        (F.sum(val).cast("double") / F.count("*")).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"))
 
 
 def q_top_users_by_value(spark, sf_dir):
@@ -646,7 +647,8 @@ _ORACLES_TPCH = {
     "agg_events_by_type": """
         SELECT event_type, count(*) AS n,
                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value,
+               count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
     """,
     "top_users_by_value": """
@@ -667,16 +669,6 @@ _ORACLES_TPCH = {
 # ===========================================================================
 
 
-def q_rollup_revenue(spark, sf_dir):
-    """Grouping-sets capability: ROLLUP over (returnflag, linestatus) with
-    exact decimal revenue; NULL grouping levels included."""
-    ensure_engine_conf(spark)
-    l = load(spark, sf_dir, "lineitem")
-    return (l.rollup("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.sum(_disc_price()).cast("double").alias("revenue")))
-
-
 def q_rank_orders_window(spark, sf_dir):
     """Analytic window functions: rank + lag per customer over order dates
     (deterministic tie-break on orderkey)."""
@@ -690,62 +682,29 @@ def q_rank_orders_window(spark, sf_dir):
         F.lag("o_totalprice").over(w).alias("prev_totalprice"))
 
 
-def q_semi_join_urgent_customers(spark, sf_dir):
-    """Left-semi join: customers having >=1 '1-URGENT' order."""
+def q_semi_anti_join_urgent(spark, sf_dir):
+    """Left-semi AND left-anti joins in one partition of the customer set:
+    customers with >=1 '1-URGENT' order (kind='has_urgent') unioned with
+    customers having none (kind='no_urgent'). One query verifies both join
+    types (merged so each keeps a driver-verified row; r2 verdict item 1);
+    the two sides are an exact partition of customer."""
     ensure_engine_conf(spark)
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT")
-    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
-            .select("c_custkey", "c_name"))
-
-
-def q_anti_join_no_orders(spark, sf_dir):
-    """Left-anti join: customers with no '1-URGENT' order (non-empty at
-    every SF, unlike no-orders-at-all)."""
-    ensure_engine_conf(spark)
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT")
-    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-            .select("c_custkey", "c_name"))
-
-
-def q_distinct_event_types(spark, sf_dir):
-    """DISTINCT (hash-aggregate dedup of a projection)."""
-    return _events(spark, sf_dir).select("event_type").distinct()
-
-
-def q_explode_embedding_dims(spark, sf_dir):
-    """Lateral explode (posexplode) of array columns to rows — the
-    wide-to-long pivot every vector/feature pipeline needs. Sampled 1-in-25
-    to keep row counts honest."""
-    ensure_engine_conf(spark)
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")) \
-        .withColumn("pos", F.col("pos").cast("long")) \
-        .withColumn("x", F.col("x").cast("double"))
-
-
-def q_string_functions(spark, sf_dir):
-    """Scalar string-function suite over documents: case map, substring,
-    length, trim, replace, levenshtein — all codegen'd JVM expressions with
-    bit-identical DuckDB twins."""
-    ensure_engine_conf(spark)
-    d = load(spark, sf_dir, "documents")
-    head = F.substring(F.col("text"), 1, 24)
-    return d.select(
-        "doc_id",
-        F.upper(head).alias("head_upper"),
-        F.length(F.trim(F.col("text"))).cast("long").alias("len_trimmed"),
-        F.regexp_replace(head, "a", "@").alias("head_subst"),
-        F.levenshtein(head, F.lit("the quick brown fox jump"))
-        .cast("long").alias("lev_to_probe"))
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    sem = (c.join(o, cond, "left_semi")
+           .select("c_custkey", "c_name", F.lit("has_urgent").alias("kind")))
+    ant = (c.join(o, cond, "left_anti")
+           .select("c_custkey", "c_name", F.lit("no_urgent").alias("kind")))
+    return sem.unionByName(ant)
 
 
 def q_cube_orders(spark, sf_dir):
-    """CUBE over (status, priority): all 4 grouping sets in one pass."""
+    """CUBE over (status, priority): all 4 grouping sets in one pass.
+    CUBE's sets strictly include ROLLUP's on the same keys, so this is the
+    engine's grouping-sets capability surface (the former separate ROLLUP
+    query was subsumed; grouping-set NULL levels are exercised here)."""
     ensure_engine_conf(spark)
     o = load(spark, sf_dir, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
@@ -776,19 +735,6 @@ def q_click_purchase_attribution(spark, sf_dir):
     joined = purchases.join(clicks, cond, "left")
     return (joined.groupBy("purchase_id")
             .agg(F.count("click_ts").alias("n_clicks_1h")))
-
-
-def q_count_distinct_users(spark, sf_dir):
-    """Exact distinct aggregation (two-phase distinct-agg shuffle) per
-    event_type + global. approx_count_distinct is the sketch path at scale
-    (not oracle-comparable: different HLL implementations)."""
-    e = _events(spark, sf_dir)
-    per_type = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"))
-    total = e.select(F.lit("__all__").alias("event_type"),
-                     F.col("user_id")).groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"))
-    return per_type.unionByName(total)
 
 
 def q_user_value_trend(spark, sf_dir):
@@ -853,43 +799,34 @@ def q_event_value_quantiles(spark, sf_dir):
         F.expr("percentile(value, 0.99)").alias("p99"))
 
 
-def q_sessionize_events(spark, sf_dir):
-    """Sessionization as a window composition: a session breaks after a
-    30-minute gap; session_id = running count of breaks per user. The
-    window partitions by user (parallel) — the standard scale shape."""
+def q_user_event_windows(spark, sf_dir):
+    """Sessionization + as-of join over ONE per-user window sort (merged
+    so each keeps a driver-verified row; r2 verdict item 1):
+
+    - session_id — a session breaks after a 30-minute gap; running count
+      of breaks per user (cumulative frame).
+    - last_error_ms — the as-of join expressed as a conditional running
+      max: the same user's most recent STRICTLY PRIOR 'error' event
+      (preceding frame; NULL if none).
+
+    Both frames share the (user_id; ts, event_id) window spec, so the
+    physical plan is one hash shuffle + one sort serving both analytics —
+    the standard parallel-by-user scale shape, no range join anywhere."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     is_break = F.when(gap_s > 1800, F.lit(1)).otherwise(F.lit(0))
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return e.select(
-        "event_id", "user_id",
-        F.sum(is_break).over(wcum).cast("long").alias("session_id"))
-
-
-def q_asof_last_error(spark, sf_dir):
-    """As-of join expressed as a conditional running max: for each event,
-    the timestamp of the same user's most recent STRICTLY PRIOR 'error'
-    event (epoch-millis; NULL if none). The canonical as-of-join-as-window
-    composition — no range join, no shuffle beyond the user partition."""
-    e = _events(spark, sf_dir)
-    w = (Window.partitionBy("user_id")
-         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-         .rowsBetween(Window.unboundedPreceding, -1))
     err_ts = F.when(F.col("event_type") == "error", F.unix_millis("ts"))
     return e.select(
         "event_id", "user_id",
-        F.max(err_ts).over(w).alias("last_error_ms"))
+        F.sum(is_break).over(wcum).cast("long").alias("session_id"),
+        F.max(err_ts).over(wprev).alias("last_error_ms"))
 
 
 _ORACLES_SQL_SURFACE = {
-    "rollup_revenue": f"""
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
     "rank_orders_window": """
         SELECT o_custkey, o_orderkey,
                CAST(row_number() OVER w AS BIGINT) AS order_seq,
@@ -898,35 +835,16 @@ _ORACLES_SQL_SURFACE = {
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
-    "semi_join_urgent_customers": """
-        SELECT c_custkey, c_name FROM customer
+    "semi_anti_join_urgent": """
+        SELECT c_custkey, c_name, 'has_urgent' AS kind FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
-    """,
-    "anti_join_no_orders": """
-        SELECT c_custkey, c_name FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, 'no_urgent' AS kind FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
-    """,
-    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
-    "explode_embedding_dims": """
-        SELECT vec_id,
-               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-               CAST(embedding[generate_subscripts(embedding, 1)] AS DOUBLE) AS x
-        FROM embeddings
-        WHERE vec_id % 25 = 0
-    """,
-    "string_functions": """
-        SELECT doc_id,
-               upper(substring(text, 1, 24)) AS head_upper,
-               CAST(length(trim(text)) AS BIGINT) AS len_trimmed,
-               regexp_replace(substring(text, 1, 24), 'a', '@', 'g') AS head_subst,
-               CAST(levenshtein(substring(text, 1, 24),
-                                'the quick brown fox jump') AS BIGINT)
-                   AS lev_to_probe
-        FROM documents
     """,
     "cube_orders": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -949,13 +867,6 @@ _ORACLES_SQL_SURFACE = {
          AND c.click_ts < p.purchase_ts
          AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
         GROUP BY p.purchase_id
-    """,
-    "count_distinct_users": """
-        SELECT event_type, count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY event_type
-        UNION ALL
-        SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_users
-        FROM events
     """,
     "user_value_trend": """
         WITH m AS (
@@ -1013,27 +924,23 @@ _ORACLES_SQL_SURFACE = {
                quantile_cont(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
-    "sessionize_events": """
+    "user_event_windows": """
         SELECT event_id, user_id,
                CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS session_id
+               ) AS BIGINT) AS session_id,
+               max(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_error_ms
         FROM (
-            SELECT event_id, user_id, ts,
+            SELECT event_id, user_id, ts, event_type,
                    CAST(floor(epoch(ts)) AS BIGINT)
                    - CAST(floor(epoch(lag(ts) OVER (
                          PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
                        AS gap_s
             FROM events)
-    """,
-    "asof_last_error": """
-        SELECT event_id, user_id,
-               max(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS last_error_ms
-        FROM events
     """,
 }
 
@@ -1045,42 +952,45 @@ _ORACLES_SQL_SURFACE = {
 _STOPWORD_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
 
-def q_doc_token_stats(spark, sf_dir):
-    """Token counting: whitespace tokens + BPE-ish estimate (chars/4 floor
-    corrected by word count). Pure column expressions."""
+def q_doc_text_profile(spark, sf_dir):
+    """The full per-document text-analysis profile in ONE scan (merged from
+    five single-aspect queries so each aspect keeps a driver-verified row;
+    r2 verdict item 1): token counting (whitespace + BPE-ish estimate),
+    language-ID (stopword-ratio heuristic — swap in fastText via Pandas
+    UDF without changing the plan), quality features + composite score,
+    md5 fingerprinting, and the scalar string-function suite (case map /
+    substring / trim-length / regexp replace / levenshtein). All pure
+    column expressions — one narrow projection, whole-stage codegen, zero
+    Python."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = text.token_count(t)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = text.stopword_ratio(t)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000),
+                    F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (F.lit(0.4) * len_ok
+             + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+             + F.lit(0.3) * F.least(stop_ratio * 10, F.lit(1.0)))
+    head = F.substring(t, 1, 24)
     return d.select(
         "doc_id",
-        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_tokens"))
-
-
-def q_doc_lang_id(spark, sf_dir):
-    """Language-ID heuristic: stopword-ratio threshold (SURVEY extensions;
-    swap in a real classifier via Pandas UDF without changing the plan)."""
-    ensure_engine_conf(spark)
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text.stopword_ratio(F.col("text")).alias("stop_ratio"),
-        text.lang_id(F.col("text")).alias("lang_pred"))
-
-
-def q_doc_quality(spark, sf_dir):
-    """Quality scoring: length/punctuation/stopword features + composite."""
-    ensure_engine_conf(spark)
-    d = load(spark, sf_dir, "documents")
-    return text.quality_features(d, "doc_id", "text") \
-        .withColumn("n_tokens", F.col("n_tokens").cast("long")) \
-        .withColumn("n_chars_measured", F.col("n_chars_measured").cast("long"))
-
-
-def q_doc_fingerprint(spark, sf_dir):
-    """Document fingerprinting: md5 over whitespace-normalized text."""
-    ensure_engine_conf(spark)
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+        n_tok.cast("long").alias("n_tokens"),
+        text.bpe_token_estimate(t).cast("long").alias("bpe_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        text.lang_id(t).alias("lang_pred"),
+        score.alias("quality_score"),
+        text.fingerprint(t).alias("fingerprint"),
+        F.upper(head).alias("head_upper"),
+        F.length(F.trim(t)).cast("long").alias("len_trimmed"),
+        F.regexp_replace(head, "a", "@").alias("head_subst"),
+        F.levenshtein(head, F.lit("the quick brown fox jump"))
+        .cast("long").alias("lev_to_probe"))
 
 
 def q_doc_pii_redact(spark, sf_dir):
@@ -1142,47 +1052,32 @@ _ORACLES_TEXT = {
                     ELSE 'test' END AS split
         FROM documents
     """,
-    "doc_token_stats": r"""
-        SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
-               CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')),
-                             CAST(ceil(length(text) / 4.0) AS INTEGER)) AS BIGINT) AS bpe_tokens
-        FROM documents
-    """,
-    "doc_lang_id": rf"""
-        WITH toks AS (
-            SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
-            FROM documents)
-        SELECT doc_id,
-               CAST(len(list_filter(w, t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
-                   / len(w) AS stop_ratio,
-               CASE WHEN CAST(len(list_filter(w, t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
-                         / len(w) >= 0.02
-                    THEN 'en' ELSE 'unknown' END AS lang_pred
-        FROM toks
-    """,
-    "doc_quality": rf"""
+    "doc_text_profile": rf"""
         WITH feat AS (
-            SELECT doc_id,
+            SELECT doc_id, text,
                    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
-                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')),
+                                 CAST(ceil(length(text) / 4.0) AS INTEGER)) AS BIGINT) AS bpe_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
                        / length(text) AS punct_ratio,
                    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                         t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
-                       / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stopword_ratio
+                       / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stop_ratio
             FROM documents)
-        SELECT doc_id, n_tokens, n_chars_measured, punct_ratio, stopword_ratio,
+        SELECT doc_id, n_tokens, bpe_tokens, n_chars, punct_ratio, stop_ratio,
+               CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_pred,
                0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
                + 0.3 * (1.0 - punct_ratio)
-               + 0.3 * least(stopword_ratio * 10, 1.0) AS quality_score
+               + 0.3 * least(stop_ratio * 10, 1.0) AS quality_score,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+               upper(substring(text, 1, 24)) AS head_upper,
+               CAST(length(trim(text)) AS BIGINT) AS len_trimmed,
+               regexp_replace(substring(text, 1, 24), 'a', '@', 'g') AS head_subst,
+               CAST(levenshtein(substring(text, 1, 24),
+                                'the quick brown fox jump') AS BIGINT)
+                   AS lev_to_probe
         FROM feat
-    """,
-    "doc_fingerprint": r"""
-        SELECT doc_id,
-               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
-        FROM documents
     """,
 }
 
@@ -1281,23 +1176,28 @@ def q_dedup_clusters(spark, sf_dir):
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
 
-    Banded LSH (16 bands x 4 rows) gives ~certain recall at J>=0.8, so
-    the verified output equals the exact-Jaccard oracle while doing only
-    bucket-local comparisons — the 100 TB-safe plan shape.
+    Banded LSH tuned to the VERIFIED threshold: 32 bands x 2 rows has
+    collision probability 1-(1-J^2)^32 ~= 0.9999 at J=0.5, so candidate
+    recall at the oracle's decision boundary no longer depends on the
+    fixture's dups being extreme (J>=0.8). The oracle is the FULL exact
+    Jaccard pair set at threshold 0.5; with per-pair miss probability
+    <=1e-4 at the boundary (and vanishing above it), Spark == oracle
+    holds for any fixture whose qualifying pairs sit at J>=0.5 — the
+    remaining banding miss probability is the documented, quantified
+    residual. (A banded-semantics oracle, as used for
+    dedup_embedding_cosine, is unavailable here: the xxhash64 min-hash
+    family has no DuckDB twin.) Extra false-positive candidates from the
+    wider banding are discarded by exact verification, so precision is
+    unaffected.
 
-    ORACLE FIXTURE DEPENDENCY (deliberate, asserted): the oracle is the
-    FULL exact-Jaccard pair set at threshold 0.5, but 16x4 banding only
-    has ~64% collision probability at J=0.5 — equality holds because
-    every qualifying fixture pair in fact has J>=0.8 (miss probability
-    ~2e-4 there; measured min J: 0.89/0.90/0.80 at sf0.001/0.01/0.1).
-    `test_minhash_fixture_profile_supports_oracle` makes this assumption
-    executable so a fixture change fails loudly in tests, not in the
-    gate. (The banded-semantics-in-the-oracle fix used for
-    dedup_embedding_cosine is unavailable here: the xxhash64 min-hash
-    family has no DuckDB twin.)"""
+    Historical note (r2 verdict item 4): the previous 16x4 banding had
+    only ~64% collision probability at J=0.5, so gate-greenness was
+    load-bearing on the fixture's dups all sitting at J>=0.8 (asserted by
+    `test_minhash_fixture_profile_supports_oracle`, kept as a fixture
+    profile check). The 32x2 tuning removes that dependency."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
-    out = dedup.minhash_dedup(d, "doc_id", "text", num_hashes=64, bands=16,
+    out = dedup.minhash_dedup(d, "doc_id", "text", num_hashes=64, bands=32,
                               k=3, threshold=_JACCARD_THRESHOLD)
     return out.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
                       "jaccard")
@@ -1414,15 +1314,24 @@ def q_multimodal_decode(spark, sf_dir):
         .select("media_id", "width", "height", "n_bytes", "sha1")
 
 
-def q_embedding_norms(spark, sf_dir):
-    """Vector math sanity surface: dimension count + exact L2 norm."""
+def q_embedding_stats(spark, sf_dir):
+    """Vector math surface over the wide-to-long pivot (merged from the
+    separate posexplode and norms queries; r2 verdict item 1): posexplode
+    every embedding to (vec_id, pos, x) rows, then aggregate back per
+    vector — dimension count, EXACT L2 norm (per-dim squares cast to
+    decimal before the order-independent sum; bit-identical to the SQL
+    oracle), and min/max components. The explode+reaggregate shape is the
+    feature-pipeline staple; the aggregate is map-side combinable."""
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        F.size("embedding").cast("long").alias("n_dims"),
-        F.sqrt(similarity._exact_dot(F.col("embedding"), F.col("embedding")))
-        .alias("l2_norm"))
+    rows = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    xd = F.col("x").cast("double")
+    sq = (xd * xd).cast("decimal(24,12)")
+    return rows.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sqrt(F.sum(sq).cast("double")).alias("l2_norm"),
+        F.min(xd).alias("min_x"),
+        F.max(xd).alias("max_x"))
 
 
 def q_pairwise_topk_per_label(spark, sf_dir):
@@ -1486,11 +1395,18 @@ _ORACLES_SIM = {
         ORDER BY cosine DESC, e.vec_id ASC
         LIMIT 10
     """,
-    "embedding_norms": f"""
+    "embedding_stats": """
+        WITH d AS (
+            SELECT vec_id,
+                   embedding[generate_subscripts(embedding, 1)] AS x
+            FROM embeddings)
         SELECT vec_id,
-               CAST(len(embedding) AS BIGINT) AS n_dims,
-               sqrt({_dot_sql('embedding', 'embedding')}) AS l2_norm
-        FROM embeddings
+               CAST(count(*) AS BIGINT) AS n_dims,
+               sqrt(CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)) AS l2_norm,
+               CAST(min(x) AS DOUBLE) AS min_x,
+               CAST(max(x) AS DOUBLE) AS max_x
+        FROM d GROUP BY vec_id
     """,
     "pairwise_topk_per_label": f"""
         WITH sample AS (
@@ -1639,6 +1555,13 @@ def _register(name: str, fn, oracle: Optional[str]):
     QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=fn.__doc__ or "")
 
 
+# The driver's correctness gate records the FIRST 50 registered entries
+# only (observed r1/r2). The registry is therefore consolidated to EXACTLY
+# 50 queries — near-duplicate coverage merged, nothing pushed past the
+# window — so every query (47 oracled + 3 rows-only) gets a driver
+# correctness row every round. Do not register a 51st query; fold new
+# coverage into an existing entry or swap one out.
+
 for _name, _fn in [
     ("scan_events", q_scan_events),
     ("filter_seek", q_filter_seek),
@@ -1647,11 +1570,8 @@ for _name, _fn in [
     ("derive_ingestion_time", q_derive_ingestion_time),
     ("normalize_payload", q_normalize_payload),
     ("order_by_event_time", q_order_by_event_time),
-    ("head_min_event", q_head_min_event),
-    ("max_watermark", q_max_watermark),
+    ("replay_watermarks", q_replay_watermarks),
     ("window_rate_stats", q_window_rate_stats),
-    ("running_total", q_running_total),
-    ("replay_lag", q_replay_lag),
     ("batch_assignment", q_batch_assignment),
     ("partition_key_spread", q_partition_key_spread),
     ("union_objects", q_union_objects),
@@ -1665,23 +1585,19 @@ _ORACLES_EXT = {**_ORACLES_TPCH, **_ORACLES_SQL_SURFACE, **_ORACLES_TEXT,
                 "training_data_pipeline": _ORACLE_TRAINING_PIPELINE}
 
 for _name, _fn in [
+    # composed pipelines first — never verified before r3, highest value
+    ("replay_plan", q_replay_plan),
+    ("training_data_pipeline", q_training_data_pipeline),
     # SQL-surface breadth
-    ("rollup_revenue", q_rollup_revenue),
     ("rank_orders_window", q_rank_orders_window),
-    ("semi_join_urgent_customers", q_semi_join_urgent_customers),
-    ("anti_join_no_orders", q_anti_join_no_orders),
-    ("distinct_event_types", q_distinct_event_types),
-    ("sessionize_events", q_sessionize_events),
-    ("asof_last_error", q_asof_last_error),
+    ("semi_anti_join_urgent", q_semi_anti_join_urgent),
+    ("user_event_windows", q_user_event_windows),
     ("event_value_quantiles", q_event_value_quantiles),
     ("interval_join_counts", q_interval_join_counts),
     ("multi_resolution_rollup", q_multi_resolution_rollup),
-    ("count_distinct_users", q_count_distinct_users),
     ("user_value_trend", q_user_value_trend),
     ("cube_orders", q_cube_orders),
     ("click_purchase_attribution", q_click_purchase_attribution),
-    ("explode_embedding_dims", q_explode_embedding_dims),
-    ("string_functions", q_string_functions),
     # TPC-H-style relational extensions
     ("q1_pricing_summary", q_q1_pricing_summary),
     ("q3_shipping_priority", q_q3_shipping_priority),
@@ -1694,31 +1610,28 @@ for _name, _fn in [
     ("agg_events_by_type", q_agg_events_by_type),
     ("top_users_by_value", q_top_users_by_value),
     # text analysis
-    ("doc_token_stats", q_doc_token_stats),
-    ("doc_lang_id", q_doc_lang_id),
-    ("doc_quality", q_doc_quality),
-    ("doc_fingerprint", q_doc_fingerprint),
+    ("doc_text_profile", q_doc_text_profile),
+    ("doc_pii_redact", q_doc_pii_redact),
+    ("doc_train_split", q_doc_train_split),
     # dedup
     ("dedup_exact", q_dedup_exact),
     ("ngram_jaccard_dedup", q_ngram_jaccard_dedup),
     ("minhash_dedup", q_minhash_dedup),
     ("dedup_clusters", q_dedup_clusters),
-    ("doc_pii_redact", q_doc_pii_redact),
-    ("doc_train_split", q_doc_train_split),
     ("simhash_dedup", q_simhash_dedup),          # rows-only (hash family)
     ("dedup_embedding_cosine", q_dedup_embedding_cosine),
     # similarity search
     ("ann_topk_cosine", q_ann_topk_cosine),
     ("ann_lsh_topk", q_ann_lsh_topk),
     ("ann_ivf_topk", q_ann_ivf_topk),            # rows-only (see docstring)
-    ("multimodal_decode", q_multimodal_decode),  # rows-only (see docstring)
-    ("embedding_norms", q_embedding_norms),
+    ("embedding_stats", q_embedding_stats),
     ("pairwise_topk_per_label", q_pairwise_topk_per_label),
-    # multimodal plumbing
+    # multimodal
+    ("multimodal_decode", q_multimodal_decode),  # rows-only (see docstring)
     ("multimodal_meta", q_multimodal_meta),
-    # composed end-to-end batch replay plan
-    ("replay_plan", q_replay_plan),
-    # composed training-data cleaning pipeline
-    ("training_data_pipeline", q_training_data_pipeline),
 ]:
     _register(_name, _fn, _ORACLES_EXT.get(_name))
+
+assert len(QUERIES) == 50, (
+    f"registry must stay at exactly 50 queries (driver window); "
+    f"got {len(QUERIES)}")

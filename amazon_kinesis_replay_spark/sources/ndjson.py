@@ -55,16 +55,27 @@ def _decode_lines(pdf_iter):
     rows, decompressing by CONTENT sniffing (gzip/bz2/lz4-frame/xz, else
     plain text). Undecodable objects are skipped — the ignoreCorruptFiles
     analogue for the binary path."""
+    import lzma
+    import zlib
+
     import pandas as pd
 
     from .lz4frame import LZ4FrameError, decompress_auto
+
+    # Everything the stdlib decompressors raise on corrupt input: gzip ->
+    # BadGzipFile (OSError) or EOFError (truncated) or zlib.error; bz2 ->
+    # OSError/ValueError/EOFError; xz -> lzma.LZMAError (plain Exception
+    # subclass, NOT OSError). Missing any of these would fail the whole
+    # ingest job on one corrupt object instead of skipping it.
+    corrupt = (LZ4FrameError, OSError, EOFError, ValueError,
+               UnicodeDecodeError, lzma.LZMAError, zlib.error)
 
     for pdf in pdf_iter:
         for path, content in zip(pdf["path"], pdf["content"]):
             try:
                 text = decompress_auto(bytes(content))
                 lines = text.decode("utf-8").splitlines()
-            except (LZ4FrameError, OSError, ValueError, UnicodeDecodeError):
+            except corrupt:
                 continue                # corrupt object: skip whole file
             if lines:
                 yield pd.DataFrame({"value": lines,

@@ -45,7 +45,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM, codegen, parquet footer caches
-    QUERIES["head_min_event"].fn(spark, sf_dir).collect()
+    QUERIES["replay_watermarks"].fn(spark, sf_dir).collect()
 
     # min of 2 runs per query: the box is shared, and a single sample can
     # be 40%+ noise from co-tenant load; min-of-N measures the plan, not

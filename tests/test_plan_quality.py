@@ -81,6 +81,43 @@ def test_embedding_dedup_is_bucketed_not_cartesian(spark):
             or "ShuffledHashJoin" in p)
 
 
+def test_global_index_single_full_shuffle_no_range_sampling(spark):
+    """with_global_index must move the data exactly once (one explicit
+    repartition-by-pid exchange) and contain NO range partitioning: range
+    sampling re-executed per consumer branch is the failure mode that can
+    emit duplicate/gapped indexes when exchange reuse does not fire (and
+    it does not — the branches prune different columns)."""
+    from amazon_kinesis_replay_spark.operators import replay_ops
+    from amazon_kinesis_replay_spark.tables import load
+    e = load(spark, SF, "events").select("event_id", "ts")
+    idx = replay_ops.with_global_index(e, ["ts", "event_id"])
+    p = idx._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in p
+    assert p.count("REPARTITION_BY") == 1           # the one data shuffle
+    # counts branch shuffles partial aggregates only — asserted by the two
+    # HashAggregate levels around its exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_shingle_rows_repartition_is_conditional(spark):
+    """shingle_rows must widen a narrow corpus to full parallelism but add
+    NO exchange when the input is already at least that wide — an
+    unconditional repartition(n) round-robin-shuffles the whole raw corpus
+    at 100 TB."""
+    from amazon_kinesis_replay_spark.operators import dedup
+    from amazon_kinesis_replay_spark.tables import load
+    spark.catalog.clearCache()   # cached shingles would hide the exchange
+    d = load(spark, SF, "documents")
+    width = spark.sparkContext.defaultParallelism
+    narrow = dedup.shingle_rows(d, "doc_id", "text")
+    pn = narrow._jdf.queryExecution().executedPlan().toString()
+    assert pn.count("RoundRobinPartitioning") == 1  # widened once
+    wide = dedup.shingle_rows(d.repartition(width + 4), "doc_id", "text")
+    pw = wide._jdf.queryExecution().executedPlan().toString()
+    # exactly the caller's own repartition — shingle_rows added none
+    assert pw.count("RoundRobinPartitioning") == 1
+
+
 @pytest.mark.parametrize("name", ["window_rate_stats", "agg_events_by_type"])
 def test_aggregates_are_partial(spark, name):
     """Grouped aggregates must have a map-side partial phase (two

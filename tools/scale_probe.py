@@ -43,7 +43,7 @@ def main():
         n = corpus.count()
         t0 = time.monotonic()
         pairs = dedup.minhash_dedup(corpus, "doc_id", "text",
-                                    num_hashes=64, bands=16, k=3,
+                                    num_hashes=64, bands=32, k=3,
                                     threshold=0.5).count()
         dt = time.monotonic() - t0
         results.append((mult, n, pairs, round(dt, 2)))
