@@ -82,12 +82,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Verification then counts common shingles over the FULL sets for the
     surviving candidates only.
     """
-    # The exploded shingles feed several consumers; persist so the
-    # CPU-heavy shingling runs once. MEMORY_AND_DISK semantics: spills
-    # rather than OOMs when the corpus is large; at 100 TB an explicit
-    # materialization (bucketed write) replaces this.
-    sh = shingle_rows(df, id_col, text_col, k).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # Shingling (the CPU-dominant step) runs ONCE into a per-doc array
+    # cache — one row per document, far smaller than the exploded rows —
+    # and every consumer (frequency counts, prefix ranking, verification)
+    # derives from it: the exploded form is a cheap explode of cached
+    # arrays, and verification intersects the cached arrays directly.
+    # MEMORY_AND_DISK semantics: spills rather than OOMs when the corpus
+    # is large; at 100 TB an explicit materialization (bucketed write)
+    # replaces this.
+    arrays = shingle_arrays(df, id_col, text_col, k).persist()
+    sh = arrays.select("id", F.explode("shs").alias("shingle"))
+    sizes = arrays.select("id", F.size("shs").alias("n_shingles"))
 
     if prefix_filter:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
@@ -95,37 +100,73 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                              F.col("shingle").asc())
         ranked = (sh.join(freq, "shingle")
                   .withColumn("rank", F.row_number().over(w)))
+        # Persisted: the self-join consumes the prefix index twice, and
+        # exchange reuse across differently-pruned branches is not
+        # guaranteed (see replay_ops.with_global_index) — without the
+        # persist the freq+rank pipeline can execute twice. The index is
+        # a small fraction of the corpus (rarest ~1/3 of each doc's
+        # shingles).
         pref = (ranked.join(sizes, "id")
                 .filter(F.col("rank") <= F.col("n_shingles")
                         - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
-                .select("id", "shingle"))
+                .select("id", "shingle", "rank", "n_shingles")
+                .persist())
         a, b = pref.alias("a"), pref.alias("b")
+        an, bn = F.col("a.n_shingles"), F.col("b.n_shingles")
+        # PPJoin's two further EXACT pruning conditions (both admit a
+        # superset of true pairs; the 1e-9 slack makes float rounding err
+        # only toward keeping a candidate, never dropping one):
+        # - length filter: J >= t forces |B| >= t|A| and |A| >= t|B|.
+        # - positional filter: for a collision at 1-based global-order
+        #   positions (pa, pb), overlap <= 1 + min(|A|-pa, |B|-pb); the
+        #   pair's FIRST common shingle maximizes that bound over its
+        #   collisions, so requiring ANY collision to reach
+        #   alpha = ceil(t/(1+t)(|A|+|B|)) is exact.
+        alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                       * (an + bn) - F.lit(1e-9))
         cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                       & (F.col("a.id") < F.col("b.id")))
+                       & (F.col("a.id") < F.col("b.id"))
+                       & (bn.cast("double") >= F.lit(threshold) * an - F.lit(1e-9))
+                       & (an.cast("double") >= F.lit(threshold) * bn - F.lit(1e-9))
+                       & (F.lit(1) + F.least(an - F.col("a.rank"),
+                                             bn - F.col("b.rank")) >= alpha))
                 .select(F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"))
                 .distinct())
-        sa, sb = sh.alias("sa"), sh.alias("sb")
-        common = (
-            cand.join(sa, F.col("sa.id") == F.col("id_a"))
-            .join(sb, (F.col("sb.id") == F.col("id_b"))
-                  & (F.col("sa.shingle") == F.col("sb.shingle")))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
-        )
     else:
         a, b = sh.alias("a"), sh.alias("b")
-        common = (
+        cand = (
             a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count("*").alias("common"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
 
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return _verify_jaccard(arrays, cand, threshold)
+
+
+def _verify_jaccard(arrays: DataFrame, cand: DataFrame,
+                    threshold: float) -> DataFrame:
+    """EXACT Jaccard of candidate pairs against the cached per-doc
+    (id, shs) shingle-array table: join candidates to both sides' arrays
+    and count the overlap with a codegen'd array_intersect — no per-pair
+    row explosion.
+
+    Plan shape: two equi-joins of the candidate pairs against the array
+    table (broadcast when small, shuffle-on-id at scale — AQE skew-join
+    covers hub documents that appear in many pairs), then a pure
+    projection. This replaced a (cand x shingles) double row-join whose
+    intermediate was ~#candidates x doc_size rows: verification cost is
+    now proportional to candidate count, not candidate count times
+    document size."""
+    withn = arrays.withColumn("n", F.size("shs"))
+    va = withn.select(F.col("id").alias("id_a"),
+                      F.col("shs").alias("sh_a"), F.col("n").alias("na"))
+    vb = withn.select(F.col("id").alias("id_b"),
+                      F.col("shs").alias("sh_b"), F.col("n").alias("nb"))
     return (
-        common.join(na, "id_a").join(nb, "id_b")
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard", F.col("common").cast("double")
                     / (F.col("na") + F.col("nb") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
@@ -138,31 +179,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # --------------------------------------------------------------------------
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                 k: int = 3) -> DataFrame:
-    """Exploded (id, shingle) rows — the shared physical form for MinHash
-    and Jaccard verification. Shingle construction happens exactly once per
-    document here; everything downstream is hashing/aggregation on rows.
-    (Building the shingle array inside per-hash expressions instead lets
-    Catalyst's CollapseProject re-inline the expensive array construction
-    into every one of the 64 hash computations — 60x slower measured.)
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 3) -> DataFrame:
+    """(id, shs) — each document's distinct shingle set as ONE array row.
+    The canonical materialization point: shingle construction (the
+    CPU-dominant step) happens exactly once per document here; callers
+    persist this and derive both the exploded row form (cheap explode of
+    cached arrays) and array-level verification from it. (Building the
+    shingle array inside downstream expressions instead lets Catalyst's
+    CollapseProject re-inline the expensive construction into every
+    consumer — 60x slower measured on the MinHash hash family.)
 
     The input is round-robin repartitioned to the session's parallelism
-    ONLY when it arrives narrower than that: document corpora often land as
-    few large (or one small) parquet files, and shingling is the
-    CPU-dominant step — one cheap shuffle of raw text buys full-width
-    parallelism for it. When the source is already at least as wide
-    (the 100 TB case: maxPartitionBytes yields thousands of input splits),
-    no exchange is inserted at all — an unconditional repartition(n) would
-    round-robin-shuffle the entire raw corpus even when n equals the
-    current partition count."""
+    ONLY when it arrives narrower than that: document corpora often land
+    as few large (or one small) parquet files, and one cheap shuffle of
+    raw text buys full-width parallelism for the shingling. When the
+    source is already at least as wide (the 100 TB case:
+    maxPartitionBytes yields thousands of input splits), no exchange is
+    inserted at all — an unconditional repartition(n) would round-robin-
+    shuffle the entire raw corpus even when n equals the current
+    partition count."""
     spark = df.sparkSession
     width = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < width:
         df = df.repartition(width)
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        word_shingles(F.col(text_col), k).alias("shs"))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 3) -> DataFrame:
+    """Exploded (id, shingle) rows — the row form for frequency counting,
+    prefix ranking, and MinHash aggregation (see `shingle_arrays` for the
+    materialization-point discussion)."""
+    return shingle_arrays(df, id_col, text_col, k).select(
+        "id", F.explode("shs").alias("shingle"))
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
@@ -176,9 +228,15 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     Signature = num_hashes map-side-combinable MIN aggregates over the
     exploded shingles: one shuffle keyed by doc id, linear scaling.
     """
-    sh = shingle_rows(df, id_col, text_col, k) \
-        .withColumn("__h0", F.xxhash64("shingle"))
-    return sh.groupBy("id").agg(*[
+    sh = shingle_rows(df, id_col, text_col, k)
+    return _signature_from_rows(sh, num_hashes)
+
+
+def _signature_from_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signature aggregation over (id, shingle) rows (see
+    minhash_signature for the hash-family discussion)."""
+    hashed = sh.withColumn("__h0", F.xxhash64("shingle"))
+    return hashed.groupBy("id").agg(*[
         F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
         for i in range(num_hashes)
     ])
@@ -205,8 +263,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Output: distinct (id_a, id_b), id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, k)
+    return _lsh_pairs_from_signature(sig, num_hashes, bands)
+
+
+def _lsh_pairs_from_signature(sig: DataFrame, num_hashes: int,
+                              bands: int) -> DataFrame:
+    """Banded self-equi-join over a precomputed signature (see
+    minhash_lsh_pairs for the banding discussion)."""
+    rows_per_band = num_hashes // bands
     band_entries = sig.select(
         "id",
         F.explode(F.array(*[
@@ -234,31 +299,16 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     """LSH candidates verified by exact Jaccard (estimate from signatures is
     also available; exact verification keeps the result deterministic).
 
-    Verification is row-joins on the exploded shingles restricted to the
-    candidate pairs (common-shingle count vs sizes) — never an
-    array_intersect over recomputed per-document arrays.
+    Verification intersects the PERSISTED per-doc shingle arrays (the
+    signature aggregation derives its exploded rows from the same cache,
+    so shingling runs once for the whole query); see `_verify_jaccard`.
 
     Returns confirmed near-dup pairs (id_a, id_b, jaccard)."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k)
-    sh = shingle_rows(df, id_col, text_col, k).persist()  # 3 consumers
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    common = (
-        cand.join(sa, F.col("sa.id") == F.col("id_a"))
-        .join(sb, (F.col("sb.id") == F.col("id_b"))
-              & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        common.join(na, "id_a").join(nb, "id_b")
-        .withColumn("jaccard", F.col("common").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    arrays = shingle_arrays(df, id_col, text_col, k).persist()
+    sh = arrays.select("id", F.explode("shs").alias("shingle"))
+    sig = _signature_from_rows(sh, num_hashes)
+    cand = _lsh_pairs_from_signature(sig, num_hashes, bands)
+    return _verify_jaccard(arrays, cand, threshold)
 
 
 # --------------------------------------------------------------------------
