@@ -3,11 +3,18 @@
 Media travel as opaque `binary` columns with typed metadata; the heavy
 decode/transform steps run as Arrow-batched functions over `mapInPandas`
 (one Python worker per partition, columnar transfer — never row-at-a-time
-UDFs). The actual codec work (PIL/ffmpeg/torchaudio) is NOT available in
-this container, so the decode kernels are STUBBED: `decode_*` raise
-NotImplementedError unless `fake=True`, which substitutes a deterministic
-fake decoder so the Spark-side plumbing (schema, batching, partitioning)
-is fully real and testable.
+UDFs).
+
+Decode coverage:
+- REAL, pure-Python (no third-party codec): BMP and PPM/PGM image
+  headers + pixel-histogram features; WAV (RIFF) audio headers +
+  numpy-FFT band-energy features. These formats are uncompressed, so
+  header parsing and feature extraction need only struct/numpy.
+- STUBBED (codec genuinely unavailable in this container): compressed
+  images (PNG/JPEG -> PIL), compressed audio, and video frame decoding
+  (ffmpeg). Those raise NotImplementedError; `fake=True` substitutes a
+  deterministic fake decoder so the Spark-side plumbing (schema,
+  batching, partitioning) stays fully real and testable for them.
 """
 
 from __future__ import annotations
@@ -57,16 +64,85 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
+def _parse_bmp(raw: bytes) -> tuple[int, int, bytes]:
+    """Width, height, and the pixel-array bytes of a BMP payload.
+    Handles both BITMAPCOREHEADER (12) and BITMAPINFOHEADER-family DIBs;
+    negative height (top-down rows) is normalized."""
+    import struct
+    if len(raw) < 26 or raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", raw, 10)[0]
+    dib_size = struct.unpack_from("<I", raw, 14)[0]
+    if dib_size == 12:
+        w, h = struct.unpack_from("<HH", raw, 18)
+    else:
+        w, h = struct.unpack_from("<ii", raw, 18)
+        h = abs(h)
+    return int(w), int(h), raw[pix_off:]
+
+
+def _parse_ppm(raw: bytes) -> tuple[int, int, bytes]:
+    """Width, height, and raster bytes of a binary PPM (P6) / PGM (P5)
+    payload. The header is ASCII tokens with '#' comments; exactly one
+    whitespace byte separates the maxval from the raster."""
+    if raw[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(raw):
+        c = raw[i:i + 1]
+        if c == b"#":
+            i = raw.find(b"\n", i)
+            if i < 0:
+                raise ValueError("truncated PPM header")
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(raw) and not raw[j:j + 1].isspace():
+                j += 1
+            tokens.append(raw[i:j])
+            i = j
+    if len(tokens) < 3 or i >= len(raw):
+        raise ValueError("truncated PPM header")
+    return int(tokens[0]), int(tokens[1]), raw[i + 1:]
+
+
+def _pixel_histogram(pixels: bytes, bins: int = 8) -> list[float]:
+    """Normalized byte-value histogram over the raster — a real, decoder-
+    independent image feature (deterministic; no codec needed for the
+    uncompressed formats)."""
+    if not pixels:
+        return [0.0] * bins
+    import numpy as np
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+    return [round(float(x) / len(arr), 6) for x in hist]
+
+
+def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
+    if raw[:2] == b"BM":
+        w, h, pixels = _parse_bmp(raw)
+    elif raw[:2] in (b"P6", b"P5"):
+        w, h, pixels = _parse_ppm(raw)
+    else:
+        raise NotImplementedError(
+            f"unsupported image magic {raw[:4]!r}: only uncompressed "
+            "BMP/PPM/PGM decode without a third-party codec (PIL not "
+            "installed); pass fake=True for the deterministic test decoder")
+    return w, h, _pixel_histogram(pixels)
+
+
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
-    Real path requires an image codec (PIL) — not present in this
-    container; pass fake=True for the deterministic fake decoder.
+    The real path parses uncompressed BMP/PPM/PGM headers and computes a
+    pixel-histogram feature vector in pure Python/numpy; compressed
+    formats (PNG/JPEG) raise NotImplementedError from the kernel since no
+    codec library is installed. fake=True substitutes the deterministic
+    fake decoder for any payload.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decode requires PIL/opencv (not installed); "
-            "call with fake=True for the deterministic test decoder")
+    decode_one = _fake_decode_image if fake else _real_decode_image
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,7 +150,7 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
                    "n_bytes": [], "sha1": [], "features": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                w, h, feats = _fake_decode_image(raw)
+                w, h, feats = decode_one(raw)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -119,14 +195,79 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
+def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes]:
+    """(sample_rate, channels, bits_per_sample, pcm_data) from a RIFF/WAVE
+    payload — chunk-walks the container, so extra chunks (LIST, fact, cue)
+    before or after fmt/data are handled."""
+    import struct
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = channels = bits = None
+    data = b""
+    i = 12
+    while i + 8 <= len(raw):
+        cid = raw[i:i + 4]
+        csz = struct.unpack_from("<I", raw, i + 4)[0]
+        body = raw[i + 8:i + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            _fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            data = body
+        i += 8 + csz + (csz & 1)            # chunks are word-aligned
+    if rate is None or not rate or not channels or not bits:
+        raise ValueError("WAV missing or malformed fmt chunk")
+    return int(rate), int(channels), int(bits), data
+
+
+def _band_energies(pcm: bytes, bits: int, channels: int,
+                   n_bands: int = 13) -> list[float]:
+    """Log band energies of the (mono-mixed) PCM16 signal via numpy rfft —
+    a real, deterministic spectral feature in the MFCC shape (true MFCCs
+    need a mel filterbank + DCT; the plumbing and dimensionality are
+    identical)."""
+    import numpy as np
+    if bits != 16 or not pcm:
+        return [0.0] * n_bands
+    x = np.frombuffer(pcm[:2 * channels * 65536], dtype="<i2") \
+        .astype(np.float64)
+    if channels > 1:
+        usable = len(x) // channels * channels
+        x = x[:usable].reshape(-1, channels).mean(axis=1)
+    if len(x) == 0:
+        return [0.0] * n_bands
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, n_bands)
+    return [round(float(np.log1p(b.mean())) if len(b) else 0.0, 6)
+            for b in bands]
+
+
 def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode + feature-extract audio payloads via mapInPandas (fake
-    decoder derives sample rate / duration / a 13-dim MFCC-shaped vector
-    from the payload digest; real path needs torchaudio/librosa)."""
-    if not fake:
-        raise NotImplementedError(
-            "real audio decode requires torchaudio/librosa (not installed); "
-            "call with fake=True for the deterministic test decoder")
+    """Decode + feature-extract audio payloads via mapInPandas.
+
+    The real path chunk-walks RIFF/WAVE headers (sample rate, channels,
+    bit depth, exact duration from the data chunk) and computes 13 log
+    band energies over the PCM via numpy FFT; compressed audio raises
+    NotImplementedError from the kernel (torchaudio/librosa not
+    installed). fake=True substitutes the digest-derived fake decoder."""
+
+    def _real_one(raw: bytes):
+        if raw[:4] != b"RIFF":
+            raise NotImplementedError(
+                f"unsupported audio magic {raw[:4]!r}: only uncompressed "
+                "WAV decodes without a codec library; pass fake=True for "
+                "the deterministic test decoder")
+        rate, channels, bits, pcm = _parse_wav(raw)
+        duration = len(pcm) / (rate * channels * max(bits // 8, 1))
+        return rate, round(duration, 6), _band_energies(pcm, bits, channels)
+
+    def _fake_one(raw: bytes):
+        digest = hashlib.sha1(raw).digest()
+        rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+        return (rate, round(len(raw) / (rate * 2.0), 6),
+                [round(b / 255.0 - 0.5, 6) for b in digest[1:14]])
+
+    decode_one = _fake_one if fake else _real_one
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,14 +275,12 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                    "n_bytes": [], "mfcc": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                digest = hashlib.sha1(raw).digest()
-                rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+                rate, duration, mfcc = decode_one(raw)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
-                out["duration_s"].append(round(len(raw) / (rate * 2.0), 6))
+                out["duration_s"].append(duration)
                 out["n_bytes"].append(len(raw))
-                out["mfcc"].append(
-                    [round(b / 255.0 - 0.5, 6) for b in digest[1:14]])
+                out["mfcc"].append(mfcc)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "data").mapInPandas(_decode, AUDIO_FEATURES_SCHEMA)

@@ -235,13 +235,77 @@ def test_multimodal_audio_plumbing(spark, sf_dir):
     assert all(r["duration_s"] >= 0 for r in rows)
 
 
+def _bmp_bytes(width, height, pixel_bytes):
+    """Minimal 24bpp BITMAPINFOHEADER BMP."""
+    import struct
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes),
+                         0, 0, 14 + 40)
+    return header + dib + pixel_bytes
+
+
+def _wav_bytes(rate, channels, samples):
+    """Minimal PCM16 RIFF/WAVE with an extra LIST chunk (chunk-walk test)."""
+    import struct
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    chunks = (b"LIST" + struct.pack("<I", 4) + b"INFO"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_multimodal_real_bmp_ppm_decode(spark):
+    """REAL image decode: BMP and PPM headers parsed in pure Python, with
+    a pixel-histogram feature vector over the raster."""
+    bmp = _bmp_bytes(4, 2, bytes(range(24)))           # 4x2, 24bpp
+    ppm = b"P6\n# a comment\n3 5\n255\n" + bytes([200] * 45)
+    rows = [(1, "image", bytearray(bmp)), (2, "image", bytearray(ppm))]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, data binary")
+    out = {r["media_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert (out[2]["width"], out[2]["height"]) == (3, 5)
+    assert abs(sum(out[1]["features"]) - 1.0) < 1e-6   # histogram sums to 1
+    assert out[2]["features"][6] == 1.0                # all-200 raster -> bin 6
+    assert out[1]["n_bytes"] == len(bmp)
+
+
+def test_multimodal_real_wav_decode(spark):
+    """REAL audio decode: RIFF chunk walk (extra LIST chunk present) +
+    exact duration + FFT band energies of a pure tone."""
+    import math
+    rate, n = 8000, 8000                               # 1.0 s mono tone
+    samples = [int(10000 * math.sin(2 * math.pi * 440 * i / rate))
+               for i in range(n)]
+    wav = _wav_bytes(rate, 1, samples)
+    media = spark.createDataFrame([(7, bytearray(wav))],
+                                  "media_id long, data binary")
+    row = multimodal.decode_audio(media).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert abs(row["duration_s"] - 1.0) < 1e-6
+    assert len(row["mfcc"]) == 13
+    # 440 Hz of a 0-4000 Hz spectrum lands in band 1 of 13; that band must
+    # dominate the energy profile
+    assert row["mfcc"].index(max(row["mfcc"])) == 1
+    # deterministic
+    again = multimodal.decode_audio(media).collect()[0]
+    assert again["mfcc"] == row["mfcc"]
+
+
 def test_multimodal_real_decode_is_gated(spark, sf_dir):
+    """Compressed/unknown formats still fail loudly on the real path (no
+    codec library installed) — not silently fake-decoded."""
     import pytest
     d = load(spark, sf_dir, "documents").limit(1)
     media = d.select(F.col("doc_id").alias("media_id"),
                      F.encode("text", "UTF-8").alias("data"))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_images(media)
+    with pytest.raises(Exception, match="unsupported image magic"):
+        multimodal.decode_images(media).collect()
+    with pytest.raises(Exception, match="unsupported audio magic"):
+        multimodal.decode_audio(media).collect()
 
 
 def test_pii_redact_crafted_strings(spark):
