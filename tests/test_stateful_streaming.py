@@ -85,6 +85,43 @@ def test_dedup_stream_builtin_variant(spark, keyed_fixture, tmp_path):
     assert set(keys) == {r["user_id"] for r in rows}
 
 
+def test_dedup_builtin_vs_stateful_same_keys_on_disorder(spark, tmp_path):
+    """Head-to-head: dropDuplicatesWithinWatermark and the
+    applyInPandasWithState dedup must emit the SAME key set on a fixture
+    with duplicates arriving out of order ACROSS micro-batches but inside
+    the watermark horizon (one file per micro-batch)."""
+    src = tmp_path / "dups"
+    src.mkdir()
+    # file 0: keys 1..10 at 00:10..00:19; file 1 (later batch): the same
+    # keys again PLUS new keys 11..15, timestamps interleaved/earlier but
+    # within the 1h horizon
+    with open(src / "a.json", "w") as fh:
+        for i in range(10):
+            fh.write(json.dumps({"user_id": i + 1,
+                                 "dropoff_datetime":
+                                 f"2024-01-01T00:10:{i:02d}"}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        for i in range(15):
+            fh.write(json.dumps({"user_id": i + 1,
+                                 "dropoff_datetime":
+                                 f"2024-01-01T00:0{i % 10}:30"}) + "\n")
+    cfg = ReplayConfig(source_path=str(src))
+    ev1 = _with_user(spark, cfg, str(src))
+    builtin = stateful.dedup_stream_builtin(ev1, "user_id",
+                                            watermark_delay="1 hour")
+    got_b = _run_to_memory(spark, builtin, "dd_builtin_cmp", tmp_path)
+    keys_b = sorted(r["user_id"] for r in got_b.select("user_id").collect())
+
+    ev2 = _with_user(spark, cfg, str(src))
+    custom = stateful.dedup_stream(ev2, "user_id", watermark_delay="1 hour")
+    got_c = _run_to_memory(spark, custom, "dd_custom_cmp", tmp_path)
+    keys_c = sorted(int(r["key"]) for r in got_c.select("key").collect()
+                    if r["key"] is not None)
+
+    assert keys_b == list(range(1, 16))     # each key exactly once
+    assert keys_c == keys_b                 # identical output
+
+
 def test_cross_batch_disorder_watermark(spark, tmp_path):
     """Events older than the watermark arriving in a LATER file are dropped
     from stateful windows (documented deviation: the reference would emit
