@@ -47,3 +47,8 @@ class ReplayConfig:
     watermark_delay: str = "10 minutes"        # bounded-disorder window
     shuffle_partitions: int = 32
     extra_spark_conf: dict = field(default_factory=dict)
+    #: Driver-mode replay collect()s each micro-batch for exact global-order
+    #: pacing — correct only at small scale. Batches above this row count are
+    #: refused with guidance to use partitioned mode (which never collects)
+    #: instead of OOMing the driver.
+    driver_mode_max_rows: int = 1_000_000

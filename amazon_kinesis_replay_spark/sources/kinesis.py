@@ -3,9 +3,15 @@
 BASELINE.json names the Spark approach "Structured Streaming + Kinesis
 source". Spark has no first-party Kinesis connector; the maintained path is
 the spark-sql-kinesis (Qubole lineage) or AWS's spark-streaming-kinesis-asl
-packages. Neither ships in this container, so this module import-gates the
-connector and exposes the same (payload, ts) shape as sources/ndjson so the
-rest of the engine is source-agnostic.
+packages. Neither ships in this container, so this module:
+
+- import-gates the DSv2 STREAMING connector (`read_kinesis_stream`), and
+- provides a connector-free BATCH reader (`read_kinesis_batch`) built on
+  boto3: the shard list is parallelized across executors and each shard
+  is drained by an Arrow-batched mapInPandas kernel — a distributed
+  backfill/catch-up read with no extra classpath. Both expose the same
+  (payload, ts) shape as sources/ndjson so the rest of the engine is
+  source-agnostic.
 """
 
 from __future__ import annotations
@@ -51,3 +57,95 @@ def read_kinesis_stream(spark: SparkSession, cfg: ReplayConfig,
                        jsonf.json_attr_ts(F.col("data").cast("string"),
                                           cfg.timestamp_attribute).alias("ts"))
             .filter(F.col("ts").isNotNull()))
+
+
+def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
+                       starting_position: str = "TRIM_HORIZON",
+                       endpoint_url: str | None = None,
+                       max_polls_per_shard: int = 10_000) -> DataFrame:
+    """Connector-free BATCH read of a Kinesis stream -> (payload, ts).
+
+    Plan shape: the driver lists shards (one cheap control-plane call);
+    the shard ids become a DataFrame repartitioned to one task per shard;
+    each task drains its shard with boto3 get_records until it reaches
+    the stream head (MillisBehindLatest == 0) — so parallelism equals the
+    shard count, exactly how Kinesis scales reads, and record bytes flow
+    straight from executor tasks into Arrow batches without touching the
+    driver. Intended for backfill/catch-up jobs; for continuous tailing
+    use `read_kinesis_stream` (connector) or the reference-style file
+    replay (sources/ndjson).
+
+    `endpoint_url` / $AWS_ENDPOINT_URL inject LocalStack/moto-style
+    emulated endpoints, same as streaming.sinks.KinesisSink.
+    """
+    import os
+
+    try:
+        import boto3  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "read_kinesis_batch requires boto3") from exc
+    from ..functions.arn import extract_region, extract_stream_name
+
+    if not cfg.stream_arn:
+        raise ValueError("ReplayConfig.stream_arn is required")
+    region = extract_region(cfg.stream_arn)
+    stream = extract_stream_name(cfg.stream_arn)
+    endpoint = endpoint_url or os.environ.get("AWS_ENDPOINT_URL") or None
+    # Emulated endpoints (LocalStack/moto) accept any credentials, but the
+    # executor-side Python workers were forked before the test/driver set
+    # them — ship the driver's resolved values into the kernel closure.
+    # Real endpoints (no endpoint override) keep the default provider
+    # chain on each executor (instance profile / env / config).
+    creds = {}
+    if endpoint:
+        creds = {"aws_access_key_id":
+                 os.environ.get("AWS_ACCESS_KEY_ID", "emulated"),
+                 "aws_secret_access_key":
+                 os.environ.get("AWS_SECRET_ACCESS_KEY", "emulated")}
+
+    client = boto3.client("kinesis", region_name=region,
+                          endpoint_url=endpoint, **creds)
+    shard_ids = []
+    kwargs: dict = {"StreamName": stream}
+    while True:
+        resp = client.list_shards(**kwargs)
+        shard_ids += [s["ShardId"] for s in resp["Shards"]]
+        if "NextToken" not in resp:
+            break
+        kwargs = {"NextToken": resp["NextToken"]}
+    if not shard_ids:
+        return spark.createDataFrame([], "payload string, ts timestamp")
+
+    shards_df = spark.createDataFrame(
+        [(s,) for s in shard_ids], "shard_id string") \
+        .repartition(len(shard_ids), "shard_id")
+
+    def _drain(batches):
+        import boto3 as b3  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        cl = b3.client("kinesis", region_name=region, endpoint_url=endpoint,
+                       **creds)
+        for pdf in batches:
+            for shard_id in pdf["shard_id"]:
+                it = cl.get_shard_iterator(
+                    StreamName=stream, ShardId=shard_id,
+                    ShardIteratorType=starting_position)["ShardIterator"]
+                payloads: list[str] = []
+                for _ in range(max_polls_per_shard):
+                    resp = cl.get_records(ShardIterator=it, Limit=10_000)
+                    payloads += [r["Data"].decode("utf-8", "replace")
+                                 for r in resp["Records"]]
+                    it = resp.get("NextShardIterator")
+                    if it is None or (not resp["Records"]
+                                      and resp.get("MillisBehindLatest", 0) == 0):
+                        break
+                if payloads:
+                    yield pd.DataFrame({"payload": payloads})
+
+    lines = shards_df.mapInPandas(_drain, "payload string")
+    return (lines.select(
+        "payload",
+        jsonf.json_attr_ts(F.col("payload"),
+                           cfg.timestamp_attribute).alias("ts"))
+        .filter(F.col("ts").isNotNull()))

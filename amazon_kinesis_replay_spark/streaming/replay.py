@@ -116,6 +116,19 @@ class ReplayEngine:
     # -- driver mode: exact global-order pacing ------------------------------
 
     def _process_driver(self, batch_df: DataFrame):
+        # Guard BEFORE the collect: driver mode's exact global-order pacing
+        # materializes the batch on the driver, which is only sane at small
+        # scale. Refuse loudly instead of OOMing; partitioned mode is the
+        # scale path. (The count is one extra cheap job per micro-batch —
+        # driver mode is small-scale by definition.)
+        n_rows = batch_df.count()
+        if n_rows > self.cfg.driver_mode_max_rows:
+            raise ValueError(
+                f"driver-mode replay refuses a {n_rows}-row micro-batch "
+                f"(> driver_mode_max_rows={self.cfg.driver_mode_max_rows}): "
+                "the batch would be collect()ed onto the driver. Use "
+                "mode='partitioned' (per-sender pacing, executor-side "
+                "sinks) or raise driver_mode_max_rows explicitly.")
         rows = (batch_df.select("payload", "ts")
                 .orderBy(F.col("ts").asc())          # OP-SORT-EVENTTIME
                 .collect())

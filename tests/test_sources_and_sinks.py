@@ -300,6 +300,58 @@ def test_kinesis_sink_e2e_emulated():
         assert got_ids == list(range(1203))             # integrity, no loss
 
 
+def test_kinesis_roundtrip_sink_to_distributed_source(spark):
+    """Full loop against an out-of-process emulated Kinesis (moto server
+    mode, so executor-side Python workers hit it over HTTP like a real
+    endpoint): KinesisSink writes 700 replay payloads through the
+    chunk+retry loop; read_kinesis_batch drains the stream with one
+    mapInPandas task per shard and must recover every payload with parsed
+    event timestamps. Skipped without boto3/moto[server]."""
+    import json as js
+    import os
+
+    boto3 = pytest.importorskip("boto3")
+    pytest.importorskip("moto")
+    try:
+        from moto.server import ThreadedMotoServer
+    except ImportError:
+        pytest.skip("moto server mode unavailable")
+
+    from amazon_kinesis_replay_spark.sources import kinesis as ksrc
+
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        port = server._server.socket.getsockname()[1]
+        endpoint = f"http://127.0.0.1:{port}"
+        client = boto3.client("kinesis", region_name="us-east-1",
+                              endpoint_url=endpoint)
+        client.create_stream(StreamName="replay-rt", ShardCount=3)
+        arn = client.describe_stream(StreamName="replay-rt")[
+            "StreamDescription"]["StreamARN"]
+
+        cfg = ReplayConfig(stream_arn=arn)
+        sink = sinks.KinesisSink(arn, endpoint_url=endpoint)
+        records = [{"payload": js.dumps(
+            {"event_id": i,
+             "dropoff_datetime": f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}"})}
+            for i in range(700)]
+        for chunk in sinks.chunked(records, cfg.max_records_per_request):
+            sinks.send_with_retry(sink, chunk, cfg)
+
+        out = ksrc.read_kinesis_batch(spark, cfg, endpoint_url=endpoint)
+        rows = out.collect()
+        assert len(rows) == 700
+        got_ids = sorted(js.loads(r["payload"])["event_id"] for r in rows)
+        assert got_ids == list(range(700))
+        assert all(r["ts"] is not None for r in rows)   # timestamps parsed
+        assert out.rdd.getNumPartitions() == 3          # one task per shard
+    finally:
+        server.stop()
+
+
 def test_kinesis_sink_e2e_driver_replay():
     """The driver-mode ReplayEngine shipping a real DataFrame batch into
     emulated Kinesis: the full sort -> pace -> batch -> PutRecords path

@@ -78,6 +78,27 @@ def test_driver_mode_replay(spark, stream_fixture, tmp_path):
     assert engine.stats.max_emitted_ts.isoformat() == max(ts_seq)
 
 
+def test_driver_mode_refuses_oversized_batch(spark, sf_dir):
+    """Driver mode collect()s the batch for exact global pacing; above the
+    configured row bound it must refuse with partitioned-mode guidance
+    BEFORE collecting, not OOM."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_replay_spark.tables import load
+    events = load(spark, sf_dir, "events").select(
+        F.col("props").alias("payload"), "ts")
+    cfg = ReplayConfig(speedup_factor=1e12, driver_mode_max_rows=100)
+    engine = ReplayEngine(cfg, InMemorySink(), mode="driver")
+    with pytest.raises(ValueError, match="partitioned"):
+        engine.process_batch(events, 0)
+    assert engine.stats.total_events == 0          # nothing was emitted
+    # under the bound the same engine config replays normally
+    ok = ReplayEngine(cfg, InMemorySink(), mode="driver")
+    ok.process_batch(events.limit(50), 0)
+    assert ok.stats.total_events == 50
+
+
 def test_partitioned_mode_replay(spark, stream_fixture, tmp_path):
     path, n_events, span_s = stream_fixture
     out_dir = tmp_path / "sink"
