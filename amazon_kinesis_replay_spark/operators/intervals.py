@@ -48,23 +48,49 @@ def interval_join(points: DataFrame, intervals: DataFrame,
 def multi_resolution_rollup(events: DataFrame, ts_col: str = "ts",
                             resolutions_s: tuple[int, ...] = (60, 3600, 86400),
                             group_col: str | None = None) -> DataFrame:
-    """Hypertable-style continuous-aggregate rollup at several resolutions
-    in one pass shape: per resolution, counts per (bucket, group), stacked
-    with a `resolution_s` discriminator. Each level is an independent
-    map-side-combinable aggregate; at scale the coarser levels can instead
-    fold the finer level's partials (same result, one scan).
+    """Hypertable-style continuous-aggregate rollup at several resolutions:
+    counts per (bucket, group), stacked with a `resolution_s`
+    discriminator.
+
+    Plan shape: when every resolution is a multiple of the finest (the
+    hypertable case — 1min/1h/1day), the raw data is scanned and
+    aggregated ONCE at the finest grain; every coarser level folds the
+    finest level's partials (#fine-buckets rows, persisted) — identical
+    results to independent aggregates because counts are decomposable,
+    but a 100 TB input is read once instead of once per level. Falls back
+    to independent per-level aggregates for non-nesting resolutions.
     """
-    outs = []
-    for res in resolutions_s:
-        bucket_ms = (F.floor(F.unix_timestamp(F.col(ts_col)) / res)
-                     * res * 1000).cast("long")
-        keys = [bucket_ms.alias("bucket_start_ms")]
-        if group_col:
-            keys.append(F.col(group_col))
-        out = (events.groupBy(*keys)
-               .agg(F.count("*").alias("n_events"))
-               .withColumn("resolution_s", F.lit(res).cast("long")))
-        outs.append(out)
+    def bucket_ms(src_s, res: int):
+        return (F.floor(src_s / res) * res * 1000).cast("long")
+
+    finest = min(resolutions_s)
+    group_keys = [F.col(group_col)] if group_col else []
+    if all(r % finest == 0 for r in resolutions_s):
+        base = (events.groupBy(
+            bucket_ms(F.unix_timestamp(F.col(ts_col)), finest)
+            .alias("bucket_start_ms"), *group_keys)
+            .agg(F.count("*").alias("n_events"))
+            .persist())                # consumed once per level
+        outs = []
+        for res in resolutions_s:
+            if res == finest:
+                out = base
+            else:
+                out = (base.groupBy(
+                    bucket_ms(F.col("bucket_start_ms") / 1000, res)
+                    .alias("bucket_start_ms"), *group_keys)
+                    .agg(F.sum("n_events").cast("long").alias("n_events")))
+            outs.append(out.withColumn("resolution_s",
+                                       F.lit(res).cast("long")))
+    else:
+        outs = []
+        for res in resolutions_s:
+            out = (events.groupBy(
+                bucket_ms(F.unix_timestamp(F.col(ts_col)), res)
+                .alias("bucket_start_ms"), *group_keys)
+                .agg(F.count("*").alias("n_events"))
+                .withColumn("resolution_s", F.lit(res).cast("long")))
+            outs.append(out)
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)

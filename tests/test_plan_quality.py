@@ -118,6 +118,29 @@ def test_shingle_rows_repartition_is_conditional(spark):
     assert pw.count("RoundRobinPartitioning") == 1
 
 
+def test_multi_resolution_rollup_scans_once(spark):
+    """The folded rollup reads the raw table ONCE (finest-grain aggregate
+    persisted) and derives coarser levels from its partials — three
+    independent aggregates would scan a 100 TB input three times."""
+    spark.catalog.clearCache()
+    p = _plan(spark, "multi_resolution_rollup")
+    # every level reads the persisted finest-grain partials (the plan
+    # string prints the cached subplan's FileScan once per reference, so
+    # count cache READS, not FileScan occurrences: three InMemoryTableScan
+    # consumers over one materialized relation == one physical scan)
+    assert p.count("InMemoryTableScan") == 3
+
+
+def test_user_event_windows_single_sort(spark):
+    """Both analytic frames (sessionization + as-of max) share one window
+    spec: the plan must contain exactly one user_id exchange and one sort
+    serving both."""
+    p = _plan(spark, "user_event_windows")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") <= 2        # frames may split; no extra sort
+    assert p.count("Sort ") == 1
+
+
 @pytest.mark.parametrize("name", ["window_rate_stats", "agg_events_by_type"])
 def test_aggregates_are_partial(spark, name):
     """Grouped aggregates must have a map-side partial phase (two
