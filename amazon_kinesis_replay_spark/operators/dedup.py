@@ -95,10 +95,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sizes = arrays.select("id", F.size("shs").alias("n_shingles"))
 
     if prefix_filter:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+        # Candidate generation runs on xxhash64 LONG keys, not shingle
+        # strings — EXACT at any scale:
+        # - the global order is (freq-of-hash, shingle string): a total
+        #   order on shingles, identical in every document, so the prefix
+        #   lemma holds (a hash collision merely merges two shingles'
+        #   freq counts — the order stays total via the string tie-break);
+        # - the self-join on the hash is a SUPERSET of the string-equality
+        #   join (collisions add candidates, never drop them), and the
+        #   verification step intersects the true string sets.
+        # Net: the frequency aggregation and the candidate join shuffle
+        # 8-byte longs instead of shingle strings.
+        shh = sh.withColumn("sid", F.xxhash64("shingle"))
+        freq = shh.groupBy("sid").agg(F.count("*").alias("freq"))
         w = Window.partitionBy("id").orderBy(F.col("freq").asc(),
                                              F.col("shingle").asc())
-        ranked = (sh.join(freq, "shingle")
+        ranked = (shh.join(freq, "sid")
                   .withColumn("rank", F.row_number().over(w)))
         # Persisted: the self-join consumes the prefix index twice, and
         # exchange reuse across differently-pruned branches is not
@@ -109,7 +121,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         pref = (ranked.join(sizes, "id")
                 .filter(F.col("rank") <= F.col("n_shingles")
                         - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
-                .select("id", "shingle", "rank", "n_shingles")
+                .select("id", "sid", "rank", "n_shingles")
                 .persist())
         a, b = pref.alias("a"), pref.alias("b")
         an, bn = F.col("a.n_shingles"), F.col("b.n_shingles")
@@ -124,7 +136,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         #   alpha = ceil(t/(1+t)(|A|+|B|)) is exact.
         alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
                        * (an + bn) - F.lit(1e-9))
-        cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        cand = (a.join(b, (F.col("a.sid") == F.col("b.sid"))
                        & (F.col("a.id") < F.col("b.id"))
                        & (bn.cast("double") >= F.lit(threshold) * an - F.lit(1e-9))
                        & (an.cast("double") >= F.lit(threshold) * bn - F.lit(1e-9))
