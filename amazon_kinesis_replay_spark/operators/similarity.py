@@ -40,6 +40,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _exact_dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _fast_cosine(a: Column, b: Column) -> Column:
+    """Double-precision cosine for TRAINING-internal scoring (k-means
+    assignment): per-row deterministic (arrays fold in fixed order) but
+    not cross-engine exact — ~4x cheaper than the decimal-exact `cosine`.
+    Anything whose values reach an oracle-checked output keeps `cosine`."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
 def brute_force_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of `emb` against a 1-row query DataFrame
@@ -103,13 +115,15 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
     iteration materializes only the tiny centroid table on the driver —
     the corpus is scanned, never collected.
     """
+    spark = emb.sparkSession
     cents = _seed_centroids(emb, n_centroids, id_col, vec_col)
     from pyspark.sql import Window
     for _ in range(n_iters):
         scored = (emb.crossJoin(F.broadcast(cents))
                   .select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("vec"), "centroid_id",
-                          cosine(F.col(vec_col), F.col("c_vec")).alias("sim")))
+                          _fast_cosine(F.col(vec_col),
+                                       F.col("c_vec")).alias("sim")))
         w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
                                              F.col("centroid_id").asc())
         assigned = (scored.withColumn("rn", F.row_number().over(w))
@@ -117,12 +131,16 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
         dims = assigned.select(
             "centroid_id", F.posexplode("vec").alias("pos", "x"))
         means = dims.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
-        cents = (means.groupBy("centroid_id")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                      .alias("pm"))
-                 .select("centroid_id",
-                         F.transform("pm", lambda s: s["m"].cast("float"))
-                         .alias("c_vec")))
+        new_cents = (means.groupBy("centroid_id")
+                     .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                          .alias("pm"))
+                     .select("centroid_id",
+                             F.transform("pm", lambda s: s["m"].cast("float"))
+                             .alias("c_vec")))
+        # Materialize the tiny centroid table between iterations: chaining
+        # the plans lazily makes iteration i embed (and RE-EXECUTE) the
+        # whole history of iterations < i on every downstream action.
+        cents = spark.createDataFrame(new_cents.collect(), new_cents.schema)
     return cents
 
 
@@ -144,7 +162,8 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16,
     scored = (emb.crossJoin(F.broadcast(cents))
               .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                       "centroid_id",
-                      cosine(F.col(vec_col), F.col("c_vec")).alias("sim")))
+                      _fast_cosine(F.col(vec_col),
+                                   F.col("c_vec")).alias("sim")))
     from pyspark.sql import Window
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
                                          F.col("centroid_id").asc())
