@@ -414,6 +414,18 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
     equi-join on (band, bucket) — hash shuffle on a compact int pair, AQE
     skew-join for hot buckets — distinct pairs, then exact cosine only on
     candidates. Work is sum over buckets of |bucket|^2, never corpus^2.
+
+    Parameter choice (MEASURED, tools/recall_probe.py at sf0.01): sign
+    agreement per bit at cosine c has probability 1 - arccos(c)/pi, so
+    recall is regime-dependent. At the true NEAR-DUP regime (c>=0.9,
+    p_bit~0.857) the default 8 bands x 8 bits recalls ~94% of pairs while
+    keeping 256 buckets per band (bucket sizes ~N/256 — scale-safe). At
+    the fixture's low c>=0.4 operating point the same banding recalls
+    only ~29% (16x4 measures ~95% but with 16 buckets per band —
+    bucket-local pairwise work ~N^2/16, which dies at 100 TB). The banded
+    candidate definition is the CONTRACT (the oracle encodes the same
+    bands), so the gate stays exact either way; pick (n_bands, band_bits)
+    for the threshold regime you run at.
     """
     from . import similarity
 

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Candidate-recall probe for the LSH parameter choices.
+
+Measures, against EXACT ground truth at a small SF:
+- MinHash banding: candidate recall of (bands x rows) configurations at
+  the verified Jaccard threshold (the 32x2 default must dominate the old
+  16x4 at J=0.5), plus the candidate count (cost proxy — wider bands
+  admit more false positives for the exact verify step to discard).
+- Embedding sign-LSH banding: recall of banded candidates vs the exact
+  all-pairs cosine>=t set for (n_bands, band_bits) splits of the 64 dims.
+
+Usage: python tools/recall_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_replay_spark.operators import dedup
+    from amazon_kinesis_replay_spark.session import build_spark
+    from amazon_kinesis_replay_spark.tables import load
+
+    spark = build_spark("recall-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- MinHash banding vs exact Jaccard ---------------------------------
+    d = load(spark, sf_dir, "documents")
+    truth = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()}
+    print(f"minhash truth: {len(truth)} pairs at J>=0.5 ({sf_dir})",
+          flush=True)
+    for bands, rows in ((16, 4), (32, 2)):
+        cand = {(r["id_a"], r["id_b"]) for r in
+                dedup.minhash_lsh_pairs(d, "doc_id", "text",
+                                        num_hashes=64, bands=bands,
+                                        k=3).collect()}
+        hit = len(cand & truth)
+        rec = hit / len(truth) if truth else 1.0
+        print(f"  {bands:2d}x{rows}: recall {rec:6.4f} "
+              f"({hit}/{len(truth)}), {len(cand)} candidates", flush=True)
+
+    # ---- Embedding sign-LSH banding vs exact cosine -----------------------
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    rows_ = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows_]
+    V = np.array([r["embedding"] for r in rows_], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    sims = (V @ V.T) / np.outer(norms, norms)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    thresh = 0.4
+    exact = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+             for i, j in zip(iu[sims[iu, ju] >= thresh],
+                             ju[sims[iu, ju] >= thresh])}
+    print(f"embedding truth: {len(exact)} pairs at cos>={thresh}",
+          flush=True)
+    signs = V >= 0
+    for n_bands, band_bits in ((8, 8), (16, 4), (4, 16)):
+        got = set()
+        for i, j in zip(iu, ju):
+            if sims[i, j] < thresh:
+                continue
+            for b in range(n_bands):
+                lo, hi = b * band_bits, (b + 1) * band_bits
+                if (signs[i, lo:hi] == signs[j, lo:hi]).all():
+                    a_, b_ = ids[i], ids[j]
+                    got.add((min(a_, b_), max(a_, b_)))
+                    break
+        rec = len(got) / len(exact) if exact else 1.0
+        print(f"  {n_bands:2d} bands x {band_bits:2d} bits: "
+              f"recall {rec:6.4f} ({len(got)}/{len(exact)})", flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
