@@ -438,24 +438,42 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
             bucket = bucket * 2 + bit
         return bucket.cast("int")
 
+    # Candidate generation shuffles ONLY (id, band, bucket) rows — the
+    # 64-float vectors never ride through the LSH join; they are joined
+    # back for the surviving distinct pairs (broadcast when the corpus
+    # side is small, shuffle-on-id at scale).
     keys = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.col(id_col).alias("id"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
             for b in range(n_bands)
         ])).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    scored = cand.select(
+    va = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vb"))
+    cand = cand_ids.join(va, "id_a").join(vb, "id_b")
+    # Two-stage verification: the decimal-exact cosine is an interpreted
+    # higher-order-function expression (no codegen) — running it on every
+    # candidate dominated the query. A double-precision pre-filter at
+    # (threshold - 1e-6) is EXACT as a filter: double summation error
+    # over 64 unit-scale products is bounded by ~64*2^-52 ~ 1e-14
+    # relative, so no pair with exact cosine >= threshold can score below
+    # the margin. The expensive exact cosine then runs only on survivors
+    # (the near-threshold and above set).
+    fast = cand.withColumn(
+        "__fc", similarity._fast_cosine(F.col("va"), F.col("vb")))
+    survivors = fast.filter(F.col("__fc") >= threshold - 1e-6)
+    scored = survivors.select(
         "id_a", "id_b",
         similarity.cosine(F.col("va"), F.col("vb")).alias("cosine"))
     return scored.filter(F.col("cosine") >= threshold)

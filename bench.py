@@ -33,6 +33,9 @@ HEADLINE = [
     "ngram_jaccard_dedup",
     "minhash_dedup",
     "ann_topk_cosine",
+    "doc_text_profile",
+    "dedup_embedding_cosine",
+    "training_data_pipeline",
 ]
 
 
