@@ -90,3 +90,24 @@ def test_global_index_is_a_permutation(keys):
     got = {r["k"]: r["rn"] for r in out.collect()}
     expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=3),
+                min_size=1, max_size=300))
+def test_global_index_with_heavy_first_key_ties(firsts):
+    """The quantile-bounds pid assignment groups EVERY run of equal
+    first-keys into one bucket (ties are never split across partitions);
+    the secondary key must still produce the exact global (k, uniq)
+    numbering. Hammers the tie path with only 4 distinct first-key
+    values over up to 300 rows."""
+    from amazon_kinesis_replay_spark.operators import replay_ops
+    from amazon_kinesis_replay_spark.session import build_spark
+    spark = build_spark("engine-tests", shuffle_partitions=8)
+    rows = [(k, i) for i, k in enumerate(firsts)]
+    df = spark.createDataFrame(rows, "k LONG, uniq LONG")
+    out = replay_ops.with_global_index(df, ["k", "uniq"], out_col="rn")
+    got = {(r["k"], r["uniq"]): r["rn"] for r in out.collect()}
+    expect = {t: i + 1 for i, t in enumerate(sorted(rows))}
+    assert got == expect
