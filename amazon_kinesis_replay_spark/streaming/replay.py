@@ -190,44 +190,50 @@ class ReplayEngine:
                   .repartitionByRange(cfg.sender_threads, F.col("ts"))
                   .sortWithinPartitions("ts"))
 
-        sc = batch_df.sparkSession.sparkContext
-        acc_events = sc.accumulator(0)
-        acc_requests = sc.accumulator(0)
-        acc_retried = sc.accumulator(0)
-        acc_sent = sc.accumulator(0)
-
-        def _emit(rows_iter):
+        # Arrow-batched emit kernel: record bytes reach Python as columnar
+        # batches (an earlier foreachPartition version unpickled one Row
+        # object per record — the only row-at-a-time Python left in a hot
+        # path). The per-record loop below is semantically required (the
+        # reference paces each record, RePlayer.java:128-136) but now
+        # iterates numpy/pandas values. One stats row per partition comes
+        # back through the same action — no accumulators, one emit job.
+        def _emit(batches):
+            import pandas as pd
             sink = sink_factory()
             part_stats = SinkStats()
-            buffer = []
+            buffer: list[dict] = []
             n = 0
-            for row in rows_iter:
-                n += 1
-                target = ingestion_start_wall + max(
-                    0.0, (row["ts"] - first_ts).total_seconds()) / speedup
-                gap = target - time.time()
-                if gap > 0:
-                    time.sleep(gap)
-                buffer.append({"payload": row["payload"],
-                               "ts": row["ts"].isoformat()})
-                if len(buffer) >= max_per_request:
-                    send_with_retry(sink, buffer, cfg, stats=part_stats)
-                    buffer = []
+            for pdf in batches:
+                for payload, ts in zip(pdf["payload"].values, pdf["ts"]):
+                    n += 1
+                    target = ingestion_start_wall + max(
+                        0.0, (ts - first_ts).total_seconds()) / speedup
+                    gap = target - time.time()
+                    if gap > 0:
+                        time.sleep(gap)
+                    buffer.append({"payload": payload,
+                                   "ts": ts.isoformat()})
+                    if len(buffer) >= max_per_request:
+                        send_with_retry(sink, buffer, cfg, stats=part_stats)
+                        buffer = []
             if buffer:
                 send_with_retry(sink, buffer, cfg, stats=part_stats)
-            acc_events.add(n)
-            acc_requests.add(part_stats.requests)
-            acc_retried.add(part_stats.retried_records)
-            acc_sent.add(part_stats.records_sent)
+            yield pd.DataFrame({
+                "n": [n], "requests": [part_stats.requests],
+                "retried": [part_stats.retried_records],
+                "sent": [part_stats.records_sent]})
 
-        shaped.foreachPartition(_emit)
-        self.stats.sink.requests += acc_requests.value
-        self.stats.sink.retried_records += acc_retried.value
-        self.stats.sink.records_sent += acc_sent.value
+        totals = (shaped.mapInPandas(
+            _emit, "n long, requests long, retried long, sent long")
+            .groupBy().sum().collect()[0])
+        n_events = totals[0] or 0
+        self.stats.sink.requests += totals[1] or 0
+        self.stats.sink.retried_records += totals[2] or 0
+        self.stats.sink.records_sent += totals[3] or 0
         if (self.stats.max_emitted_ts is None
                 or bounds["mx"] > self.stats.max_emitted_ts):
             self.stats.max_emitted_ts = bounds["mx"]    # OP-AGG-MAXWM
-        self.stats.tick(acc_events.value, self.clock(),
+        self.stats.tick(n_events, self.clock(),
                         cfg.statistics_frequency_ms)
 
 
