@@ -129,29 +129,33 @@ class ReplayEngine:
                 "the batch would be collect()ed onto the driver. Use "
                 "mode='partitioned' (per-sender pacing, executor-side "
                 "sinks) or raise driver_mode_max_rows explicitly.")
-        rows = (batch_df.select("payload", "ts")
-                .orderBy(F.col("ts").asc())          # OP-SORT-EVENTTIME
-                .collect())
-        if not rows:
+        # Arrow transfer: toPandas moves the batch as columnar Arrow
+        # batches instead of one pickled Row object per record (the
+        # session enables spark.sql.execution.arrow.pyspark.enabled).
+        pdf = (batch_df.select("payload", "ts")
+               .orderBy(F.col("ts").asc())           # OP-SORT-EVENTTIME
+               .toPandas())
+        if pdf.empty:
             return
-        self._ensure_anchor(rows[0]["ts"])
+        self._ensure_anchor(pdf["ts"].iloc[0])
         buffer: list[dict] = []
-        for row in rows:
-            target = self._ingestion_offset_s(row["ts"])
+        last_ts = None
+        for payload, ts in zip(pdf["payload"].values, pdf["ts"]):
+            target = self._ingestion_offset_s(ts)
             gap = (self._ingestion_start + target) - self.clock()
             if gap > 0:                              # OP-RATE-PACE
                 self.sleep(gap)
             lag = self.clock() - (self._ingestion_start + target)
             self.stats.max_lag_s = max(self.stats.max_lag_s, lag)
-            self.stats.max_emitted_ts = row["ts"]    # rows are ts-ordered
-            buffer.append({"payload": row["payload"],
-                           "ts": row["ts"].isoformat()})
+            last_ts = ts
+            buffer.append({"payload": payload, "ts": ts.isoformat()})
             if len(buffer) >= self.cfg.max_records_per_request:
                 self._flush(buffer)
                 buffer = []
         if buffer:
             self._flush(buffer)
-        self.stats.tick(len(rows), self.clock(),
+        self.stats.max_emitted_ts = last_ts          # rows are ts-ordered
+        self.stats.tick(len(pdf), self.clock(),
                         self.cfg.statistics_frequency_ms)
 
     def _flush(self, records: list[dict]):
