@@ -223,6 +223,26 @@ def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
     cents.write.mode("overwrite").parquet(path + "/centroids")
 
 
+def ivf_index_append(spark, emb_new: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incrementally add vectors to a persisted IVF index: assign the NEW
+    vectors against the index's SAVED centroids (the index's geometry is
+    immutable between re-trains — appending must not move existing lists)
+    and append their parquet files into the matching centroid_id
+    partition directories. Cost is one assign pass over the new vectors
+    plus a partitioned append — the existing index is never read or
+    rewritten. Re-train + full rewrite (ivf_index_write with train_iters)
+    remains the periodic compaction path when drift accumulates."""
+    cents = spark.read.parquet(path + "/centroids")
+    cents = spark.createDataFrame(cents.collect(), cents.schema)  # pin tiny
+    n_centroids = cents.count()
+    assigned = ivf_assign(emb_new, n_centroids, id_col, vec_col,
+                          centroids=cents)
+    (assigned.write.mode("append")
+     .partitionBy("centroid_id").parquet(path + "/vectors"))
+
+
 def ivf_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
                    n_probe: int = 4, id_col: str = "vec_id") -> DataFrame:
     """Query a persisted IVF index: score the query against the (tiny)

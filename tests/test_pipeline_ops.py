@@ -189,6 +189,34 @@ def test_ivf_index_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == want and got[0] == 0
 
 
+def test_ivf_index_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Appending vectors to a persisted index must place them in the
+    partition their saved-centroid assignment dictates (never moving
+    existing lists) and make them immediately probe-able; a duplicate of
+    the query vector appended under a new id must surface at the top."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    index = str(tmp_path / "ivf")
+    cents = similarity.kmeans_centroids(base, n_centroids=8, n_iters=1)
+    similarity.ivf_index_write(base, index, n_centroids=8, centroids=cents)
+    before = spark.read.parquet(index + "/vectors").count()
+
+    # append: vec_id>=400 plus an exact copy of vec 0 under id 999999
+    clone = (emb.filter(F.col("vec_id") == 0)
+             .select(F.lit(999999).alias("vec_id"), "embedding", "label"))
+    extra = emb.filter(F.col("vec_id") >= 400).unionByName(clone)
+    similarity.ivf_index_append(spark, extra, index)
+
+    after = spark.read.parquet(index + "/vectors")
+    assert after.count() == before + extra.count()   # strictly additive
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_probe_topk(spark, index, q, k=3, n_probe=2).collect()
+    got = {r["vec_id"] for r in top[:2]}
+    assert got == {0, 999999}                        # clone lands beside it
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+
+
 def _probe_lists(spark, index, query_df, n_probe):
     cents = spark.read.parquet(index + "/centroids")
     probe = (cents.crossJoin(F.broadcast(query_df))
