@@ -162,25 +162,65 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
 
 
+def _parse_avi_frames(raw: bytes) -> list[bytes]:
+    """Video-frame chunk payloads ('00db' uncompressed / '00dc' compressed
+    stream-0 chunks) of a RIFF/AVI container, in stream order — walks the
+    'movi' LIST recursively, tolerating idx1 and junk chunks."""
+    import struct
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = raw[i:i + 4]
+            csz = struct.unpack_from("<I", raw, i + 4)[0]
+            body_at = i + 8
+            if cid == b"LIST":
+                walk(body_at + 4, min(body_at + csz, end))
+            elif cid in (b"00db", b"00dc"):
+                frames.append(raw[body_at:body_at + csz])
+            i = body_at + csz + (csz & 1)       # word alignment
+
+    walk(12, len(raw))
+    return frames
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """Frame-sample video payloads (every_n-th frame) via mapInPandas.
-    Fake decoder treats each 1 KiB slice of the payload as one 'frame'."""
-    if not fake:
-        raise NotImplementedError(
-            "real video frame sampling requires ffmpeg (not installed); "
-            "call with fake=True for the deterministic test decoder")
+
+    The real path chunk-walks RIFF/AVI containers and samples the actual
+    '00db'/'00dc' frame chunks; compressed containers (mp4/mkv need
+    ffmpeg) raise NotImplementedError from the kernel. fake=True treats
+    each 1 KiB slice of any payload as one 'frame'."""
+
+    def _real_frames(raw: bytes) -> list[bytes]:
+        if raw[:4] != b"RIFF":
+            raise NotImplementedError(
+                f"unsupported video magic {raw[:4]!r}: only RIFF/AVI "
+                "containers decode without ffmpeg; pass fake=True for the "
+                "deterministic test decoder")
+        return _parse_avi_frames(raw)
+
+    def _fake_frames(raw: bytes) -> list[bytes]:
+        return [raw[i * 1024:(i + 1) * 1024]
+                for i in range(max(1, len(raw) // 1024))]
+
+    frames_of = _fake_frames if fake else _real_frames
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_sha1": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                n_frames = max(1, len(raw) // 1024)
-                for idx in range(0, n_frames, every_n):
-                    frame = raw[idx * 1024:(idx + 1) * 1024]
+                frames = frames_of(raw)
+                for idx in range(0, len(frames), every_n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
-                    rows["frame_sha1"].append(hashlib.sha1(frame).hexdigest())
+                    rows["frame_sha1"].append(
+                        hashlib.sha1(frames[idx]).hexdigest())
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "data").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
