@@ -118,9 +118,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # persist the freq+rank pipeline can execute twice. The index is
         # a small fraction of the corpus (rarest ~1/3 of each doc's
         # shingles).
+        # 1e-9 slack inside the ceil: float rounding of t*n (e.g.
+        # 0.56*25 = 14.000000000000002) would otherwise round the ceil UP
+        # and shrink the prefix by one — a silent recall loss. The slack
+        # can only lengthen the prefix (more candidates, never fewer).
         pref = (ranked.join(sizes, "id")
                 .filter(F.col("rank") <= F.col("n_shingles")
-                        - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
+                        - F.ceil(F.lit(threshold) * F.col("n_shingles")
+                                 - F.lit(1e-9)) + 1)
                 .select("id", "sid", "rank", "n_shingles")
                 .persist())
         a, b = pref.alias("a"), pref.alias("b")
@@ -203,18 +208,32 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
     consumer — 60x slower measured on the MinHash hash family.)
 
     The input is round-robin repartitioned to the session's parallelism
-    ONLY when it arrives narrower than that: document corpora often land
+    ONLY when it is a narrow plain file scan: document corpora often land
     as few large (or one small) parquet files, and one cheap shuffle of
     raw text buys full-width parallelism for the shingling. When the
-    source is already at least as wide (the 100 TB case:
-    maxPartitionBytes yields thousands of input splits), no exchange is
-    inserted at all — an unconditional repartition(n) would round-robin-
-    shuffle the entire raw corpus even when n equals the current
-    partition count."""
+    source is already wide (the 100 TB case: maxPartitionBytes yields
+    thousands of input splits) or the caller's plan already contains a
+    width-determining operator (repartition/join/aggregate/...), no
+    exchange is inserted — an unconditional repartition(n) would
+    round-robin-shuffle the entire raw corpus even when already n-wide.
+
+    The width probe is ANALYSIS-ONLY: `df.rdd.getNumPartitions()` under
+    AQE eagerly materializes upstream query stages (measured: it submits
+    the shuffle job, which the real query then re-runs), so the decision
+    uses the analyzed plan string + the scan's file listing instead —
+    neither executes anything."""
     spark = df.sparkSession
     width = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < width:
-        df = df.repartition(width)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    shuffly = ("Repartition", "Join", "Aggregate", "Window",
+               "Deduplicate", "Sort", "MapInPandas")
+    if not any(tok in plan for tok in shuffly):
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            n_files = 0
+        if 0 < n_files < width:
+            df = df.repartition(width)
     return df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shs"))
@@ -512,7 +531,10 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
     labels = ids.withColumn("lbl", F.col("id")).persist()
     labels.count()
     converged = False
-    for _ in range(max_iters):
+    # max_iters bounds the component DIAMETER; observing convergence takes
+    # one extra zero-change round, hence max_iters + 1 loop iterations — a
+    # component of diameter exactly max_iters must not raise.
+    for _ in range(max_iters + 1):
         neigh = (edges.join(labels, edges["src"] == labels["id"])
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.min("lbl").alias("n_lbl")))

@@ -117,9 +117,14 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
     if not shard_ids:
         return spark.createDataFrame([], "payload string, ts timestamp")
 
+    # One shard per RDD partition, DETERMINISTICALLY: a hash repartition
+    # on shard_id can collide two shards into one task (p(all distinct)
+    # is only ~22% for 3 shards) — parallelize with an explicit slice per
+    # shard guarantees read parallelism == shard count.
     shards_df = spark.createDataFrame(
-        [(s,) for s in shard_ids], "shard_id string") \
-        .repartition(len(shard_ids), "shard_id")
+        spark.sparkContext.parallelize([(s,) for s in shard_ids],
+                                       len(shard_ids)),
+        "shard_id string")
 
     def _drain(batches):
         import boto3 as b3  # noqa: PLC0415
@@ -131,17 +136,29 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
                 it = cl.get_shard_iterator(
                     StreamName=stream, ShardId=shard_id,
                     ShardIteratorType=starting_position)["ShardIterator"]
-                payloads: list[str] = []
+                drained = False
                 for _ in range(max_polls_per_shard):
                     resp = cl.get_records(ShardIterator=it, Limit=10_000)
-                    payloads += [r["Data"].decode("utf-8", "replace")
-                                 for r in resp["Records"]]
+                    if resp["Records"]:
+                        # yield per page: the shard's records stream into
+                        # Arrow batches instead of accumulating the whole
+                        # shard in one Python list
+                        yield pd.DataFrame({"payload": [
+                            r["Data"].decode("utf-8", "replace")
+                            for r in resp["Records"]]})
                     it = resp.get("NextShardIterator")
                     if it is None or (not resp["Records"]
                                       and resp.get("MillisBehindLatest", 0) == 0):
+                        drained = True
                         break
-                if payloads:
-                    yield pd.DataFrame({"payload": payloads})
+                if not drained:
+                    # a silently truncated batch read is a wrong answer,
+                    # not a degraded one
+                    raise RuntimeError(
+                        f"shard {shard_id} not drained within "
+                        f"max_polls_per_shard={max_polls_per_shard} "
+                        "get_records pages; raise the bound or narrow "
+                        "starting_position")
 
     lines = shards_df.mapInPandas(_drain, "payload string")
     return (lines.select(

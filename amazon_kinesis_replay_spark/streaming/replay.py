@@ -119,19 +119,26 @@ class ReplayEngine:
         # Guard BEFORE the collect: driver mode's exact global-order pacing
         # materializes the batch on the driver, which is only sane at small
         # scale. Refuse loudly instead of OOMing; partitioned mode is the
-        # scale path. (The count is one extra cheap job per micro-batch —
-        # driver mode is small-scale by definition.)
-        n_rows = batch_df.count()
-        if n_rows > self.cfg.driver_mode_max_rows:
+        # scale path. The probe counts THROUGH a limit of bound+1 so it
+        # stops scanning (and, for decode-heavy sources, decoding) at the
+        # bound instead of re-executing the whole source plan just to
+        # learn the batch is too big.
+        bound = self.cfg.driver_mode_max_rows
+        probed = batch_df.limit(bound + 1).count()
+        if probed > bound:
             raise ValueError(
-                f"driver-mode replay refuses a {n_rows}-row micro-batch "
-                f"(> driver_mode_max_rows={self.cfg.driver_mode_max_rows}): "
-                "the batch would be collect()ed onto the driver. Use "
-                "mode='partitioned' (per-sender pacing, executor-side "
-                "sinks) or raise driver_mode_max_rows explicitly.")
+                f"driver-mode replay refuses a micro-batch exceeding "
+                f"driver_mode_max_rows={bound}: the batch would be "
+                "collect()ed onto the driver. Use mode='partitioned' "
+                "(per-sender pacing, executor-side sinks) or raise "
+                "driver_mode_max_rows explicitly.")
         # Arrow transfer: toPandas moves the batch as columnar Arrow
         # batches instead of one pickled Row object per record (the
         # session enables spark.sql.execution.arrow.pyspark.enabled).
+        # Timestamps arrive in the SESSION timezone (UTC per
+        # ensure_engine_conf), so emitted ts isoformat strings are
+        # deterministic UTC regardless of host TZ — the pre-Arrow collect()
+        # path rendered them in host-local time.
         pdf = (batch_df.select("payload", "ts")
                .orderBy(F.col("ts").asc())           # OP-SORT-EVENTTIME
                .toPandas())
