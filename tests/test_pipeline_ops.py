@@ -35,9 +35,12 @@ def test_minhash_fixture_profile_supports_oracle(spark, sf_dir):
 
 def test_prefix_filter_is_exact(spark, sf_dir):
     """PPJoin prefix filtering must produce the identical pair set as the
-    naive shingle self-join at several thresholds (exactness, not recall)."""
+    naive shingle self-join at several thresholds (exactness, not recall).
+    0.56 and 0.55 are float-rounding traps: t*n for small integer n lands
+    just above the exact product (0.56*25 = 14.000000000000002), which
+    without the ceil slack shrinks the prefix by one and drops pairs."""
     d = load(spark, sf_dir, "documents").limit(200)
-    for t in (0.3, 0.5, 0.8):
+    for t in (0.3, 0.5, 0.55, 0.56, 0.8):
         naive = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
                  dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, t,
                                            prefix_filter=False).collect()}
@@ -101,6 +104,22 @@ def test_dedup_clusters_chain_and_singleton(spark):
            for r in dedup.dedup_clusters(nodes, pairs).collect()}
     assert all(out[i] == (1, 5, i == 1) for i in range(1, 6))
     assert out[6] == (6, 1, True) and out[7] == (7, 1, True)
+
+
+def test_dedup_clusters_diameter_exactly_max_iters(spark):
+    """max_iters bounds the component DIAMETER: a chain whose diameter
+    equals max_iters must converge (the extra zero-change verification
+    round is not charged against the bound), while a longer chain raises
+    instead of returning partially-propagated labels."""
+    import pytest
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.dedup_clusters(nodes, chain, max_iters=4).collect()}
+    assert all(out[i] == 1 for i in range(1, 6))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(nodes, chain, max_iters=1)
 
 
 def test_exact_dedup_representative(spark, sf_dir):
