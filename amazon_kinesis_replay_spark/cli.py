@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="partitioned")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--checkpoint", default="/tmp/replay-ckpt")
+    p.add_argument("--driver-mode-max-rows", type=int, default=1_000_000,
+                   help="driver mode refuses micro-batches above this row "
+                        "count (it collect()s for exact global pacing); "
+                        "partitioned mode has no such bound")
     p.add_argument("--codec", choices=["text", "sniff"], default="text",
                    help="'text' = extension-dispatched Hadoop codecs (fast "
                         "JVM path, .gz/.bz2); 'sniff' = content-sniffed "
@@ -75,6 +79,7 @@ def config_from_args(args: argparse.Namespace) -> ReplayConfig:
         reader_buffer_size=args.readerBufferSize,
         producer_buffer_size=args.kinesisProducerBuffer,
         sender_threads=args.kinesisSenderThreads,
+        driver_mode_max_rows=args.driver_mode_max_rows,
     )
 
 

@@ -100,6 +100,30 @@ def test_interval_join_subsecond_hi_boundary(spark):
     assert got == {"p1", "p4"}
 
 
+def test_interval_join_microsecond_hi_boundary(spark):
+    """Regression one unit down (ADVICE r2): a sub-MILLISECOND exclusive
+    `hi` landing just past a bucket boundary must still cover a point in
+    the same millisecond. With ms-truncated bucketing, hi=11:00:00.000500
+    computed its last covered bucket from 11:00:00.000 - 1ms (the 10:00
+    bucket), so a point at 11:00:00.000200 (bucket 11:00) was missed;
+    µs bucketing covers full Spark timestamp precision."""
+    from amazon_kinesis_replay_spark.operators import intervals as iv
+    pts = spark.createDataFrame(
+        [("p1", "2024-01-01 11:00:00.000200"),   # inside, same ms as hi
+         ("p2", "2024-01-01 11:00:00.000500"),   # == hi: excluded
+         ("p3", "2024-01-01 10:59:59.999999")],  # inside, just before bucket edge
+        "point_id string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    spans = spark.createDataFrame(
+        [("i1", "2024-01-01 10:00:00", "2024-01-01 11:00:00.000500")],
+        "interval_id string, lo string, hi string") \
+        .withColumn("lo", F.col("lo").cast("timestamp")) \
+        .withColumn("hi", F.col("hi").cast("timestamp"))
+    got = {r["point_id"]
+           for r in iv.interval_join(pts, spans, bucket_width_s=3600).collect()}
+    assert got == {"p1", "p3"}
+
+
 def test_window_rate_stats_totals(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = stats.window_rate_stats(e, "ts", 20_000)
