@@ -62,7 +62,8 @@ def read_kinesis_stream(spark: SparkSession, cfg: ReplayConfig,
 def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
                        starting_position: str = "TRIM_HORIZON",
                        endpoint_url: str | None = None,
-                       max_polls_per_shard: int = 10_000) -> DataFrame:
+                       max_polls_per_shard: int = 10_000,
+                       seek_to_approximate_arrival: str | None = None) -> DataFrame:
     """Connector-free BATCH read of a Kinesis stream -> (payload, ts).
 
     Plan shape: the driver lists shards (one cheap control-plane call);
@@ -77,7 +78,15 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
 
     `endpoint_url` / $AWS_ENDPOINT_URL inject LocalStack/moto-style
     emulated endpoints, same as streaming.sinks.KinesisSink.
+
+    `seek_to_approximate_arrival` (ISO-8601) is the stream-side analogue
+    of OP-FILTER-SEEK: shard iterators start AT_TIMESTAMP, so the skipped
+    prefix is never even fetched — server-side pruning, like the parquet
+    row-group pruning on the file path. It bounds ARRIVAL time; apply
+    `replay_ops.seek` on the parsed `ts` afterwards when the exact bound
+    must be on EVENT time (arrival ordering is only approximate).
     """
+    import datetime
     import os
 
     try:
@@ -117,6 +126,11 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
     if not shard_ids:
         return spark.createDataFrame([], "payload string, ts timestamp")
 
+    seek_at = None
+    if seek_to_approximate_arrival:
+        seek_at = datetime.datetime.fromisoformat(
+            seek_to_approximate_arrival)
+
     # One shard per RDD partition, DETERMINISTICALLY: a hash repartition
     # on shard_id can collide two shards into one task (p(all distinct)
     # is only ~22% for 3 shards) — parallelize with an explicit slice per
@@ -133,9 +147,12 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
                        **creds)
         for pdf in batches:
             for shard_id in pdf["shard_id"]:
-                it = cl.get_shard_iterator(
-                    StreamName=stream, ShardId=shard_id,
-                    ShardIteratorType=starting_position)["ShardIterator"]
+                it_kwargs = {"StreamName": stream, "ShardId": shard_id,
+                             "ShardIteratorType": starting_position}
+                if seek_at is not None:
+                    it_kwargs["ShardIteratorType"] = "AT_TIMESTAMP"
+                    it_kwargs["Timestamp"] = seek_at
+                it = cl.get_shard_iterator(**it_kwargs)["ShardIterator"]
                 drained = False
                 for _ in range(max_polls_per_shard):
                     resp = cl.get_records(ShardIterator=it, Limit=10_000)

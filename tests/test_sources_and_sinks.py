@@ -352,6 +352,60 @@ def test_kinesis_roundtrip_sink_to_distributed_source(spark):
         server.stop()
 
 
+def test_kinesis_batch_source_arrival_seek(spark):
+    """Stream-side OP-FILTER-SEEK: AT_TIMESTAMP shard iterators skip the
+    pre-seek prefix server-side — the source never fetches it. Two write
+    phases around a captured cut; a seeked read returns only phase two."""
+    import datetime
+    import json as js
+    import os
+    import time
+
+    boto3 = pytest.importorskip("boto3")
+    pytest.importorskip("moto")
+    try:
+        from moto.server import ThreadedMotoServer
+    except ImportError:
+        pytest.skip("moto server mode unavailable")
+
+    from amazon_kinesis_replay_spark.sources import kinesis as ksrc
+
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        port = server._server.socket.getsockname()[1]
+        endpoint = f"http://127.0.0.1:{port}"
+        client = boto3.client("kinesis", region_name="us-east-1",
+                              endpoint_url=endpoint)
+        client.create_stream(StreamName="replay-seek", ShardCount=2)
+        arn = client.describe_stream(StreamName="replay-seek")[
+            "StreamDescription"]["StreamARN"]
+        sink = sinks.KinesisSink(arn, endpoint_url=endpoint)
+
+        def put(lo, hi):
+            sink.put_records([{"payload": js.dumps(
+                {"event_id": i,
+                 "dropoff_datetime": f"2024-01-01T00:00:{i % 60:02d}"})}
+                for i in range(lo, hi)])
+
+        put(0, 40)
+        time.sleep(1.2)
+        cut = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        time.sleep(1.2)
+        put(40, 70)
+
+        cfg = ReplayConfig(stream_arn=arn)
+        rows = ksrc.read_kinesis_batch(
+            spark, cfg, endpoint_url=endpoint,
+            seek_to_approximate_arrival=cut).collect()
+        got = sorted(js.loads(r["payload"])["event_id"] for r in rows)
+        assert got == list(range(40, 70))      # pre-cut records never read
+    finally:
+        server.stop()
+
+
 def test_kinesis_sink_e2e_driver_replay():
     """The driver-mode ReplayEngine shipping a real DataFrame batch into
     emulated Kinesis: the full sort -> pace -> batch -> PutRecords path
