@@ -118,6 +118,25 @@ def test_shingle_rows_repartition_is_conditional(spark):
     assert pw.count("RoundRobinPartitioning") == 1
 
 
+def test_embedding_lsh_exchange_is_narrow(spark):
+    """The sign-LSH collision join must shuffle (id, band, bucket) rows
+    only — 64-float vectors riding the candidate exchange is dead weight
+    proportional to corpus x n_bands at 100 TB. Vectors may appear in
+    broadcast/join-back exchanges, never in a band-keyed hash shuffle."""
+    df = QUERIES["dedup_embedding_cosine"].fn(spark, SF)
+    fmt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # formatted output: each node is "(n) NodeName" followed by detail
+    # lines (Input/Arguments) until the next "(n) " header
+    sections = re.split(r"\n(?=\(\d+\) )", fmt)
+    band_exchanges = [s for s in sections
+                      if s.startswith("(") and "Exchange" in s.split("\n")[0]
+                      and "band" in s]
+    assert band_exchanges, fmt[:800]      # the collision join is band-keyed
+    for s in band_exchanges:
+        assert "embedding" not in s and "vec#" not in s, s
+
+
 def test_multi_resolution_rollup_scans_once(spark):
     """The folded rollup reads the raw table ONCE (finest-grain aggregate
     persisted) and derives coarser levels from its partials — three
