@@ -81,6 +81,31 @@ def test_bz2_and_corrupt_files(spark, tmp_path):
     assert out.count() == 20
 
 
+def test_sniffed_path_skips_truncated_gzip_and_corrupt_xz(spark, tmp_path):
+    """Regression (r2 ADVICE): the content-sniffed decoder's corrupt-skip
+    must also catch EOFError (truncated gzip) and lzma.LZMAError (corrupt
+    xz — an Exception subclass, NOT OSError); either one used to fail the
+    whole ingest job instead of skipping the object."""
+    import gzip as gz
+    import lzma
+    root = tmp_path / "sniffed"
+    root.mkdir()
+    good = "".join(json.dumps({"dropoff_datetime":
+                               f"2024-01-01T00:00:{i:02d}"}) + "\n"
+                   for i in range(15))
+    (root / "good.json.gz").write_bytes(gz.compress(good.encode()))
+    # truncated gzip: valid header+prefix, cut mid-stream -> EOFError
+    full = gz.compress((good * 50).encode())
+    (root / "truncated.json.gz").write_bytes(full[:len(full) // 2])
+    # corrupt xz: valid magic, scrambled payload -> lzma.LZMAError
+    xz = bytearray(lzma.compress((good * 20).encode()))
+    xz[20:40] = b"\xff" * 20
+    (root / "corrupt.json.xz").write_bytes(bytes(xz))
+    cfg = ReplayConfig(source_path=str(root))
+    out = ndjson.read_events_sniffed(spark, cfg)
+    assert out.count() == 15                  # only the good object survives
+
+
 def test_kinesis_source_is_gated(spark):
     """Without a connector on the classpath the Kinesis source raises
     NotImplementedError with packaging guidance (never a cryptic py4j
