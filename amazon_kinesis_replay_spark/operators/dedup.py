@@ -222,12 +222,19 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
     the shuffle job, which the real query then re-runs), so the decision
     uses the analyzed plan string + the scan's file listing instead —
     neither executes anything."""
+    import re as _re
     spark = df.sparkSession
     width = spark.sparkContext.defaultParallelism
+    # Parse NODE NAMES from the analyzed-plan tree (first identifier after
+    # the tree-drawing prefix on each line) — a bare substring match would
+    # false-positive on user identifiers like a 'SortKey' column.
     plan = df._jdf.queryExecution().analyzed().toString()
-    shuffly = ("Repartition", "Join", "Aggregate", "Window",
-               "Deduplicate", "Sort", "MapInPandas")
-    if not any(tok in plan for tok in shuffly):
+    nodes = {m.group(1) for m in
+             _re.finditer(r"^[\s:+|-]*'?([A-Za-z]\w*)", plan, _re.M)}
+    shuffly = {"Repartition", "RepartitionByExpression", "Join",
+               "Aggregate", "Window", "Deduplicate", "Sort",
+               "MapInPandas", "FlatMapGroupsInPandas"}
+    if not nodes & shuffly:
         try:
             n_files = len(df.inputFiles())
         except Exception:
@@ -480,7 +487,12 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
                     F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"),
                     F.col(vec_col).alias("vb"))
-    cand = cand_ids.join(va, "id_a").join(vb, "id_b")
+    # The groupBy collapses pair multiplicity when id_col is not unique
+    # in the input (a duplicated id would otherwise multiply through the
+    # two vector joins); it runs over candidate-sized data, not corpus.
+    cand = (cand_ids.join(va, "id_a").join(vb, "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.first("va").alias("va"), F.first("vb").alias("vb")))
     # Two-stage verification: the decimal-exact cosine is an interpreted
     # higher-order-function expression (no codegen) — running it on every
     # candidate dominated the query. A double-precision pre-filter at

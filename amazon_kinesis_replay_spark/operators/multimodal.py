@@ -163,9 +163,12 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def _parse_avi_frames(raw: bytes) -> list[bytes]:
-    """Video-frame chunk payloads ('00db' uncompressed / '00dc' compressed
-    stream-0 chunks) of a RIFF/AVI container, in stream order — walks the
-    'movi' LIST recursively, tolerating idx1 and junk chunks."""
+    """Video-frame chunk payloads ('NNdb' uncompressed / 'NNdc' compressed
+    for ANY stream number NN — audio-first muxes put video in stream 1) of
+    a RIFF/AVI container, in stream order — walks the 'movi' LIST
+    recursively, tolerating idx1 and junk chunks. Truncated chunk sizes
+    and a frameless container raise (fail loudly, never emit wrong/empty
+    frames silently)."""
     import struct
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
@@ -178,13 +181,19 @@ def _parse_avi_frames(raw: bytes) -> list[bytes]:
             cid = raw[i:i + 4]
             csz = struct.unpack_from("<I", raw, i + 4)[0]
             body_at = i + 8
+            if body_at + csz > end:
+                raise ValueError(
+                    f"truncated AVI: chunk {cid!r} of {csz} bytes at "
+                    f"offset {i} overruns the container")
             if cid == b"LIST":
-                walk(body_at + 4, min(body_at + csz, end))
-            elif cid in (b"00db", b"00dc"):
+                walk(body_at + 4, body_at + csz)
+            elif cid[:2].isdigit() and cid[2:4] in (b"db", b"dc"):
                 frames.append(raw[body_at:body_at + csz])
             i = body_at + csz + (csz & 1)       # word alignment
 
     walk(12, len(raw))
+    if not frames:
+        raise ValueError("RIFF/AVI payload contains no video frame chunks")
     return frames
 
 

@@ -234,10 +234,10 @@ def ivf_index_append(spark, emb_new: DataFrame, path: str,
     plus a partitioned append — the existing index is never read or
     rewritten. Re-train + full rewrite (ivf_index_write with train_iters)
     remains the periodic compaction path when drift accumulates."""
-    cents = spark.read.parquet(path + "/centroids")
-    cents = spark.createDataFrame(cents.collect(), cents.schema)  # pin tiny
-    n_centroids = cents.count()
-    assigned = ivf_assign(emb_new, n_centroids, id_col, vec_col,
+    saved = spark.read.parquet(path + "/centroids")
+    rows = saved.collect()                       # tiny; pin as a literal
+    cents = spark.createDataFrame(rows, saved.schema)
+    assigned = ivf_assign(emb_new, len(rows), id_col, vec_col,
                           centroids=cents)
     (assigned.write.mode("append")
      .partitionBy("centroid_id").parquet(path + "/vectors"))

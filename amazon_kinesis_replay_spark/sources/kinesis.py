@@ -164,8 +164,12 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
                             r["Data"].decode("utf-8", "replace")
                             for r in resp["Records"]]})
                     it = resp.get("NextShardIterator")
-                    if it is None or (not resp["Records"]
-                                      and resp.get("MillisBehindLatest", 0) == 0):
+                    # MillisBehindLatest == 0 means this page reached the
+                    # stream head — drained even when it carried records
+                    # (waiting for an extra empty confirmation page would
+                    # cost one API call per shard AND make a shard of
+                    # exactly max_polls pages spuriously 'not drained')
+                    if it is None or resp.get("MillisBehindLatest", 0) == 0:
                         drained = True
                         break
                 if not drained:

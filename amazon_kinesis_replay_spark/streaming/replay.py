@@ -146,7 +146,6 @@ class ReplayEngine:
             return
         self._ensure_anchor(pdf["ts"].iloc[0])
         buffer: list[dict] = []
-        last_ts = None
         for payload, ts in zip(pdf["payload"].values, pdf["ts"]):
             target = self._ingestion_offset_s(ts)
             gap = (self._ingestion_start + target) - self.clock()
@@ -154,14 +153,16 @@ class ReplayEngine:
                 self.sleep(gap)
             lag = self.clock() - (self._ingestion_start + target)
             self.stats.max_lag_s = max(self.stats.max_lag_s, lag)
-            last_ts = ts
+            # per-record watermark update: a mid-batch sink failure must
+            # leave OP-AGG-MAXWM reflecting what was actually handed to
+            # the send path, not the previous batch
+            self.stats.max_emitted_ts = ts           # rows are ts-ordered
             buffer.append({"payload": payload, "ts": ts.isoformat()})
             if len(buffer) >= self.cfg.max_records_per_request:
                 self._flush(buffer)
                 buffer = []
         if buffer:
             self._flush(buffer)
-        self.stats.max_emitted_ts = last_ts          # rows are ts-ordered
         self.stats.tick(len(pdf), self.clock(),
                         self.cfg.statistics_frequency_ms)
 
@@ -187,9 +188,15 @@ class ReplayEngine:
         if not callable(sink_factory):
             raise TypeError("partitioned mode needs a sink FACTORY "
                             "(zero-arg callable usable on executors)")
-        bounds = batch_df.agg(F.min("ts").alias("mn"),
-                              F.max("ts").alias("mx")).collect()[0]
-        if bounds["mn"] is None:
+        # Anchor via Arrow toPandas, NOT collect(): collect() renders
+        # timestamps as naive HOST-LOCAL datetimes (TimestampType.
+        # fromInternal), while the Arrow kernel below receives session-tz
+        # (UTC) values — mixing the two skews every pacing target by the
+        # host's UTC offset (collapsed or inflated sleeps off-UTC).
+        bpdf = batch_df.agg(F.min("ts").alias("mn"),
+                            F.max("ts").alias("mx")).toPandas()
+        bounds = {"mn": bpdf["mn"].iloc[0], "mx": bpdf["mx"].iloc[0]}
+        if bounds["mn"] is None or bpdf["mn"].isna().iloc[0]:
             return
         self._ensure_anchor(bounds["mn"])
         first_ts = self._first_event_ts

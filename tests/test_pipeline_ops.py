@@ -342,9 +342,9 @@ def test_multimodal_real_wav_decode(spark):
     assert again["mfcc"] == row["mfcc"]
 
 
-def _avi_bytes(frames):
-    """Minimal RIFF/AVI: hdrl LIST stub + movi LIST with 00db frame
-    chunks + a trailing idx1 chunk (walk-tolerance test)."""
+def _avi_bytes(frames, stream_id=b"00db"):
+    """Minimal RIFF/AVI: hdrl LIST stub + movi LIST with frame chunks +
+    a trailing idx1 chunk (walk-tolerance test)."""
     import struct
 
     def chunk(cid, body):
@@ -352,7 +352,7 @@ def _avi_bytes(frames):
         return cid + struct.pack("<I", len(body)) + body + pad
 
     hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 56))
-    movi_body = b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    movi_body = b"movi" + b"".join(chunk(stream_id, f) for f in frames)
     movi = chunk(b"LIST", movi_body)
     idx1 = chunk(b"idx1", b"\x00" * 16)
     body = b"AVI " + hdrl + movi + idx1
@@ -361,18 +361,20 @@ def _avi_bytes(frames):
 
 def test_multimodal_real_avi_frame_sampling(spark):
     """REAL video frame sampling: the AVI chunk walk must find exactly
-    the 00db frame chunks (skipping hdrl/idx1), sample every_n-th, and
-    hash the true frame bytes."""
+    the frame chunks (skipping hdrl/idx1), sample every_n-th, and hash
+    the true frame bytes — including video muxed as stream 1 (audio
+    first), whose chunks are '01db' not '00db'."""
     import hashlib
     frames = [bytes([i]) * (100 + i) for i in range(7)]   # 7 odd-sized frames
-    avi = _avi_bytes(frames)
-    media = spark.createDataFrame([(3, bytearray(avi))],
-                                  "media_id long, data binary")
-    out = multimodal.sample_frames(media, every_n=2).collect()
-    got = {r["frame_idx"]: r["frame_sha1"] for r in out}
-    assert sorted(got) == [0, 2, 4, 6]
-    for idx in got:
-        assert got[idx] == hashlib.sha1(frames[idx]).hexdigest()
+    for stream_id in (b"00db", b"01db"):
+        avi = _avi_bytes(frames, stream_id)
+        media = spark.createDataFrame([(3, bytearray(avi))],
+                                      "media_id long, data binary")
+        out = multimodal.sample_frames(media, every_n=2).collect()
+        got = {r["frame_idx"]: r["frame_sha1"] for r in out}
+        assert sorted(got) == [0, 2, 4, 6]
+        for idx in got:
+            assert got[idx] == hashlib.sha1(frames[idx]).hexdigest()
 
 
 def test_multimodal_real_decode_is_gated(spark, sf_dir):
