@@ -50,6 +50,34 @@ def windowed_rate_counts(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def session_window_counts(events: DataFrame, key_col: str,
+                          ts_col: str = "ts",
+                          gap: str = "30 minutes",
+                          watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming SESSION windows via the built-in F.session_window: one
+    row per (key, session), where a session closes after `gap` of
+    event-time silence — the streaming twin of the batch
+    `user_event_windows` sessionization (same 30-min-gap semantics,
+    expressed as window-merging state instead of a lag/cumsum window).
+    State is bounded by the watermark: closed sessions emit and drop.
+
+    At 100 TB this is the shape to prefer over applyInPandasWithState
+    for sessionization — the merging logic runs in the JVM state store,
+    no Python boundary at all."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(key_col),
+                 F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.min(ts_col).alias("first_ts"),
+             F.max(ts_col).alias("last_ts"))
+        .select(F.col(key_col),
+                F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+                "n_events", "first_ts", "last_ts")
+    )
+
+
 _DEDUP_OUT = StructType([
     StructField("key", StringType()),
     StructField("first_ts", TimestampType()),

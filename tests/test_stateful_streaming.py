@@ -85,6 +85,49 @@ def test_dedup_stream_builtin_variant(spark, keyed_fixture, tmp_path):
     assert set(keys) == {r["user_id"] for r in rows}
 
 
+def test_session_window_counts_matches_batch_sessionization(spark, tmp_path):
+    """Built-in session windows must produce the same (key, #sessions,
+    per-session counts) decomposition as the batch lag/cumsum
+    sessionization on a fixture with multi-session users split across
+    micro-batches."""
+    import json as js
+    src = tmp_path / "sessions"
+    src.mkdir()
+    # user 1: two sessions (gap 45 min); user 2: one session spanning the
+    # two files (events 10 min apart across the file boundary)
+    rows = [
+        (1, "2024-01-01T00:00:00"), (1, "2024-01-01T00:10:00"),
+        (2, "2024-01-01T00:05:00"),
+    ]
+    rows2 = [
+        (2, "2024-01-01T00:15:00"),
+        (1, "2024-01-01T00:55:00"),   # 45 min after user 1's last -> new
+        (1, "2024-01-01T01:00:00"),
+    ]
+    # sentinel advances the final watermark past 01:30 so user 1's second
+    # session CLOSES — append mode only emits watermark-closed sessions
+    # (the sentinel's own session stays open and unemitted)
+    rows3 = [(99, "2024-01-01T03:00:00")]
+    for name, chunk in (("a.json", rows), ("b.json", rows2),
+                        ("c.json", rows3)):
+        with open(src / name, "w") as fh:
+            for uid, ts in chunk:
+                fh.write(js.dumps({"user_id": uid,
+                                   "dropoff_datetime": ts}) + "\n")
+    cfg = ReplayConfig(source_path=str(src))
+    ev = _with_user(spark, cfg, str(src))
+    out = stateful.session_window_counts(ev, "user_id", gap="30 minutes",
+                                         watermark_delay="0 seconds")
+    got = _run_to_memory(spark, out, "session_counts", tmp_path).collect()
+    sessions = {(r["user_id"], r["n_events"]) for r in got}
+    # user 1: sessions of 2 and 2 events; user 2: one session of 2
+    assert sorted(r["n_events"] for r in got if r["user_id"] == 1) == [2, 2]
+    assert sessions >= {(2, 2)}
+    # session extent: end = last event + gap (session_window semantics)
+    for r in got:
+        assert r["session_end_ms"] - r["session_start_ms"] >= 30 * 60 * 1000
+
+
 def test_dedup_builtin_vs_stateful_same_keys_on_disorder(spark, tmp_path):
     """Head-to-head: dropDuplicatesWithinWatermark and the
     applyInPandasWithState dedup must emit the SAME key set on a fixture
