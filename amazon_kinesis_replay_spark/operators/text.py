@@ -49,6 +49,38 @@ def lang_id(text_col: Column, threshold: float = 0.02) -> Column:
         .otherwise(F.lit("unknown"))
 
 
+#: Highest-frequency English character trigrams (classic TextCat-style
+#: profile over public corpora — space shown as '_' here for readability).
+EN_TRIGRAMS = (
+    "_th", "the", "he_", "ed_", "_an", "and", "nd_", "ing", "ng_", "_of",
+    "of_", "_in", "in_", "ion", "_to", "to_", "er_", "at_", "_a_", "on_",
+    "re_", "ent", "_is", "is_", "es_", "ati", "_co", "_he", "ere", "_be",
+)
+
+
+def lang_id_ngram(text_col: Column, threshold: float = 0.05,
+                  trigrams: tuple[str, ...] = EN_TRIGRAMS) -> Column:
+    """Character-n-gram language ID (TextCat-style, the n-gram heuristic
+    proper): the fraction of the document's distinct char trigrams that
+    hit the language's top-trigram profile. Pure column expressions —
+    transform over an index sequence + array_intersect; no UDF. Swap the
+    profile tuple for other languages; a multi-language argmax is a
+    greatest() over per-profile scores.
+
+    Complements `lang_id` (stopword-ratio): n-gram profiles survive
+    texts with few function words (headlines, code-mixed) where the
+    stopword heuristic under-triggers."""
+    t = F.regexp_replace(F.lower(text_col), r"\s+", " ")
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: t.substr(i, F.lit(3))))
+    profile = F.array(*[F.lit(g.replace("_", " ")) for g in trigrams])
+    score = (F.size(F.array_intersect(grams, profile)).cast("double")
+             / F.lit(float(len(trigrams))))
+    return F.when(score >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features + composite score.
 

@@ -390,6 +390,35 @@ def test_multimodal_real_decode_is_gated(spark, sf_dir):
         multimodal.decode_audio(media).collect()
 
 
+def test_lang_id_ngram_profiles(spark, sf_dir):
+    """Char-trigram language ID: the English fixture corpus must classify
+    en; trigram-free noise and Germanic text with few English trigrams
+    must not. Also agrees with the stopword heuristic on the corpus."""
+    from amazon_kinesis_replay_spark.operators import text as textops
+    d = load(spark, sf_dir, "documents").limit(100)
+    out = d.select(
+        "doc_id",
+        textops.lang_id(F.col("text")).alias("stopword_pred"),
+        textops.lang_id_ngram(F.col("text")).alias("ngram_pred"))
+    rows = out.collect()
+    en_ngram = sum(r["ngram_pred"] == "en" for r in rows)
+    assert en_ngram >= 0.9 * len(rows)            # corpus is English
+    agree = sum(r["ngram_pred"] == r["stopword_pred"] for r in rows)
+    assert agree >= 0.9 * len(rows)
+
+    crafted = spark.createDataFrame(
+        [(1, "zzqq xxvv kjkj qqzz wwxx yyzz"),
+         (2, "the cat is on the mat and the dog is in the house"),
+         (3, "strasse zahnarzt pfplatz krzywy mózg żółw")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["pred"] for r in crafted.select(
+        "doc_id",
+        textops.lang_id_ngram(F.col("text")).alias("pred")).collect()}
+    assert got[1] == "unknown"
+    assert got[2] == "en"
+    assert got[3] == "unknown"
+
+
 def test_pii_redact_crafted_strings(spark):
     """The corpus has no natural PII, so behavior is pinned here: emails,
     IPv4s, and phone-like runs are replaced by typed placeholders with
