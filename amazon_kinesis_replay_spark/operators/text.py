@@ -34,6 +34,23 @@ def bpe_token_estimate(text_col: Column) -> Column:
     return F.greatest(words, F.ceil(chars / F.lit(4)).cast("int")).alias("bpe_tokens")
 
 
+#: GPT-2-style pre-tokenizer pattern (public), simplified to constructs
+#: Java regex and RE2 share: contractions, letter runs, digit runs, other
+#: non-space runs — each optionally space-prefixed.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$|\s+")
+
+
+def bpe_pretoken_count(text_col: Column) -> Column:
+    """Pre-tokenizer token count with the (public) GPT-2-style split
+    regex — the piece count BEFORE byte-pair merges, an upper bound on
+    and strong correlate of the true BPE token count. JVM regexp_count,
+    whole-stage codegen; the chars/4 `bpe_token_estimate` remains the
+    cheap estimate."""
+    return F.regexp_count(text_col, F.lit(BPE_PRETOKEN_PATTERN))
+
+
 def stopword_ratio(text_col: Column,
                    stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     toks = tokens(text_col)

@@ -419,6 +419,25 @@ def test_lang_id_ngram_profiles(spark, sf_dir):
     assert got[3] == "unknown"
 
 
+def test_bpe_pretoken_count(spark):
+    """GPT-2-style pre-tokenizer counts, pinned against a Python `regex`
+    reference run of the identical pattern (contractions split, space
+    prefix binds to the following piece, punctuation runs, empty = 0)."""
+    from amazon_kinesis_replay_spark.operators import text as textops
+    samples = [
+        (0, "the cat's mat, isn't it 42 times?", 11),
+        (1, "  hello   world  ", 5),
+        (2, "a", 1),
+        (3, "", 0),
+        (4, "don't stop 123abc !!", 6),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in samples],
+                               "i long, t string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", textops.bpe_pretoken_count(F.col("t")).alias("n")).collect()}
+    assert got == {i: n for i, _, n in samples}
+
+
 def test_pii_redact_crafted_strings(spark):
     """The corpus has no natural PII, so behavior is pinned here: emails,
     IPv4s, and phone-like runs are replaced by typed placeholders with
