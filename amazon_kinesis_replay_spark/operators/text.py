@@ -78,9 +78,13 @@ EN_TRIGRAMS = (
 def lang_id_ngram(text_col: Column, threshold: float = 0.05,
                   trigrams: tuple[str, ...] = EN_TRIGRAMS) -> Column:
     """Character-n-gram language ID (TextCat-style, the n-gram heuristic
-    proper): the fraction of the document's distinct char trigrams that
-    hit the language's top-trigram profile. Pure column expressions —
-    transform over an index sequence + array_intersect; no UDF. Swap the
+    proper): the fraction of the PROFILE's trigrams that occur in the
+    document (profile coverage — |doc-grams ∩ profile| / |profile|).
+    Computed as one `contains` probe per profile trigram over the
+    normalized text: O(|profile| * doc_len) scalar expressions in
+    whole-stage codegen — never materializing the document's own trigram
+    set, whose per-gram construction would re-evaluate the normalization
+    per position (the CollapseProject-under-lambda trap). Swap the
     profile tuple for other languages; a multi-language argmax is a
     greatest() over per-profile scores.
 
@@ -88,13 +92,11 @@ def lang_id_ngram(text_col: Column, threshold: float = 0.05,
     texts with few function words (headlines, code-mixed) where the
     stopword heuristic under-triggers."""
     t = F.regexp_replace(F.lower(text_col), r"\s+", " ")
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: t.substr(i, F.lit(3))))
-    profile = F.array(*[F.lit(g.replace("_", " ")) for g in trigrams])
-    score = (F.size(F.array_intersect(grams, profile)).cast("double")
-             / F.lit(float(len(trigrams))))
+    hits = None
+    for g in trigrams:
+        hit = F.when(t.contains(g.replace("_", " ")), 1).otherwise(0)
+        hits = hit if hits is None else hits + hit
+    score = hits.cast("double") / F.lit(float(len(trigrams)))
     return F.when(score >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
 
 

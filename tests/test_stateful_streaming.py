@@ -108,12 +108,17 @@ def test_session_window_counts_matches_batch_sessionization(spark, tmp_path):
     # session CLOSES — append mode only emits watermark-closed sessions
     # (the sentinel's own session stays open and unemitted)
     rows3 = [(99, "2024-01-01T03:00:00")]
-    for name, chunk in (("a.json", rows), ("b.json", rows2),
-                        ("c.json", rows3)):
+    import os
+    for fi, (name, chunk) in enumerate((("a.json", rows), ("b.json", rows2),
+                                        ("c.json", rows3))):
         with open(src / name, "w") as fh:
             for uid, ts in chunk:
                 fh.write(js.dumps({"user_id": uid,
                                    "dropoff_datetime": ts}) + "\n")
+        # FileStreamSource orders by mtime; same-ms writes tie-break
+        # unpredictably and the sentinel arriving FIRST would drop every
+        # real event as late — pin explicit, distinct mtimes
+        os.utime(src / name, (1_700_000_000 + fi, 1_700_000_000 + fi))
     cfg = ReplayConfig(source_path=str(src))
     ev = _with_user(spark, cfg, str(src))
     out = stateful.session_window_counts(ev, "user_id", gap="30 minutes",
