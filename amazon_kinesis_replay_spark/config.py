@@ -26,6 +26,12 @@ class ReplayConfig:
     # -- replay semantics (OP-PROJ-INGEST / OP-RATE-*) -----------------------
     speedup_factor: float = 6480.0             # RePlayer.java:23
     seek_to_epoch: str | None = None           # ISO-8601; RePlayer.java:49-51
+    #: Explicit ingestion anchor (ISO-8601, naive = UTC). The reference
+    #: anchors on the first parsed event (JsonEvent.java:70-71); at 100 TB
+    #: that means scanning the batch for its minimum before pacing can
+    #: start. When the replay start is already known (it's the seek
+    #: position), set it here and no anchor scan ever runs.
+    anchor_ts: str | None = None
 
     # -- buffering / parallelism (OP-SORT-EVENTTIME / OP-FLOW-*) -------------
     reader_buffer_size: int = 100_000          # RePlayer.java:26

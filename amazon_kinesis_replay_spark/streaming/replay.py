@@ -19,11 +19,19 @@ Two emission modes:
                     stream). Micro-batches are bounded by maxFilesPerTrigger,
                     so the per-batch collect is bounded; right for tests and
                     for any sink that must observe global event-time order.
-- ``partitioned`` — the 100 TB path: repartitionByRange(senders, ts) then
-                    foreachPartition, each partition pacing independently —
-                    the analogue of the reference's N concurrent sender
-                    threads (KinesisProducer.java:51-54), which already give
-                    only approximate global order at the sink.
+- ``partitioned`` — the 100 TB path: hash-repartition(senders, ts) +
+                    sortWithinPartitions(ts), each partition pacing
+                    independently against the shared anchor — the analogue
+                    of the reference's N concurrent sender threads pulling
+                    from one ts-ordered queue (KinesisProducer.java:51-54),
+                    which already give only approximate global order at the
+                    sink. Hash (not repartitionByRange) for two reasons:
+                    every sender stays active across the whole replay span
+                    (a range partition k would sleep until fraction k/N of
+                    the span has elapsed — effective parallelism 1 at any
+                    wall-clock instant), and no range-bounds sampling job —
+                    the emit is the batch's only scan once the anchor
+                    exists.
 """
 
 from __future__ import annotations
@@ -93,8 +101,23 @@ class ReplayEngine:
 
     def _ensure_anchor(self, batch_min_ts):
         if self._first_event_ts is None:
-            self._first_event_ts = batch_min_ts
+            self._first_event_ts = self._cfg_anchor() or batch_min_ts
             self._ingestion_start = self.clock()
+
+    def _cfg_anchor(self):
+        """Explicit anchor from config (e.g. the seek position), parsed as
+        UTC. At 100 TB the replay start is KNOWN (you seeked to it) — an
+        explicit anchor means no scan is ever needed to find the batch
+        minimum before pacing can start."""
+        if not self.cfg.anchor_ts:
+            return None
+        import pandas as pd
+        ts = pd.Timestamp(self.cfg.anchor_ts)
+        if ts.tzinfo is not None:
+            # normalize to the naive-UTC convention Arrow toPandas /
+            # mapInPandas use under the UTC session timezone
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts
 
     def _ingestion_offset_s(self, ts) -> float:
         """Seconds after ingestion_start this event should be emitted."""
@@ -116,22 +139,11 @@ class ReplayEngine:
     # -- driver mode: exact global-order pacing ------------------------------
 
     def _process_driver(self, batch_df: DataFrame):
-        # Guard BEFORE the collect: driver mode's exact global-order pacing
-        # materializes the batch on the driver, which is only sane at small
-        # scale. Refuse loudly instead of OOMing; partitioned mode is the
-        # scale path. The probe counts THROUGH a limit of bound+1 so it
-        # stops scanning (and, for decode-heavy sources, decoding) at the
-        # bound instead of re-executing the whole source plan just to
-        # learn the batch is too big.
-        bound = self.cfg.driver_mode_max_rows
-        probed = batch_df.limit(bound + 1).count()
-        if probed > bound:
-            raise ValueError(
-                f"driver-mode replay refuses a micro-batch exceeding "
-                f"driver_mode_max_rows={bound}: the batch would be "
-                "collect()ed onto the driver. Use mode='partitioned' "
-                "(per-sender pacing, executor-side sinks) or raise "
-                "driver_mode_max_rows explicitly.")
+        # ONE job per micro-batch: the size guard is folded into the
+        # collect as LIMIT bound+1 — at most bound+1 (sorted) rows ever
+        # cross to the driver, and an oversized batch is detected from the
+        # collected length instead of a separate probe job (the r3 probe
+        # was a second scan of the source per batch).
         # Arrow transfer: toPandas moves the batch as columnar Arrow
         # batches instead of one pickled Row object per record (the
         # session enables spark.sql.execution.arrow.pyspark.enabled).
@@ -139,32 +151,58 @@ class ReplayEngine:
         # ensure_engine_conf), so emitted ts isoformat strings are
         # deterministic UTC regardless of host TZ — the pre-Arrow collect()
         # path rendered them in host-local time.
+        import numpy as np
+        bound = self.cfg.driver_mode_max_rows
         pdf = (batch_df.select("payload", "ts")
                .orderBy(F.col("ts").asc())           # OP-SORT-EVENTTIME
+               .limit(bound + 1)
                .toPandas())
+        if len(pdf) > bound:
+            raise ValueError(
+                f"driver-mode replay refuses a micro-batch exceeding "
+                f"driver_mode_max_rows={bound}: the batch would be "
+                "collect()ed onto the driver. Use mode='partitioned' "
+                "(per-sender pacing, executor-side sinks) or raise "
+                "driver_mode_max_rows explicitly.")
         if pdf.empty:
             return
-        self._ensure_anchor(pdf["ts"].iloc[0])
-        buffer: list[dict] = []
-        for payload, ts in zip(pdf["payload"].values, pdf["ts"]):
-            target = self._ingestion_offset_s(ts)
-            gap = (self._ingestion_start + target) - self.clock()
-            if gap > 0:                              # OP-RATE-PACE
-                self.sleep(gap)
-            lag = self.clock() - (self._ingestion_start + target)
-            self.stats.max_lag_s = max(self.stats.max_lag_s, lag)
-            # per-record watermark update: a mid-batch sink failure must
-            # leave OP-AGG-MAXWM reflecting what was actually handed to
-            # the send path, not the previous batch
-            self.stats.max_emitted_ts = ts           # rows are ts-ordered
-            buffer.append({"payload": payload, "ts": ts.isoformat()})
-            if len(buffer) >= self.cfg.max_records_per_request:
-                self._flush(buffer)
-                buffer = []
-        if buffer:
-            self._flush(buffer)
-        self.stats.tick(len(pdf), self.clock(),
-                        self.cfg.statistics_frequency_ms)
+        ts_col = pdf["ts"]
+        self._ensure_anchor(ts_col.iloc[0])
+        # Vectorized pacing targets (RePlayer.java:132-143 semantics, batch
+        # math): target wall clock per record, computed once as a numpy
+        # array instead of per-row Timestamp arithmetic — the r3 per-record
+        # loop was ~60% of the driver-mode emit time at 100k rows.
+        offs = (ts_col - self._first_event_ts).dt.total_seconds().to_numpy()
+        targets = (self._ingestion_start
+                   + np.maximum(offs, 0.0) / self.cfg.speedup_factor)
+        iso = [t.isoformat() for t in ts_col]
+        payloads = pdf["payload"].values
+        n, step = len(pdf), self.cfg.max_records_per_request
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            now = self.clock()
+            if targets[hi - 1] > now:
+                # chunk not yet fully due: pace each record (OP-RATE-PACE)
+                for i in range(lo, hi):
+                    gap = targets[i] - now
+                    if gap > 0:
+                        self.sleep(gap)
+                        now = self.clock()
+                    lag = now - targets[i]
+                    if lag > self.stats.max_lag_s:
+                        self.stats.max_lag_s = lag   # OP-AGG-LAG
+            else:
+                # whole chunk already due — no sleeps; the chunk head has
+                # the earliest target hence the largest lag
+                lag = now - targets[lo]
+                if lag > self.stats.max_lag_s:
+                    self.stats.max_lag_s = lag
+            # watermark BEFORE the flush: a sink failure must leave
+            # OP-AGG-MAXWM reflecting what was handed to the send path
+            self.stats.max_emitted_ts = ts_col.iloc[hi - 1]
+            self._flush([{"payload": p, "ts": t}
+                         for p, t in zip(payloads[lo:hi], iso[lo:hi])])
+        self.stats.tick(n, self.clock(), self.cfg.statistics_frequency_ms)
 
     def _flush(self, records: list[dict]):
         send_with_retry(self.sink, records, self.cfg,
@@ -173,84 +211,136 @@ class ReplayEngine:
     # -- partitioned mode: per-sender pacing at scale ------------------------
 
     def _process_partitioned(self, batch_df: DataFrame):
-        """Range-partition by ts into `sender_threads` partitions, each paced
-        independently (the reference's sender fan-out). The sink must be
-        worker-constructible: a zero-arg factory is required.
+        """Round-robin repartition into `sender_threads` partitions, sorted
+        within each by ts, each paced independently against the shared
+        anchor (the reference's sender fan-out: N threads draining one
+        ts-ordered queue). The sink must be worker-constructible: a
+        zero-arg factory is required.
 
-        One emit action per micro-batch: event counts and per-partition
-        SinkStats flow back through accumulators, so the driver-side
-        summary (cli.py end-of-run) reflects partitioned-mode sends — an
-        earlier version ran shaped.count() before foreachPartition, which
-        recomputed the repartitionByRange+sort shuffle and reported no
-        sink counters at all."""
+        ONE scan per micro-batch once the anchor exists: the emit kernel
+        is the only action, and the per-partition stats row it yields
+        carries the partition min/max ts, so the watermark (OP-AGG-MAXWM)
+        needs no separate aggregate job (the r3 min/max agg scanned every
+        batch twice). The first-ever batch runs one min-only aggregate to
+        establish the anchor — unless cfg.anchor_ts (e.g. the seek
+        position) makes even that unnecessary — a one-time cost amortized
+        over the stream."""
         cfg = self.cfg
         sink_factory = self.sink
         if not callable(sink_factory):
             raise TypeError("partitioned mode needs a sink FACTORY "
                             "(zero-arg callable usable on executors)")
-        # Anchor via Arrow toPandas, NOT collect(): collect() renders
-        # timestamps as naive HOST-LOCAL datetimes (TimestampType.
-        # fromInternal), while the Arrow kernel below receives session-tz
-        # (UTC) values — mixing the two skews every pacing target by the
-        # host's UTC offset (collapsed or inflated sleeps off-UTC).
-        bpdf = batch_df.agg(F.min("ts").alias("mn"),
-                            F.max("ts").alias("mx")).toPandas()
-        bounds = {"mn": bpdf["mn"].iloc[0], "mx": bpdf["mx"].iloc[0]}
-        if bounds["mn"] is None or bpdf["mn"].isna().iloc[0]:
-            return
-        self._ensure_anchor(bounds["mn"])
+        if self._first_event_ts is None:
+            anchor = self._cfg_anchor()
+            if anchor is None:
+                # Anchor via Arrow toPandas, NOT collect(): collect()
+                # renders timestamps as naive HOST-LOCAL datetimes
+                # (TimestampType.fromInternal), while the Arrow kernel
+                # below receives session-tz (UTC) values — mixing the two
+                # skews every pacing target by the host's UTC offset.
+                bpdf = batch_df.agg(F.min("ts").alias("mn")).toPandas()
+                anchor = bpdf["mn"].iloc[0]
+                if anchor is None or bpdf["mn"].isna().iloc[0]:
+                    return
+            self._first_event_ts = anchor
+            self._ingestion_start = self.clock()
         first_ts = self._first_event_ts
         ingestion_start_wall = time.time() - (self.clock() - self._ingestion_start)
         speedup = cfg.speedup_factor
         max_per_request = cfg.max_records_per_request
 
+        # hash-partition on ts (NOT round-robin, whose determinism guard
+        # local-sorts every input partition by all columns — payload bytes
+        # included; NOT repartitionByRange, which needs a sampling job and
+        # leaves sender k idle until fraction k/N of the span has elapsed):
+        # each sender gets a uniform slice of the whole time span, sorted
+        # within, so all N senders emit on schedule concurrently.
         shaped = (batch_df.select("payload", "ts")
-                  .repartitionByRange(cfg.sender_threads, F.col("ts"))
+                  .repartition(cfg.sender_threads, F.col("ts"))
                   .sortWithinPartitions("ts"))
 
         # Arrow-batched emit kernel: record bytes reach Python as columnar
-        # batches (an earlier foreachPartition version unpickled one Row
-        # object per record — the only row-at-a-time Python left in a hot
-        # path). The per-record loop below is semantically required (the
-        # reference paces each record, RePlayer.java:128-136) but now
-        # iterates numpy/pandas values. One stats row per partition comes
-        # back through the same action — no accumulators, one emit job.
+        # batches, pacing targets are computed as one numpy array per Arrow
+        # batch (the r3 kernel did per-row Timestamp arithmetic), and the
+        # per-record sleep loop only runs for slices not yet due. One stats
+        # row per partition (counts + min/max ts) comes back through the
+        # same action — no accumulators, no second job.
         def _emit(batches):
+            import numpy as np
             import pandas as pd
             sink = sink_factory()
             part_stats = SinkStats()
-            buffer: list[dict] = []
+            buf_p: list = []
+            buf_t: list = []
             n = 0
+            mn = mx = None
+
+            def _flush():
+                send_with_retry(
+                    sink,
+                    [{"payload": p, "ts": t} for p, t in zip(buf_p, buf_t)],
+                    cfg, stats=part_stats)
+                buf_p.clear()
+                buf_t.clear()
+
             for pdf in batches:
-                for payload, ts in zip(pdf["payload"].values, pdf["ts"]):
-                    n += 1
-                    target = ingestion_start_wall + max(
-                        0.0, (ts - first_ts).total_seconds()) / speedup
-                    gap = target - time.time()
-                    if gap > 0:
-                        time.sleep(gap)
-                    buffer.append({"payload": payload,
-                                   "ts": ts.isoformat()})
-                    if len(buffer) >= max_per_request:
-                        send_with_retry(sink, buffer, cfg, stats=part_stats)
-                        buffer = []
-            if buffer:
-                send_with_retry(sink, buffer, cfg, stats=part_stats)
+                if pdf.empty:
+                    continue
+                ts_col = pdf["ts"]
+                if mn is None:
+                    mn = ts_col.iloc[0]       # sorted within partition
+                mx = ts_col.iloc[-1]
+                offs = (ts_col - first_ts).dt.total_seconds().to_numpy()
+                targets = (ingestion_start_wall
+                           + np.maximum(offs, 0.0) / speedup)
+                iso = [t.isoformat() for t in ts_col]
+                payloads = pdf["payload"].values
+                m = len(pdf)
+                n += m
+                i = 0
+                while i < m:
+                    j = min(m, i + max_per_request - len(buf_p))
+                    now = time.time()
+                    if targets[j - 1] > now:          # OP-RATE-PACE
+                        for k in range(i, j):
+                            gap = targets[k] - now
+                            if gap > 0:
+                                time.sleep(gap)
+                                now = time.time()
+                    buf_p.extend(payloads[i:j])
+                    buf_t.extend(iso[i:j])
+                    if len(buf_p) >= max_per_request:
+                        _flush()
+                    i = j
+            if buf_p:
+                _flush()
             yield pd.DataFrame({
                 "n": [n], "requests": [part_stats.requests],
                 "retried": [part_stats.retried_records],
-                "sent": [part_stats.records_sent]})
+                "sent": [part_stats.records_sent],
+                "mn": [mn], "mx": [mx]})
 
-        totals = (shaped.mapInPandas(
-            _emit, "n long, requests long, retried long, sent long")
-            .groupBy().sum().collect()[0])
-        n_events = totals[0] or 0
-        self.stats.sink.requests += totals[1] or 0
-        self.stats.sink.retried_records += totals[2] or 0
-        self.stats.sink.records_sent += totals[3] or 0
-        if (self.stats.max_emitted_ts is None
-                or bounds["mx"] > self.stats.max_emitted_ts):
-            self.stats.max_emitted_ts = bounds["mx"]    # OP-AGG-MAXWM
+        # toPandas, not collect(): the mx timestamp must come back through
+        # Arrow as naive-UTC to stay comparable with driver-mode watermarks
+        tot = (shaped.mapInPandas(
+            _emit, "n long, requests long, retried long, sent long, "
+                   "mn timestamp, mx timestamp")
+            .agg(F.sum("n").alias("n"), F.sum("requests").alias("req"),
+                 F.sum("retried").alias("ret"), F.sum("sent").alias("sent"),
+                 F.max("mx").alias("mx"))
+            .toPandas().iloc[0])
+        import pandas as pd
+
+        def _i(v):
+            return 0 if pd.isna(v) else int(v)
+        n_events = _i(tot["n"])
+        self.stats.sink.requests += _i(tot["req"])
+        self.stats.sink.retried_records += _i(tot["ret"])
+        self.stats.sink.records_sent += _i(tot["sent"])
+        batch_mx = None if pd.isna(tot["mx"]) else tot["mx"]
+        if batch_mx is not None and (self.stats.max_emitted_ts is None
+                                     or batch_mx > self.stats.max_emitted_ts):
+            self.stats.max_emitted_ts = batch_mx        # OP-AGG-MAXWM
         self.stats.tick(n_events, self.clock(),
                         cfg.statistics_frequency_ms)
 

@@ -132,11 +132,13 @@ def test_partitioned_mode_replay(spark, stream_fixture, tmp_path):
 
 
 def test_partitioned_batch_is_single_computation(spark, sf_dir, tmp_path):
-    """The emit path must run exactly 3 jobs per micro-batch: the bounds
-    aggregate, repartitionByRange's range-bounds sampling pass, and the
-    foreachPartition emit. More means the shuffle pipeline is being
-    computed twice (the round-1 count()-then-emit bug ran 5: sampling and
-    the shuffle executed once for count and again for emit)."""
+    """Once the anchor exists, the emit path must run exactly ONE job per
+    micro-batch — the emit action itself; the watermark rides back in the
+    kernel's per-partition stats rows. The first-ever batch may add one
+    min-only aggregate to establish the anchor (and nothing else: round-
+    robin repartition has no range-sampling pass). More jobs means the
+    shuffle pipeline is being computed twice (the round-1 count()-then-emit
+    bug ran 5; the round-3 min/max agg ran the bounds scan every batch)."""
     from amazon_kinesis_replay_spark.streaming.sinks import FileSink
     out_dir = tmp_path / "sink"
     cfg = ReplayConfig(speedup_factor=1e12, sender_threads=4,
@@ -149,22 +151,45 @@ def test_partitioned_batch_is_single_computation(spark, sf_dir, tmp_path):
              .select(F.col("props").alias("payload"), "ts"))
     expected_n = batch.count()
     sc = spark.sparkContext
-    group = "partitioned-replay-jobcount"
     # AQE runs each query stage as its own job, which makes raw job counts
-    # depend on plan internals; without it the mapping is deterministic:
-    # 1 job for the bounds aggregate + 1 for the emit action.
+    # depend on plan internals; without it the mapping is deterministic.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    sc.setJobGroup(group, "count jobs per micro-batch")
     try:
+        sc.setJobGroup("replay-first-batch", "anchor + emit")
         engine.process_batch(batch, 0)
+        sc.setJobGroup("replay-steady-batch", "emit only")
+        engine.process_batch(batch, 1)
     finally:
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    jobs = sc.statusTracker().getJobIdsForGroup(group)
-    assert len(jobs) == 3, \
-        f"expected 3 jobs (bounds + range sampling + emit), got {len(jobs)}"
-    assert engine.stats.total_events == expected_n
-    assert engine.stats.sink.records_sent == expected_n
+    first = sc.statusTracker().getJobIdsForGroup("replay-first-batch")
+    steady = sc.statusTracker().getJobIdsForGroup("replay-steady-batch")
+    assert len(first) == 2, \
+        f"expected 2 jobs on the anchoring batch (min agg + emit), got {len(first)}"
+    assert len(steady) == 1, \
+        f"expected 1 job on an anchored batch (emit only), got {len(steady)}"
+    assert engine.stats.total_events == 2 * expected_n
+    assert engine.stats.sink.records_sent == 2 * expected_n
+
+    # with an explicit anchor (the 100 TB path: the seek position is
+    # known), even the first batch is a single job
+    out2 = tmp_path / "sink2"
+    anchored = ReplayEngine(
+        ReplayConfig(speedup_factor=1e12, sender_threads=4,
+                     max_records_per_request=100,
+                     anchor_ts="2020-01-01T00:00:00"),
+        lambda: FileSink(str(out2)), mode="partitioned")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("replay-anchored-first", "emit only")
+        anchored.process_batch(batch, 0)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    jobs = sc.statusTracker().getJobIdsForGroup("replay-anchored-first")
+    assert len(jobs) == 1, \
+        f"expected 1 job with cfg.anchor_ts set, got {len(jobs)}"
+    assert anchored.stats.total_events == expected_n
 
 
 def test_stats_windows(spark, stream_fixture, tmp_path):
