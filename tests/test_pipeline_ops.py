@@ -9,22 +9,24 @@ from amazon_kinesis_replay_spark.tables import load
 
 
 def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
-    """LSH candidates (32 bands x 2 rows — collision prob ~0.9999 at the
-    J=0.5 decision boundary) must recover every exact-Jaccard pair at the
-    0.5 threshold on the fixture's planted near-dups."""
+    """LSH candidates at the registry's operating point (16 bands x 2 rows
+    over a 32-hash signature — collision prob ~0.99 at the J=0.5 decision
+    boundary, deterministic given the hash family) must recover every
+    exact-Jaccard pair at the 0.5 threshold on the fixture's planted
+    near-dups. This equality is what licenses the exact-Jaccard oracle
+    for `minhash_dedup` in the driver's gate."""
     d = load(spark, sf_dir, "documents")
     exact = {(r["id_a"], r["id_b"]) for r in
              dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()}
     mh = {(r["id_a"], r["id_b"]) for r in
-          dedup.minhash_dedup(d, "doc_id", "text", 64, 32, 3, 0.5).collect()}
+          dedup.minhash_dedup(d, "doc_id", "text", 32, 16, 3, 0.5).collect()}
     assert exact, "fixture should contain planted near-duplicates"
     assert mh == exact
 
 
 def test_minhash_fixture_profile_supports_oracle(spark, sf_dir):
-    """Fixture profile check (informational since the 32x2 retune): the
-    planted dups' minimum Jaccard. With 32x2 banding the oracle equality
-    no longer NEEDS J>=0.8 — recall is ~0.9999 at J=0.5 itself — but a
+    """Fixture profile check: the planted dups' minimum Jaccard. 16x2
+    banding recalls ~0.99 at J=0.5 itself, rising fast above it, but a
     fixture drifting below the verified threshold region would change what
     the gate exercises, so pin the profile here."""
     d = load(spark, sf_dir, "documents")

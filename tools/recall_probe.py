@@ -2,10 +2,13 @@
 """Candidate-recall probe for the LSH parameter choices.
 
 Measures, against EXACT ground truth at a small SF:
-- MinHash banding: candidate recall of (bands x rows) configurations at
-  the verified Jaccard threshold (the 32x2 default must dominate the old
-  16x4 at J=0.5), plus the candidate count (cost proxy — wider bands
-  admit more false positives for the exact verify step to discard).
+- MinHash banding: candidate recall of (num_hashes, bands x rows)
+  configurations at the verified Jaccard threshold (the 32-hash 16x2
+  default must keep recall 1.0 on the fixture; 64-hash 32x2 is the r3
+  config it replaced at twice the cost; 64-hash 16x4 is the r2 config
+  whose boundary recall was fixture-dependent), plus the candidate count
+  (cost proxy — wider bands admit more false positives for the exact
+  verify step to discard).
 - Embedding sign-LSH banding: recall of banded candidates vs the exact
   all-pairs cosine>=t set for (n_bands, band_bits) splits of the 64 dims.
 
@@ -37,15 +40,18 @@ def main():
              dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()}
     print(f"minhash truth: {len(truth)} pairs at J>=0.5 ({sf_dir})",
           flush=True)
-    for bands, rows in ((16, 4), (32, 2)):
+    for num_hashes, bands in ((64, 16), (64, 32), (32, 16)):
+        rows = num_hashes // bands
         cand = {(r["id_a"], r["id_b"]) for r in
                 dedup.minhash_lsh_pairs(d, "doc_id", "text",
-                                        num_hashes=64, bands=bands,
+                                        num_hashes=num_hashes, bands=bands,
                                         k=3).collect()}
         hit = len(cand & truth)
         rec = hit / len(truth) if truth else 1.0
-        print(f"  {bands:2d}x{rows}: recall {rec:6.4f} "
-              f"({hit}/{len(truth)}), {len(cand)} candidates", flush=True)
+        tag = " (default)" if (num_hashes, bands) == (32, 16) else ""
+        print(f"  {num_hashes}h {bands:2d}x{rows}: recall {rec:6.4f} "
+              f"({hit}/{len(truth)}), {len(cand)} candidates{tag}",
+              flush=True)
 
     # ---- Embedding sign-LSH banding vs exact cosine -----------------------
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
