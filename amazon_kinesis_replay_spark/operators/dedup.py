@@ -90,6 +90,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # MEMORY_AND_DISK semantics: spills rather than OOMs when the corpus
     # is large; at 100 TB an explicit materialization (bucketed write)
     # replaces this.
+    # CACHE LIFETIME (documented leak): the returned DataFrame's plan
+    # depends on these persisted branches, so they cannot be unpersisted
+    # here — the caller consumes the result lazily. Entries stay in the
+    # session's CacheManager until spark.catalog.clearCache() or session
+    # end; storage pressure is bounded by MEMORY_AND_DISK eviction.
     arrays = shingle_arrays(df, id_col, text_col, k).persist()
     sh = arrays.select("id", F.explode("shs").alias("shingle"))
     sizes = arrays.select("id", F.size("shs").alias("n_shingles"))
@@ -231,10 +236,23 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
     plan = df._jdf.queryExecution().analyzed().toString()
     nodes = {m.group(1) for m in
              _re.finditer(r"^[\s:+|-]*'?([A-Za-z]\w*)", plan, _re.M)}
+    # NOTE deliberately narrow: ops that preserve their child's width
+    # (Generate/explode, Union of narrow scans) are NOT listed — a plan
+    # made only of those over a 1-file scan is still narrow and should
+    # still be repartitioned; listing them would silently skip the widening
+    # (the r3-ADVICE cliff, in the other direction).
     shuffly = {"Repartition", "RepartitionByExpression", "Join",
                "Aggregate", "Window", "Deduplicate", "Sort",
                "MapInPandas", "FlatMapGroupsInPandas"}
-    if not nodes & shuffly:
+    if not nodes:
+        # Plan parse yielded nothing — node-name format drift in a future
+        # Spark (every analyzed plan has at least one node). Fall back to
+        # repartitioning: a redundant exchange is a bounded cost, while
+        # silently skipping it risks 1-partition shingling — a perf cliff
+        # nothing would flag. (test_plan_quality pins the probe's regex
+        # against the running Spark version.)
+        df = df.repartition(width)
+    elif not nodes & shuffly:
         try:
             n_files = len(df.inputFiles())
         except Exception:

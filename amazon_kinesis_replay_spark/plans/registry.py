@@ -1328,6 +1328,12 @@ def q_embedding_stats(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     rows = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
     xd = F.col("x").cast("double")
+    # double->decimal(24,12) of a UNIT-SCALE product is the sanctioned
+    # exception to the "never cast a double product to decimal" rule —
+    # same audited pattern as similarity._PROD_DEC (12 fractional digits
+    # capture the product closely enough that both engines round the same
+    # double to the same decimal); mirrored in the oracle SQL. See
+    # CLAUDE.md float rules.
     sq = (xd * xd).cast("decimal(24,12)")
     return rows.groupBy("vec_id").agg(
         F.count("*").cast("long").alias("n_dims"),

@@ -130,6 +130,13 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
     if seek_to_approximate_arrival:
         seek_at = datetime.datetime.fromisoformat(
             seek_to_approximate_arrival)
+        # A naive parsed timestamp would be serialized by botocore as
+        # HOST-LOCAL time; west of UTC the AT_TIMESTAMP seek then lands
+        # hours late and the skipped prefix is silently pruned server-side
+        # (the same TZ-skew class fixed in streaming/replay.py). Treat
+        # naive input as UTC explicitly.
+        if seek_at.tzinfo is None:
+            seek_at = seek_at.replace(tzinfo=datetime.timezone.utc)
 
     # One shard per RDD partition, DETERMINISTICALLY: a hash repartition
     # on shard_id can collide two shards into one task (p(all distinct)
@@ -168,8 +175,15 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
                     # stream head — drained even when it carried records
                     # (waiting for an extra empty confirmation page would
                     # cost one API call per shard AND make a shard of
-                    # exactly max_polls pages spuriously 'not drained')
-                    if it is None or resp.get("MillisBehindLatest", 0) == 0:
+                    # exactly max_polls pages spuriously 'not drained').
+                    # A MISSING MillisBehindLatest (some emulators omit
+                    # it) must NOT read as drained — that would be exactly
+                    # the silent truncation the RuntimeError below exists
+                    # to prevent; treat it as not-drained and rely on the
+                    # null-iterator / empty-page conditions.
+                    behind = resp.get("MillisBehindLatest")
+                    if it is None or behind == 0 or (
+                            behind is None and not resp["Records"]):
                         drained = True
                         break
                 if not drained:

@@ -111,3 +111,36 @@ def test_global_index_with_heavy_first_key_ties(firsts):
     got = {(r["k"], r["uniq"]): r["rn"] for r in out.collect()}
     expect = {t: i + 1 for i, t in enumerate(sorted(rows))}
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           max_codepoint=0xFFFF),
+    max_size=6), min_size=1, max_size=200, unique=True))
+def test_global_index_string_first_key(keys):
+    """r3-ADVICE API restoration: a STRING first order column must work
+    (bucketing on the first two code points — coarse buckets, exact
+    numbering). Property-checked against Python's sorted(), which matches
+    Spark's UTF-8 binary collation for BMP strings."""
+    from amazon_kinesis_replay_spark.operators import replay_ops
+    from amazon_kinesis_replay_spark.session import build_spark
+    spark = build_spark("engine-tests", shuffle_partitions=8)
+    df = spark.createDataFrame([(k,) for k in keys], "k STRING")
+    out = replay_ops.with_global_index(df, ["k"], out_col="rn")
+    got = {r["k"]: r["rn"] for r in out.collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect
+
+
+def test_global_index_boolean_first_key():
+    from amazon_kinesis_replay_spark.operators import replay_ops
+    from amazon_kinesis_replay_spark.session import build_spark
+    spark = build_spark("engine-tests", shuffle_partitions=8)
+    rows = [(b, i) for i, b in enumerate([True, False] * 20)]
+    df = spark.createDataFrame(rows, "k BOOLEAN, uniq LONG")
+    out = replay_ops.with_global_index(df, ["k", "uniq"], out_col="rn")
+    got = {(r["k"], r["uniq"]): r["rn"] for r in out.collect()}
+    expect = {t: i + 1 for i, t in enumerate(sorted(rows))}
+    assert got == expect

@@ -118,6 +118,30 @@ def test_shingle_rows_repartition_is_conditional(spark):
     assert pw.count("RoundRobinPartitioning") == 1
 
 
+def test_shingle_width_probe_parses_this_spark_version(spark):
+    """Pin the width probe's analyzed-plan regex against the RUNNING Spark:
+    the probe must extract recognizable node names (r3 ADVICE — a renamed
+    node in a future Spark would otherwise silently change the probe's
+    decision). Checks both a should-widen plan (plain scan → names parsed,
+    none shuffly) and a should-skip plan (aggregate → 'Aggregate' found)."""
+    import re
+    from amazon_kinesis_replay_spark.tables import load
+    d = load(spark, SF, "documents")
+    pat = re.compile(r"^[\s:+|-]*'?([A-Za-z]\w*)", re.M)
+
+    plan_scan = d._jdf.queryExecution().analyzed().toString()
+    nodes_scan = {m.group(1) for m in pat.finditer(plan_scan)}
+    assert nodes_scan, "probe regex parsed NOTHING from an analyzed plan"
+    assert {"Project", "Relation"} & nodes_scan, \
+        f"unexpected analyzed-plan node names: {sorted(nodes_scan)[:8]}"
+
+    agg = d.groupBy("lang").count()
+    nodes_agg = {m.group(1) for m in pat.finditer(
+        agg._jdf.queryExecution().analyzed().toString())}
+    assert "Aggregate" in nodes_agg, \
+        f"'Aggregate' not recognized in {sorted(nodes_agg)[:8]}"
+
+
 def test_embedding_lsh_exchange_is_narrow(spark):
     """The sign-LSH collision join must shuffle (id, band, bucket) rows
     only — 64-float vectors riding the candidate exchange is dead weight
