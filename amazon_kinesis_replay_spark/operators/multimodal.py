@@ -6,15 +6,16 @@ decode/transform steps run as Arrow-batched functions over `mapInPandas`
 UDFs).
 
 Decode coverage:
-- REAL, pure-Python (no third-party codec): BMP and PPM/PGM image
+- REAL, pure-Python (no third-party codec): PNG (stdlib zlib inflate of
+  the IDAT stream + numpy scanline unfiltering — the single most common
+  real-corpus format needs no external codec), BMP and PPM/PGM image
   headers + pixel-histogram features; WAV (RIFF) audio headers +
-  numpy-FFT band-energy features. These formats are uncompressed, so
-  header parsing and feature extraction need only struct/numpy.
-- STUBBED (codec genuinely unavailable in this container): compressed
-  images (PNG/JPEG -> PIL), compressed audio, and video frame decoding
-  (ffmpeg). Those raise NotImplementedError; `fake=True` substitutes a
-  deterministic fake decoder so the Spark-side plumbing (schema,
-  batching, partitioning) stays fully real and testable for them.
+  numpy-FFT band-energy features.
+- STUBBED (codec genuinely unavailable in this container): JPEG (PIL),
+  compressed audio, and video codec frames (ffmpeg). Those raise
+  NotImplementedError; `fake=True` substitutes a deterministic fake
+  decoder so the Spark-side plumbing (schema, batching, partitioning)
+  stays fully real and testable for them.
 """
 
 from __future__ import annotations
@@ -108,6 +109,186 @@ def _parse_ppm(raw: bytes) -> tuple[int, int, bytes]:
     return int(tokens[0]), int(tokens[1]), raw[i + 1:]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
+    """Width, height, and decoded pixel bytes of a PNG payload — pure
+    Python/stdlib: chunk walk, zlib inflate of the concatenated IDAT
+    stream, then per-scanline unfiltering (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) in numpy. Sub vectorizes as a per-channel cumsum;
+    Average/Paeth carry a true left-pixel dependency and run per byte.
+    Supports bit depth 8, color types 0/2/3/4/6 (indexed output is
+    expanded through the PLTE); Adam7 interlacing and other depths raise
+    NotImplementedError. Truncated chunks, stream-length mismatches, and
+    bad filter ids raise ValueError — wrong pixels are never silently
+    emitted."""
+    import struct
+    import zlib
+
+    import numpy as np
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = b""
+    idat: list[bytes] = []
+    i = 8
+    while i + 8 <= len(raw):
+        ln = struct.unpack_from(">I", raw, i)[0]
+        typ = raw[i + 4:i + 8]
+        body = raw[i + 8:i + 8 + ln]
+        if len(body) < ln:
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln                       # len + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} not supported (8 only)")
+    stream = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    lines = np.frombuffer(stream, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int16)
+    bpp = channels                          # bytes per pixel at depth 8
+    for y in range(h):
+        f = int(lines[y, 0])
+        row = lines[y, 1:].astype(np.int16)
+        prev = out[y - 1] if y else np.zeros(stride, np.int16)
+        if f == 0:                          # None
+            cur = row
+        elif f == 1:                        # Sub: cumsum per channel
+            cur = (np.cumsum(row.reshape(w, bpp).astype(np.int64), axis=0)
+                   % 256).astype(np.int16).reshape(stride)
+        elif f == 2:                        # Up
+            cur = (row + prev) % 256
+        elif f in (3, 4):                   # Average / Paeth: left-dependent
+            cur = np.zeros(stride, np.int16)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = cur
+    pixels = out.astype(np.uint8)
+    if ctype == 3:
+        if not plte or len(plte) % 3:
+            raise ValueError("indexed PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = pixels.reshape(-1)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        pixels = pal[idx]
+    return int(w), int(h), pixels.tobytes()
+
+
+def encode_png(width: int, height: int, pixels: bytes, ctype: int = 2,
+               filters: list[int] | None = None,
+               palette: bytes | None = None) -> bytes:
+    """Pure-Python PNG ENCODER (the inverse of _parse_png): forward-filters
+    each scanline with the chosen filter type (default None) and deflates.
+    Useful for writing debug rasters/thumbnails from a pipeline without a
+    codec dependency, for synthesizing real decode fixtures, and as the
+    round-trip witness for the decoder's unfilter paths."""
+    import struct
+    import zlib
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = width * channels
+    bpp = channels
+    if len(pixels) != height * stride:
+        raise ValueError(f"pixels must be height*width*channels="
+                         f"{height * stride} bytes, got {len(pixels)}")
+    filters = filters or [0] * height
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        f = filters[y]
+        out.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            out.append((row[x] - pred) % 256)
+        prev = row
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    png = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", palette)
+    return (png + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def synthesize_png_media(df: DataFrame, side: int = 8) -> DataFrame:
+    """Deterministic REAL-PNG fixture synthesis: each row's binary payload
+    becomes a side x side RGB raster (payload bytes, zero-padded /
+    truncated), encoded with encode_png using a media_id-derived filter
+    type — so a downstream real decode exercises every unfilter path.
+    Arrow-batched mapInPandas; schema matches the (media_id, data) decode
+    input contract."""
+    n = side * side * 3
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                raster = (raw + bytes(n))[:n]
+                f = int(mid) % 5
+                ids.append(mid)
+                blobs.append(encode_png(side, side, raster, ctype=2,
+                                        filters=[f] * side))
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    return df.select("media_id", "data").mapInPandas(
+        _synth, "media_id long, data binary")
+
+
 def _pixel_histogram(pixels: bytes, bins: int = 8) -> list[float]:
     """Normalized byte-value histogram over the raster — a real, decoder-
     independent image feature (deterministic; no codec needed for the
@@ -121,26 +302,30 @@ def _pixel_histogram(pixels: bytes, bins: int = 8) -> list[float]:
 
 
 def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
-    if raw[:2] == b"BM":
+    if raw[:8] == _PNG_SIG:
+        w, h, pixels = _parse_png(raw)
+    elif raw[:2] == b"BM":
         w, h, pixels = _parse_bmp(raw)
     elif raw[:2] in (b"P6", b"P5"):
         w, h, pixels = _parse_ppm(raw)
     else:
         raise NotImplementedError(
-            f"unsupported image magic {raw[:4]!r}: only uncompressed "
-            "BMP/PPM/PGM decode without a third-party codec (PIL not "
-            "installed); pass fake=True for the deterministic test decoder")
+            f"unsupported image magic {raw[:4]!r}: only PNG (pure-Python "
+            "zlib+numpy decode) and uncompressed BMP/PPM/PGM decode "
+            "without a third-party codec (PIL not installed); pass "
+            "fake=True for the deterministic test decoder")
     return w, h, _pixel_histogram(pixels)
 
 
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
-    The real path parses uncompressed BMP/PPM/PGM headers and computes a
-    pixel-histogram feature vector in pure Python/numpy; compressed
-    formats (PNG/JPEG) raise NotImplementedError from the kernel since no
-    codec library is installed. fake=True substitutes the deterministic
-    fake decoder for any payload.
+    The real path decodes PNG (stdlib zlib + numpy unfiltering — see
+    _parse_png) and parses uncompressed BMP/PPM/PGM headers, computing a
+    pixel-histogram feature vector over the decoded raster; JPEG raises
+    NotImplementedError from the kernel since no codec library is
+    installed. fake=True substitutes the deterministic fake decoder for
+    any payload.
     """
     decode_one = _fake_decode_image if fake else _real_decode_image
 

@@ -1303,16 +1303,21 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Arrow-batched mapInPandas decode over binary media columns (the
-    deterministic fake decoder — real codecs are stubbed; rows-only
-    check). Text bytes stand in for media payloads."""
+    """Arrow-batched mapInPandas REAL image decode over binary media
+    columns: document text bytes are synthesized into genuine PNG
+    payloads (pure-Python encoder, media_id-cycled filter types), then
+    decoded by the real pure-Python PNG decoder (zlib inflate + numpy
+    unfiltering) — the whole zlib round-trip runs at the gate, not a
+    fake. Rows-only check: inflate/unfilter is not SQL-expressible; the
+    pixel-exactness ground truth lives in
+    test_multimodal_real_png_decode's encoder/decoder round-trip."""
     ensure_engine_conf(spark)
     from ..operators import multimodal
     d = load(spark, sf_dir, "documents")
-    media = d.select(F.col("doc_id").alias("media_id"),
-                     F.lit("image").alias("media_type"),
-                     F.encode("text", "UTF-8").alias("data"))
-    return multimodal.decode_images(media, fake=True) \
+    media = multimodal.synthesize_png_media(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.encode("text", "UTF-8").alias("data")))
+    return multimodal.decode_images(media) \
         .select("media_id", "width", "height", "n_bytes", "sha1")
 
 

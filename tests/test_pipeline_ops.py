@@ -322,6 +322,64 @@ def test_multimodal_real_bmp_ppm_decode(spark):
     assert out[1]["n_bytes"] == len(bmp)
 
 
+_png_bytes = multimodal.encode_png
+
+
+def test_multimodal_real_png_decode(spark):
+    """REAL PNG decode (pure zlib+numpy, no codec): every filter type
+    (None/Sub/Up/Average/Paeth) must unfilter back to the exact source
+    raster — asserted via the histogram features — and indexed PNGs
+    expand through their palette."""
+    import random
+    rng = random.Random(42)
+    w, h = 5, 5
+    raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    png = _png_bytes(w, h, raster, ctype=2, filters=[0, 1, 2, 3, 4])
+    # expected features = histogram of the SOURCE raster
+    exp = multimodal._pixel_histogram(raster)
+
+    # indexed: 2-entry palette, all-index-1 -> histogram of pal[1] bytes
+    pal = bytes([0, 0, 0, 250, 250, 250])
+    ipng = _png_bytes(3, 2, bytes([1] * 6), ctype=3,
+                      filters=[0, 1], palette=pal)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(ipng))],
+        "media_id long, data binary")
+    import pytest
+    out = {r["media_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (w, h)
+    # FloatType truncates to float32 — compare with tolerance
+    assert out[1]["features"] == pytest.approx(exp, abs=1e-6)
+    assert (out[2]["width"], out[2]["height"]) == (3, 2)
+    assert out[2]["features"][7] == 1.0        # all pixels 250 -> top bin
+
+    # grayscale and RGBA color types round-trip too
+    g = _png_bytes(4, 3, bytes(range(12)), ctype=0, filters=[4, 3, 1])
+    rgba = _png_bytes(2, 2, bytes(range(16)), ctype=6, filters=[2, 4])
+    media2 = spark.createDataFrame(
+        [(3, bytearray(g)), (4, bytearray(rgba))],
+        "media_id long, data binary")
+    out2 = {r["media_id"]: r
+            for r in multimodal.decode_images(media2).collect()}
+    assert out2[3]["features"] == pytest.approx(
+        multimodal._pixel_histogram(bytes(range(12))), abs=1e-6)
+    assert out2[4]["features"] == pytest.approx(
+        multimodal._pixel_histogram(bytes(range(16))), abs=1e-6)
+
+    # interlaced PNGs fail loudly, not wrongly
+    import struct as _st
+    import zlib as _zl
+    ihdr = _st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + _st.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + _st.pack(">I", _zl.crc32(b"IHDR" + ihdr))
+           + _st.pack(">I", 0) + b"IDAT" + _st.pack(">I", _zl.crc32(b"IDAT")))
+    import pytest
+    with pytest.raises(Exception, match="interlaced"):
+        multimodal._parse_png(bad)
+
+
 def test_multimodal_real_wav_decode(spark):
     """REAL audio decode: RIFF chunk walk (extra LIST chunk present) +
     exact duration + FFT band energies of a pure tone."""
