@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin per query (omitted for non-SQL-
-    expressible ops -> driver records a rows-only check)."""
-    return {name: spec.oracle for name, spec in QUERIES.items()
+    expressible ops -> driver records a rows-only check). A spec.oracle
+    may be a zero-arg callable producing the SQL (used when the oracle
+    embeds independently-recomputed literals, e.g. simhash values); it is
+    resolved here so consumers always see plain strings."""
+    return {name: (spec.oracle() if callable(spec.oracle) else spec.oracle)
+            for name, spec in QUERIES.items()
             if spec.oracle is not None}

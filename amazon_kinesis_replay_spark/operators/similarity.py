@@ -105,7 +105,8 @@ def _seed_centroids(emb: DataFrame, n_centroids: int,
 
 def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
                      n_iters: int = 3, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     exact: bool = False) -> DataFrame:
     """Lloyd's k-means over embeddings, expressed as DataFrame ops.
 
     Per iteration: broadcast the centroid table, assign by max cosine
@@ -114,28 +115,53 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
     aggregations. Deterministic seed (first n vectors by id); each
     iteration materializes only the tiny centroid table on the driver —
     the corpus is scanned, never collected.
+
+    exact=True makes the whole training CROSS-ENGINE EXACT (the
+    ann_ivf_topk oracle relies on it): assignment uses the decimal-exact
+    ``cosine`` instead of the ~4x-cheaper ``_fast_cosine``, and the
+    centroid update keeps per-dimension DECIMAL SUMS cast to double
+    instead of float means — no division (cosine is scale-invariant, so
+    sum and mean are interchangeable as directions) and no
+    summation-order dependence, so a SQL engine replaying the same
+    iterations computes bit-identical centroids and assignments.
     """
     spark = emb.sparkSession
+    scorer = cosine if exact else _fast_cosine
     cents = _seed_centroids(emb, n_centroids, id_col, vec_col)
+    if exact:
+        cents = cents.select(
+            "centroid_id",
+            F.transform("c_vec", lambda x: x.cast("double")).alias("c_vec"))
     from pyspark.sql import Window
     for _ in range(n_iters):
         scored = (emb.crossJoin(F.broadcast(cents))
                   .select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("vec"), "centroid_id",
-                          _fast_cosine(F.col(vec_col),
-                                       F.col("c_vec")).alias("sim")))
+                          scorer(F.col(vec_col),
+                                 F.col("c_vec")).alias("sim")))
         w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
                                              F.col("centroid_id").asc())
         assigned = (scored.withColumn("rn", F.row_number().over(w))
                     .filter(F.col("rn") == 1))
         dims = assigned.select(
             "centroid_id", F.posexplode("vec").alias("pos", "x"))
-        means = dims.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+        if exact:
+            # mirrored double->decimal of unit-scale components (the
+            # sanctioned CLAUDE.md exception): the decimal SUM is order-
+            # independent and exact, its double cast correctly rounded —
+            # identical in any engine
+            m = F.sum(F.col("x").cast("double").cast(_PROD_DEC)) \
+                .cast("double").alias("m")
+            out_elem = "double"
+        else:
+            m = F.avg("x").alias("m")
+            out_elem = "float"
+        means = dims.groupBy("centroid_id", "pos").agg(m)
         new_cents = (means.groupBy("centroid_id")
                      .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                           .alias("pm"))
                      .select("centroid_id",
-                             F.transform("pm", lambda s: s["m"].cast("float"))
+                             F.transform("pm", lambda s: s["m"].cast(out_elem))
                              .alias("c_vec")))
         # Materialize the tiny centroid table between iterations: chaining
         # the plans lazily makes iteration i embed (and RE-EXECUTE) the
@@ -146,7 +172,8 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
 
 def ivf_assign(emb: DataFrame, n_centroids: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               centroids: DataFrame | None = None) -> DataFrame:
+               centroids: DataFrame | None = None,
+               exact: bool = False) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
     Default centroids are the first n_centroids vectors by id —
@@ -159,11 +186,12 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16,
     """
     cents = centroids if centroids is not None else _seed_centroids(
         emb, n_centroids, id_col, vec_col)
+    scorer = cosine if exact else _fast_cosine
     scored = (emb.crossJoin(F.broadcast(cents))
               .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                       "centroid_id",
-                      _fast_cosine(F.col(vec_col),
-                                   F.col("c_vec")).alias("sim")))
+                      scorer(F.col(vec_col),
+                             F.col("c_vec")).alias("sim")))
     from pyspark.sql import Window
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
                                          F.col("centroid_id").asc())
@@ -174,7 +202,8 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16,
 def ivf_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             exact: bool = False) -> DataFrame:
     """IVF-probed approximate top-k: score the query against the centroid
     table (tiny), probe the n_probe nearest inverted lists, brute-force
     only within them. The 100 TB pattern: centroid scoring is driver-scale,
@@ -182,7 +211,8 @@ def ivf_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     n_probe/n_centroids of the corpus."""
     cents = centroids if centroids is not None else _seed_centroids(
         emb, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents)
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents,
+                          exact=exact)
     probe = (cents.crossJoin(F.broadcast(query_df))
              .select("centroid_id",
                      cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))

@@ -41,7 +41,10 @@ N_SHARDS = 8
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]
+    #: SQL string, or a zero-arg callable returning one (data-dependent
+    #: oracles that embed independently-recomputed literals); resolved by
+    #: __spark_entry__.oracle_sql().
+    oracle: Optional[object]
     doc: str
 
 
@@ -1207,10 +1210,49 @@ def q_minhash_dedup(spark, sf_dir):
 
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs (Hamming<=3 via 16-bit chunk blocking).
-    Rows-only check: the 64-bit hash family (xxhash64) has no DuckDB twin."""
+    Oracled since r4: an INDEPENDENT pure-Python XXH64+simhash
+    recomputation supplies literal simhash values and DuckDB derives the
+    pair set with bit_count(xor(..)) (see _simhash_oracle) — the former
+    rows-only gap the r3 verdict flagged."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+def _simhash_oracle() -> str:
+    """Data-dependent oracle for simhash_dedup (r3 verdict item 6): each
+    document's simhash64 is RECOMPUTED FROM SCRATCH in pure Python
+    (functions/xxh.py — independent XXH64 implementation, independent
+    tokenizer, independent bit-vote; parity with Spark pinned by
+    test_xxh64_matches_spark) and embedded as a literal VALUES table;
+    DuckDB then derives the near-dup pairs with bit_count(xor(..)) <= 3.
+    The 16-bit chunk blocking the Spark plan uses is LOSSLESS by
+    pigeonhole (<=3 differing bits over 4 chunks leaves >=1 chunk equal),
+    so the plain Hamming self-join is the exact same pair set.
+
+    SF selection: literals must come from the same tables the gate reads
+    — SPARK_GRAFT_ORACLE_SF_DIR (set by tools/verify_local.py), default
+    the driver's documented gate SF (0.01)."""
+    import os
+
+    import duckdb
+
+    from ..functions.xxh import simhash64_py
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    values = ",".join(
+        f"(CAST({did} AS BIGINT), CAST({simhash64_py(text)} AS BIGINT))"
+        for did, text in rows)
+    return f"""
+        WITH sims(id, sh) AS (VALUES {values})
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM sims a JOIN sims b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
 
 
 _ORACLES_DEDUP = {
@@ -1227,6 +1269,7 @@ _ORACLES_DEDUP = {
     # (recall ~1 for the fixture's J>=0.8 planted dups; see docstring).
     "minhash_dedup": _JACCARD_ORACLE,
     "dedup_clusters": _CLUSTERS_ORACLE,
+    "simhash_dedup": _simhash_oracle,        # callable: literal VALUES
 }
 
 
@@ -1290,16 +1333,22 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-probed approximate top-k over k-means-TRAINED inverted lists
-    (2 Lloyd iterations, n_probe=4 of 16 centroids). Rows-only check: the
-    train+assign+probe+scan pipeline is exercised by tests against
-    brute-force recall, and the persisted-index variant
-    (similarity.ivf_index_write/ivf_probe_topk) is plan-tested for
-    centroid_id partition pruning."""
+    (2 Lloyd iterations, n_probe=4 of 16 centroids). Oracled since r4 (r3
+    verdict item 7): training runs in EXACT mode — assignment by
+    decimal-exact cosine, centroid update as per-dimension decimal sums
+    cast to double (no float mean, no summation-order dependence; cosine
+    is scale-invariant so sums are valid centroid directions) — which
+    makes the whole train+assign+probe+top-k pipeline reproducible
+    bit-for-bit by the unrolled SQL in _IVF_ORACLE. The persisted-index
+    variant (similarity.ivf_index_write/ivf_probe_topk) remains
+    plan-tested for centroid_id partition pruning."""
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iters=2)
+    cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iters=2,
+                                        exact=True)
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10,
-                               n_centroids=16, n_probe=4, centroids=cents)
+                               n_centroids=16, n_probe=4, centroids=cents,
+                               exact=True)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1362,7 +1411,64 @@ _SIGN_BUCKET_SQL = ("(CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END"
                     " + CASE WHEN {v}[3] >= 0 THEN 2 ELSE 0 END"
                     " + CASE WHEN {v}[4] >= 0 THEN 1 ELSE 0 END)")
 
+def _ivf_assign_sql(cents_cte: str) -> str:
+    """Argmax-cosine assignment of every vector to a centroid table CTE —
+    decimal-exact cosine, tie-break on centroid_id (mirrors
+    similarity.ivf_assign(exact=True))."""
+    return f"""
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_cosine_sql('e.embedding', 'c.c_vec')} DESC,
+                       c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN {cents_cte} c) WHERE rn = 1"""
+
+
+def _ivf_update_sql(assign_cte: str) -> str:
+    """Centroid update as per-dimension DECIMAL SUMS cast to double —
+    order-independent and engine-exact; no division (cosine is
+    scale-invariant, so the sum is the same direction as the mean).
+    Mirrors kmeans_centroids(exact=True)'s update."""
+    return f"""
+        SELECT centroid_id, list(s ORDER BY pos) AS c_vec FROM (
+            SELECT centroid_id, pos,
+                   CAST(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
+                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
+            FROM {assign_cte}, (SELECT unnest(range(1, 65)) AS pos) p
+            GROUP BY centroid_id, pos) GROUP BY centroid_id"""
+
+
+#: Unrolled twin of q_ann_ivf_topk: seed (first 16 vectors, float->double),
+#: two Lloyd iterations (exact assign + decimal-sum update), probe the 4
+#: nearest centroids for the vec_id=0 query, exact top-10 within the probed
+#: lists. Every arithmetic step uses the audited cross-engine-exact
+#: patterns (decimal products/sums, VARCHAR-routed decimal->double), so the
+#: result is bit-identical to the Spark pipeline by construction.
+_IVF_ORACLE = f"""
+    WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    c0 AS (
+        SELECT vec_id AS centroid_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+    a1 AS ({_ivf_assign_sql('c0')}),
+    c1 AS ({_ivf_update_sql('a1')}),
+    a2 AS ({_ivf_assign_sql('c1')}),
+    c2 AS ({_ivf_update_sql('a2')}),
+    probe AS (
+        SELECT centroid_id FROM c2, q
+        ORDER BY {_cosine_sql('c2.c_vec', 'q.q_vec')} DESC, centroid_id ASC
+        LIMIT 4),
+    af AS ({_ivf_assign_sql('c2')})
+    SELECT af.vec_id,
+           {_cosine_sql('af.embedding', 'q.q_vec')} AS cosine
+    FROM af JOIN probe USING (centroid_id), q
+    ORDER BY cosine DESC, af.vec_id ASC
+    LIMIT 10
+"""
+
+
 _ORACLES_SIM = {
+    "ann_ivf_topk": _IVF_ORACLE,
     # Same banded sign-LSH semantics as dedup.embedding_cosine_dedup:
     # candidates collide on the full sign pattern of >=1 of 8 contiguous
     # 8-component bands; exact cosine >= 0.4 verifies. The sign pattern is

@@ -125,6 +125,8 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         for name in HEADLINE:
             oracle = QUERIES[name].oracle
+            if callable(oracle):
+                oracle = oracle()
             if not oracle:
                 continue
             t0 = time.monotonic()

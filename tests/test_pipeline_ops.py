@@ -52,6 +52,38 @@ def test_prefix_filter_is_exact(spark, sf_dir):
         assert pref == naive
 
 
+def test_xxh64_matches_spark(spark):
+    """The pure-Python XXH64 (the simhash oracle's independent hash) must
+    equal Spark's xxhash64 bit-for-bit: string path across every length
+    class (empty / <4 / <8 / 8-stripe / 4-tail / 32-block / long) and
+    unicode; long path across sign/extreme values."""
+    from amazon_kinesis_replay_spark.functions import xxh
+    cases = ["", "a", "abc", "hello", "x" * 7, "x" * 8, "x" * 31, "x" * 32,
+             "x" * 100, "üñïçôdé tøkèn", "tab\there",
+             "The quick brown fox jumps over the lazy dog"]
+    rows = (spark.createDataFrame([(c,) for c in cases], "s string")
+            .select("s", F.xxhash64("s").alias("h")).collect())
+    for r in rows:
+        assert xxh.xxh64_string(r["s"]) == r["h"], r["s"]
+    longs = [0, 1, -1, 42, 2**62, -(2**63), 2**63 - 1]
+    lrows = (spark.createDataFrame([(v,) for v in longs], "v long")
+             .select("v", F.xxhash64("v").alias("h")).collect())
+    for r in lrows:
+        assert xxh.xxh64_long(r["v"]) == r["h"], r["v"]
+
+
+def test_simhash_py_matches_spark(spark, sf_dir):
+    """The oracle's independent tokenize+hash+vote recomputation must equal
+    the Spark simhash64 column on every fixture document — this parity is
+    what makes the simhash_dedup VALUES oracle a real check."""
+    from amazon_kinesis_replay_spark.functions.xxh import simhash64_py
+    d = load(spark, sf_dir, "documents")
+    spark_sim = {r["id"]: r["simhash"] for r in
+                 dedup.simhash64(d, "doc_id", "text").collect()}
+    for r in d.select("doc_id", "text").collect():
+        assert simhash64_py(r["text"]) == spark_sim[r["doc_id"]], r["doc_id"]
+
+
 def test_simhash_hamming_symmetry(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     sim = dedup.simhash64(d, "doc_id", "text")

@@ -54,6 +54,12 @@ def main():
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
 
+    # Data-dependent oracles (simhash literal VALUES) must precompute
+    # against the SAME sf as the Spark side; the driver's gate runs at the
+    # env default (sf0.01).
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import duckdb
 
     import __spark_entry__ as entrymod
