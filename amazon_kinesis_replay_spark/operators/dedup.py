@@ -61,7 +61,8 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.5,
-                        prefix_filter: bool = True) -> DataFrame:
+                        prefix_filter: bool = True,
+                        shingle_ids: str = "hash") -> DataFrame:
     """Exact pairwise Jaccard over word k-shingles.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -81,6 +82,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     the join avoids exactly the hot shingles that blow up the naive join.
     Verification then counts common shingles over the FULL sets for the
     surviving candidates only.
+
+    shingle_ids chooses the candidate-join key representation:
+    - "hash" (default): sid = xxhash64(shingle). Collisions can only ADD
+      candidates (the join becomes a superset; verification intersects
+      the true string sets), so exactness NEVER depends on collision
+      freedom. Quantified: expected colliding shingle pairs ~ D^2/2^65 —
+      ~3e4 worldwide at D=10^12 distinct shingles — i.e. a vanishing
+      sliver of extra verification work even at 100 TB. Zero extra
+      shuffles: the hash is computed in place.
+    - "dict": collision-FREE dense ids from the distinct-shingle
+      frequency table, numbered by with_global_index (deterministic
+      literal bounds) over (xxhash64(shingle), shingle) — NOT over
+      (freq, shingle), which would funnel the freq=1 long tail (the
+      vast majority of distinct shingles in any real corpus) into a
+      single range bucket and OOM that task at scale; the hash key
+      range-buckets uniformly, and the string tie-break keeps the ids
+      dense and collision-free even across hash collisions. Costs one
+      extra shuffle of the exploded corpus (the string->id mapping
+      join) plus two metadata-scale shuffles of the distinct-shingle
+      table; buys (a) ids that NEVER alias two shingles — required
+      when signatures/ids are persisted across corpora or the distinct
+      count approaches ~10^12 — and (b) an all-numeric per-doc prefix
+      rank (window orders by (freq, sid) — 16 bytes — instead of
+      (freq, shingle string)). The global order becomes
+      (freq, hash, shingle): still total and rarest-first, so the
+      prefix lemma holds identically. See docs/SCALE.md for when to
+      flip it; timing at sf0.1 recorded there.
     """
     # Shingling (the CPU-dominant step) runs ONCE into a per-doc array
     # cache — one row per document, far smaller than the exploded rows —
@@ -100,23 +128,48 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sizes = arrays.select("id", F.size("shs").alias("n_shingles"))
 
     if prefix_filter:
-        # Candidate generation runs on xxhash64 LONG keys, not shingle
-        # strings — EXACT at any scale:
-        # - the global order is (freq-of-hash, shingle string): a total
-        #   order on shingles, identical in every document, so the prefix
-        #   lemma holds (a hash collision merely merges two shingles'
-        #   freq counts — the order stays total via the string tie-break);
-        # - the self-join on the hash is a SUPERSET of the string-equality
-        #   join (collisions add candidates, never drop them), and the
-        #   verification step intersects the true string sets.
-        # Net: the frequency aggregation and the candidate join shuffle
-        # 8-byte longs instead of shingle strings.
-        shh = sh.withColumn("sid", F.xxhash64("shingle"))
-        freq = shh.groupBy("sid").agg(F.count("*").alias("freq"))
-        w = Window.partitionBy("id").orderBy(F.col("freq").asc(),
-                                             F.col("shingle").asc())
-        ranked = (shh.join(freq, "sid")
-                  .withColumn("rank", F.row_number().over(w)))
+        if shingle_ids == "dict":
+            # Collision-free dense ids: number the distinct-shingle table
+            # (metadata-scale — orders of magnitude smaller than the
+            # exploded corpus) by (hash, shingle). with_global_index
+            # range-buckets on the FIRST order column, so leading with
+            # the uniform hash avoids the freq-long-tail skew cliff; the
+            # shingle tie-break keeps ids dense through hash collisions.
+            from .replay_ops import with_global_index
+            dic = (sh.groupBy("shingle")
+                   .agg(F.count("*").alias("freq"))
+                   .withColumn("__h", F.xxhash64("shingle")))
+            dic = (with_global_index(dic, ["__h", "shingle"],
+                                     out_col="sid")
+                   .select("shingle", "freq", "sid"))
+            # The one extra corpus-scale shuffle dict mode pays: map the
+            # exploded rows to their ids (string equi-join; broadcast
+            # when the dictionary is small, shuffle-hash at scale).
+            shh = sh.join(dic, "shingle")
+            # Global order (freq, hash, shingle) realized as (freq, sid):
+            # sid's order IS (hash, shingle) by construction, so the
+            # window sorts two longs — no string sort key per row.
+            w = Window.partitionBy("id").orderBy(F.col("freq").asc(),
+                                                 F.col("sid").asc())
+            ranked = shh.withColumn("rank", F.row_number().over(w))
+        else:
+            # Candidate generation runs on xxhash64 LONG keys, not shingle
+            # strings — EXACT at any scale:
+            # - the global order is (freq-of-hash, shingle string): a total
+            #   order on shingles, identical in every document, so the prefix
+            #   lemma holds (a hash collision merely merges two shingles'
+            #   freq counts — the order stays total via the string tie-break);
+            # - the self-join on the hash is a SUPERSET of the string-equality
+            #   join (collisions add candidates, never drop them), and the
+            #   verification step intersects the true string sets.
+            # Net: the frequency aggregation and the candidate join shuffle
+            # 8-byte longs instead of shingle strings.
+            shh = sh.withColumn("sid", F.xxhash64("shingle"))
+            freq = shh.groupBy("sid").agg(F.count("*").alias("freq"))
+            w = Window.partitionBy("id").orderBy(F.col("freq").asc(),
+                                                 F.col("shingle").asc())
+            ranked = (shh.join(freq, "sid")
+                      .withColumn("rank", F.row_number().over(w)))
         # Persisted: the self-join consumes the prefix index twice, and
         # exchange reuse across differently-pruned branches is not
         # guaranteed (see replay_ops.with_global_index) — without the

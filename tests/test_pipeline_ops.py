@@ -52,6 +52,25 @@ def test_prefix_filter_is_exact(spark, sf_dir):
         assert pref == naive
 
 
+def test_dict_shingle_ids_match_hash_mode(spark, sf_dir):
+    """shingle_ids="dict" (collision-free dense ids via with_global_index
+    over (hash, shingle)) must yield the identical verified pair set as
+    the default hash-key mode: the two modes use different total orders
+    (freq, hash, shingle) vs (freq-of-hash, shingle), so their CANDIDATE
+    sets may differ, but exact verification must converge to the same
+    pairs with bit-identical Jaccard values."""
+    d = load(spark, sf_dir, "documents").limit(300)
+    for t in (0.5, 0.56):
+        hashed = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+                  dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, t,
+                                            shingle_ids="hash").collect()}
+        dicted = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+                  dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, t,
+                                            shingle_ids="dict").collect()}
+        assert hashed, "fixture should contain planted near-duplicates"
+        assert dicted == hashed
+
+
 def test_xxh64_matches_spark(spark):
     """The pure-Python XXH64 (the simhash oracle's independent hash) must
     equal Spark's xxhash64 bit-for-bit: string path across every length
