@@ -498,7 +498,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
                            n_bands: int = 8, band_bits: int = 8,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           unique_ids: bool = True) -> DataFrame:
     """Near-dup embedding pairs: banded sign-LSH candidate generation with
     exact DECIMAL-cosine verification of survivors.
 
@@ -533,23 +534,39 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
     """
     from . import similarity
 
-    def band_bucket(b: int) -> Column:
+    def band_bucket_v(b: int) -> Column:
         bucket = F.lit(0)
         for j in range(band_bits):
             bit = F.when(
-                F.element_at(F.col(vec_col), b * band_bits + j + 1) >= 0,
+                F.element_at(F.col("v"), b * band_bits + j + 1) >= 0,
                 F.lit(1)).otherwise(F.lit(0))
             bucket = bucket * 2 + bit
         return bucket.cast("int")
+
+    # unique_ids=True is the contract for keyed corpora (vec_id is a key
+    # in the embeddings table): every pair then appears exactly once from
+    # the joins below, matching the oracle's raw-join semantics, and NO
+    # pair-level collapse is needed. The r3 shape ran a
+    # groupBy(id_a,id_b).agg(first(va),first(vb)) "multiplicity guard"
+    # AFTER the vector joins — a full shuffle of candidate rows carrying
+    # TWO vectors each (candidates ≥ corpus under banding: 61k pairs vs
+    # 2k vectors at sf0.1, and growing ~N²/buckets at scale) — measured
+    # ~0.7 s of the query at sf0.1. With non-unique ids the guard now
+    # runs at CORPUS scale instead (one first-per-id over N vector rows),
+    # which is strictly smaller; that branch recomputes the dedupe per
+    # consumer (3 scans) — persist upstream if the input is expensive.
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if not unique_ids:
+        src = src.groupBy("id").agg(F.first("v").alias("v"))
 
     # Candidate generation shuffles ONLY (id, band, bucket) rows — the
     # 64-float vectors never ride through the LSH join; they are joined
     # back for the surviving distinct pairs (broadcast when the corpus
     # side is small, shuffle-on-id at scale).
-    keys = emb.select(
-        F.col(id_col).alias("id"),
+    keys = src.select(
+        "id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), band_bucket_v(b).alias("bucket"))
             for b in range(n_bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
@@ -561,16 +578,17 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"),
-                    F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"),
-                    F.col(vec_col).alias("vb"))
-    # The groupBy collapses pair multiplicity when id_col is not unique
-    # in the input (a duplicated id would otherwise multiply through the
-    # two vector joins); it runs over candidate-sized data, not corpus.
-    cand = (cand_ids.join(va, "id_a").join(vb, "id_b")
-            .groupBy("id_a", "id_b")
-            .agg(F.first("va").alias("va"), F.first("vb").alias("vb")))
+    # Per-VECTOR double norms ride the joins: computed N times, not
+    # 2×|candidates| times (the r3 shape re-folded both norms per pair —
+    # the dominant interpreted-HOF cost at sf0.1: 1.65 s → 1.15 s for the
+    # pre-filter stage with norms hoisted here).
+    withn = src.withColumn("n", F.sqrt(similarity._fast_dot(
+        F.col("v"), F.col("v"))))
+    va = withn.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("n").alias("na"))
+    vb = withn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("n").alias("nb"))
+    cand = cand_ids.join(va, "id_a").join(vb, "id_b")
     # Two-stage verification: the decimal-exact cosine is an interpreted
     # higher-order-function expression (no codegen) — running it on every
     # candidate dominated the query. A double-precision pre-filter at
@@ -578,9 +596,14 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
     # over 64 unit-scale products is bounded by ~64*2^-52 ~ 1e-14
     # relative, so no pair with exact cosine >= threshold can score below
     # the margin. The expensive exact cosine then runs only on survivors
-    # (the near-threshold and above set).
+    # (the near-threshold and above set). (An unrolled 64-term element_at
+    # chain and an Arrow pandas-UDF dot were both MEASURED slower/equal:
+    # the unroll falls out of whole-stage codegen at this width, and the
+    # UDF pays Arrow transfer of both vectors — the HOF double dot is the
+    # fastest JVM-side form.)
     fast = cand.withColumn(
-        "__fc", similarity._fast_cosine(F.col("va"), F.col("vb")))
+        "__fc", similarity._fast_dot(F.col("va"), F.col("vb"))
+        / (F.col("na") * F.col("nb")))
     survivors = fast.filter(F.col("__fc") >= threshold - 1e-6)
     scored = survivors.select(
         "id_a", "id_b",
