@@ -7,12 +7,14 @@ UDFs).
 
 Decode coverage:
 - REAL, pure-Python (no third-party codec): PNG (stdlib zlib inflate of
-  the IDAT stream + numpy scanline unfiltering — the single most common
-  real-corpus format needs no external codec), BMP and PPM/PGM image
-  headers + pixel-histogram features; WAV (RIFF) audio headers +
+  the IDAT stream + numpy scanline unfiltering) and baseline JPEG
+  (marker walk, Huffman entropy decode, dequant + numpy IDCT, chroma
+  upsample, YCbCr->RGB — functions/jpeg.py; together these two cover
+  the overwhelming majority of real image corpora), BMP and PPM/PGM
+  image headers + pixel-histogram features; WAV (RIFF) audio headers +
   numpy-FFT band-energy features.
-- STUBBED (codec genuinely unavailable in this container): JPEG (PIL),
-  compressed audio, and video codec frames (ffmpeg). Those raise
+- STUBBED (codec genuinely unavailable in this container): progressive
+  JPEG, compressed audio, and video codec frames (ffmpeg). Those raise
   NotImplementedError; `fake=True` substitutes a deterministic fake
   decoder so the Spark-side plumbing (schema, batching, partitioning)
   stays fully real and testable for them.
@@ -289,6 +291,39 @@ def synthesize_png_media(df: DataFrame, side: int = 8) -> DataFrame:
         _synth, "media_id long, data binary")
 
 
+def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
+    """Deterministic REAL mixed-codec fixture synthesis: even media_ids
+    become PNGs (media_id-cycled filter types), odd media_ids become
+    baseline JPEGs (4:2:0 subsampling every fourth id, a restart interval
+    every eighth) — so a downstream real decode exercises the zlib
+    unfilter paths AND the Huffman/IDCT/upsample paths in one pass.
+    Arrow-batched mapInPandas; schema matches the (media_id, data) decode
+    input contract."""
+    from ..functions.jpeg import encode_jpeg
+    n = side * side * 3
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                raster = (raw + bytes(n))[:n]
+                m = int(mid)
+                if m % 2:
+                    blob = encode_jpeg(
+                        side, side, raster, subsample=(m % 4 == 1),
+                        restart_interval=1 if m % 8 == 1 else 0)
+                else:
+                    blob = encode_png(side, side, raster, ctype=2,
+                                      filters=[(m // 2) % 5] * side)
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    return df.select("media_id", "data").mapInPandas(
+        _synth, "media_id long, data binary")
+
+
 def _pixel_histogram(pixels: bytes, bins: int = 8) -> list[float]:
     """Normalized byte-value histogram over the raster — a real, decoder-
     independent image feature (deterministic; no codec needed for the
@@ -304,16 +339,20 @@ def _pixel_histogram(pixels: bytes, bins: int = 8) -> list[float]:
 def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
     if raw[:8] == _PNG_SIG:
         w, h, pixels = _parse_png(raw)
+    elif raw[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+        w, h, pixels = decode_jpeg(raw)
     elif raw[:2] == b"BM":
         w, h, pixels = _parse_bmp(raw)
     elif raw[:2] in (b"P6", b"P5"):
         w, h, pixels = _parse_ppm(raw)
     else:
         raise NotImplementedError(
-            f"unsupported image magic {raw[:4]!r}: only PNG (pure-Python "
-            "zlib+numpy decode) and uncompressed BMP/PPM/PGM decode "
-            "without a third-party codec (PIL not installed); pass "
-            "fake=True for the deterministic test decoder")
+            f"unsupported image magic {raw[:4]!r}: PNG and baseline JPEG "
+            "(pure-Python codecs, functions/jpeg.py) and uncompressed "
+            "BMP/PPM/PGM decode without a third-party library; progressive "
+            "JPEG raises from the codec; pass fake=True for the "
+            "deterministic test decoder")
     return w, h, _pixel_histogram(pixels)
 
 

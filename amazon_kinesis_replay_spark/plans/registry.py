@@ -1354,16 +1354,17 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas REAL image decode over binary media
     columns: document text bytes are synthesized into genuine PNG
-    payloads (pure-Python encoder, media_id-cycled filter types), then
-    decoded by the real pure-Python PNG decoder (zlib inflate + numpy
-    unfiltering) — the whole zlib round-trip runs at the gate, not a
-    fake. Rows-only check: inflate/unfilter is not SQL-expressible; the
-    pixel-exactness ground truth lives in
-    test_multimodal_real_png_decode's encoder/decoder round-trip."""
+    payloads (even doc_ids; media_id-cycled filter types) and genuine
+    baseline JPEGs (odd doc_ids; 4:2:0 and restart-interval variants),
+    then decoded by the real pure-Python codecs — the whole zlib
+    round-trip AND the Huffman/IDCT/upsample pipeline run at the gate,
+    not a fake. Rows-only check: neither codec is SQL-expressible; the
+    pixel-exactness ground truth lives in the PNG round-trip test and
+    the JPEG spec-constant + libjpeg cross-decode tests."""
     ensure_engine_conf(spark)
     from ..operators import multimodal
     d = load(spark, sf_dir, "documents")
-    media = multimodal.synthesize_png_media(
+    media = multimodal.synthesize_image_media(
         d.select(F.col("doc_id").alias("media_id"),
                  F.encode("text", "UTF-8").alias("data")))
     return multimodal.decode_images(media) \
