@@ -21,8 +21,10 @@ ENGINE_RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # The events fixture stores TIMESTAMP(NANOS) parquet, which Spark's
+    # Older events fixtures stored TIMESTAMP(NANOS) parquet, which Spark's
     # vectorized reader rejects; read as long and convert (tables.load).
+    # Harmless for the current TIMESTAMP(MICROS) fixtures, kept so either
+    # physical type loads (tables.load normalizes both to TimestampType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

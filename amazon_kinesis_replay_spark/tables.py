@@ -46,15 +46,27 @@ def load(spark: SparkSession, sf_dir: str, name: str,
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_engine_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    # `events.ts` is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces
-    # as epoch-nanos BIGINT — convert to microsecond TimestampType exactly
-    # the way DuckDB does (integer truncation), keeping the oracle aligned.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(df.dtypes).get("ts")
+    # `events.ts` has shipped as two physical parquet types across driver
+    # versions; normalize BOTH to microsecond TimestampType (UTC session TZ)
+    # so downstream unix_millis/window expressions stay valid and the DuckDB
+    # oracle (which reads the same file as TIMESTAMP) stays aligned:
+    #  * TIMESTAMP(NANOS): with nanosAsLong it surfaces as epoch-nanos
+    #    BIGINT — integer-truncate ns->us exactly like DuckDB.
+    #  * TIMESTAMP(MICROS, isAdjustedToUTC=0): Spark 4 reads timestamp_ntz —
+    #    cast to timestamp, lossless under the UTC session TZ.
+    if name == "events" and ts_dtype == "bigint":
         if events_min_ts is not None:
             ns = int(_dt.datetime.fromisoformat(events_min_ts)
                      .replace(tzinfo=_dt.timezone.utc).timestamp()) * 1_000_000_000
             df = df.filter(F.col("ts") >= F.lit(ns))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_dtype == "timestamp_ntz":
+        if events_min_ts is not None:
+            # Filter on the raw NTZ column (parquet-pushable) before the cast.
+            df = df.filter(
+                F.col("ts") >= F.lit(events_min_ts).cast("timestamp_ntz"))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     elif events_min_ts is not None and "ts" in df.columns:
         df = df.filter(
             F.col("ts") >= F.lit(events_min_ts).cast("timestamp"))
