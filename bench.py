@@ -53,17 +53,23 @@ def main():
     # min of 3 runs per query: the box is shared, and a single sample can
     # be 40%+ noise from co-tenant load; min-of-N measures the plan, not
     # the neighbors (the r3 verdict flagged ±50% single-shot noise).
+    # ROUND-ROBIN, not back-to-back: noise bursts are temporally
+    # correlated, so three consecutive samples of one query can all land
+    # inside the same burst (observed: a loaded window inflated every
+    # min-of-3 ~3x in r5's driver run). Interleaving spreads each query's
+    # samples across the whole bench duration so the min sees the
+    # quietest window.
     N_RUNS = 3
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        best = None
-        for _ in range(N_RUNS):
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
             t0 = time.monotonic()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            QUERIES[name].fn(spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     # Streaming-engine throughput: pace-free replay of the events table
     # through the driver-mode engine (sort + pacing loop + 500-record
