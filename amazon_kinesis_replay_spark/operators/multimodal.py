@@ -56,6 +56,15 @@ FRAME_SAMPLE_SCHEMA = StructType([
     StructField("frame_sha1", StringType(), True),
 ])
 
+FRAME_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame_sha1", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("features", ArrayType(FloatType()), True),
+])
+
 
 def _fake_decode_image(data: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for a real image decoder: dimensions and an
@@ -291,14 +300,23 @@ def synthesize_png_media(df: DataFrame, side: int = 8) -> DataFrame:
         _synth, "media_id long, data binary")
 
 
+#: Fixed 256-entry RGB palette for synthesized GIF fixtures: index i ->
+#: (i, 255-i, i^0x55) — injective, so any payload byte string is exactly
+#: representable as indexed pixels.
+_GIF_PALETTE = bytes(
+    b for i in range(256) for b in (i, 255 - i, i ^ 0x55))
+
+
 def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
-    """Deterministic REAL mixed-codec fixture synthesis: even media_ids
-    become PNGs (media_id-cycled filter types), odd media_ids become
-    baseline JPEGs (4:2:0 subsampling every fourth id, a restart interval
-    every eighth) — so a downstream real decode exercises the zlib
-    unfilter paths AND the Huffman/IDCT/upsample paths in one pass.
-    Arrow-batched mapInPandas; schema matches the (media_id, data) decode
-    input contract."""
+    """Deterministic REAL mixed-codec fixture synthesis cycling media_id
+    through all three pure-Python codecs: media_id%3==0 becomes a PNG
+    (media_id-cycled filter types), ==1 a baseline JPEG (4:2:0
+    subsampling and restart-interval variants), ==2 a GIF (interlaced
+    every other one) — so a downstream real decode exercises the zlib
+    unfilter paths, the Huffman/IDCT/upsample paths, AND the LZW +
+    deinterlace paths in one pass. Arrow-batched mapInPandas; schema
+    matches the (media_id, data) decode input contract."""
+    from ..functions.gif import encode_gif
     from ..functions.jpeg import encode_jpeg
     n = side * side * 3
 
@@ -307,15 +325,20 @@ def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
             ids, blobs = [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                raster = (raw + bytes(n))[:n]
                 m = int(mid)
-                if m % 2:
+                if m % 3 == 1:
+                    raster = (raw + bytes(n))[:n]
                     blob = encode_jpeg(
-                        side, side, raster, subsample=(m % 4 == 1),
-                        restart_interval=1 if m % 8 == 1 else 0)
+                        side, side, raster, subsample=(m % 6 == 1),
+                        restart_interval=1 if m % 12 == 1 else 0)
+                elif m % 3 == 2:
+                    indices = (raw + bytes(side * side))[:side * side]
+                    blob = encode_gif(side, side, indices, _GIF_PALETTE,
+                                      interlace=(m % 6 == 2))
                 else:
+                    raster = (raw + bytes(n))[:n]
                     blob = encode_png(side, side, raster, ctype=2,
-                                      filters=[(m // 2) % 5] * side)
+                                      filters=[(m // 3) % 5] * side)
                 ids.append(mid)
                 blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "data": blobs})
@@ -342,17 +365,20 @@ def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
     elif raw[:2] == b"\xff\xd8":
         from ..functions.jpeg import decode_jpeg
         w, h, pixels = decode_jpeg(raw)
+    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import decode_gif
+        w, h, pixels = decode_gif(raw)
     elif raw[:2] == b"BM":
         w, h, pixels = _parse_bmp(raw)
     elif raw[:2] in (b"P6", b"P5"):
         w, h, pixels = _parse_ppm(raw)
     else:
         raise NotImplementedError(
-            f"unsupported image magic {raw[:4]!r}: PNG and baseline JPEG "
-            "(pure-Python codecs, functions/jpeg.py) and uncompressed "
-            "BMP/PPM/PGM decode without a third-party library; progressive "
-            "JPEG raises from the codec; pass fake=True for the "
-            "deterministic test decoder")
+            f"unsupported image magic {raw[:4]!r}: PNG, baseline JPEG, and "
+            "GIF (pure-Python codecs, functions/jpeg.py + functions/gif.py) "
+            "and uncompressed BMP/PPM/PGM decode without a third-party "
+            "library; progressive JPEG raises from the codec; pass "
+            "fake=True for the deterministic test decoder")
     return w, h, _pixel_histogram(pixels)
 
 
@@ -421,13 +447,54 @@ def _parse_avi_frames(raw: bytes) -> list[bytes]:
     return frames
 
 
-def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+def encode_avi_mjpeg(frames: list[bytes], width: int = 0,
+                     height: int = 0, fps: int = 25) -> bytes:
+    """Minimal REAL RIFF/AVI MJPEG container around per-frame JPEG blobs:
+    hdrl LIST (avih + one video strl with fourcc MJPG) + movi LIST of
+    '00dc' chunks. Every chunk is word-aligned and sized per RIFF rules,
+    so any conformant AVI walker (including _parse_avi_frames) recovers
+    the frames byte-exactly. Fixture/round-trip use: pair with
+    functions/jpeg.encode_jpeg for fully synthetic MJPEG videos."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = 1_000_000 // max(fps, 1)
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, len(frames), 0, 1, 0,
+                       width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+            + struct.pack("<HHI", 0, 0, 0)
+            + struct.pack("<7I", 1, fps, 0, len(frames), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False,
+                  decode_frames: bool = False) -> DataFrame:
     """Frame-sample video payloads (every_n-th frame) via mapInPandas.
 
     The real path chunk-walks RIFF/AVI containers and samples the actual
     '00db'/'00dc' frame chunks; compressed containers (mp4/mkv need
     ffmpeg) raise NotImplementedError from the kernel. fake=True treats
-    each 1 KiB slice of any payload as one 'frame'."""
+    each 1 KiB slice of any payload as one 'frame'.
+
+    decode_frames=True additionally DECODES each sampled frame — MJPEG
+    ('dc' chunks carrying JPEG entropy streams, the one compressed video
+    codec implementable without ffmpeg, via functions/jpeg.py) or an
+    embedded PNG/GIF/BMP still — and emits (width, height, features)
+    per frame next to the sha1. Sample-then-decode is the scale shape:
+    the every_n stride prunes BEFORE the expensive per-frame decode, so
+    a 1000x-frame corpus pays decode on 1/every_n of its frames."""
 
     def _real_frames(raw: bytes) -> list[bytes]:
         if raw[:4] != b"RIFF":
@@ -456,6 +523,29 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
                         hashlib.sha1(frames[idx]).hexdigest())
             yield pd.DataFrame(rows)
 
+    def _sample_decode(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_sha1": [],
+                    "width": [], "height": [], "features": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                frames = frames_of(raw)
+                for idx in range(0, len(frames), every_n):
+                    frame = frames[idx]
+                    w, h, feats = _real_decode_image(frame)
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_sha1"].append(
+                        hashlib.sha1(frame).hexdigest())
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["features"].append(feats)
+            yield pd.DataFrame(rows)
+
+    if decode_frames:
+        return df.select("media_id", "data").mapInPandas(
+            _sample_decode, FRAME_FEATURES_SCHEMA)
     return df.select("media_id", "data").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
 
 

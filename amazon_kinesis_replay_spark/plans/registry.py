@@ -1353,14 +1353,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas REAL image decode over binary media
-    columns: document text bytes are synthesized into genuine PNG
-    payloads (even doc_ids; media_id-cycled filter types) and genuine
-    baseline JPEGs (odd doc_ids; 4:2:0 and restart-interval variants),
-    then decoded by the real pure-Python codecs — the whole zlib
-    round-trip AND the Huffman/IDCT/upsample pipeline run at the gate,
-    not a fake. Rows-only check: neither codec is SQL-expressible; the
-    pixel-exactness ground truth lives in the PNG round-trip test and
-    the JPEG spec-constant + libjpeg cross-decode tests."""
+    columns: document text bytes are synthesized into genuine PNGs
+    (doc_id%3==0; media_id-cycled filter types), baseline JPEGs (==1;
+    4:2:0 and restart-interval variants), and GIFs (==2; interlaced
+    variants), then decoded by the real pure-Python codecs — the zlib
+    unfilter round-trip, the Huffman/IDCT/upsample pipeline, AND the
+    LZW + deinterlace pipeline all run at the gate, not a fake.
+    Rows-only check: none of the codecs is SQL-expressible; the
+    pixel-exactness ground truth lives in the codec round-trip tests
+    plus the libjpeg/libgif foreign-fixture cross-decode tests."""
     ensure_engine_conf(spark)
     from ..operators import multimodal
     d = load(spark, sf_dir, "documents")

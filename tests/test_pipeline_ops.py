@@ -690,3 +690,144 @@ def test_pii_redact_crafted_strings(spark):
     assert out[4]["n_redactions"] == 0
     assert out[5]["clean_text"] == "mix: <EMAIL> from <IP> dial <PHONE> ok"
     assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 1, 1)
+
+
+# --------------------------------------------------------------------------
+# GIF codec + MJPEG frame decode
+# --------------------------------------------------------------------------
+
+
+def test_gif_codec_round_trip():
+    """decode(encode(x)) == x for the LZW layer (through table growth and
+    the 12-bit/4096-entry freeze) and the full container — non-interlaced,
+    interlaced, and transparent variants — plus loud failure modes."""
+    import random
+
+    import pytest
+    from amazon_kinesis_replay_spark.functions.gif import (
+        _lzw_decode, _lzw_encode, decode_gif, encode_gif)
+
+    rng = random.Random(7)
+    for n in (1, 10, 1000, 80000):        # 80k forces the table freeze
+        for alpha in (2, 17, 256):
+            idx = bytes(rng.randrange(alpha) for _ in range(n))
+            mcs = max(2, (alpha - 1).bit_length())
+            assert _lzw_decode(mcs, _lzw_encode(mcs, idx), n) == idx
+
+    pal = bytes(range(48))                 # 16 colors
+    for interlace in (False, True):
+        idx = bytes(rng.randrange(16) for _ in range(20 * 13))
+        w, h, rgb = decode_gif(encode_gif(20, 13, idx, pal,
+                                          interlace=interlace))
+        assert (w, h) == (20, 13)
+        assert rgb == b"".join(pal[3 * c:3 * c + 3] for c in idx)
+
+    # transparent pixels show the background (palette entry 0)
+    idx = bytes([1, 2, 3, 2] * 25)
+    _, _, rgb = decode_gif(encode_gif(10, 10, idx, pal, transparent_idx=2))
+    assert rgb == b"".join(pal[0:3] if c == 2 else pal[3 * c:3 * c + 3]
+                           for c in idx)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE")
+    whole = encode_gif(4, 4, bytes(16), pal)
+    with pytest.raises(ValueError, match="truncated|trunc|no image"):
+        decode_gif(whole[:20])
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(2, 2, bytes(4), b"\x00" * 9)    # 3 colors: not a power of 2
+
+
+def test_gif_decodes_foreign_encoder_files():
+    """Cross-encoder witness: decode GIFs produced by REAL encoders
+    (CPython test/idlelib fixtures), and cross-CODEC witness: CPython
+    ships the same 16x16 logo as python.gif and python.jpg — this repo's
+    independent GIF and JPEG decoders must produce strongly correlated
+    rasters."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+    from amazon_kinesis_replay_spark.functions.gif import decode_gif
+
+    roots = glob.glob("/root/.pyenv/versions/3.1*/lib/python3.1*")
+    fixtures = sorted(
+        p for r in roots
+        for p in glob.glob(f"{r}/idlelib/Icons/*.gif")
+        + glob.glob(f"{r}/test/**/*.gif", recursive=True))
+    if not fixtures:
+        pytest.skip("no system GIF fixtures available")
+    decoded = 0
+    for p in fixtures[:10]:
+        w, h, rgb = decode_gif(open(p, "rb").read())
+        assert w > 0 and h > 0 and len(rgb) == w * h * 3
+        decoded += 1
+    assert decoded >= 1
+
+    jpg = next((p for r in roots for p in
+                glob.glob(f"{r}/test/**/python.jpg", recursive=True)), None)
+    gif = next((p for p in fixtures if p.endswith("python.gif")), None)
+    if jpg and gif and os.path.exists(jpg):
+        from amazon_kinesis_replay_spark.functions.jpeg import decode_jpeg
+        wg, hg, pg = decode_gif(open(gif, "rb").read())
+        wj, hj, pj = decode_jpeg(open(jpg, "rb").read())
+        assert (wg, hg) == (wj, hj) == (16, 16)
+        a = np.frombuffer(pg, np.uint8).astype(int)
+        b = np.frombuffer(pj, np.uint8).astype(int)
+        assert np.corrcoef(a, b)[0, 1] > 0.85
+
+
+def test_multimodal_real_gif_decode(spark):
+    """REAL GIF decode through the Spark gate: LZW + deinterlace recover
+    the exact source raster (asserted via histogram features), and the
+    three-codec synthesis mix routes every media_id to a decodable
+    payload."""
+    import pytest
+    from amazon_kinesis_replay_spark.functions.gif import encode_gif
+
+    pal = multimodal._GIF_PALETTE
+    idx = bytes(range(64))
+    rgb = b"".join(pal[3 * c:3 * c + 3] for c in idx)
+    exp = multimodal._pixel_histogram(rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_gif(8, 8, idx, pal))),
+         (2, bytearray(encode_gif(8, 8, idx, pal, interlace=True)))],
+        "media_id long, data binary")
+    out = {r["media_id"]: r for r in multimodal.decode_images(media).collect()}
+    for mid in (1, 2):
+        assert (out[mid]["width"], out[mid]["height"]) == (8, 8)
+        assert out[mid]["features"] == pytest.approx(exp, abs=1e-6)
+
+    # the mixed synthesis covers PNG/JPEG/GIF and every payload decodes
+    src = spark.range(9).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload "), F.col("id")), "UTF-8")
+        .alias("data"))
+    mixed = multimodal.synthesize_image_media(src)
+    decoded = multimodal.decode_images(mixed).collect()
+    assert len(decoded) == 9
+    assert all((r["width"], r["height"]) == (8, 8) for r in decoded)
+
+
+def test_multimodal_mjpeg_frame_decode(spark):
+    """REAL MJPEG video path: a RIFF/AVI container of genuine baseline
+    JPEG frames, frame-sampled AND pixel-decoded in one mapInPandas pass
+    (sample-then-decode: the stride prunes before the expensive decode).
+    Frame hashes must match the true JPEG bytes and every sampled frame
+    yields real dimensions + features."""
+    import hashlib
+
+    from amazon_kinesis_replay_spark.functions.jpeg import encode_jpeg
+
+    frames = [encode_jpeg(8, 8, bytes((i * 7 + j) % 256 for j in range(192)))
+              for i in range(7)]
+    avi = multimodal.encode_avi_mjpeg(frames, 8, 8)
+    media = spark.createDataFrame([(5, bytearray(avi))],
+                                  "media_id long, data binary")
+    out = {r["frame_idx"]: r for r in multimodal.sample_frames(
+        media, every_n=3, decode_frames=True).collect()}
+    assert sorted(out) == [0, 3, 6]
+    for idx, r in out.items():
+        assert r["frame_sha1"] == hashlib.sha1(frames[idx]).hexdigest()
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["features"]) == 8 and abs(sum(r["features"]) - 1) < 1e-5
