@@ -260,6 +260,61 @@ def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
     (assigned.write.mode("overwrite")
      .partitionBy("centroid_id").parquet(path + "/vectors"))
     cents.write.mode("overwrite").parquet(path + "/centroids")
+    # Trained-size watermark for the re-train policy; counting the
+    # just-written parquet is a footer-only job (no data read).
+    spark = emb.sparkSession
+    n = spark.read.parquet(path + "/vectors").count()
+    spark.createDataFrame([(n, n_centroids)],
+                          "n_at_train long, n_centroids int") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
+                            train_iters: int = 2) -> bool:
+    """Periodic re-train policy for a persisted IVF index (the drift half
+    of the append story: ivf_index_append keeps the centroid geometry
+    frozen, so appended mass degrades list balance and probe recall over
+    time).
+
+    Trigger: rows appended since the last train exceed growth_threshold
+    of the trained size (row counts come from parquet footers — a
+    metadata-scale job, no data read). An index without a meta table
+    (pre-policy layout) is treated as due. On trigger: re-train k-means
+    on the full corpus, rebuild into a staging directory, then swap via
+    filesystem rename — readers see the old index until the swap (on
+    object stores without atomic rename, version the index path instead;
+    the staging/swap here matches HDFS/local semantics).
+
+    Returns True iff a re-train ran.
+    """
+    vecs = spark.read.parquet(path + "/vectors")
+    n_now = vecs.count()
+    try:
+        meta = spark.read.parquet(path + "/meta").head()
+        n_at_train, n_cent = meta["n_at_train"], meta["n_centroids"]
+    except Exception:
+        n_at_train, n_cent = None, None
+    if n_at_train is not None:
+        if (n_now - n_at_train) <= growth_threshold * max(n_at_train, 1):
+            return False
+    if n_cent is None:
+        n_cent = spark.read.parquet(path + "/centroids").count()
+
+    emb = vecs.select(F.col("id").alias("vec_id"),
+                      F.col("vec").alias("embedding"))
+    staging = path + "/.retrain-staging"
+    ivf_index_write(emb, staging, n_centroids=int(n_cent),
+                    train_iters=train_iters)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for sub in ("vectors", "centroids", "meta"):
+        fs.delete(hpath(f"{path}/{sub}"), True)
+        if not fs.rename(hpath(f"{staging}/{sub}"), hpath(f"{path}/{sub}")):
+            raise IOError(f"index swap failed renaming {sub} into {path}")
+    fs.delete(hpath(staging), True)
+    return True
 
 
 def ivf_index_append(spark, emb_new: DataFrame, path: str,

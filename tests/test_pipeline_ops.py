@@ -831,3 +831,49 @@ def test_multimodal_mjpeg_frame_decode(spark):
         assert r["frame_sha1"] == hashlib.sha1(frames[idx]).hexdigest()
         assert (r["width"], r["height"]) == (8, 8)
         assert len(r["features"]) == 8 and abs(sum(r["features"]) - 1) < 1e-5
+
+
+def test_ivf_index_retrain_policy(spark, sf_dir, tmp_path):
+    """The re-train policy must hold below the growth threshold, fire
+    above it (footer-count trigger), rebuild the index on the FULL
+    corpus via the staging swap, refresh the trained-size watermark, and
+    leave the index probe-able (an appended clone of the query still
+    surfaces at the top after the rebuild moves it to a trained list)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    index = str(tmp_path / "ivf")
+    similarity.ivf_index_write(base, index, n_centroids=8, train_iters=1)
+    meta0 = spark.read.parquet(index + "/meta").head()
+    assert meta0["n_at_train"] == base.count()
+
+    # small append: growth below threshold -> no retrain, meta unchanged
+    small = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320))
+    similarity.ivf_index_append(spark, small, index)
+    assert similarity.ivf_index_maybe_retrain(
+        spark, index, growth_threshold=0.5) is False
+    assert spark.read.parquet(index + "/meta").head()["n_at_train"] \
+        == meta0["n_at_train"]
+
+    # big append (incl. a clone of vec 0): growth over threshold -> retrain
+    clone = (emb.filter(F.col("vec_id") == 0)
+             .select(F.lit(999999).alias("vec_id"), "embedding", "label"))
+    big = emb.filter(F.col("vec_id") >= 320).unionByName(clone)
+    similarity.ivf_index_append(spark, big, index)
+    n_total = spark.read.parquet(index + "/vectors").count()
+    assert similarity.ivf_index_maybe_retrain(
+        spark, index, growth_threshold=0.5) is True
+    meta1 = spark.read.parquet(index + "/meta").head()
+    assert meta1["n_at_train"] == n_total            # watermark refreshed
+    assert meta1["n_centroids"] == 8
+    assert spark.read.parquet(index + "/vectors").count() == n_total
+    import os
+    assert not os.path.exists(index + "/.retrain-staging")
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_probe_topk(spark, index, q, k=3, n_probe=2).collect()
+    assert {r["vec_id"] for r in top[:2]} == {0, 999999}
+
+    # immediately after a retrain the policy is quiescent again
+    assert similarity.ivf_index_maybe_retrain(
+        spark, index, growth_threshold=0.5) is False
