@@ -126,6 +126,42 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(text_col: Column) -> dict[str, Column]:
+    """Gopher/RefinedWeb-style repetition + structure quality signals,
+    all O(doc length) array/regex expressions (no explode, no shuffle —
+    the profile query stays one narrow codegen'd projection):
+
+    - dup_line_frac / dup_para_frac: fraction of lines (newline split) /
+      paragraphs (blank-line split) that are exact duplicates of an
+      earlier one — the classic boilerplate/spam signal the Gopher rules
+      filter at >0.30 / >0.30.
+    - bullet_line_frac / ellipsis_line_frac: fraction of lines starting
+      with a bullet or ending with an ellipsis (RefinedWeb filters at
+      >0.90 / >0.30) — listicle/truncation shapes.
+    - mean_word_len: non-whitespace chars per whitespace token; degenerate
+      corpora fall far outside the 3..10 band real pipelines keep.
+    """
+    lines = F.split(text_col, "\n")
+    paras = F.split(text_col, r"\n\s*\n")
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+
+    def dup_frac(arr: Column, n: Column) -> Column:
+        return (n - F.size(F.array_distinct(arr))).cast("double") / n
+
+    bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]")))
+    ellips = F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$")))
+    n_tok = token_count(text_col)
+    solid = F.length(F.regexp_replace(text_col, r"\s+", ""))
+    return {
+        "dup_line_frac": dup_frac(lines, n_lines),
+        "dup_para_frac": dup_frac(paras, n_paras),
+        "bullet_line_frac": bullet.cast("double") / n_lines,
+        "ellipsis_line_frac": ellips.cast("double") / n_lines,
+        "mean_word_len": solid.cast("double") / n_tok,
+    }
+
+
 def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
     (Content-defined rolling-hash chunking reduces to the same normalize+

@@ -961,13 +961,16 @@ def q_doc_text_profile(spark, sf_dir):
     r2 verdict item 1): token counting (whitespace + BPE-ish estimate),
     language-ID (stopword-ratio heuristic — swap in fastText via Pandas
     UDF without changing the plan), quality features + composite score,
-    md5 fingerprinting, and the scalar string-function suite (case map /
-    substring / trim-length / regexp replace / levenshtein). All pure
-    column expressions — one narrow projection, whole-stage codegen, zero
-    Python."""
+    md5 fingerprinting, the scalar string-function suite (case map /
+    substring / trim-length / regexp replace / levenshtein), and the
+    Gopher/RefinedWeb repetition + structure signals (duplicate line /
+    paragraph fractions, bullet / ellipsis line fractions, mean word
+    length — text.repetition_features). All pure column expressions —
+    one narrow projection, whole-stage codegen, zero Python."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
+    rep = text.repetition_features(t)
     n_tok = text.token_count(t)
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -993,7 +996,12 @@ def q_doc_text_profile(spark, sf_dir):
         F.length(F.trim(t)).cast("long").alias("len_trimmed"),
         F.regexp_replace(head, "a", "@").alias("head_subst"),
         F.levenshtein(head, F.lit("the quick brown fox jump"))
-        .cast("long").alias("lev_to_probe"))
+        .cast("long").alias("lev_to_probe"),
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        rep["dup_para_frac"].alias("dup_para_frac"),
+        rep["bullet_line_frac"].alias("bullet_line_frac"),
+        rep["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        rep["mean_word_len"].alias("mean_word_len"))
 
 
 def q_doc_pii_redact(spark, sf_dir):
@@ -1079,7 +1087,28 @@ _ORACLES_TEXT = {
                regexp_replace(substring(text, 1, 24), 'a', '@', 'g') AS head_subst,
                CAST(levenshtein(substring(text, 1, 24),
                                 'the quick brown fox jump') AS BIGINT)
-                   AS lev_to_probe
+                   AS lev_to_probe,
+               CAST(len(regexp_split_to_array(text, '\n'))
+                    - len(list_distinct(regexp_split_to_array(text, '\n')))
+                    AS DOUBLE)
+                   / len(regexp_split_to_array(text, '\n')) AS dup_line_frac,
+               CAST(len(regexp_split_to_array(text, '\n\s*\n'))
+                    - len(list_distinct(regexp_split_to_array(text, '\n\s*\n')))
+                    AS DOUBLE)
+                   / len(regexp_split_to_array(text, '\n\s*\n'))
+                   AS dup_para_frac,
+               CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                                    ln -> regexp_matches(ln, '^\s*[-*•]')))
+                    AS DOUBLE)
+                   / len(regexp_split_to_array(text, '\n'))
+                   AS bullet_line_frac,
+               CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                                    ln -> regexp_matches(ln, '\.\.\.\s*$')))
+                    AS DOUBLE)
+                   / len(regexp_split_to_array(text, '\n'))
+                   AS ellipsis_line_frac,
+               CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / n_tokens AS mean_word_len
         FROM feat
     """,
 }

@@ -877,3 +877,41 @@ def test_ivf_index_retrain_policy(spark, sf_dir, tmp_path):
     # immediately after a retrain the policy is quiescent again
     assert similarity.ivf_index_maybe_retrain(
         spark, index, growth_threshold=0.5) is False
+
+
+def test_repetition_features_crafted(spark):
+    """Gopher/RefinedWeb repetition signals on crafted documents: exact
+    duplicate-line/paragraph fractions, bullet/ellipsis line fractions,
+    and mean word length — including the degenerate single-line and
+    blank-document shapes."""
+    from amazon_kinesis_replay_spark.operators import text as T
+
+    docs = [
+        # 4 lines, "dup dup" repeated twice -> 1 duplicate line of 4
+        (1, "dup dup\nunique one\ndup dup\nlast line"),
+        # bullets on 3 of 4 lines; one ellipsis ending
+        (2, "- item one\n* item two\n• item three\nplain tail..."),
+        # two identical paragraphs split by a blank line
+        (3, "para text here\n\npara text here"),
+        # single line, no structure
+        (4, "just one line of text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rep = T.repetition_features(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in rep.items()]).collect()}
+
+    assert out[1]["dup_line_frac"] == 0.25            # 1 dup of 4 lines
+    assert out[1]["dup_para_frac"] == 0.0
+    assert out[2]["bullet_line_frac"] == 0.75
+    assert out[2]["ellipsis_line_frac"] == 0.25
+    assert out[3]["dup_para_frac"] == 0.5             # 1 dup of 2 paras
+    assert out[3]["dup_line_frac"] == pytest_approx(1 / 3)  # blank+2 same
+    assert out[4]["dup_line_frac"] == 0.0
+    # "just one line of text": 17 solid chars / 5 tokens
+    assert out[4]["mean_word_len"] == pytest_approx(17 / 5)
+
+
+def pytest_approx(x, tol=1e-12):
+    import pytest
+    return pytest.approx(x, abs=tol)
