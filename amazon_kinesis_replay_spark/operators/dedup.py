@@ -427,6 +427,47 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return _verify_jaccard(arrays, cand, threshold)
 
 
+def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
+                              split_col: str, k: int = 3,
+                              train_value: str = "train") -> DataFrame:
+    """Train/eval contamination detection — the decontamination pass every
+    LLM data pipeline runs before publishing a split: an eval document is
+    contaminated iff it shares at least one word k-shingle with ANY
+    training document.
+
+    Output: (id, n_shared_train_grams, contaminated) for every document;
+    train rows carry (0, false) so the result unions cleanly onto the
+    split table.
+
+    Plan shape: one shingle pass (the shared shingle_arrays kernel), the
+    distinct train-gram table (map-side-combinable distinct), then a
+    LEFT SEMI equi-join of eval (id, shingle) rows against it and a
+    per-doc count — every step a hash-partitioned join/agg on bounded
+    keys, no cross join, so the plan survives a 100 TB corpus. The join
+    keys with xxhash64(shingle) and keeps the string as an equality
+    residual: partitioning shuffles 8-byte longs, correctness never
+    depends on collision freedom (mirrors the PPJoin key discussion in
+    ngram_jaccard_pairs)."""
+    arrays = shingle_arrays(df, id_col, text_col, k)
+    labels = df.select(F.col(id_col).alias("id"), F.col(split_col))
+    sh = (arrays.select("id", F.explode("shs").alias("shingle"))
+          .withColumn("sid", F.xxhash64("shingle"))
+          .join(labels, "id"))
+    is_train = F.col(split_col) == train_value
+    train_g = sh.filter(is_train).select("sid", "shingle").distinct()
+    hits = (sh.filter(~is_train)
+            .join(train_g, ["sid", "shingle"], "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("__n_shared")))
+    return (labels.join(hits, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("__n_shared"), F.lit(0)).cast("long")
+                    .alias("n_shared_train_grams"),
+                    (~is_train & (F.coalesce(F.col("__n_shared"),
+                                             F.lit(0)) > 0))
+                    .alias("contaminated")))
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1016,14 +1016,24 @@ def q_doc_pii_redact(spark, sf_dir):
 def q_doc_train_split(spark, sf_dir):
     """Deterministic train/valid/test split by multiplicative hashing of
     doc_id (80/10/10) — reproducible across engines and runs, no RNG
-    state; the split a training pipeline pins alongside its data."""
+    state; the split a training pipeline pins alongside its data — PLUS
+    the decontamination pass over that split (merged into this entry to
+    stay inside the 50-query window): per document, the count of word
+    3-shingles shared with ANY train document, and the contaminated
+    flag for valid/test rows (dedup.cross_split_contamination; shingle
+    join keyed on xxhash64 with string residual, scale-safe)."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
     bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)).cast("long")
-    return d.select(
+    split = d.select(
         "doc_id", bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "valid")
-        .otherwise("test").alias("split"))
+        .otherwise("test").alias("split"), "text")
+    cont = dedup.cross_split_contamination(
+        split, "doc_id", "text", "split", k=3)
+    return (split.join(cont, split["doc_id"] == cont["id"])
+            .select("doc_id", "bucket", "split",
+                    "n_shared_train_grams", "contaminated"))
 
 
 _ORACLES_TEXT = {
@@ -1054,14 +1064,6 @@ _ORACLES_TEXT = {
         SELECT doc_id, clean_text, n_emails, n_ips, n_phones,
                n_emails + n_ips + n_phones AS n_redactions
         FROM s3
-    """,
-    "doc_train_split": """
-        SELECT doc_id,
-               CAST((doc_id * 2654435761) % 100 AS BIGINT) AS bucket,
-               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
-                    ELSE 'test' END AS split
-        FROM documents
     """,
     "doc_text_profile": rf"""
         WITH feat AS (
@@ -1136,6 +1138,34 @@ _SHINGLE_SQL = r"""
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
 """
+
+# doc_train_split's oracle needs _SHINGLE_SQL, which is defined below the
+# _ORACLES_TEXT literal — assigned here, after both exist.
+_ORACLES_TEXT["doc_train_split"] = """
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        sp AS (
+            SELECT doc_id,
+                   CAST((doc_id * 2654435761) % 100 AS BIGINT) AS bucket,
+                   CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents),
+        """ + _SHINGLE_SQL.replace("WITH toks", "toks", 1) + """,
+        train_g AS (
+            SELECT DISTINCT shingle
+            FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+        hits AS (
+            SELECT sh.doc_id, count(*) AS n_shared
+            FROM sh JOIN sp USING (doc_id) JOIN train_g USING (shingle)
+            WHERE sp.split <> 'train'
+            GROUP BY sh.doc_id)
+        SELECT s.doc_id, s.bucket, s.split,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT)
+                   AS n_shared_train_grams,
+               (s.split <> 'train' AND coalesce(h.n_shared, 0) > 0)
+                   AS contaminated
+        FROM sp s LEFT JOIN hits h USING (doc_id)
+    """
 
 _JACCARD_ORACLE = ("WITH corpus AS (SELECT doc_id, text FROM documents), "
                    + _SHINGLE_SQL.replace("WITH toks", "toks", 1) + """

@@ -915,3 +915,25 @@ def test_repetition_features_crafted(spark):
 def pytest_approx(x, tol=1e-12):
     import pytest
     return pytest.approx(x, abs=tol)
+
+
+def test_cross_split_contamination_crafted(spark):
+    """Decontamination semantics on crafted docs: an eval doc sharing one
+    3-shingle with any train doc is flagged with the exact shared-gram
+    count; clean eval docs and all train docs carry (0, false)."""
+    rows = [
+        (1, "train", "alpha beta gamma delta"),
+        (2, "train", "red green blue cyan"),
+        (3, "test",  "x alpha beta gamma y"),      # shares 1 train shingle
+        (4, "test",  "one two three four"),        # clean
+        (5, "valid", "red green blue cyan"),       # identical to a train doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    out = {r["id"]: r for r in dedup.cross_split_contamination(
+        df, "doc_id", "text", "split").collect()}
+    assert (out[1]["n_shared_train_grams"], out[1]["contaminated"]) == (0, False)
+    assert (out[2]["n_shared_train_grams"], out[2]["contaminated"]) == (0, False)
+    assert (out[3]["n_shared_train_grams"], out[3]["contaminated"]) == (1, True)
+    assert (out[4]["n_shared_train_grams"], out[4]["contaminated"]) == (0, False)
+    # doc 5 shares BOTH of doc 2's shingles
+    assert (out[5]["n_shared_train_grams"], out[5]["contaminated"]) == (2, True)
