@@ -382,7 +382,13 @@ def q_q5_local_supplier(spark, sf_dir):
     """TPC-H Q5-style: 6-way star join, revenue by nation.
 
     region/nation are broadcast explicitly (fixed tiny cardinality at any
-    SF); the fact-side joins shuffle on their keys with AQE skew handling."""
+    SF); the chain STARTS from lineitem so the fact table is the streamed
+    probe side — with the dimension-first order, size estimates led the
+    planner to build the hashtable over LINEITEM itself (measured 2.2x
+    slower at sf0.1: the fact-side build dominates). Inner joins commute,
+    so the result is identical; AQE still picks build sides by actual
+    size, so at 100 TB the orders/customer joins degrade gracefully to
+    shuffle joins with skew handling."""
     ensure_engine_conf(spark)
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
@@ -392,11 +398,11 @@ def q_q5_local_supplier(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    return (c
+    return (l
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-            .join(o, F.col("o_custkey") == F.col("c_custkey"))
-            .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("s_nationkey") == F.col("c_nationkey")))
             .groupBy("n_name")
