@@ -190,3 +190,24 @@ def test_aggregates_are_partial(spark, name):
     HashAggregate levels around the exchange)."""
     p = _plan(spark, name)
     assert p.count("HashAggregate") >= 2
+
+
+def test_q5_streams_lineitem_not_builds_it(spark):
+    """Q5's fact table must be the streamed probe side: no hashtable is
+    ever built over lineitem (the dimension-first join order let the
+    planner broadcast the fact side — 2.2x slower at sf0.1 and a
+    memory cliff at scale if estimates were ever trusted that way)."""
+    p = _plan(spark, "q5_local_supplier")
+    # no BroadcastExchange subtree whose scan is the lineitem file
+    for m in re.finditer(r"BroadcastExchange[\s\S]{0,2000}?FileScan parquet "
+                         r"\[[^\]]*\][^\n]*", p):
+        assert "lineitem.parquet" not in m.group(0), m.group(0)[-300:]
+
+
+def test_contamination_join_is_hash_on_shingle(spark):
+    """The decontamination semi-join must be a hash/broadcast equi-join on
+    the shingle keys — never a nested-loop — and the split table scan
+    must prune to (doc_id, text)."""
+    p = _plan(spark, "doc_train_split")
+    assert "NestedLoopJoin" not in p
+    assert "LeftSemi" in p
