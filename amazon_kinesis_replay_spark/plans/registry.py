@@ -459,7 +459,10 @@ def q_q7_nation_volume(spark, sf_dir):
 
 def q_q10_returned_items(spark, sf_dir):
     """TPC-H Q10-style returned-item report: revenue lost to returns per
-    customer in a 6-month window, top 20 (TakeOrderedAndProject)."""
+    customer in a 6-month window, top 20 (TakeOrderedAndProject).
+    Chain starts from lineitem so the fact table streams (same rationale
+    and measurement as q5: dimension-first order let the planner build
+    the hashtable over the fact side; 1.21->0.84 s at sf0.1)."""
     ensure_engine_conf(spark)
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
@@ -467,8 +470,8 @@ def q_q10_returned_items(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-            .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
             .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
             .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
