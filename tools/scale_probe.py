@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Scale-linearity probe: run the MinHash dedup pipeline over 1x / 4x / 10x
-synthetic expansions of the documents corpus and report wall time. A
-near-linear curve is the evidence that the LSH plan (explode -> 64 min-aggs
--> band equi-join) has no quadratic term; the exact all-pairs Jaccard would
-blow up 100x at 10x.
+"""Scale-linearity probe: run the MinHash dedup pipeline AND the
+train/eval contamination pass over 1x / 4x / 10x synthetic expansions of
+the documents corpus and report wall time. A near-linear curve is the
+evidence the plans have no quadratic term: MinHash (explode -> min-aggs
+-> band equi-join) vs the exact all-pairs Jaccard that would blow up
+100x at 10x; contamination (shingle pass -> distinct train grams ->
+semi-join) vs the train x eval doc-pair comparison a naive
+implementation runs.
 
 Usage: python tools/scale_probe.py [sf_dir]
 """
@@ -52,6 +55,34 @@ def main():
     base_t = results[0][3]
     for mult, n, pairs, dt in results[1:]:
         print(f"x{mult} scaling factor: {dt / base_t:.2f} "
+              f"(linear would be ~{mult})", flush=True)
+
+    # ---- contamination pass over the same expansions -----------------------
+    results = []
+    for mult in (1, 4, 10):
+        parts = [base]
+        for i in range(1, mult):
+            parts.append(base.select(
+                (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text")))
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        split = corpus.withColumn(
+            "split", F.when(F.pmod(F.col("doc_id"), 10) < 8, "train")
+            .otherwise("test"))
+        n = split.count()
+        t0 = time.monotonic()
+        flagged = (dedup.cross_split_contamination(
+            split, "doc_id", "text", "split")
+            .filter("contaminated").count())
+        dt = time.monotonic() - t0
+        results.append((mult, n, flagged, round(dt, 2)))
+        print(f"contamination x{mult}: {n} docs -> {flagged} flagged "
+              f"in {dt:.2f}s", flush=True)
+    base_t = results[0][3]
+    for mult, n, flagged, dt in results[1:]:
+        print(f"contamination x{mult} scaling factor: {dt / base_t:.2f} "
               f"(linear would be ~{mult})", flush=True)
 
 
