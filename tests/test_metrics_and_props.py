@@ -144,3 +144,29 @@ def test_global_index_boolean_first_key():
     got = {(r["k"], r["uniq"]): r["rn"] for r in out.collect()}
     expect = {t: i + 1 for i, t in enumerate(sorted(rows))}
     assert got == expect
+
+
+@settings(deadline=None, max_examples=40,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    n_colors_log=st.integers(1, 8),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_gif_codec_round_trip_property(w, h, n_colors_log, interlace, data):
+    """Property: decode(encode(indices, palette)) reproduces exactly the
+    palette-mapped raster for ANY size, power-of-two palette, pixel
+    content, and interlace flag — the LZW variable-code-width pairing and
+    the deinterlace reordering have no size-dependent edge cases."""
+    from amazon_kinesis_replay_spark.functions.gif import (
+        decode_gif, encode_gif)
+    n_colors = 1 << n_colors_log
+    palette = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=3 * n_colors, max_size=3 * n_colors)))
+    idx = bytes(data.draw(st.lists(
+        st.integers(0, n_colors - 1), min_size=w * h, max_size=w * h)))
+    got_w, got_h, rgb = decode_gif(
+        encode_gif(w, h, idx, palette, interlace=interlace))
+    assert (got_w, got_h) == (w, h)
+    assert rgb == b"".join(palette[3 * c:3 * c + 3] for c in idx)
