@@ -197,11 +197,35 @@ def with_global_index(df: DataFrame, order_cols: list[str],
     Equivalent result to `row_number() over (order by ...)` but never
     serializes the dataset through a single task.
     """
+    tagged, n_parts = _range_tagged(df, order_cols, num_partitions)
+    cols = [F.col(c) for c in order_cols]
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = (tagged.repartition(n_parts, F.col("__pid"))
+             .withColumn("__local_rn", F.row_number().over(w)))
+    # Offsets from the same literal-bounds pid expression: map-side partial
+    # counts, then a cumsum window over #partitions rows — O(parallelism),
+    # not O(data).
+    off_w = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = (tagged.groupBy("__pid")
+              .agg(F.count("*").alias("__cnt"))
+              .withColumn("__off", F.coalesce(F.sum("__cnt").over(off_w),
+                                              F.lit(0)).cast("long"))
+              .drop("__cnt"))
+    return (local.join(F.broadcast(off_df), "__pid")
+            .withColumn(out_col, F.col("__local_rn") + F.col("__off"))
+            .drop("__pid", "__local_rn", "__off"))
+
+
+def _range_tagged(df: DataFrame, order_cols: list[str],
+                  num_partitions: int | None) -> tuple[DataFrame, int]:
+    """Tag every row with a deterministic range-bucket `__pid` on the first
+    order column (the shared engine of with_global_index /
+    with_global_cumsum; see with_global_index for the scheme discussion)."""
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
     key = _range_bucket_key(df, order_cols[0])
-    cols = [F.col(c) for c in order_cols]
 
     probs = [i / n_parts for i in range(1, n_parts)]
     bounds: list[float] = []
@@ -211,9 +235,10 @@ def with_global_index(df: DataFrame, order_cols: list[str],
         # semantic hash, first key, n_parts) for the session's lifetime.
         # Output-safe even if the underlying files change under the same
         # plan: bounds only place the bucket BOUNDARIES — pid is monotone
-        # in the key and offsets come from actual per-bucket counts, so rn
-        # is identical for ANY bounds; stale bounds can only skew bucket
-        # sizes (the window within the hot bucket still computes correctly).
+        # in the key and offsets come from actual per-bucket aggregates, so
+        # the result is identical for ANY bounds; stale bounds can only
+        # skew bucket sizes (the window within the hot bucket still
+        # computes correctly).
         memo_key = (spark.sparkContext.applicationId,
                     df._jdf.queryExecution().analyzed().semanticHash(),
                     order_cols[0], n_parts)
@@ -231,24 +256,40 @@ def with_global_index(df: DataFrame, order_cols: list[str],
         pid = F.size(F.filter(barr, lambda b: b <= key))
     else:  # empty input, constant key, or a single partition
         pid = F.lit(0)
-    tagged = df.withColumn("__pid", pid)
+    return df.withColumn("__pid", pid), n_parts
 
-    w = Window.partitionBy("__pid").orderBy(*cols)
+
+def with_global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
+                       out_col: str = "cumsum_excl",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Scalable EXCLUSIVE global running sum of `value_col` in `order_cols`
+    order: out = sum of the value over all strictly-earlier rows (0 for the
+    first row). Same partition-offset scheme as with_global_index — the
+    bucket offsets are per-bucket SUMS instead of counts (still
+    O(parallelism) rows through the single-partition window) — so the
+    dataset never serializes through one task, unlike a bare
+    `sum() over (order by ...)`.
+
+    Equivalent result to `coalesce(sum(v) over (order by ... rows between
+    unbounded preceding and 1 preceding), 0)`."""
+    tagged, n_parts = _range_tagged(df, order_cols, num_partitions)
+    cols = [F.col(c) for c in order_cols]
+    w = (Window.partitionBy("__pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
     local = (tagged.repartition(n_parts, F.col("__pid"))
-             .withColumn("__local_rn", F.row_number().over(w)))
-    # Offsets from the same literal-bounds pid expression: map-side partial
-    # counts, then a cumsum window over #partitions rows — O(parallelism),
-    # not O(data).
+             .withColumn("__local_cum",
+                         F.coalesce(F.sum(value_col).over(w),
+                                    F.lit(0)).cast("long")))
     off_w = (Window.orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     off_df = (tagged.groupBy("__pid")
-              .agg(F.count("*").alias("__cnt"))
-              .withColumn("__off", F.coalesce(F.sum("__cnt").over(off_w),
+              .agg(F.sum(value_col).alias("__psum"))
+              .withColumn("__off", F.coalesce(F.sum("__psum").over(off_w),
                                               F.lit(0)).cast("long"))
-              .drop("__cnt"))
+              .drop("__psum"))
     return (local.join(F.broadcast(off_df), "__pid")
-            .withColumn(out_col, F.col("__local_rn") + F.col("__off"))
-            .drop("__pid", "__local_rn", "__off"))
+            .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
+            .drop("__pid", "__local_cum", "__off"))
 
 
 def assign_batches(df: DataFrame, order_cols: list[str],

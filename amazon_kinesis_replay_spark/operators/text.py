@@ -162,6 +162,29 @@ def repetition_features(text_col: Column) -> dict[str, Column]:
     }
 
 
+def pack_sequences(df: DataFrame, id_col: str, token_count_col: str,
+                   seq_len: int = 512,
+                   order_cols: list[str] | None = None,
+                   out_col: str = "pack_id") -> DataFrame:
+    """Greedy-concat sequence packing — the training-data step that
+    concatenates documents in a deterministic order and chunks the token
+    stream into fixed context-length windows (GPT-style packing): a
+    document's pack is the window its FIRST token lands in,
+    pack_id = exclusive-running-token-total div seq_len.
+
+    Distributed via with_global_cumsum (range-bucketed partial sums +
+    O(parallelism) offset window) — never a single-partition global
+    window, so the assignment scales with the corpus. Integer division
+    end to end: exact at any accumulated token count (no double
+    rounding)."""
+    from .replay_ops import with_global_cumsum
+    order = order_cols or [id_col]
+    c = with_global_cumsum(df, order, token_count_col, "__cum_excl")
+    return (c.withColumn(out_col,
+                         F.expr(f"__cum_excl div {int(seq_len)}"))
+            .drop("__cum_excl"))
+
+
 def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
     (Content-defined rolling-hash chunking reduces to the same normalize+

@@ -1030,7 +1030,11 @@ def q_doc_train_split(spark, sf_dir):
     stay inside the 50-query window): per document, the count of word
     3-shingles shared with ANY train document, and the contaminated
     flag for valid/test rows (dedup.cross_split_contamination; shingle
-    join keyed on xxhash64 with string residual, scale-safe)."""
+    join keyed on xxhash64 with string residual, scale-safe) — and the
+    sequence-packing assignment (text.pack_sequences): documents
+    concatenated in doc_id order and chunked into 512-token windows,
+    pack_id = exclusive-running-token-total div 512 via the distributed
+    cumsum (never a single-partition window)."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
     bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)).cast("long")
@@ -1040,9 +1044,14 @@ def q_doc_train_split(spark, sf_dir):
         .otherwise("test").alias("split"), "text")
     cont = dedup.cross_split_contamination(
         split, "doc_id", "text", "split", k=3)
+    packed = text.pack_sequences(
+        split.withColumn("__n_tok", text.token_count(F.col("text"))),
+        "doc_id", "__n_tok", seq_len=512)
     return (split.join(cont, split["doc_id"] == cont["id"])
+            .join(packed.select(F.col("doc_id").alias("__pdoc"), "pack_id"),
+                  split["doc_id"] == F.col("__pdoc"))
             .select("doc_id", "bucket", "split",
-                    "n_shared_train_grams", "contaminated"))
+                    "n_shared_train_grams", "contaminated", "pack_id"))
 
 
 _ORACLES_TEXT = {
@@ -1167,13 +1176,23 @@ _ORACLES_TEXT["doc_train_split"] = """
             SELECT sh.doc_id, count(*) AS n_shared
             FROM sh JOIN sp USING (doc_id) JOIN train_g USING (shingle)
             WHERE sp.split <> 'train'
-            GROUP BY sh.doc_id)
+            GROUP BY sh.doc_id),
+        packs AS (
+            SELECT doc_id,
+                   CAST(coalesce(sum(len(regexp_split_to_array(
+                            trim(lower(text)), '\s+')))
+                        OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0) // 512
+                        AS BIGINT) AS pack_id
+            FROM documents)
         SELECT s.doc_id, s.bucket, s.split,
                CAST(coalesce(h.n_shared, 0) AS BIGINT)
                    AS n_shared_train_grams,
                (s.split <> 'train' AND coalesce(h.n_shared, 0) > 0)
-                   AS contaminated
+                   AS contaminated,
+               p.pack_id
         FROM sp s LEFT JOIN hits h USING (doc_id)
+        JOIN packs p USING (doc_id)
     """
 
 _JACCARD_ORACLE = ("WITH corpus AS (SELECT doc_id, text FROM documents), "

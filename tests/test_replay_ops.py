@@ -131,3 +131,33 @@ def test_window_rate_stats_totals(spark, sf_dir):
     rt = stats.running_total(e, "ts", 20_000)
     last = rt.orderBy(F.col("window_start_ms").desc()).limit(1).collect()[0]
     assert last["running_total"] == e.count()
+
+
+def test_with_global_cumsum_matches_naive_window(spark):
+    """The distributed exclusive cumsum must equal the single-partition
+    `sum() over (order by ...)` reference on shuffled input with ties and
+    zeros, and pack_sequences must chunk the token stream greedily."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from amazon_kinesis_replay_spark.operators import replay_ops, text
+    rng = random.Random(11)
+    rows = [(i, rng.choice([0, 3, 7, 50, 120])) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, v long")
+
+    got = {r["id"]: r["c"] for r in replay_ops.with_global_cumsum(
+        df, ["id"], "v", out_col="c").collect()}
+    ref_w = W.orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+    want = {r["id"]: r["c"] for r in df.withColumn(
+        "c", F.coalesce(F.sum("v").over(ref_w), F.lit(0))).collect()}
+    assert got == want
+
+    packed = {r["id"]: r["pack_id"] for r in text.pack_sequences(
+        df, "id", "v", seq_len=100).collect()}
+    for i, (doc, _v) in enumerate(sorted(rows)):
+        assert packed[doc] == want[doc] // 100
+    # packs are contiguous, non-decreasing in id order
+    seq = [packed[i] for i in range(500)]
+    assert seq == sorted(seq) and seq[0] == 0
