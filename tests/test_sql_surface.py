@@ -1,5 +1,7 @@
 """spark.sql(...) over registered views — the engine's SQL front door."""
 
+from pyspark.sql import functions as F
+
 from amazon_kinesis_replay_spark.plans.sql_views import register_views
 
 
@@ -24,3 +26,25 @@ def test_views_see_canonical_event_schema(spark, sf_dir):
     register_views(spark, sf_dir)
     dtypes = dict(spark.table("events").dtypes)
     assert dtypes["ts"] == "timestamp"   # not raw bigint nanos
+
+
+def test_events_fixture_physical_type_is_handled(spark, sf_dir):
+    """CANARY for the r4/r5 two-round regression: the driver has shipped
+    events.ts as TIMESTAMP(NANOS) and as TIMESTAMP(MICROS,
+    isAdjustedToUTC=0) across rounds; tables.load must normalize WHATEVER
+    the current fixture stores to a usable TimestampType. If this fails,
+    the physical type changed again — extend the normalization branch in
+    tables.load (and keep unix_millis working) before anything else."""
+    import pyarrow.parquet as pq
+
+    from amazon_kinesis_replay_spark.tables import load, table_path
+    arrow_t = pq.ParquetFile(
+        table_path(sf_dir, "events")).schema_arrow.field("ts").type
+    e = load(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp", (
+        f"events.ts arrived as {dict(e.dtypes)['ts']!r} "
+        f"(physical {arrow_t}) — tables.load does not normalize this "
+        "physical type; add a branch for it")
+    # the expression class that broke for two rounds must analyze and run
+    n = e.select(F.unix_millis("ts").alias("ms")).filter("ms > 0").count()
+    assert n == e.count()
