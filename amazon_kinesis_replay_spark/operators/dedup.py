@@ -448,7 +448,15 @@ def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
     residual: partitioning shuffles 8-byte longs, correctness never
     depends on collision freedom (mirrors the PPJoin key discussion in
     ngram_jaccard_pairs)."""
-    arrays = shingle_arrays(df, id_col, text_col, k)
+    # Persisted for the same reason as ngram_jaccard_pairs (cache-lifetime
+    # note there) PLUS a plan-shape trap specific to this op: the explode
+    # feeding a JOIN makes InferFiltersFromGenerate push a size(shs)>0
+    # predicate — containing the WHOLE shingle construction — below the
+    # widening repartition, re-evaluating it single-threaded on the narrow
+    # scan (measured 3.5 s vs 0.4 s at sf0.1). The persist is a pushdown
+    # barrier, and the two consumers (train grams / eval rows) share one
+    # shingle pass instead of recomputing it per branch.
+    arrays = shingle_arrays(df, id_col, text_col, k).persist()
     labels = df.select(F.col(id_col).alias("id"), F.col(split_col))
     sh = (arrays.select("id", F.explode("shs").alias("shingle"))
           .withColumn("sid", F.xxhash64("shingle"))
