@@ -34,6 +34,7 @@ HEADLINE = [
     "minhash_dedup",
     "ann_topk_cosine",
     "doc_text_profile",
+    "doc_train_split",
     "dedup_embedding_cosine",
     "training_data_pipeline",
 ]
