@@ -1665,23 +1665,28 @@ _ORACLES_MM = {
 
 def q_training_data_pipeline(spark, sf_dir):
     """The composed training-data cleaning pipeline — the extensions'
-    answer to `replay_plan`: language filter -> quality gate -> near-dup
-    removal (keep the lowest-id representative of each Jaccard>=0.5 pair)
-    -> per-document features. One Catalyst plan end to end."""
+    answer to `replay_plan`: language filter -> quality gate (length +
+    Gopher duplicate-line repetition rule at 0.30) -> near-dup removal
+    (keep the lowest-id representative of each Jaccard>=0.5 pair) ->
+    per-document features. One Catalyst plan end to end."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
+    rep = text.repetition_features(F.col("text"))
     enriched = d.select(
         "doc_id",
         text.lang_id(F.col("text")).alias("lang_pred"),
         text.token_count(F.col("text")).cast("long").alias("n_tokens"),
         text.fingerprint(F.col("text")).alias("fingerprint"),
-        text.stopword_ratio(F.col("text")).alias("stop_ratio"))
+        text.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        rep["dup_line_frac"].alias("dup_line_frac"))
     kept = enriched.filter(
-        (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10))
+        (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10)
+        & (F.col("dup_line_frac") <= 0.3))
     dup_pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5)
     losers = dup_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(losers, "doc_id", "left_anti") \
-        .select("doc_id", "n_tokens", "fingerprint", "stop_ratio")
+        .select("doc_id", "n_tokens", "fingerprint", "stop_ratio",
+                "dup_line_frac")
 
 
 _ORACLE_TRAINING_PIPELINE = (
@@ -1707,11 +1712,16 @@ _ORACLE_TRAINING_PIPELINE = (
                         regexp_split_to_array(trim(lower(text)), '\\s+'),
                         t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
                    / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-                   AS stop_ratio
+                   AS stop_ratio,
+               CAST(len(regexp_split_to_array(text, '\\n'))
+                    - len(list_distinct(regexp_split_to_array(text, '\\n')))
+                    AS DOUBLE)
+                   / len(regexp_split_to_array(text, '\\n'))
+                   AS dup_line_frac
         FROM documents)
-    SELECT doc_id, n_tokens, fingerprint, stop_ratio
+    SELECT doc_id, n_tokens, fingerprint, stop_ratio, dup_line_frac
     FROM enriched e
-    WHERE lang_pred = 'en' AND n_tokens >= 10
+    WHERE lang_pred = 'en' AND n_tokens >= 10 AND dup_line_frac <= 0.3
       AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
 """)
 
