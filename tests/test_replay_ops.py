@@ -161,3 +161,31 @@ def test_with_global_cumsum_matches_naive_window(spark):
     # packs are contiguous, non-decreasing in id order
     seq = [packed[i] for i in range(500)]
     assert seq == sorted(seq) and seq[0] == 0
+
+
+def test_bounds_memo_keys_on_plan_not_table(spark):
+    """The quantile-bounds memo must key on the ANALYZED PLAN, not the
+    source table: two differently-filtered views of one table get their
+    own bounds entries, and identical plans share one (the memo's whole
+    point). rn correctness is independent of which bounds apply, but a
+    key collision would silently skew bucket sizes."""
+    from amazon_kinesis_replay_spark.operators import replay_ops
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(2000)], "id long, k long")
+    lo = df.filter(F.col("id") < 500)
+    hi = df.filter(F.col("id") >= 1500)
+    before = len(replay_ops._BOUNDS_MEMO)
+    a = {r["id"]: r["rn"] for r in replay_ops.with_global_index(
+        lo, ["id"]).collect()}
+    mid = len(replay_ops._BOUNDS_MEMO)
+    b = {r["id"]: r["rn"] for r in replay_ops.with_global_index(
+        hi, ["id"]).collect()}
+    after = len(replay_ops._BOUNDS_MEMO)
+    assert mid == before + 1 and after == mid + 1   # distinct plan keys
+    # re-running the SAME plan adds no entry (memo hit)
+    replay_ops.with_global_index(lo, ["id"]).collect()
+    assert len(replay_ops._BOUNDS_MEMO) == after
+    # and the numbering is the correct dense 1..N for each input
+    assert sorted(a.values()) == list(range(1, 501))
+    assert sorted(b.values()) == list(range(1, 501))
+    assert a[0] == 1 and b[1999] == 500
