@@ -378,3 +378,158 @@ def pairwise_topk_per_label(emb: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("lbl", "id_a", "id_b", "cosine", "rank"))
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN for 100 TB embedding corpora
+# --------------------------------------------------------------------------
+#
+# float32 embeddings at 100 TB do not fit hot storage for scanning; PQ
+# stores each vector as n_subs small codes (4 bits each at n_codes=16 —
+# a 64-dim float32 vector compresses 256 bytes -> 8 codes) and scores
+# queries against the codes via per-subspace lookup tables (ADC), with an
+# exact re-rank of the short candidate list against the original vectors.
+# Vectors are L2-NORMALIZED before training/encoding, so squared-L2 ADC
+# ranking is monotone in cosine (||a-b||^2 = 2 - 2cos for unit vectors)
+# and the re-rank metric agrees with the coarse metric.
+
+
+def _unit(vec: Column) -> Column:
+    """L2-normalized copy of an array<float/double> column (double)."""
+    n = F.sqrt(_fast_dot(vec, vec))
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_subvectors(emb: DataFrame, n_subs: int, dim: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub_id, sv): each normalized vector split into n_subs
+    contiguous subvectors of dim/n_subs components."""
+    if dim % n_subs:
+        raise ValueError(f"dim {dim} not divisible by n_subs {n_subs}")
+    d = dim // n_subs
+    unit = emb.select(F.col(id_col).alias("id"),
+                      _unit(F.col(vec_col)).alias("u"))
+    return unit.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.slice("u", j * d + 1, d) for j in range(n_subs)
+        ])).alias("sub_id", "sv"))
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment: (id, sub_id, code, sv). Broadcast the
+    tiny codebook table; argmin via a narrow window over n_codes rows."""
+    from pyspark.sql import Window
+    scored = (subs.join(F.broadcast(codebooks), "sub_id")
+              .withColumn("__d", _l2sq(F.col("sv"), F.col("c_vec"))))
+    w = Window.partitionBy("id", "sub_id").orderBy(
+        F.col("__d").asc(), F.col("code").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "sub_id", "code", "sv"))
+
+
+def pq_train(emb: DataFrame, n_subs: int = 8, n_codes: int = 16,
+             n_iters: int = 3, dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Per-subspace Lloyd's k-means codebooks: (sub_id, code, c_vec).
+
+    All subspaces train in ONE DataFrame per iteration (the subvector
+    explode carries sub_id, so assignment and the centroid update group by
+    it — no per-subspace driver loop). Deterministic: seeds are the first
+    n_codes vectors by id, ties break on code id, and only the tiny
+    codebook table (n_subs x n_codes rows) is collected between
+    iterations."""
+    from pyspark.sql import Window
+    spark = emb.sparkSession
+    subs = _pq_subvectors(emb, n_subs, dim, id_col, vec_col)
+    seed_subs = _pq_subvectors(
+        emb.orderBy(F.col(id_col).asc()).limit(n_codes),
+        n_subs, dim, id_col, vec_col)
+    wcode = Window.partitionBy("sub_id").orderBy("id")
+    cb = (seed_subs.withColumn("code", F.row_number().over(wcode) - 1)
+          .select("sub_id", "code", F.col("sv").alias("c_vec")))
+    cb = spark.createDataFrame(cb.collect(), "sub_id int, code int, "
+                               "c_vec array<double>")
+    for _ in range(n_iters):
+        assigned = _pq_assign(subs, cb)
+        means = (assigned.select("sub_id", "code",
+                                 F.posexplode("sv").alias("pos", "x"))
+                 .groupBy("sub_id", "code", "pos")
+                 .agg(F.avg("x").alias("m")))
+        new_cb = (means.groupBy("sub_id", "code")
+                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                       .alias("pm"))
+                  .select("sub_id", "code",
+                          F.transform("pm", lambda s: s["m"]).alias("c_vec")))
+        # empty codewords (no assignments) keep their previous position
+        kept = cb.alias("o").join(
+            new_cb.select("sub_id", "code").alias("n"),
+            ["sub_id", "code"], "left_anti")
+        cb = spark.createDataFrame(
+            new_cb.collect() + kept.collect(), new_cb.schema)
+    return cb
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, n_subs: int = 8,
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): each vector as an array<int> of n_subs codeword ids —
+    the compressed representation that replaces the floats at rest."""
+    subs = _pq_subvectors(emb, n_subs, dim, id_col, vec_col)
+    assigned = _pq_assign(subs, codebooks)
+    return (assigned.groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("sub_id", "code")))
+                 .alias("sc"))
+            .select("id", F.transform("sc", lambda s: s["code"])
+                    .alias("codes")))
+
+
+def pq_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
+            n_subs: int = 8, n_codes: int = 16, dim: int = 64,
+            rerank_factor: int = 4, codebooks: DataFrame | None = None,
+            codes: DataFrame | None = None, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ-ANN top-k: ADC coarse ranking over the compressed codes, exact
+    decimal-cosine re-rank of the top k*rerank_factor candidates against
+    the ORIGINAL vectors.
+
+    Scale shape: the per-query distance table (n_subs x n_codes rows) is a
+    broadcast; coarse scoring is one equi-join of the exploded codes
+    against it plus a map-side-combinable sum — the float vectors are
+    touched only for the tiny re-rank set. Pass precomputed `codebooks` /
+    `codes` to amortize training and encoding across queries (the
+    at-rest index form)."""
+    cb = codebooks if codebooks is not None else pq_train(
+        emb, n_subs, n_codes, dim=dim, id_col=id_col, vec_col=vec_col)
+    enc = codes if codes is not None else pq_encode(
+        emb, cb, n_subs, dim=dim, id_col=id_col, vec_col=vec_col)
+
+    d = dim // n_subs
+    qsubs = (query_df.select(_unit(F.col("q_vec")).alias("qu"))
+             .select(F.posexplode(F.array(*[
+                 F.slice("qu", j * d + 1, d) for j in range(n_subs)
+             ])).alias("sub_id", "qv")))
+    table = (cb.join(F.broadcast(qsubs), "sub_id")
+             .select("sub_id", "code",
+                     _l2sq(F.col("c_vec"), F.col("qv")).alias("dist")))
+
+    coarse = (enc.select("id", F.posexplode("codes").alias("sub_id", "code"))
+              .join(F.broadcast(table), ["sub_id", "code"])
+              .groupBy("id")
+              .agg(F.sum("dist").alias("adc")))
+    cand = (coarse.orderBy(F.col("adc").asc(), F.col("id").asc())
+            .limit(k * rerank_factor))
+
+    originals = emb.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v"))
+    rer = (cand.join(originals, "id").crossJoin(F.broadcast(query_df))
+           .select(F.col("id").alias(id_col),
+                   cosine(F.col("v"), F.col("q_vec")).alias("cosine")))
+    return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
