@@ -652,10 +652,23 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
 def media_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
     """JVM-side metadata over binary payloads — no Python needed: byte
     length, md5, magic-byte sniff. The cheap pre-filter that should always
-    run BEFORE any Python decode at scale."""
+    run BEFORE any Python decode at scale: route/partition by `magic` so
+    each decode task sees one format (and unknowns never reach Python)."""
     data = F.col(data_col)
+    head4 = F.hex(F.substring(data, 1, 4))
+    head2 = F.hex(F.substring(data, 1, 2))
+    magic = (F.when(head4 == "89504E47", "png")
+             .when(head2 == "FFD8", "jpeg")
+             .when(F.substring(data, 1, 6).cast("string")
+                   .isin("GIF87a", "GIF89a"), "gif")
+             .when(head2 == "424D", "bmp")
+             .when(F.substring(data, 1, 2).cast("string")
+                   .isin("P6", "P5"), "ppm")
+             .when(head4 == "52494646", "riff")   # WAV / AVI container
+             .otherwise("unknown"))
     return df.withColumns({
         "n_bytes": F.octet_length(data).cast("long"),
         "digest": F.md5(data),
-        "looks_png": F.hex(F.substring(data, 1, 4)) == F.lit("89504E47"),
+        "looks_png": head4 == F.lit("89504E47"),
+        "magic": magic,
     })

@@ -967,3 +967,27 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
         emb, q, k=10).collect()]
     assert pq[0] == 0                       # the query itself survives ADC
     assert len(set(pq) & set(bf)) >= 6      # typical PQ recall, pinned
+
+
+def test_media_metadata_magic_sniff(spark):
+    """The JVM magic sniff must route every supported format correctly and
+    never mislabel unknowns — the pre-filter that keeps non-media bytes
+    out of the Python decode path entirely."""
+    from amazon_kinesis_replay_spark.functions.gif import encode_gif
+    from amazon_kinesis_replay_spark.functions.jpeg import encode_jpeg
+    pal = multimodal._GIF_PALETTE
+    payloads = [
+        (1, multimodal.encode_png(2, 2, bytes(12)), "png"),
+        (2, encode_jpeg(8, 8, bytes(192)), "jpeg"),
+        (3, encode_gif(2, 2, bytes(4), pal), "gif"),
+        (4, b"BM" + bytes(30), "bmp"),
+        (5, b"P6\n2 2\n255\n" + bytes(12), "ppm"),
+        (6, b"RIFF\x00\x00\x00\x00WAVE", "riff"),
+        (7, b"not media at all", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in payloads],
+        "media_id long, data binary")
+    got = {r["media_id"]: r["magic"]
+           for r in multimodal.media_metadata(df).collect()}
+    assert got == {i: m for i, _, m in payloads}
