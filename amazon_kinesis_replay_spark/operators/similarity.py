@@ -533,3 +533,80 @@ def pq_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
            .select(F.col("id").alias(id_col),
                    cosine(F.col("v"), F.col("q_vec")).alias("cosine")))
     return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
+                       n_subs: int = 8, n_codes: int = 16, dim: int = 64,
+                       train_iters: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """IVF-PQ index: the coarse IVF layout (hive-partitioned by
+    centroid_id — probes prune at file listing) with PQ CODES stored in
+    the hot lists and the float vectors in a separate cold table fetched
+    only for re-rank. This is the composition that survives 100 TB: the
+    probed scan reads n_probe/n_centroids of a 16x-compressed table, and
+    floats are touched per-candidate, not per-scan.
+
+    Layout under `path`: vectors/ (centroid_id-partitioned: id, codes),
+    floats/ (id, vec — re-rank fetch), centroids/, pq_codebooks/, meta/.
+    """
+    cents = kmeans_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    cb = pq_train(emb, n_subs, n_codes, dim=dim,
+                  id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents)
+    codes = pq_encode(emb, cb, n_subs, dim=dim,
+                      id_col=id_col, vec_col=vec_col)
+    (assigned.select("id", "centroid_id").join(codes, "id")
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(path + "/vectors"))
+    (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+     .write.mode("overwrite").parquet(path + "/floats"))
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    cb.write.mode("overwrite").parquet(path + "/pq_codebooks")
+    spark = emb.sparkSession
+    spark.createDataFrame([(n_subs, n_codes, dim)],
+                          "n_subs int, n_codes int, dim int") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def ivf_pq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
+                      n_probe: int = 4, rerank_factor: int = 4,
+                      id_col: str = "vec_id") -> DataFrame:
+    """Query an IVF-PQ index: centroid scoring (tiny) -> partition-pruned
+    scan of the probed lists' CODES -> broadcast ADC table join + sum ->
+    exact cosine re-rank of k*rerank_factor candidates against the cold
+    float table (point-lookup join by id)."""
+    meta = spark.read.parquet(path + "/meta").head()
+    n_subs, dim = meta["n_subs"], meta["dim"]
+    d = dim // n_subs
+
+    cents = spark.read.parquet(path + "/centroids")
+    probe = (cents.crossJoin(F.broadcast(query_df))
+             .select("centroid_id",
+                     cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))
+             .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+             .limit(n_probe))
+    lists = [r["centroid_id"] for r in probe.collect()]
+
+    cb = spark.read.parquet(path + "/pq_codebooks")
+    qsubs = (query_df.select(_unit(F.col("q_vec")).alias("qu"))
+             .select(F.posexplode(F.array(*[
+                 F.slice("qu", j * d + 1, d) for j in range(n_subs)
+             ])).alias("sub_id", "qv")))
+    table = (cb.join(F.broadcast(qsubs), "sub_id")
+             .select("sub_id", "code",
+                     _l2sq(F.col("c_vec"), F.col("qv")).alias("dist")))
+
+    probed = (spark.read.parquet(path + "/vectors")
+              .filter(F.col("centroid_id").isin(lists)))
+    coarse = (probed.select("id", F.posexplode("codes")
+                            .alias("sub_id", "code"))
+              .join(F.broadcast(table), ["sub_id", "code"])
+              .groupBy("id").agg(F.sum("dist").alias("adc")))
+    cand = (coarse.orderBy(F.col("adc").asc(), F.col("id").asc())
+            .limit(k * rerank_factor))
+
+    floats = spark.read.parquet(path + "/floats")
+    rer = (cand.join(floats, "id").crossJoin(F.broadcast(query_df))
+           .select(F.col("id").alias(id_col),
+                   cosine(F.col("vec"), F.col("q_vec")).alias("cosine")))
+    return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -991,3 +991,30 @@ def test_media_metadata_magic_sniff(spark):
     got = {r["media_id"]: r["magic"]
            for r in multimodal.media_metadata(df).collect()}
     assert got == {i: m for i, _, m in payloads}
+
+
+def test_ivf_pq_index_probe(spark, sf_dir, tmp_path):
+    """IVF-PQ composition: the probed scan reads CODES from pruned
+    partitions (PartitionFilters on centroid_id), ADC narrows to
+    k*rerank_factor candidates, and the exact re-rank against the cold
+    float table recovers the query at rank 1 with decent top-10 recall
+    vs brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    index = str(tmp_path / "ivfpq")
+    similarity.ivf_pq_index_write(emb, index, n_centroids=8,
+                                  n_subs=8, n_codes=16)
+    # hot table holds codes, not floats
+    hot = spark.read.parquet(index + "/vectors")
+    assert set(hot.columns) == {"id", "codes", "centroid_id"}
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_pq_probe_topk(spark, index, q, k=10, n_probe=4,
+                                       rerank_factor=8)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    got = [r["vec_id"] for r in top.collect()]
+    bf = [r["vec_id"] for r in similarity.brute_force_topk(
+        emb, q, k=10).collect()]
+    assert got[0] == 0
+    assert len(set(got) & set(bf)) >= 5   # probe misses + PQ error bounded
