@@ -83,6 +83,48 @@ def main():
         print(f"  {n_bands:2d} bands x {band_bits:2d} bits: "
               f"recall {rec:6.4f} ({len(got)}/{len(exact)})", flush=True)
 
+    # ---- ANN family: recall@10 + wall time vs the exact baseline ----------
+    import tempfile
+    import time
+
+    from amazon_kinesis_replay_spark.operators import similarity as S
+    full = load(spark, sf_dir, "embeddings")
+    queries = [0, 100, 250]
+    qdfs = [(qid, full.filter(F.col("vec_id") == qid)
+             .select(F.col("embedding").alias("q_vec"))) for qid in queries]
+    truth = {qid: [r["vec_id"] for r in
+                   S.brute_force_topk(full, qdf, k=10).collect()]
+             for qid, qdf in qdfs}
+
+    cents = S.kmeans_centroids(full, n_centroids=8, n_iters=2)
+    cb = S.pq_train(full, n_subs=8, n_codes=16, n_iters=2)
+    codes = S.pq_encode(full, cb)
+    tmp = tempfile.mkdtemp(prefix="ann-probe-")
+    S.ivf_pq_index_write(full, tmp + "/ivfpq", n_centroids=8,
+                         n_subs=8, n_codes=16)
+
+    variants = {
+        "lsh(4bit)": lambda qdf: S.lsh_topk(full, qdf, k=10),
+        "ivf(8c,2p)": lambda qdf: S.ivf_topk(full, qdf, k=10, n_centroids=8,
+                                             n_probe=2, centroids=cents),
+        "pq(8x16,r4)": lambda qdf: S.pq_topk(full, qdf, k=10, codebooks=cb,
+                                             codes=codes),
+        "ivfpq(8c,4p,r8)": lambda qdf: S.ivf_pq_probe_topk(
+            spark, tmp + "/ivfpq", qdf, k=10, n_probe=4, rerank_factor=8),
+    }
+    print(f"ANN recall@10 over queries {queries} ({sf_dir}):", flush=True)
+    for name, fn in variants.items():
+        hits = n_ret = 0
+        t0 = time.monotonic()
+        for qid, qdf in qdfs:
+            got = [r["vec_id"] for r in fn(qdf).collect()]
+            hits += len(set(got) & set(truth[qid]))
+            n_ret += 10
+        dt = time.monotonic() - t0
+        print(f"  {name:16s}: recall {hits / n_ret:5.2f} "
+              f"({hits}/{n_ret}), {dt:5.2f}s for {len(queries)} queries",
+              flush=True)
+
     spark.stop()
 
 
