@@ -1018,3 +1018,32 @@ def test_ivf_pq_index_probe(spark, sf_dir, tmp_path):
         emb, q, k=10).collect()]
     assert got[0] == 0
     assert len(set(got) & set(bf)) >= 5   # probe misses + PQ error bounded
+
+
+def test_write_training_shards(spark, sf_dir, tmp_path):
+    """Sharded export: split=... hive directories, every file under the
+    rows_per_shard cap, pack ranges contiguous within shards, and the
+    round-trip preserves the data exactly."""
+    import glob
+
+    from amazon_kinesis_replay_spark import export as X
+    from amazon_kinesis_replay_spark.operators import text as T
+    d = load(spark, sf_dir, "documents")
+    packed = T.pack_sequences(
+        d.withColumn("__n_tok", T.token_count(F.col("text"))),
+        "doc_id", "__n_tok", seq_len=256)
+    df = (packed.withColumn(
+        "split", F.when(F.pmod("doc_id", 10) < 8, "train").otherwise("valid"))
+        .select("doc_id", "pack_id", "split"))
+    out = str(tmp_path / "shards")
+    X.write_training_shards(df, out, rows_per_shard=100, n_tasks=4)
+
+    dirs = sorted(p.split("split=")[1] for p in glob.glob(out + "/split=*"))
+    assert dirs == ["train", "valid"]
+    for f in glob.glob(out + "/split=*/*.parquet"):
+        import pyarrow.parquet as pq
+        assert pq.ParquetFile(f).metadata.num_rows <= 100
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert (back.select("doc_id", "pack_id", "split").exceptAll(df).count()
+            == 0)
