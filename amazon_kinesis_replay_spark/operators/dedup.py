@@ -727,3 +727,101 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
                    F.col("cluster_size").cast("long").alias("cluster_size"),
                    (F.col("id") == F.col("lbl")).alias("is_representative")))
     return out
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash dedup (persisted LSH index + per-batch probe)
+# --------------------------------------------------------------------------
+
+
+def minhash_index_write(df: DataFrame, path: str, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 32,
+                        bands: int = 16, k: int = 3) -> None:
+    """Persist the MinHash-LSH state of a corpus so later batches dedup
+    INCREMENTALLY against it (a daily-crawl pipeline must not re-shingle
+    100 TB to admit 1% new documents).
+
+    Layout under `path`: bands/ (id, band, bucket — the LSH join state),
+    arrays/ (id, shs — per-doc shingle sets for exact verification), and
+    meta/ (num_hashes, bands, k pinned so probes can't silently use a
+    mismatched hash family)."""
+    arrays = shingle_arrays(df, id_col, text_col, k).persist()
+    sh = arrays.select("id", F.explode("shs").alias("shingle"))
+    sig = _signature_from_rows(sh, num_hashes)
+    entries = _band_entries_from_signature(sig, num_hashes, bands)
+    entries.write.mode("overwrite").parquet(path + "/bands")
+    arrays.write.mode("overwrite").parquet(path + "/arrays")
+    spark = df.sparkSession
+    spark.createDataFrame([(num_hashes, bands, k)],
+                          "num_hashes int, bands int, k int") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def minhash_dedup_incremental(spark, new_df: DataFrame, path: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.5,
+                              append: bool = True) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch: new x new plus new x
+    indexed, verified with exact Jaccard against the stored shingle
+    arrays. Cost is proportional to the NEW batch (its shingling,
+    signatures, and band entries) plus one equi-join against the stored
+    band table — the indexed corpus is never re-shingled. With append
+    (default) the new batch's state is added to the index afterwards,
+    so consecutive batches see each other.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, exactly the pairs the
+    batch `minhash_dedup` would emit over (indexed + new) that touch at
+    least one new document."""
+    meta = spark.read.parquet(path + "/meta").head()
+    num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
+
+    new_arrays = shingle_arrays(new_df, id_col, text_col, k).persist()
+    sh = new_arrays.select("id", F.explode("shs").alias("shingle"))
+    sig = _signature_from_rows(sh, num_hashes)
+    new_entries = _band_entries_from_signature(sig, num_hashes, bands) \
+        .persist()
+    old_entries = spark.read.parquet(path + "/bands")
+    old_arrays = spark.read.parquet(path + "/arrays")
+
+    def pairs_of(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (a.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b")))
+    cand = (pairs_of(new_entries, new_entries)
+            .unionAll(pairs_of(new_entries, old_entries))
+            .unionAll(pairs_of(old_entries, new_entries))
+            .distinct())
+    all_arrays = old_arrays.unionByName(new_arrays)
+    out = _verify_jaccard(all_arrays, cand, threshold)
+    if append:
+        # Materialize the result BEFORE appending: the verify plan reads
+        # the stored parquet, and appending first would double-count the
+        # new entries on a lazy consumer.
+        rows = out.collect()
+        new_entries.write.mode("append").parquet(path + "/bands")
+        new_arrays.write.mode("append").parquet(path + "/arrays")
+        out = spark.createDataFrame(rows, out.schema)
+    return out
+
+
+def _band_entries_from_signature(sig: DataFrame, num_hashes: int,
+                                 bands: int) -> DataFrame:
+    """(id, band, bucket) rows of the banded signature (the persisted
+    form of _lsh_pairs_from_signature's join input)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.col(f"h{b * rows_per_band + r}")
+                           for r in range(rows_per_band)])).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
