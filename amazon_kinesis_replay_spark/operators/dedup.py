@@ -700,14 +700,16 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
         neigh = (edges.join(labels, edges["src"] == labels["id"])
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.min("lbl").alias("n_lbl")))
-        new_labels = (labels.join(neigh, "id", "left")
-                      .select("id", F.least("lbl", "n_lbl").alias("lbl"))
-                      .persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        # Change detection rides the SAME left join that computes the new
+        # labels (lbl strictly decreases, so changed == n_lbl < lbl) — one
+        # join + one action per round, not a second old-vs-new join.
+        merged = (labels.join(neigh, "id", "left")
+                  .select("id", F.least("lbl", "n_lbl").alias("lbl"),
+                          (F.col("n_lbl") < F.col("lbl")).alias("__chg"))
+                  .persist())
+        changed = merged.filter("__chg").count()
         labels.unpersist()
-        labels = new_labels
+        labels = merged.drop("__chg")
         if changed == 0:
             converged = True
             break

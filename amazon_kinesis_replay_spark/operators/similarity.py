@@ -385,10 +385,13 @@ def pairwise_topk_per_label(emb: DataFrame, k: int = 3,
 # --------------------------------------------------------------------------
 #
 # float32 embeddings at 100 TB do not fit hot storage for scanning; PQ
-# stores each vector as n_subs small codes (4 bits each at n_codes=16 —
-# a 64-dim float32 vector compresses 256 bytes -> 8 codes) and scores
-# queries against the codes via per-subspace lookup tables (ADC), with an
-# exact re-rank of the short candidate list against the original vectors.
+# (the public technique of Jégou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011) stores each vector as n_subs
+# small codes (4 bits each at n_codes=16 — a 64-dim float32 vector
+# compresses 256 bytes -> 8 codes) and scores queries against the codes
+# via per-subspace lookup tables (asymmetric distance computation, ADC),
+# with an exact re-rank of the short candidate list against the original
+# vectors.
 # Vectors are L2-NORMALIZED before training/encoding, so squared-L2 ADC
 # ranking is monotone in cosine (||a-b||^2 = 2 - 2cos for unit vectors)
 # and the re-rank metric agrees with the coarse metric.
