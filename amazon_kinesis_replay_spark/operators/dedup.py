@@ -581,17 +581,6 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
     bands), so the gate stays exact either way; pick (n_bands, band_bits)
     for the threshold regime you run at.
     """
-    from . import similarity
-
-    def band_bucket_v(b: int) -> Column:
-        bucket = F.lit(0)
-        for j in range(band_bits):
-            bit = F.when(
-                F.element_at(F.col("v"), b * band_bits + j + 1) >= 0,
-                F.lit(1)).otherwise(F.lit(0))
-            bucket = bucket * 2 + bit
-        return bucket.cast("int")
-
     # unique_ids=True is the contract for keyed corpora (vec_id is a key
     # in the embeddings table): every pair then appears exactly once from
     # the joins below, matching the oracle's raw-join semantics, and NO
@@ -608,17 +597,7 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
     if not unique_ids:
         src = src.groupBy("id").agg(F.first("v").alias("v"))
 
-    # Candidate generation shuffles ONLY (id, band, bucket) rows — the
-    # 64-float vectors never ride through the LSH join; they are joined
-    # back for the surviving distinct pairs (broadcast when the corpus
-    # side is small, shuffle-on-id at scale).
-    keys = src.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_bucket_v(b).alias("bucket"))
-            for b in range(n_bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    keys = _sign_band_keys(src, n_bands, band_bits)
     a, b = keys.alias("a"), keys.alias("b")
     cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -627,29 +606,61 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Per-VECTOR double norms ride the joins: computed N times, not
-    # 2×|candidates| times (the r3 shape re-folded both norms per pair —
-    # the dominant interpreted-HOF cost at sf0.1: 1.65 s → 1.15 s for the
-    # pre-filter stage with norms hoisted here).
-    withn = src.withColumn("n", F.sqrt(similarity._fast_dot(
+    return _verify_cosine_pairs(_with_vec_norm(src), cand_ids, threshold)
+
+
+def _sign_band_keys(src: DataFrame, n_bands: int,
+                    band_bits: int) -> DataFrame:
+    """(id, band, bucket) sign-LSH keys of an (id, v) table. Candidate
+    generation shuffles ONLY these rows — the float vectors never ride
+    through the LSH join; they are joined back for surviving pairs."""
+    def band_bucket_v(b: int) -> Column:
+        bucket = F.lit(0)
+        for j in range(band_bits):
+            bit = F.when(
+                F.element_at(F.col("v"), b * band_bits + j + 1) >= 0,
+                F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket * 2 + bit
+        return bucket.cast("int")
+
+    return src.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_bucket_v(b).alias("bucket"))
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def _with_vec_norm(src: DataFrame) -> DataFrame:
+    """(id, v, n): per-VECTOR double norms ride the verification joins —
+    computed N times, not 2x|candidates| times (the r3 shape re-folded
+    both norms per pair — the dominant interpreted-HOF cost at sf0.1:
+    1.65 s -> 1.15 s for the pre-filter stage with norms hoisted)."""
+    from . import similarity
+    return src.withColumn("n", F.sqrt(similarity._fast_dot(
         F.col("v"), F.col("v"))))
+
+
+def _verify_cosine_pairs(withn: DataFrame, cand_ids: DataFrame,
+                         threshold: float) -> DataFrame:
+    """Two-stage exact verification of candidate id pairs against an
+    (id, v, n) table: the decimal-exact cosine is an interpreted
+    higher-order-function expression (no codegen) — running it on every
+    candidate dominated the query. A double-precision pre-filter at
+    (threshold - 1e-6) is EXACT as a filter: double summation error over
+    64 unit-scale products is bounded by ~64*2^-52 ~ 1e-14 relative, so
+    no pair with exact cosine >= threshold can score below the margin.
+    The expensive exact cosine then runs only on survivors. (An unrolled
+    64-term element_at chain and an Arrow pandas-UDF dot were both
+    MEASURED slower/equal — re-checked r6: UDF 3.8 s vs HOF 1.9 s at
+    sf0.1.)"""
+    from . import similarity
     va = withn.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                       F.col("n").alias("na"))
     vb = withn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                       F.col("n").alias("nb"))
     cand = cand_ids.join(va, "id_a").join(vb, "id_b")
-    # Two-stage verification: the decimal-exact cosine is an interpreted
-    # higher-order-function expression (no codegen) — running it on every
-    # candidate dominated the query. A double-precision pre-filter at
-    # (threshold - 1e-6) is EXACT as a filter: double summation error
-    # over 64 unit-scale products is bounded by ~64*2^-52 ~ 1e-14
-    # relative, so no pair with exact cosine >= threshold can score below
-    # the margin. The expensive exact cosine then runs only on survivors
-    # (the near-threshold and above set). (An unrolled 64-term element_at
-    # chain and an Arrow pandas-UDF dot were both MEASURED slower/equal:
-    # the unroll falls out of whole-stage codegen at this width, and the
-    # UDF pays Arrow transfer of both vectors — the HOF double dot is the
-    # fastest JVM-side form.)
     fast = cand.withColumn(
         "__fc", similarity._fast_dot(F.col("va"), F.col("vb"))
         / (F.col("na") * F.col("nb")))
@@ -658,6 +669,65 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
         "id_a", "id_b",
         similarity.cosine(F.col("va"), F.col("vb")).alias("cosine"))
     return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_index_write(emb: DataFrame, path: str, n_bands: int = 8,
+                          band_bits: int = 8, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Persist the sign-LSH state of an embedding corpus for incremental
+    near-dup detection (the embedding twin of minhash_index_write).
+    Layout: bands/ (id, band, bucket), vectors/ (id, v, n — norms
+    precomputed once), meta/ (n_bands, band_bits pinned)."""
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    _sign_band_keys(src, n_bands, band_bits) \
+        .write.mode("overwrite").parquet(path + "/bands")
+    _with_vec_norm(src).write.mode("overwrite").parquet(path + "/vectors")
+    spark = emb.sparkSession
+    spark.createDataFrame([(n_bands, band_bits)],
+                          "n_bands int, band_bits int") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def embedding_dedup_incremental(spark, new_emb: DataFrame, path: str,
+                                threshold: float = 0.4,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                append: bool = True) -> DataFrame:
+    """Near-dup embedding pairs INVOLVING the new batch (new x new plus
+    new x indexed), banded-candidate semantics identical to the batch
+    embedding_cosine_dedup. Cost ∝ the new batch plus one equi-join
+    against the stored band table; the indexed vectors are touched only
+    for surviving pairs. With append (default), the batch's LSH state is
+    added so consecutive batches see each other."""
+    meta = spark.read.parquet(path + "/meta").head()
+    n_bands, band_bits = meta["n_bands"], meta["band_bits"]
+
+    src = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    new_keys = _sign_band_keys(src, n_bands, band_bits).persist()
+    new_vecs = _with_vec_norm(src).persist()
+    old_keys = spark.read.parquet(path + "/bands")
+    old_vecs = spark.read.parquet(path + "/vectors")
+
+    def pairs_of(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (a.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b")))
+    cand = (pairs_of(new_keys, new_keys)
+            .unionAll(pairs_of(new_keys, old_keys))
+            .unionAll(pairs_of(old_keys, new_keys))
+            .distinct())
+    out = _verify_cosine_pairs(old_vecs.unionByName(new_vecs), cand,
+                               threshold)
+    if append:
+        rows = out.collect()      # materialize before mutating the index
+        new_keys.write.mode("append").parquet(path + "/bands")
+        new_vecs.write.mode("append").parquet(path + "/vectors")
+        out = spark.createDataFrame(rows, out.schema)
+    return out
 
 
 # --------------------------------------------------------------------------

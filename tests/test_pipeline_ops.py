@@ -1079,3 +1079,31 @@ def test_minhash_incremental_matches_batch(spark, sf_dir, tmp_path):
     # index grew by both batches
     n_arrays = spark.read.parquet(index + "/arrays").count()
     assert n_arrays == d.count()
+
+
+def test_embedding_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental embedding dedup must emit exactly the batch pipeline's
+    pairs touching the new vectors, across two consecutive batches, with
+    bit-identical cosines."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b2 = emb.filter(F.col("vec_id") >= 400)
+    index = str(tmp_path / "elsh")
+    dedup.embedding_index_write(base, index)
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
+
+    got1 = pairset(dedup.embedding_dedup_incremental(spark, b1, index))
+    got2 = pairset(dedup.embedding_dedup_incremental(spark, b2, index))
+    full = pairset(dedup.embedding_cosine_dedup(emb, 0.4, 8, 8))
+    new1 = {r["vec_id"] for r in b1.select("vec_id").collect()}
+    new2 = {r["vec_id"] for r in b2.select("vec_id").collect()}
+    want1 = {p for p in full
+             if (p[0] in new1 or p[1] in new1)
+             and p[0] not in new2 and p[1] not in new2}
+    want2 = {p for p in full if p[0] in new2 or p[1] in new2}
+    assert got1 == want1
+    assert got2 == want2
+    assert spark.read.parquet(index + "/vectors").count() == emb.count()
