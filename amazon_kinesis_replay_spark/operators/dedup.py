@@ -897,3 +897,70 @@ def _band_entries_from_signature(sig: DataFrame, num_hashes: int,
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+# --------------------------------------------------------------------------
+# Incremental SimHash dedup (persisted chunk index + per-batch probe)
+# --------------------------------------------------------------------------
+
+
+def _simhash_chunks(sim: DataFrame) -> DataFrame:
+    """(id, simhash, chunk_idx, chunk) blocking rows of an (id, simhash)
+    table — the persisted/probed form of simhash_near_dups' join input."""
+    return sim.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_idx"),
+                     F.shiftrightunsigned(F.col("simhash"), c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for c in range(4)
+        ])).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk")
+
+
+def simhash_index_write(df: DataFrame, path: str, id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """Persist the SimHash chunk-blocking state (the third incremental
+    dedup modality next to minhash_index_write / embedding_index_write).
+    Layout: chunks/ (id, simhash, chunk_idx, chunk)."""
+    sim = simhash64(df, id_col, text_col)
+    _simhash_chunks(sim).write.mode("overwrite").parquet(path + "/chunks")
+
+
+def simhash_dedup_incremental(spark, new_df: DataFrame, path: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              max_hamming: int = 3,
+                              append: bool = True) -> DataFrame:
+    """SimHash near-dup pairs INVOLVING the new batch: hash only the new
+    documents, equi-join their 16-bit chunks against the stored chunk
+    table (new x new plus new x indexed — pigeonhole blocking is
+    symmetric, so probing the union of directions is exact), verify with
+    bit_count on the XOR, append the batch's chunks."""
+    new_chunks = _simhash_chunks(
+        simhash64(new_df, id_col, text_col)).persist()
+    old_chunks = spark.read.parquet(path + "/chunks")
+
+    def pairs_of(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (a.alias("a").join(
+            b.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b")))
+    cand = (pairs_of(new_chunks, new_chunks)
+            .unionAll(pairs_of(new_chunks, old_chunks))
+            .unionAll(pairs_of(old_chunks, new_chunks))
+            .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    out = (cand.withColumn("hamming", hamming)
+           .filter(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming"))
+    if append:
+        rows = out.collect()      # materialize before mutating the index
+        new_chunks.write.mode("append").parquet(path + "/chunks")
+        out = spark.createDataFrame(rows, out.schema)
+    return out

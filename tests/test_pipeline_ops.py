@@ -1107,3 +1107,30 @@ def test_embedding_incremental_matches_batch(spark, sf_dir, tmp_path):
     assert got1 == want1
     assert got2 == want2
     assert spark.read.parquet(index + "/vectors").count() == emb.count()
+
+
+def test_simhash_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental SimHash dedup across two consecutive batches must emit
+    exactly the batch pipeline's pairs touching the new documents, with
+    identical Hamming distances."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 300)
+    b1 = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    b2 = d.filter(F.col("doc_id") >= 400)
+    index = str(tmp_path / "sh")
+    dedup.simhash_index_write(base, index)
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()}
+
+    got1 = pairset(dedup.simhash_dedup_incremental(spark, b1, index))
+    got2 = pairset(dedup.simhash_dedup_incremental(spark, b2, index))
+    full = pairset(dedup.simhash_near_dups(d, "doc_id", "text", 3))
+    new1 = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    new2 = {r["doc_id"] for r in b2.select("doc_id").collect()}
+    want1 = {p for p in full
+             if (p[0] in new1 or p[1] in new1)
+             and p[0] not in new2 and p[1] not in new2}
+    want2 = {p for p in full if p[0] in new2 or p[1] in new2}
+    assert got1 == want1
+    assert got2 == want2
