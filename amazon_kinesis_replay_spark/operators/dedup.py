@@ -964,3 +964,57 @@ def simhash_dedup_incremental(spark, new_df: DataFrame, path: str,
         new_chunks.write.mode("append").parquet(path + "/chunks")
         out = spark.createDataFrame(rows, out.schema)
     return out
+
+
+# --------------------------------------------------------------------------
+# Incremental exact dedup (persisted fingerprint set + per-batch anti-join)
+# --------------------------------------------------------------------------
+
+
+def exact_index_write(df: DataFrame, path: str, key_cols: list[str],
+                      id_col: str) -> None:
+    """Persist the exact-dedup fingerprint set: one (key-hash, keep_id)
+    row per distinct key. xxhash64 keys shuffle as 8-byte longs; the raw
+    key columns ride along so verification never depends on collision
+    freedom (same rule as every other hashed join in this module)."""
+    (df.groupBy(*key_cols)
+     .agg(F.min(id_col).alias("keep_id"))
+     .withColumn("__kh", F.xxhash64(*key_cols))
+     .write.mode("overwrite").parquet(path + "/keys"))
+
+
+def exact_dedup_incremental(spark, new_df: DataFrame, path: str,
+                            key_cols: list[str], id_col: str,
+                            append: bool = True) -> DataFrame:
+    """Classify a new batch against the persisted fingerprint set:
+    (id, is_new, keep_id) — is_new=False rows duplicate an indexed key
+    (keep_id = the indexed representative); within-batch duplicates
+    collapse to the batch's min id first. Cost ∝ the batch plus one
+    equi-join on the 8-byte key hash (raw-key equality as residual);
+    with append, only the batch's genuinely new keys are added."""
+    batch = (new_df.groupBy(*key_cols)
+             .agg(F.min(id_col).alias("batch_keep"),
+                  F.collect_list(id_col).alias("__ids"))
+             .withColumn("__kh", F.xxhash64(*key_cols)))
+    old = spark.read.parquet(path + "/keys")
+    cond = [batch["__kh"] == old["__kh"]] + [
+        batch[c].eqNullSafe(old[c]) for c in key_cols]
+    joined = batch.join(old, cond, "left") \
+        .select(batch["__kh"].alias("__kh"),
+                *[batch[c] for c in key_cols],
+                "batch_keep", "__ids",
+                old["keep_id"].alias("__old_keep"))
+    out = (joined.select(
+        F.explode("__ids").alias("id"),
+        F.col("__old_keep").isNull().alias("__key_new"),
+        F.coalesce("__old_keep", "batch_keep").alias("keep_id"))
+        .select("id",
+                (F.col("__key_new") & (F.col("id") == F.col("keep_id")))
+                .alias("is_new"), "keep_id"))
+    if append:
+        rows = out.collect()      # materialize before mutating the index
+        (joined.filter(F.col("__old_keep").isNull())
+         .select(*key_cols, F.col("batch_keep").alias("keep_id"), "__kh")
+         .write.mode("append").parquet(path + "/keys"))
+        out = spark.createDataFrame(rows, out.schema)
+    return out

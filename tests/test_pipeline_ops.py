@@ -1134,3 +1134,32 @@ def test_simhash_incremental_matches_batch(spark, sf_dir, tmp_path):
     want2 = {p for p in full if p[0] in new2 or p[1] in new2}
     assert got1 == want1
     assert got2 == want2
+
+
+def test_exact_dedup_incremental(spark, tmp_path):
+    """Incremental exact dedup: batch rows duplicating an indexed key
+    point at the indexed representative; within-batch dups collapse to
+    the batch min; genuinely new keys flag exactly one is_new row and
+    join the index for the NEXT batch."""
+    base = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "id long, k string")
+    index = str(tmp_path / "ex")
+    dedup.exact_index_write(base, index, ["k"], "id")
+
+    b1 = spark.createDataFrame(
+        [(10, "bb"), (11, "cc"), (12, "cc"), (13, "dd")],
+        "id long, k string")
+    out = {r["id"]: (r["is_new"], r["keep_id"]) for r in
+           dedup.exact_dedup_incremental(spark, b1, index,
+                                         ["k"], "id").collect()}
+    assert out[10] == (False, 2)      # dup of indexed "bb"
+    assert out[11] == (True, 11)      # new key, representative
+    assert out[12] == (False, 11)     # within-batch dup of "cc"
+    assert out[13] == (True, 13)
+    # next batch sees b1's new keys through the append
+    b2 = spark.createDataFrame([(20, "cc"), (21, "ee")], "id long, k string")
+    out2 = {r["id"]: (r["is_new"], r["keep_id"]) for r in
+            dedup.exact_dedup_incremental(spark, b2, index,
+                                          ["k"], "id").collect()}
+    assert out2[20] == (False, 11)
+    assert out2[21] == (True, 21)
