@@ -188,3 +188,47 @@ def running_counts_stream(events: DataFrame, key_col: str,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout)
     )
+
+
+def near_dup_stream(docs, index_path: str, sink,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    threshold: float = 0.5, checkpoint: str | None = None):
+    """Streaming near-duplicate detection: each micro-batch of documents
+    is deduplicated INCREMENTALLY against the persisted MinHash-LSH index
+    (operators.dedup.minhash_index_write / minhash_dedup_incremental) —
+    the streaming shape of corpus dedup, where every arriving batch is
+    checked against everything ever seen without re-shingling history.
+
+    The first batch bootstraps the index (writes its LSH state, emits its
+    within-batch pairs); later batches probe + append. State lives in the
+    index directory, not the state store, so it survives restarts and is
+    shared with batch consumers; exactly-once across restarts follows the
+    sink's idempotency (pairs are deterministic per batch, so an
+    idempotent sink — e.g. overwrite-by-batch-id — closes the loop).
+
+    `sink(pairs_df, batch_id)` receives the verified (id_a, id_b,
+    jaccard) pairs involving the batch. Returns the DataStreamWriter
+    (caller starts it)."""
+    import os
+
+    from ..operators import dedup
+
+    def _process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(os.path.join(index_path, "meta")):
+            dedup.minhash_index_write(batch_df, index_path,
+                                      id_col, text_col)
+            pairs = dedup.minhash_dedup(batch_df, id_col, text_col,
+                                        num_hashes=32, bands=16, k=3,
+                                        threshold=threshold)
+        else:
+            pairs = dedup.minhash_dedup_incremental(
+                spark, batch_df, index_path, id_col, text_col, threshold)
+        sink(pairs, batch_id)
+
+    w = docs.writeStream.foreachBatch(_process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w

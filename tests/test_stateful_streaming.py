@@ -314,3 +314,45 @@ def test_running_counts_stream_totals(spark, keyed_fixture, tmp_path):
     sums = {r["key"]: r["s"] for r in
             got.groupBy("key").agg(F.sum("batch_events").alias("s")).collect()}
     assert sums == dict(per_key)
+
+
+def test_near_dup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming near-dup detection over two micro-batches must emit, in
+    union, exactly the batch pipeline's pair set over the whole corpus —
+    batch 1 bootstraps the index (within-batch pairs), batch 2 probes it
+    (pairs touching batch 2)."""
+    from amazon_kinesis_replay_spark.operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "stream-src")
+    docs.filter(F.col("doc_id") < 250).coalesce(1) \
+        .write.parquet(src + "/b0")
+    docs.filter(F.col("doc_id") >= 250).coalesce(1) \
+        .write.parquet(src + "/b1")
+    import shutil
+    staged = str(tmp_path / "staged")
+    import os
+    os.makedirs(staged)
+    shutil.copy(next(str(p) for p in __import__("pathlib").Path(
+        src + "/b0").glob("*.parquet")), staged + "/b0.parquet")
+    shutil.copy(next(str(p) for p in __import__("pathlib").Path(
+        src + "/b1").glob("*.parquet")), staged + "/b1.parquet")
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    got: list[tuple] = []
+
+    def sink(pairs, batch_id):
+        got.extend((r["id_a"], r["id_b"], r["jaccard"])
+                   for r in pairs.collect())
+
+    index = str(tmp_path / "stream-mh")
+    q = stateful.near_dup_stream(
+        stream, index, sink,
+        checkpoint=str(tmp_path / "ck-nd")).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            D.minhash_dedup(docs, "doc_id", "text", 32, 16, 3, 0.5).collect()}
+    assert set(got) == want
+    assert len(got) == len(set(got))          # no pair emitted twice
