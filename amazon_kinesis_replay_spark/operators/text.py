@@ -226,3 +226,37 @@ def pii_redact(df, id_col: str, text_col: str):
         n_phones.cast("long").alias("n_phones"),
         (n_emails + n_ips + n_phones).cast("long").alias("n_redactions"),
     )
+
+
+_URL_RE = r"https?://[^\s/$.?#][^\s]*"
+_DOMAIN_RE = r"https?://([^\s/:?#]+)"
+
+
+def url_features(df: DataFrame, text_col: str,
+                 blocklist: tuple[str, ...] = ()) -> DataFrame:
+    """URL/domain curation signals per document — the source-level filter
+    step of web-corpus cleaning: URL count, the distinct lowercased
+    domains, and a `blocklisted` flag true iff any domain equals or is a
+    subdomain of a blocklist entry. Pure column expressions
+    (regexp_extract_all + array HOFs), whole-stage codegen; the blocklist
+    is a literal array, so at 100 TB it broadcasts with the plan (swap in
+    a broadcast-join against a blocklist TABLE when the list outgrows a
+    literal)."""
+    t = F.col(text_col)
+    domains = F.array_distinct(F.transform(
+        F.regexp_extract_all(t, F.lit(_DOMAIN_RE), 1),
+        lambda d: F.lower(d)))
+    if blocklist:
+        bl = F.array(*[F.lit(b.lower()) for b in blocklist])
+        blocked = F.exists(
+            domains,
+            lambda d: F.exists(bl, lambda b: (d == b)
+                               | d.endswith(F.concat(F.lit("."), b))))
+    else:
+        blocked = F.lit(False)
+    return df.withColumns({
+        "n_urls": F.size(F.regexp_extract_all(t, F.lit(_URL_RE), 0))
+        .cast("long"),
+        "domains": domains,
+        "blocklisted": blocked,
+    })

@@ -1163,3 +1163,27 @@ def test_exact_dedup_incremental(spark, tmp_path):
                                           ["k"], "id").collect()}
     assert out2[20] == (False, 11)
     assert out2[21] == (True, 21)
+
+
+def test_url_features_and_blocklist(spark):
+    """URL curation signals: counts, distinct lowercased domains, and
+    blocklist matching that catches exact domains AND subdomains but
+    never unrelated suffix overlaps (evil.com must not match
+    notevil.com)."""
+    from amazon_kinesis_replay_spark.operators import text as T
+    rows = [
+        (1, "see https://GOOD.example.org/a and http://good.example.org/b"),
+        (2, "spam at http://ads.EVIL.com/x plus https://ok.net/"),
+        (3, "no urls at all"),
+        (4, "https://notevil.com/ is fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.url_features(
+        df, "text", blocklist=("evil.com",)).collect()}
+    assert out[1]["n_urls"] == 2
+    assert out[1]["domains"] == ["good.example.org"]
+    assert out[1]["blocklisted"] is False
+    assert out[2]["blocklisted"] is True          # subdomain of evil.com
+    assert sorted(out[2]["domains"]) == ["ads.evil.com", "ok.net"]
+    assert (out[3]["n_urls"], out[3]["blocklisted"]) == (0, False)
+    assert out[4]["blocklisted"] is False         # no suffix false-positive
