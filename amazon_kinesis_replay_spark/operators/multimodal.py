@@ -307,6 +307,31 @@ _GIF_PALETTE = bytes(
     b for i in range(256) for b in (i, 255 - i, i ^ 0x55))
 
 
+def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
+    """The deterministic per-row synthesis rule behind
+    synthesize_image_media: media_id%3==0 -> PNG (media_id-cycled filter
+    types), ==1 -> baseline JPEG (4:2:0 / restart-interval variants),
+    ==2 -> GIF (interlaced every other one). Exposed as a pure function
+    so the registry's literal-VALUES oracle can recompute the exact blob
+    bytes driver-side (pure Python, no Spark) and cross-check the
+    distributed mapInPandas pipeline in DuckDB."""
+    from ..functions.gif import encode_gif
+    from ..functions.jpeg import encode_jpeg
+    n = side * side * 3
+    m = int(media_id)
+    if m % 3 == 1:
+        raster = (raw + bytes(n))[:n]
+        return encode_jpeg(side, side, raster, subsample=(m % 6 == 1),
+                           restart_interval=1 if m % 12 == 1 else 0)
+    if m % 3 == 2:
+        indices = (raw + bytes(side * side))[:side * side]
+        return encode_gif(side, side, indices, _GIF_PALETTE,
+                          interlace=(m % 6 == 2))
+    raster = (raw + bytes(n))[:n]
+    return encode_png(side, side, raster, ctype=2,
+                      filters=[(m // 3) % 5] * side)
+
+
 def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
     """Deterministic REAL mixed-codec fixture synthesis cycling media_id
     through all three pure-Python codecs: media_id%3==0 becomes a PNG
@@ -316,31 +341,14 @@ def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
     unfilter paths, the Huffman/IDCT/upsample paths, AND the LZW +
     deinterlace paths in one pass. Arrow-batched mapInPandas; schema
     matches the (media_id, data) decode input contract."""
-    from ..functions.gif import encode_gif
-    from ..functions.jpeg import encode_jpeg
-    n = side * side * 3
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                m = int(mid)
-                if m % 3 == 1:
-                    raster = (raw + bytes(n))[:n]
-                    blob = encode_jpeg(
-                        side, side, raster, subsample=(m % 6 == 1),
-                        restart_interval=1 if m % 12 == 1 else 0)
-                elif m % 3 == 2:
-                    indices = (raw + bytes(side * side))[:side * side]
-                    blob = encode_gif(side, side, indices, _GIF_PALETTE,
-                                      interlace=(m % 6 == 2))
-                else:
-                    raster = (raw + bytes(n))[:n]
-                    blob = encode_png(side, side, raster, ctype=2,
-                                      filters=[(m // 3) % 5] * side)
                 ids.append(mid)
-                blobs.append(blob)
+                blobs.append(synth_image_blob(int(mid), raw, side))
             yield pd.DataFrame({"media_id": ids, "data": blobs})
 
     return df.select("media_id", "data").mapInPandas(

@@ -1180,7 +1180,7 @@ _ORACLES_TEXT["doc_train_split"] = """
         packs AS (
             SELECT doc_id,
                    CAST(coalesce(sum(len(regexp_split_to_array(
-                            trim(lower(text)), '\s+')))
+                            trim(lower(text)), '\\s+')))
                         OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
                               PRECEDING AND 1 PRECEDING), 0) // 512
                         AS BIGINT) AS pack_id
@@ -1446,9 +1446,14 @@ def q_multimodal_decode(spark, sf_dir):
     variants), then decoded by the real pure-Python codecs — the zlib
     unfilter round-trip, the Huffman/IDCT/upsample pipeline, AND the
     LZW + deinterlace pipeline all run at the gate, not a fake.
-    Rows-only check: none of the codecs is SQL-expressible; the
-    pixel-exactness ground truth lives in the codec round-trip tests
-    plus the libjpeg/libgif foreign-fixture cross-decode tests."""
+    Oracled since r7 (r6 verdict item 1): _multimodal_oracle recomputes
+    (media_id, width, height, n_bytes, sha1) driver-side in pure Python
+    — no Spark — and embeds them as a literal VALUES table, so the gate
+    hash-checks the whole distributed synth+decode pipeline (Arrow
+    batching, JVM pre-filter, schema) and encode determinism; the
+    pixel-exactness ground truth additionally lives in the codec
+    round-trip tests plus the libjpeg/libgif foreign-fixture
+    cross-decode tests."""
     ensure_engine_conf(spark)
     from ..operators import multimodal
     d = load(spark, sf_dir, "documents")
@@ -1653,7 +1658,43 @@ def q_multimodal_meta(spark, sf_dir):
         F.md5(F.col("text").cast("binary")).alias("digest"))
 
 
+def _multimodal_oracle() -> str:
+    """Data-dependent literal-VALUES oracle for multimodal_decode (r6
+    verdict item 1, same pattern as _simhash_oracle): every synthesized
+    media blob is RECOMPUTED driver-side in pure Python (no Spark, no
+    Arrow) via multimodal.synth_image_blob on the parquet-read document
+    text, and its (width, height, n_bytes, sha1) embedded as a VALUES
+    table. width/height come from the synthesis parameters (side=8), NOT
+    the decoder, so a decoder mis-reporting dimensions fails the gate;
+    n_bytes/sha1 pin the exact encoded bytes, so the gate hash-checks
+    the distributed mapInPandas pipeline end to end. Rows only appear in
+    the Spark result if the REAL decode succeeded (the kernel raises on
+    any malformed blob), so a row-count match also proves all three
+    codecs decoded every blob."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from ..operators.multimodal import synth_image_blob
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    values = []
+    for did, text in rows:
+        blob = synth_image_blob(int(did), text.encode("utf-8"))
+        values.append(
+            f"(CAST({did} AS BIGINT), CAST(8 AS INTEGER), "
+            f"CAST(8 AS INTEGER), CAST({len(blob)} AS BIGINT), "
+            f"'{hashlib.sha1(blob).hexdigest()}')")
+    return ("SELECT * FROM (VALUES " + ",".join(values)
+            + ") AS t(media_id, width, height, n_bytes, sha1)")
+
+
 _ORACLES_MM = {
+    "multimodal_decode": _multimodal_oracle,  # callable: literal VALUES
     "multimodal_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1776,7 +1817,7 @@ def _register(name: str, fn, oracle: Optional[str]):
 # The driver's correctness gate records the FIRST 50 registered entries
 # only (observed r1/r2). The registry is therefore consolidated to EXACTLY
 # 50 queries — near-duplicate coverage merged, nothing pushed past the
-# window — so every query (47 oracled + 3 rows-only) gets a driver
+# window — so every query (all 50 oracled since r7) gets a driver
 # correctness row every round. Do not register a 51st query; fold new
 # coverage into an existing entry or swap one out.
 
@@ -1836,16 +1877,16 @@ for _name, _fn in [
     ("ngram_jaccard_dedup", q_ngram_jaccard_dedup),
     ("minhash_dedup", q_minhash_dedup),
     ("dedup_clusters", q_dedup_clusters),
-    ("simhash_dedup", q_simhash_dedup),          # rows-only (hash family)
+    ("simhash_dedup", q_simhash_dedup),          # literal-VALUES oracle
     ("dedup_embedding_cosine", q_dedup_embedding_cosine),
     # similarity search
     ("ann_topk_cosine", q_ann_topk_cosine),
     ("ann_lsh_topk", q_ann_lsh_topk),
-    ("ann_ivf_topk", q_ann_ivf_topk),            # rows-only (see docstring)
+    ("ann_ivf_topk", q_ann_ivf_topk),            # exact-mode oracle (r4)
     ("embedding_stats", q_embedding_stats),
     ("pairwise_topk_per_label", q_pairwise_topk_per_label),
     # multimodal
-    ("multimodal_decode", q_multimodal_decode),  # rows-only (see docstring)
+    ("multimodal_decode", q_multimodal_decode),  # literal-VALUES oracle (r7)
     ("multimodal_meta", q_multimodal_meta),
 ]:
     _register(_name, _fn, _ORACLES_EXT.get(_name))
