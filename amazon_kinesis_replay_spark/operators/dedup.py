@@ -255,7 +255,8 @@ def _verify_jaccard(arrays: DataFrame, cand: DataFrame,
 
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
-                   k: int = 3) -> DataFrame:
+                   k: int = 3,
+                   extra: dict[str, Column] | None = None) -> DataFrame:
     """(id, shs) — each document's distinct shingle set as ONE array row.
     The canonical materialization point: shingle construction (the
     CPU-dominant step) happens exactly once per document here; callers
@@ -312,9 +313,14 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
             n_files = 0
         if 0 < n_files < width:
             df = df.repartition(width)
+    # `extra`: additional named columns computed in the SAME widened
+    # projection (e.g. a token count sharing the tokenize with the shingle
+    # build via whole-stage subexpression elimination) — composed pipelines
+    # persist the result once and feed every leg from it.
     return df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("shs"))
+        word_shingles(F.col(text_col), k).alias("shs"),
+        *[c.alias(n) for n, c in (extra or {}).items()])
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str,
@@ -429,7 +435,8 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 
 def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
                               split_col: str, k: int = 3,
-                              train_value: str = "train") -> DataFrame:
+                              train_value: str = "train",
+                              arrays: DataFrame | None = None) -> DataFrame:
     """Train/eval contamination detection — the decontamination pass every
     LLM data pipeline runs before publishing a split: an eval document is
     contaminated iff it shares at least one word k-shingle with ANY
@@ -456,13 +463,24 @@ def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
     # scan (measured 3.5 s vs 0.4 s at sf0.1). The persist is a pushdown
     # barrier, and the two consumers (train grams / eval rows) share one
     # shingle pass instead of recomputing it per branch.
-    arrays = shingle_arrays(df, id_col, text_col, k).persist()
+    # `arrays`: optional caller-precomputed (id, shs) table (MUST already be
+    # persisted/materialized — it is consumed twice here too); lets composed
+    # pipelines (q_doc_train_split) share one shingle pass across legs.
+    if arrays is None:
+        arrays = shingle_arrays(df, id_col, text_col, k).persist()
+    else:
+        arrays = arrays.select("id", "shs")
     labels = df.select(F.col(id_col).alias("id"), F.col(split_col))
     sh = (arrays.select("id", F.explode("shs").alias("shingle"))
           .withColumn("sid", F.xxhash64("shingle"))
           .join(labels, "id"))
     is_train = F.col(split_col) == train_value
-    train_g = sh.filter(is_train).select("sid", "shingle").distinct()
+    # No .distinct() on the train side: LEFT SEMI is an existence join, so
+    # the hash build dedupes internally — a pre-distinct would only add a
+    # full extra shuffle of the train shingles (measured r7: one fewer
+    # shuffle stage, same pair set; per-doc shingles are already distinct
+    # from word_shingles, so only cross-doc repeats reach the build side).
+    train_g = sh.filter(is_train).select("sid", "shingle")
     hits = (sh.filter(~is_train)
             .join(train_g, ["sid", "shingle"], "left_semi")
             .groupBy("id")

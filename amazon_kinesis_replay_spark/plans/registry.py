@@ -1042,14 +1042,28 @@ def q_doc_train_split(spark, sf_dir):
         "doc_id", bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "valid")
         .otherwise("test").alias("split"), "text")
+    # ONE persisted projection feeds all three legs (r6 verdict item 3):
+    # shingles + token count share the tokenize inside a single widened
+    # select (subexpression elimination), and bucket/split ride along so
+    # neither the legs nor the final assembly re-scan the parquet text.
+    enr = dedup.shingle_arrays(
+        split, "doc_id", "text", 3,
+        extra={"bucket": F.col("bucket"), "split": F.col("split"),
+               "__n_tok": text.token_count(F.col("text")).cast("long")},
+    ).persist()
     cont = dedup.cross_split_contamination(
-        split, "doc_id", "text", "split", k=3)
+        enr.select("id", F.col("split")), "id", "text", "split", k=3,
+        arrays=enr)
     packed = text.pack_sequences(
-        split.withColumn("__n_tok", text.token_count(F.col("text"))),
+        enr.select(F.col("id").alias("doc_id"), "__n_tok"),
         "doc_id", "__n_tok", seq_len=512)
-    return (split.join(cont, split["doc_id"] == cont["id"])
+    # Assembly joins stay unhinted: all three sides are doc-count-sized
+    # (too big to force-broadcast at 100 TB); AQE picks broadcast at bench
+    # SFs and colocated shuffle joins on doc_id beyond.
+    return (enr.select(F.col("id").alias("doc_id"), "bucket", "split")
+            .join(cont, F.col("doc_id") == cont["id"])
             .join(packed.select(F.col("doc_id").alias("__pdoc"), "pack_id"),
-                  split["doc_id"] == F.col("__pdoc"))
+                  F.col("doc_id") == F.col("__pdoc"))
             .select("doc_id", "bucket", "split",
                     "n_shared_train_grams", "contaminated", "pack_id"))
 
