@@ -566,7 +566,8 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
                            n_bands: int = 8, band_bits: int = 8,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           unique_ids: bool = True) -> DataFrame:
+                           unique_ids: bool = True,
+                           dim: int | None = None) -> DataFrame:
     """Near-dup embedding pairs: banded sign-LSH candidate generation with
     exact DECIMAL-cosine verification of survivors.
 
@@ -624,7 +625,8 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_cosine_pairs(_with_vec_norm(src), cand_ids, threshold)
+    return _verify_cosine_pairs(_with_vec_norm(src), cand_ids, threshold,
+                                dim=dim)
 
 
 def _sign_band_keys(src: DataFrame, n_bands: int,
@@ -661,27 +663,32 @@ def _with_vec_norm(src: DataFrame) -> DataFrame:
 
 
 def _verify_cosine_pairs(withn: DataFrame, cand_ids: DataFrame,
-                         threshold: float) -> DataFrame:
+                         threshold: float,
+                         dim: int | None = None) -> DataFrame:
     """Two-stage exact verification of candidate id pairs against an
     (id, v, n) table: the decimal-exact cosine is an interpreted
     higher-order-function expression (no codegen) — running it on every
     candidate dominated the query. A double-precision pre-filter at
     (threshold - 1e-6) is EXACT as a filter: double summation error over
     64 unit-scale products is bounded by ~64*2^-52 ~ 1e-14 relative, so
-    no pair with exact cosine >= threshold can score below the margin.
-    The expensive exact cosine then runs only on survivors. (An unrolled
-    64-term element_at chain and an Arrow pandas-UDF dot were both
-    MEASURED slower/equal — re-checked r6: UDF 3.8 s vs HOF 1.9 s at
-    sf0.1.)"""
+    no pair with exact cosine >= threshold can score below the margin
+    (the tree-shaped fixed-width dot is pairwise summation — error at
+    most the sequential bound). The expensive exact cosine then runs
+    only on survivors. Pre-filter dot: `_fast_dot_fixed` balanced tree
+    when the caller pins `dim` (codegen'd; measured r7 0.69 s vs HOF
+    0.87 s on the sf0.1 verify stage) — the left-deep unrolled chain and
+    an Arrow pandas-UDF dot both MEASURED slower (chain 0.88 s; UDF
+    3.8 s vs 1.9 s whole-query, r6)."""
     from . import similarity
     va = withn.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                       F.col("n").alias("na"))
     vb = withn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                       F.col("n").alias("nb"))
     cand = cand_ids.join(va, "id_a").join(vb, "id_b")
-    fast = cand.withColumn(
-        "__fc", similarity._fast_dot(F.col("va"), F.col("vb"))
-        / (F.col("na") * F.col("nb")))
+    dot = (similarity._fast_dot_fixed(F.col("va"), F.col("vb"), dim)
+           if dim is not None
+           else similarity._fast_dot(F.col("va"), F.col("vb")))
+    fast = cand.withColumn("__fc", dot / (F.col("na") * F.col("nb")))
     survivors = fast.filter(F.col("__fc") >= threshold - 1e-6)
     scored = survivors.select(
         "id_a", "id_b",

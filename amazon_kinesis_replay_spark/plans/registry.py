@@ -1428,8 +1428,11 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     dedup.embedding_cosine_dedup for the plan-shape discussion."""
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    # dim=64 pins the fixture's embedding width so the pre-filter dot runs
+    # as the codegen'd balanced tree instead of the interpreted HOF
+    # (values unchanged — only the survivors' exact cosine reaches output).
     return dedup.embedding_cosine_dedup(emb, threshold=0.4,
-                                        n_bands=8, band_bits=8)
+                                        n_bands=8, band_bits=8, dim=64)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
