@@ -713,6 +713,26 @@ def embedding_index_write(emb: DataFrame, path: str, n_bands: int = 8,
         .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
+def _staged_result(out: DataFrame, path: str) -> DataFrame:
+    """Read-before-append barrier WITHOUT driver materialization (r6
+    verdict item 5): the incremental paths must fully compute their
+    result from the PRE-append index state before mutating the index —
+    a lazy consumer would otherwise double-count the new entries. The
+    former collect()+createDataFrame fence collected the batch's
+    duplicate pairs onto the driver, unbounded under mass duplication;
+    writing to a staging parquet under the index path and re-reading is
+    the same barrier with no driver bytes, and works on any Hadoop
+    filesystem the index itself lives on. Staging dirs are batch-scoped
+    (uuid-named) and NOT auto-deleted — the returned DataFrame stays
+    backed by them;
+    callers may remove <path>/_staging once results are no longer
+    referenced."""
+    import uuid
+    staging = f"{path}/_staging/{uuid.uuid4().hex}"
+    out.write.parquet(staging)
+    return out.sparkSession.read.parquet(staging)
+
+
 def embedding_dedup_incremental(spark, new_emb: DataFrame, path: str,
                                 threshold: float = 0.4,
                                 id_col: str = "vec_id",
@@ -748,10 +768,9 @@ def embedding_dedup_incremental(spark, new_emb: DataFrame, path: str,
     out = _verify_cosine_pairs(old_vecs.unionByName(new_vecs), cand,
                                threshold)
     if append:
-        rows = out.collect()      # materialize before mutating the index
+        out = _staged_result(out, path)   # barrier: compute pre-append
         new_keys.write.mode("append").parquet(path + "/bands")
         new_vecs.write.mode("append").parquet(path + "/vectors")
-        out = spark.createDataFrame(rows, out.schema)
     return out
 
 
@@ -896,13 +915,9 @@ def minhash_dedup_incremental(spark, new_df: DataFrame, path: str,
     all_arrays = old_arrays.unionByName(new_arrays)
     out = _verify_jaccard(all_arrays, cand, threshold)
     if append:
-        # Materialize the result BEFORE appending: the verify plan reads
-        # the stored parquet, and appending first would double-count the
-        # new entries on a lazy consumer.
-        rows = out.collect()
+        out = _staged_result(out, path)   # barrier: compute pre-append
         new_entries.write.mode("append").parquet(path + "/bands")
         new_arrays.write.mode("append").parquet(path + "/arrays")
-        out = spark.createDataFrame(rows, out.schema)
     return out
 
 
@@ -985,9 +1000,8 @@ def simhash_dedup_incremental(spark, new_df: DataFrame, path: str,
            .filter(F.col("hamming") <= max_hamming)
            .select("id_a", "id_b", "hamming"))
     if append:
-        rows = out.collect()      # materialize before mutating the index
+        out = _staged_result(out, path)   # barrier: compute pre-append
         new_chunks.write.mode("append").parquet(path + "/chunks")
-        out = spark.createDataFrame(rows, out.schema)
     return out
 
 
@@ -1037,9 +1051,8 @@ def exact_dedup_incremental(spark, new_df: DataFrame, path: str,
                 (F.col("__key_new") & (F.col("id") == F.col("keep_id")))
                 .alias("is_new"), "keep_id"))
     if append:
-        rows = out.collect()      # materialize before mutating the index
+        out = _staged_result(out, path)   # barrier: compute pre-append
         (joined.filter(F.col("__old_keep").isNull())
          .select(*key_cols, F.col("batch_keep").alias("keep_id"), "__kh")
          .write.mode("append").parquet(path + "/keys"))
-        out = spark.createDataFrame(rows, out.schema)
     return out
