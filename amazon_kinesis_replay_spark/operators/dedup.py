@@ -779,11 +779,18 @@ def embedding_dedup_incremental(spark, new_emb: DataFrame, path: str,
 # --------------------------------------------------------------------------
 
 
-def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+def dedup_clusters(nodes: DataFrame, pairs: DataFrame | str,
+                   id_col: str = "doc_id", max_iters: int = 20,
+                   check_every: int = 1) -> DataFrame:
     """Group near-dup PAIRS into CLUSTERS and pick one representative per
     cluster — the step that turns any pairwise dedup modality (Jaccard,
     MinHash, SimHash, embedding-cosine) into a keep/drop decision.
+
+    `pairs` is an (id_a, id_b) DataFrame OR a parquet path string of one
+    — the path form is the cold-start entry (r6 verdict item 7): a
+    pipeline that already materialized its duplicate pairs (batch output,
+    or the incremental paths' `_staging` results) clusters them without
+    re-running any shingle/LSH pipeline.
 
     Connected components by iterative min-label propagation: every node
     starts labeled with its own id; each round, a node's label becomes the
@@ -793,41 +800,84 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame,
     driver-side graph. Rounds needed = component diameter, and near-dup
     clusters are star-like (diameter 2-3) because every member overlaps
     the same core content, so the loop converges in a handful of rounds;
-    `max_iters` bounds pathological chains, and convergence is checked
-    with a count action per round on the (tiny) changed-label set.
+    `max_iters` bounds pathological chains. Convergence is observed with
+    one count action per `check_every` chained rounds (zero label changes
+    in the LAST round of a chain implies fixpoint regardless of earlier
+    rounds). Each action is a Spark job, but an unpersisted chained
+    round's plan embeds its predecessor twice (neighbor branch + carry
+    branch) — re-computing it. The default 1 therefore persists and
+    checks every round (compute-optimal: the right trade at 100 TB where
+    label shuffles dwarf job launches); small-corpus callers where the
+    per-job launch constant dominates (the bench SFs) pass 2.
 
     Returns (id, cluster_id, cluster_size, is_representative) for EVERY
     node — singletons form their own cluster.
     """
+    if isinstance(pairs, str):
+        pairs = nodes.sparkSession.read.parquet(pairs)
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # Materialize the pair list FIRST: the symmetric-edges union consumes
+    # `pairs` twice, so a pair plan whose expensive stages are NOT
+    # internally persisted (a raw join, a filtered scan) would run once
+    # per branch. (For ngram_jaccard_pairs specifically the internal
+    # shingle persists already dedupe the branches — this cache is the
+    # guard for every OTHER pair source, at the cost of one tiny table.)
+    e = (pairs.select(F.col("id_a").alias("src"),
+                      F.col("id_b").alias("dst")).persist())
+    e.count()
     edges = e.unionAll(e.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
     edges = edges.persist()
     labels = ids.withColumn("lbl", F.col("id")).persist()
     labels.count()
+    # Unpersist must target the frame persist() was CALLED on: from round
+    # 2 on `labels` is a Project over the cached `merged`, and unpersist
+    # on the Project is a no-op (not sameResult with the cache entry) —
+    # every round's cache would leak for the application lifetime (r6
+    # ADVICE). Track the cached handle separately.
+    cached = labels
     converged = False
-    # max_iters bounds the component DIAMETER; observing convergence takes
-    # one extra zero-change round, hence max_iters + 1 loop iterations — a
-    # component of diameter exactly max_iters must not raise.
-    for _ in range(max_iters + 1):
-        neigh = (edges.join(labels, edges["src"] == labels["id"])
+
+    def one_round(cur: DataFrame) -> DataFrame:
+        neigh = (edges.join(cur, edges["src"] == cur["id"])
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.min("lbl").alias("n_lbl")))
         # Change detection rides the SAME left join that computes the new
         # labels (lbl strictly decreases, so changed == n_lbl < lbl) — one
-        # join + one action per round, not a second old-vs-new join.
-        merged = (labels.join(neigh, "id", "left")
-                  .select("id", F.least("lbl", "n_lbl").alias("lbl"),
-                          (F.col("n_lbl") < F.col("lbl")).alias("__chg"))
-                  .persist())
+        # join per round, not a second old-vs-new join.
+        return (cur.join(neigh, "id", "left")
+                .select("id", F.least("lbl", "n_lbl").alias("lbl"),
+                        (F.col("n_lbl") < F.col("lbl")).alias("__chg")))
+
+    # max_iters bounds the component DIAMETER; observing convergence takes
+    # one extra zero-change round, hence max_iters + 1 total rounds — a
+    # component of diameter exactly max_iters must not raise. Rounds run
+    # in chains of `check_every` with one persist + one count action per
+    # chain (see docstring).
+    rounds_left = max_iters + 1
+    while rounds_left > 0:
+        chain = min(max(int(check_every), 1), rounds_left)
+        rounds_left -= chain
+        merged = one_round(labels)
+        for _ in range(chain - 1):
+            merged = one_round(merged.drop("__chg"))
+        merged = merged.persist()
+        # The count also MATERIALIZES merged — required before the
+        # unpersist below, since merged's plan reads the previous cache.
         changed = merged.filter("__chg").count()
-        labels.unpersist()
+        cached.unpersist()
+        cached = merged
         labels = merged.drop("__chg")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
+    e.unpersist()
+    # The FINAL round's cache stays persisted deliberately: the returned
+    # DataFrame is lazily derived from it (two consumers below) and an
+    # eager unpersist here would recompute the whole iteration per
+    # consumer. One bounded (id, lbl) table per call, released with the
+    # session — not the per-round accumulation the leak fix above removes.
     if not converged:
         # Returning partially-propagated labels would silently split one
         # component into several clusters (wrong, and un-flagged vs an

@@ -1274,7 +1274,10 @@ def q_dedup_clusters(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
                                       threshold=_JACCARD_THRESHOLD)
-    return dedup.dedup_clusters(d, pairs, id_col="doc_id")
+    # check_every=2: at gate/bench SFs the per-round job-launch constant
+    # dominates the tiny label shuffles, so chaining two rounds per
+    # convergence check halves the job count (see dedup_clusters).
+    return dedup.dedup_clusters(d, pairs, id_col="doc_id", check_every=2)
 
 
 def q_minhash_dedup(spark, sf_dir):

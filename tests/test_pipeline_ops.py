@@ -175,6 +175,29 @@ def test_dedup_clusters_diameter_exactly_max_iters(spark):
         dedup.dedup_clusters(nodes, chain, max_iters=1)
 
 
+def test_dedup_clusters_pairs_path_and_chained_check(spark, tmp_path):
+    """The parquet-path pairs form (cold-start entry: cluster previously
+    materialized pairs without re-running any dedup pipeline) must equal
+    the DataFrame form, and chained convergence checks (check_every=2,
+    the bench-SF operating point) must not change the labels — including
+    on a CHAIN graph where fixpoint lands mid-chain."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+    p = str(tmp_path / "pairs")
+    pairs.write.parquet(p)
+    want = sorted(map(tuple, dedup.dedup_clusters(nodes, pairs).collect()))
+    from_path = sorted(map(tuple,
+                           dedup.dedup_clusters(nodes, p).collect()))
+    chained = sorted(map(tuple,
+                         dedup.dedup_clusters(nodes, pairs,
+                                              check_every=2).collect()))
+    chained3 = sorted(map(tuple,
+                          dedup.dedup_clusters(nodes, pairs,
+                                               check_every=3).collect()))
+    assert from_path == want and chained == want and chained3 == want
+
+
 def test_exact_dedup_representative(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionAll(d.select((F.col("doc_id") + 10_000).alias("doc_id"),
