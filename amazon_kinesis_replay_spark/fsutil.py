@@ -1,0 +1,38 @@
+"""Hadoop FileSystem helpers for index/state directories.
+
+Index paths (MinHash/embedding/IVF state, streaming markers) may live on
+HDFS or an object store, not the driver's local disk — `os.path` probes
+are silently wrong there (always False, so every batch "bootstraps" and
+discards history; see the round-6 ADVICE on `near_dup_stream`). These
+helpers route every existence/list/rename through the JVM-side Hadoop
+FileSystem resolved FOR the path's scheme, so the same code is correct on
+file://, hdfs:// and s3a://.
+"""
+
+from __future__ import annotations
+
+
+def _fs(spark, path: str):
+    """(FileSystem, Path-class) pair for `path`'s scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def exists(spark, path: str) -> bool:
+    """True iff `path` exists on its own filesystem (not the driver's)."""
+    fs, jpath = _fs(spark, path)
+    return bool(fs.exists(jpath(path)))
+
+
+def delete(spark, path: str) -> None:
+    """Recursive delete; no-op when absent."""
+    fs, jpath = _fs(spark, path)
+    fs.delete(jpath(path), True)
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    """Filesystem rename (atomic on HDFS/local; copy on object stores)."""
+    fs, jpath = _fs(spark, src)
+    return bool(fs.rename(jpath(src), jpath(dst)))

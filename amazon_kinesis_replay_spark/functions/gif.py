@@ -227,7 +227,11 @@ def decode_gif(raw: bytes) -> tuple[int, int, bytes]:
             idx = b"".join(rows)
 
         n_colors = len(table) // 3
-        bg = (table[3 * bg_idx:3 * bg_idx + 3]
+        # Background index refers to the GLOBAL color table (GIF89a spec
+        # §18); slicing the active (possibly smaller LOCAL) table here
+        # could yield <3 bytes and silently mis-size the raster (r6
+        # ADVICE).
+        bg = (gct[3 * bg_idx:3 * bg_idx + 3]
               if gct and bg_idx < len(gct) // 3 else b"\x00\x00\x00")
         screen = bytearray(bg * (sw * sh))
         for y in range(fh):

@@ -326,14 +326,27 @@ def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
     ivf_index_write(emb, staging, n_centroids=int(n_cent),
                     train_iters=train_iters)
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    for sub in ("vectors", "centroids", "meta"):
-        fs.delete(hpath(f"{path}/{sub}"), True)
-        if not fs.rename(hpath(f"{staging}/{sub}"), hpath(f"{path}/{sub}")):
-            raise IOError(f"index swap failed renaming {sub} into {path}")
-    fs.delete(hpath(staging), True)
+    # Swap by rename-ASIDE, not delete-then-rename: move each live subdir
+    # to <sub>.old first, rename the staged one in, and only then delete
+    # the .old copies. A crash at any step leaves at least one COMPLETE
+    # generation on disk (live, .old, or staging) — the delete-first form
+    # had a window where the live index was simply gone (r6 ADVICE).
+    # Renames are atomic on HDFS/local; on object stores version the
+    # whole index path instead.
+    from .. import fsutil
+    subs = ("vectors", "centroids", "meta")
+    for sub in subs:
+        fsutil.delete(spark, f"{path}/{sub}.old")        # stale leftovers
+        if fsutil.exists(spark, f"{path}/{sub}"):        # pre-policy may lack meta
+            fsutil.rename(spark, f"{path}/{sub}", f"{path}/{sub}.old")
+    for sub in subs:
+        if not fsutil.rename(spark, f"{staging}/{sub}", f"{path}/{sub}"):
+            raise IOError(
+                f"index swap failed renaming {sub} into {path}; the "
+                f"previous generation is intact under {path}/<sub>.old")
+    for sub in subs:
+        fsutil.delete(spark, f"{path}/{sub}.old")
+    fsutil.delete(spark, staging)
     return True
 
 

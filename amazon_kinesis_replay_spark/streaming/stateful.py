@@ -202,33 +202,86 @@ def near_dup_stream(docs, index_path: str, sink,
     The first batch bootstraps the index (writes its LSH state, emits its
     within-batch pairs); later batches probe + append. State lives in the
     index directory, not the state store, so it survives restarts and is
-    shared with batch consumers; exactly-once across restarts follows the
-    sink's idempotency (pairs are deterministic per batch, so an
-    idempotent sink — e.g. overwrite-by-batch-id — closes the loop).
+    shared with batch consumers. All index probes go through the Hadoop
+    FileSystem API (`fsutil`), not the driver's local `os.path` — the
+    index may be on HDFS/S3 where a local check is always False and would
+    silently re-bootstrap every batch (r6 ADVICE).
+
+    Replay semantics: foreachBatch is at-least-once, and the index append
+    is a side effect — so the stream records the last-APPLIED batch_id in
+    the index (`applied/`, written right after the append). A replayed
+    batch (batch_id <= recorded) probes WITHOUT appending, so its LSH
+    state is never added twice, and re-emits the same deterministic pair
+    set (deduplicated, because the index already holds the batch's
+    arrays). The only residual window is a crash between the append and
+    the marker write — one possible duplicate append per crash, bounded,
+    and flagged here rather than hidden. End-to-end exactly-once then
+    needs an idempotent `sink` (e.g. overwrite-by-batch-id).
+
+    Contract: the applied-marker ties the index to ONE streaming lineage
+    — to continue an existing index after a restart, reuse the same
+    `checkpoint` so batch_ids keep increasing. Starting a brand-new query
+    (fresh checkpoint, batch_ids from 0) against a populated index will
+    probe-only until the new batch_ids pass the recorded watermark.
 
     `sink(pairs_df, batch_id)` receives the verified (id_a, id_b,
     jaccard) pairs involving the batch. Returns the DataStreamWriter
     (caller starts it)."""
-    import os
+    _process = _near_dup_processor(index_path, sink, id_col, text_col,
+                                   threshold)
+    w = docs.writeStream.foreachBatch(_process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
 
+
+def _near_dup_processor(index_path: str, sink, id_col: str, text_col: str,
+                        threshold: float):
+    """The foreachBatch body of `near_dup_stream`, exposed module-level so
+    replay/bootstrap idempotency is directly testable with static frames
+    (a real streaming replay can't be forced deterministically)."""
+    from .. import fsutil
     from ..operators import dedup
+
+    def _last_applied(spark) -> int:
+        try:
+            row = spark.read.parquet(index_path + "/applied").head()
+            return int(row["batch_id"]) if row is not None else -1
+        except Exception:
+            return -1
+
+    def _record_applied(spark, batch_id: int) -> None:
+        spark.createDataFrame([(int(batch_id),)], "batch_id long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(index_path + "/applied")
 
     def _process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not os.path.exists(os.path.join(index_path, "meta")):
+        if not fsutil.exists(spark, index_path + "/meta"):
+            # Bootstrap. The marker is written FIRST so a crash after the
+            # (mode=overwrite, hence idempotent) index write replays as
+            # batch_id <= recorded; a crash before the index write leaves
+            # meta absent, so the replay re-bootstraps cleanly.
+            _record_applied(spark, batch_id)
             dedup.minhash_index_write(batch_df, index_path,
                                       id_col, text_col)
             pairs = dedup.minhash_dedup(batch_df, id_col, text_col,
                                         num_hashes=32, bands=16, k=3,
                                         threshold=threshold)
         else:
+            append = batch_id > _last_applied(spark)
             pairs = dedup.minhash_dedup_incremental(
-                spark, batch_df, index_path, id_col, text_col, threshold)
+                spark, batch_df, index_path, id_col, text_col, threshold,
+                append=append)
+            if append:
+                _record_applied(spark, batch_id)
+            else:
+                # Replay: the index already holds this batch's arrays, so
+                # the verify join sees each new id twice — collapse the
+                # resulting duplicate pair rows (values are identical).
+                pairs = pairs.dropDuplicates(["id_a", "id_b"])
         sink(pairs, batch_id)
 
-    w = docs.writeStream.foreachBatch(_process)
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    return w
+    return _process

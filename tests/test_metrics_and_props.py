@@ -170,3 +170,45 @@ def test_gif_codec_round_trip_property(w, h, n_colors_log, interlace, data):
         encode_gif(w, h, idx, palette, interlace=interlace))
     assert (got_w, got_h) == (w, h)
     assert rgb == b"".join(palette[3 * c:3 * c + 3] for c in idx)
+
+
+def test_gif_background_comes_from_global_table_with_local_frame():
+    """A frame with a LOCAL color table smaller than the global one plus
+    a large background index: the background color must come from the
+    GLOBAL table (GIF89a spec — the LSD background index refers to the
+    GCT), and the raster must be exactly screen-sized. Slicing the local
+    table would yield a short bg slice and a garbled, mis-sized raster
+    (r6 ADVICE)."""
+    import struct
+
+    from amazon_kinesis_replay_spark.functions.gif import (
+        _lzw_encode, decode_gif)
+
+    gct = b"".join(bytes((10 * i, 10 * i + 1, 10 * i + 2))
+                   for i in range(8))                       # 8 colors
+    local = bytes((200, 0, 0, 0, 200, 0))                   # 2 colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 2, 5, 0)      # bg_idx=5
+    out += gct
+    out += struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0x80)   # local table
+    out += local
+    lzw = _lzw_encode(2, bytes((0, 1, 1, 0)))
+    out.append(2)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += bytes((0, 0x3B))
+
+    w, h, rgb = decode_gif(bytes(out))
+    assert (w, h, len(rgb)) == (4, 4, 48)
+
+    def px(x, y):
+        return rgb[3 * (y * 4 + x):3 * (y * 4 + x) + 3]
+
+    bg = bytes((50, 51, 52))                                # GCT color 5
+    assert px(0, 0) == bg and px(3, 3) == bg and px(3, 0) == bg
+    assert px(1, 1) == bytes((200, 0, 0))
+    assert px(2, 1) == bytes((0, 200, 0))
+    assert px(1, 2) == bytes((0, 200, 0))
+    assert px(2, 2) == bytes((200, 0, 0))

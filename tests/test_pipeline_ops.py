@@ -891,6 +891,9 @@ def test_ivf_index_retrain_policy(spark, sf_dir, tmp_path):
     assert spark.read.parquet(index + "/vectors").count() == n_total
     import os
     assert not os.path.exists(index + "/.retrain-staging")
+    # rename-aside swap cleaned up every previous-generation copy
+    for sub in ("vectors", "centroids", "meta"):
+        assert not os.path.exists(f"{index}/{sub}.old")
 
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_vec"))

@@ -356,3 +356,46 @@ def test_near_dup_stream_matches_batch(spark, sf_dir, tmp_path):
             D.minhash_dedup(docs, "doc_id", "text", 32, 16, 3, 0.5).collect()}
     assert set(got) == want
     assert len(got) == len(set(got))          # no pair emitted twice
+
+
+def test_near_dup_processor_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a REPLAYED batch (same batch_id)
+    must not append its LSH state a second time (the applied-marker
+    guard), and must re-emit exactly the pair set the original run
+    emitted — for both the bootstrap batch and an incremental batch.
+    Exercises the module-level processor directly because a real
+    streaming replay can't be forced deterministically."""
+    from amazon_kinesis_replay_spark.operators import dedup as D
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_processor)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+
+    got: dict[int, list[set]] = {}
+
+    def sink(pairs, batch_id):
+        got.setdefault(batch_id, []).append(
+            {(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()})
+
+    index = str(tmp_path / "mh-replay")
+    proc = _near_dup_processor(index, sink, "doc_id", "text", 0.5)
+
+    proc(b0, 0)
+    proc(b0, 0)                    # replayed bootstrap -> probe-only
+    proc(b1, 1)
+    bands = spark.read.parquet(index + "/bands").count()
+    arrays = spark.read.parquet(index + "/arrays").count()
+    proc(b1, 1)                    # replayed incremental batch
+    assert spark.read.parquet(index + "/bands").count() == bands
+    assert spark.read.parquet(index + "/arrays").count() == arrays
+    assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+
+    # each replay re-emitted exactly the original batch's pair set
+    assert got[0][0] == got[0][1]
+    assert got[1][0] == got[1][1]
+    # and the union is still exactly the whole-corpus batch pair set
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            D.minhash_dedup(docs, "doc_id", "text", 32, 16, 3, 0.5).collect()}
+    assert got[0][0] | got[1][0] == want

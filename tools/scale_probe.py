@@ -1,89 +1,166 @@
 #!/usr/bin/env python
-"""Scale-linearity probe: run the MinHash dedup pipeline AND the
-train/eval contamination pass over 1x / 4x / 10x synthetic expansions of
-the documents corpus and report wall time. A near-linear curve is the
-evidence the plans have no quadratic term: MinHash (explode -> min-aggs
--> band equi-join) vs the exact all-pairs Jaccard that would blow up
-100x at 10x; contamination (shingle pass -> distinct train grams ->
-semi-join) vs the train x eval doc-pair comparison a naive
-implementation runs.
+"""Scale-linearity probe: run the heavy pipeline families over 1x / 4x /
+10x synthetic expansions of the fixture corpus and report wall time. A
+near-linear curve is the evidence the plans have no quadratic term:
+
+- minhash        : explode -> min-aggs -> band equi-join (vs all-pairs
+                   Jaccard, which would blow up 100x at 10x)
+- contamination  : shingle pass -> distinct train grams -> semi-join
+                   (vs train x eval doc-pair comparison)
+- embedding_dedup: sign-LSH banding -> bucket equi-join -> exact cosine
+                   on survivors (vs the N^2 cosine matrix)
+- packing        : range-bucketed distributed exclusive cumsum (vs a
+                   single-partition global window, which would flatline
+                   at one core and OOM at scale)
+- export         : range-clustered sharded parquet write (write cost
+                   must track rows, with no global sort bottleneck)
 
 Usage: python tools/scale_probe.py [sf_dir]
+
+Prints per-family progress lines plus ONE final JSON line:
+{"sf_dir": ..., "families": {name: {"x1_s": .., "x4_s": .., "x10_s": ..,
+"factor_x4": .., "factor_x10": ..}}} — factors ~mult (and far below
+mult^2) demonstrate linearity.
 """
 
 from __future__ import annotations
 
+import json
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
+
+MULTS = (1, 4, 10)
+
+
+def _expand_docs(base, mult):
+    """id-shifted copies with a perturbing token so copies are NOT exact
+    dups of each other (keeps LSH bucket sizes realistic)."""
+    from pyspark.sql import functions as F
+    parts = [base]
+    for i in range(1, mult):
+        parts.append(base.select(
+            (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text")))
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionAll(p)
+    return corpus
+
+
+def _expand_emb(base, mult):
+    """id-shifted copies with a small per-copy vector perturbation so the
+    copies land in realistic (not pathologically identical) LSH buckets."""
+    from pyspark.sql import functions as F
+    parts = [base]
+    for i in range(1, mult):
+        eps = 0.001 * i
+        parts.append(base.select(
+            (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + F.lit(eps)).cast("float")).alias("embedding")))
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionAll(p)
+    return corpus
+
+
+def _probe(name, fn, out):
+    """Time fn(mult) across MULTS; record seconds + scaling factors."""
+    times = {}
+    for mult in MULTS:
+        t0 = time.monotonic()
+        detail = fn(mult)
+        dt = time.monotonic() - t0
+        times[mult] = dt
+        print(f"{name} x{mult}: {detail} in {dt:.2f}s", flush=True)
+    fam = {f"x{m}_s": round(times[m], 2) for m in MULTS}
+    for m in MULTS[1:]:
+        fam[f"factor_x{m}"] = round(times[m] / max(times[1], 1e-9), 2)
+        print(f"{name} x{m} scaling factor: {fam[f'factor_x{m}']} "
+              f"(linear would be ~{m})", flush=True)
+    out[name] = fam
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from pyspark.sql import functions as F
 
-    from amazon_kinesis_replay_spark.operators import dedup
+    from amazon_kinesis_replay_spark import export
+    from amazon_kinesis_replay_spark.operators import dedup, text
     from amazon_kinesis_replay_spark.session import build_spark
 
     spark = build_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
 
-    results = []
-    for mult in (1, 4, 10):
-        # id-shifted copies with a perturbing token so copies are NOT exact
-        # dups of each other (keeps bucket sizes realistic)
-        parts = [base]
-        for i in range(1, mult):
-            parts.append(base.select(
-                (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text")))
-        corpus = parts[0]
-        for p in parts[1:]:
-            corpus = corpus.unionAll(p)
+    families: dict[str, dict] = {}
+
+    def run_minhash(mult):
+        corpus = _expand_docs(docs, mult)
         n = corpus.count()
-        t0 = time.monotonic()
         pairs = dedup.minhash_dedup(corpus, "doc_id", "text",
                                     num_hashes=64, bands=32, k=3,
                                     threshold=0.5).count()
-        dt = time.monotonic() - t0
-        results.append((mult, n, pairs, round(dt, 2)))
-        print(f"x{mult}: {n} docs -> {pairs} pairs in {dt:.2f}s", flush=True)
+        return f"{n} docs -> {pairs} pairs"
 
-    base_t = results[0][3]
-    for mult, n, pairs, dt in results[1:]:
-        print(f"x{mult} scaling factor: {dt / base_t:.2f} "
-              f"(linear would be ~{mult})", flush=True)
-
-    # ---- contamination pass over the same expansions -----------------------
-    results = []
-    for mult in (1, 4, 10):
-        parts = [base]
-        for i in range(1, mult):
-            parts.append(base.select(
-                (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text")))
-        corpus = parts[0]
-        for p in parts[1:]:
-            corpus = corpus.unionAll(p)
-        split = corpus.withColumn(
+    def run_contamination(mult):
+        split = _expand_docs(docs, mult).withColumn(
             "split", F.when(F.pmod(F.col("doc_id"), 10) < 8, "train")
             .otherwise("test"))
         n = split.count()
-        t0 = time.monotonic()
         flagged = (dedup.cross_split_contamination(
             split, "doc_id", "text", "split")
             .filter("contaminated").count())
-        dt = time.monotonic() - t0
-        results.append((mult, n, flagged, round(dt, 2)))
-        print(f"contamination x{mult}: {n} docs -> {flagged} flagged "
-              f"in {dt:.2f}s", flush=True)
-    base_t = results[0][3]
-    for mult, n, flagged, dt in results[1:]:
-        print(f"contamination x{mult} scaling factor: {dt / base_t:.2f} "
-              f"(linear would be ~{mult})", flush=True)
+        return f"{n} docs -> {flagged} flagged"
+
+    def run_embedding(mult):
+        corpus = _expand_emb(emb, mult)
+        n = corpus.count()
+        pairs = dedup.embedding_cosine_dedup(
+            corpus, threshold=0.4, id_col="vec_id",
+            vec_col="embedding").count()
+        return f"{n} vecs -> {pairs} pairs"
+
+    def _packed(mult):
+        counted = _expand_docs(docs, mult).withColumn(
+            "token_count", F.size(F.split(F.col("text"), r"\s+")))
+        return text.pack_sequences(counted, "doc_id", "token_count",
+                                   seq_len=512)
+
+    def run_packing(mult):
+        packed = _packed(mult)
+        row = packed.agg(F.count("*").alias("n"),
+                         F.max("pack_id").alias("p")).head()
+        return f"{row['n']} docs -> {int(row['p']) + 1} packs"
+
+    def run_export(mult):
+        packed = _packed(mult).withColumn(
+            "split", F.when(F.pmod(F.col("doc_id"), 10) < 8, F.lit("train"))
+            .otherwise(F.lit("test")))
+        n = packed.count()
+        tmp = tempfile.mkdtemp(prefix="scale-probe-export-")
+        try:
+            export.write_training_shards(packed, tmp + "/shards",
+                                         rows_per_shard=20_000)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return f"{n} rows sharded"
+
+    _probe("minhash", run_minhash, families)
+    _probe("contamination", run_contamination, families)
+    _probe("embedding_dedup", run_embedding, families)
+    _probe("packing", run_packing, families)
+    _probe("export", run_export, families)
+
+    print(json.dumps({"sf_dir": sf_dir, "families": families}), flush=True)
 
 
 if __name__ == "__main__":
