@@ -51,6 +51,64 @@ def bpe_pretoken_count(text_col: Column) -> Column:
     return F.regexp_count(text_col, F.lit(BPE_PRETOKEN_PATTERN))
 
 
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 200,
+              max_words: int = 1_000_000) -> list[tuple[str, str]]:
+    """Train a BPE merge table on a corpus — distributed where the data
+    is big, driver-side where it is small (the aggregate-then-fit shape
+    of the IVF k-means trainer): pre-tokenization and piece counting run
+    as one explode + map-side-combinable groupBy over the corpus (JVM
+    regex, no Python), and only the aggregated piece->count table — at
+    most `max_words` rows, vocab-scale not corpus-scale — reaches the
+    driver for the classic Sennrich merge loop
+    (`functions.bpe.learn_bpe`, cost ∝ vocab × merges, independent of
+    corpus size).
+
+    `max_words` caps the driver table by keeping the MOST FREQUENT
+    pieces (ties broken by piece for determinism); the frequency mass of
+    natural text is heavy-tailed, so the tail's effect on merge ranks is
+    negligible — the cap bounds driver memory at 100 TB, it does not
+    change the algorithm. Returns the ordered merge list (feed to
+    `bpe_encode`)."""
+    pieces = df.select(F.explode(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
+        .alias("piece"))
+    top = (pieces.groupBy("piece").agg(F.count("*").alias("cnt"))
+           .orderBy(F.col("cnt").desc(), F.col("piece"))
+           .limit(int(max_words)).collect())
+    from ..functions import bpe as _bpe
+    return _bpe.learn_bpe({r["piece"]: r["cnt"] for r in top}, n_merges)
+
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: list[tuple[str, str]],
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a trained BPE merge table: adds `out_col` (array<string> of
+    subword tokens, lossless — aggregating them with concat reproduces
+    the text exactly) and `{out_col}_count` (long) — the REAL token
+    count that `bpe_pretoken_count` upper-bounds.
+
+    Arrow-batched pandas UDF (the merge loop is genuinely imperative —
+    rank-ordered pair merging has no Column-expression form), with the
+    rank table shipped once per executor via a broadcast variable and a
+    per-batch piece cache: pieces are heavy-tailed, so most lookups hit
+    the cache and the per-row cost collapses toward a dict probe."""
+    import pandas as pd
+
+    from ..functions import bpe as _bpe
+    ranks = _bpe.merge_ranks(merges)
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("array<string>")
+    def _enc(s: pd.Series) -> pd.Series:
+        r = bc.value
+        cache: dict[str, list[str]] = {}
+        return s.map(lambda t: _bpe.encode_text(t or "", r, cache))
+
+    return (df.withColumn(out_col, _enc(F.col(text_col)))
+            .withColumn(f"{out_col}_count",
+                        F.size(out_col).cast("long")))
+
+
 def stopword_ratio(text_col: Column,
                    stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     toks = tokens(text_col)

@@ -1042,28 +1042,29 @@ def q_doc_train_split(spark, sf_dir):
         "doc_id", bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "valid")
         .otherwise("test").alias("split"), "text")
-    # ONE persisted projection feeds all three legs (r6 verdict item 3):
-    # shingles + token count share the tokenize inside a single widened
-    # select (subexpression elimination), and bucket/split ride along so
-    # neither the legs nor the final assembly re-scan the parquet text.
-    enr = dedup.shingle_arrays(
-        split, "doc_id", "text", 3,
-        extra={"bucket": F.col("bucket"), "split": F.col("split"),
-               "__n_tok": text.token_count(F.col("text")).cast("long")},
-    ).persist()
+    # Composition (re-decided r7 by measurement): contamination persists
+    # its own NARROW (id, shs) table; the packing and assembly legs scan
+    # the parquet directly (pushed-down, cheap). The "one shared widened
+    # persisted projection across all legs" variant (r6 verdict item 3)
+    # was built and A/B-measured SLOWER at sf0.1 bench conditions — 2.39 s
+    # lazy / 2.47 s eagerly-materialized vs 1.73 s for this shape under
+    # identical interleaving — because it couples the cheap legs to the
+    # expensive shingle cache (they stall on, and inside one job can even
+    # concurrently recompute, the wide cached projection) and pays a
+    # bigger cache write for columns only one leg needs. Keep the legs
+    # decoupled; `shingle_arrays(extra=)` / `arrays=` remain for callers
+    # that genuinely reuse the shingle table across ACTIONS.
     cont = dedup.cross_split_contamination(
-        enr.select("id", F.col("split")), "id", "text", "split", k=3,
-        arrays=enr)
+        split, "doc_id", "text", "split", k=3)
     packed = text.pack_sequences(
-        enr.select(F.col("id").alias("doc_id"), "__n_tok"),
+        split.withColumn("__n_tok", text.token_count(F.col("text"))),
         "doc_id", "__n_tok", seq_len=512)
     # Assembly joins stay unhinted: all three sides are doc-count-sized
     # (too big to force-broadcast at 100 TB); AQE picks broadcast at bench
     # SFs and colocated shuffle joins on doc_id beyond.
-    return (enr.select(F.col("id").alias("doc_id"), "bucket", "split")
-            .join(cont, F.col("doc_id") == cont["id"])
+    return (split.join(cont, split["doc_id"] == cont["id"])
             .join(packed.select(F.col("doc_id").alias("__pdoc"), "pack_id"),
-                  F.col("doc_id") == F.col("__pdoc"))
+                  split["doc_id"] == F.col("__pdoc"))
             .select("doc_id", "bucket", "split",
                     "n_shared_train_grams", "contaminated", "pack_id"))
 
@@ -1431,11 +1432,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     dedup.embedding_cosine_dedup for the plan-shape discussion."""
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
-    # dim=64 pins the fixture's embedding width so the pre-filter dot runs
-    # as the codegen'd balanced tree instead of the interpreted HOF
-    # (values unchanged — only the survivors' exact cosine reaches output).
+    # Pre-filter dot stays on the interpreted HOF: the codegen'd
+    # balanced-tree fixed-width dot (dim=64) won its ISOLATED verify
+    # stage (0.69 s vs 0.87 s) but measured SLOWER whole-query at bench
+    # conditions (r7 A/B, min-of-3 interleaved: 2.21 s tree vs 1.85 s
+    # HOF) — the 127-node expression is re-analyzed/codegen'd per run and
+    # re-inlined into the filter predicate, and that constant exceeds the
+    # verify-stage win at this candidate count. `dim=` remains for
+    # corpora where verification dominates (huge candidate sets).
     return dedup.embedding_cosine_dedup(emb, threshold=0.4,
-                                        n_bands=8, band_bits=8, dim=64)
+                                        n_bands=8, band_bits=8)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
