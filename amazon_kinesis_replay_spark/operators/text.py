@@ -10,6 +10,7 @@ are md5 hex strings — bit-identical across Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,8 +93,6 @@ def bpe_encode(df: DataFrame, text_col: str,
     rank table shipped once per executor via a broadcast variable and a
     per-batch piece cache: pieces are heavy-tailed, so most lookups hit
     the cache and the per-row cost collapses toward a dict probe."""
-    import pandas as pd
-
     from ..functions import bpe as _bpe
     ranks = _bpe.merge_ranks(merges)
     bc = df.sparkSession.sparkContext.broadcast(ranks)

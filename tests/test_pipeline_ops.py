@@ -1213,3 +1213,93 @@ def test_url_features_and_blocklist(spark):
     assert sorted(out[2]["domains"]) == ["ads.evil.com", "ok.net"]
     assert (out[3]["n_urls"], out[3]["blocklisted"]) == (0, False)
     assert out[4]["blocklisted"] is False         # no suffix false-positive
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (distributed train, Arrow-batched encode)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learn_classic_merges():
+    """Sennrich merge loop on a hand-checkable count table: most-frequent
+    pair first, count ties broken by lexicographically smallest pair,
+    early stop when no pair occurs twice."""
+    from amazon_kinesis_replay_spark.functions import bpe
+
+    # ("a","b") occurs 3*2 + 2*1 = 8 times, then ("ab","ab") 3 times
+    assert bpe.learn_bpe({"abab": 3, "ab": 2}, 10) == [
+        ("a", "b"), ("ab", "ab")]
+    # tie at count 2: lexicographic order decides, deterministically
+    assert bpe.learn_bpe({"cd": 2, "ab": 2}, 10) == [("a", "b"), ("c", "d")]
+    # nothing repeats -> no merges at all
+    assert bpe.learn_bpe({"ab": 1, "cd": 1}, 10) == []
+
+
+def test_bpe_encode_word_rank_order():
+    """Greedy encode merges the LOWEST-RANK pair first (training order,
+    not text order): with ranks [(b,c), (a,bc)] the word 'abc' must merge
+    b+c before a can merge."""
+    from amazon_kinesis_replay_spark.functions import bpe
+
+    ranks = bpe.merge_ranks([("b", "c"), ("a", "bc")])
+    assert bpe.encode_word("abc", ranks) == ["abc"]
+    # missing rank for the intermediate pair -> stops at the partial merge
+    ranks2 = bpe.merge_ranks([("b", "c")])
+    assert bpe.encode_word("abc", ranks2) == ["a", "bc"]
+
+
+def test_bpe_encode_lossless_property():
+    """For ANY text and ANY trained merge table, concatenating the
+    encoded tokens reproduces the text exactly — encoding is lossless by
+    construction (pre-tokenizer partitions the string; merges only ever
+    concatenate adjacent symbols)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_replay_spark.functions import bpe
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=80), st.text(max_size=200))
+    def check(train_text, text):
+        counts: dict[str, int] = {}
+        for p in bpe.pretokenize(train_text):
+            counts[p] = counts.get(p, 0) + 1
+        ranks = bpe.merge_ranks(bpe.learn_bpe(counts, 50))
+        toks = bpe.encode_text(text, ranks)
+        assert "".join(toks) == text
+        assert all(toks)                      # no empty tokens
+
+    check()
+
+
+def test_bpe_train_encode_spark(spark, sf_dir):
+    """End-to-end on the documents fixture: training is deterministic
+    (pure function of the corpus), and the distributed encode is
+    lossless (aggregate of tokens == text), consistent with the
+    pure-Python kernel, and bounded below by the pre-token piece count
+    and above by the character count."""
+    from amazon_kinesis_replay_spark.functions import bpe
+    from amazon_kinesis_replay_spark.operators import text as T
+    from amazon_kinesis_replay_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = T.bpe_train(docs, "text", n_merges=64)
+    assert merges == T.bpe_train(docs, "text", n_merges=64)
+    assert len(merges) == 64                  # corpus is big enough
+
+    enc = T.bpe_encode(docs, "text", merges)
+    bad = enc.filter(
+        F.concat_ws("", F.col("bpe_tokens")) != F.col("text")).count()
+    assert bad == 0                           # lossless, every document
+    bounds = enc.select(
+        F.min(F.col("bpe_tokens_count")
+              >= T.bpe_pretoken_count(F.col("text"))).alias("lo"),
+        F.min(F.col("bpe_tokens_count")
+              <= F.length("text")).alias("hi")).head()
+    assert bounds["lo"] and bounds["hi"]
+
+    # Spark path == pure-Python kernel, row by row (sampled)
+    ranks = bpe.merge_ranks(merges)
+    sample = enc.orderBy("doc_id").limit(20).collect()
+    for r in sample:
+        assert list(r["bpe_tokens"]) == bpe.encode_text(r["text"], ranks)
