@@ -290,20 +290,33 @@ def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
 
 
 def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
-                            train_iters: int = 2) -> bool:
+                            train_iters: int = 2,
+                            max_list_share: float | None = None) -> bool:
     """Periodic re-train policy for a persisted IVF index (the drift half
     of the append story: ivf_index_append keeps the centroid geometry
     frozen, so appended mass degrades list balance and probe recall over
     time).
 
-    Trigger: rows appended since the last train exceed growth_threshold
-    of the trained size (row counts come from parquet footers — a
-    metadata-scale job, no data read). An index without a meta table
-    (pre-policy layout) is treated as due. On trigger: re-train k-means
-    on the full corpus, rebuild into a staging directory, then swap via
-    filesystem rename — readers see the old index until the swap (on
-    object stores without atomic rename, version the index path instead;
-    the staging/swap here matches HDFS/local semantics).
+    Two independent triggers, both metadata-scale (row counts come from
+    parquet footers / the partition-column projection — no vector data
+    is read):
+    - GROWTH: rows appended since the last train exceed
+      `growth_threshold` of the trained size. Catches steady drift.
+    - IMBALANCE (`max_list_share`, opt-in): the largest inverted list
+      holds more than that share of all vectors. Catches the failure
+      growth can't see — a stream of near-identical appends piling into
+      ONE list, which makes every probe of that list scan a constant
+      fraction of the corpus (the N^2-confinement argument breaks) long
+      before total growth trips. A balanced index has share ~1/n_lists,
+      so thresholds a few multiples of that (e.g. 0.25 at 16 lists) are
+      meaningful; None (default) keeps the r6 growth-only behavior.
+
+    An index without a meta table (pre-policy layout) is treated as due.
+    On trigger: re-train k-means on the full corpus, rebuild into a
+    staging directory, then swap via filesystem rename — readers see the
+    old index until the swap (on object stores without atomic rename,
+    version the index path instead; the staging/swap here matches
+    HDFS/local semantics).
 
     Returns True iff a re-train ran.
     """
@@ -314,9 +327,16 @@ def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
         n_at_train, n_cent = meta["n_at_train"], meta["n_centroids"]
     except Exception:
         n_at_train, n_cent = None, None
-    if n_at_train is not None:
-        if (n_now - n_at_train) <= growth_threshold * max(n_at_train, 1):
-            return False
+    due = n_at_train is None
+    if not due:
+        due = (n_now - n_at_train) > growth_threshold * max(n_at_train, 1)
+    if not due and max_list_share is not None:
+        biggest = (vecs.groupBy("centroid_id")
+                   .agg(F.count("*").alias("n"))
+                   .agg(F.max("n")).head()[0]) or 0
+        due = biggest > max_list_share * max(n_now, 1)
+    if not due:
+        return False
     if n_cent is None:
         n_cent = spark.read.parquet(path + "/centroids").count()
 

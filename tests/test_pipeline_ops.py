@@ -905,6 +905,41 @@ def test_ivf_index_retrain_policy(spark, sf_dir, tmp_path):
         spark, index, growth_threshold=0.5) is False
 
 
+def test_ivf_imbalance_retrain_trigger(spark, sf_dir, tmp_path):
+    """The imbalance trigger catches what growth can't: a stream of
+    near-identical appends piling into ONE inverted list. 200 clones of
+    vector 0 appended to a 300-vector/8-list index leave total growth
+    under a lax growth threshold, but push one list to ~47% of the
+    corpus — max_list_share must fire there, growth-only must not, and
+    the metadata probe must not read vector data (it is a
+    partition-column aggregation)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    index = str(tmp_path / "ivf-imb")
+    similarity.ivf_index_write(base, index, n_centroids=8, train_iters=1)
+
+    one = emb.filter(F.col("vec_id") == 0).select("embedding", "label")
+    clones = (spark.range(200).crossJoin(one)
+              .select((F.col("id") + 10_000).alias("vec_id"),
+                      "embedding", "label"))
+    similarity.ivf_index_append(spark, clones, index)
+
+    # growth-only with a lax threshold: quiet despite the skew
+    assert similarity.ivf_index_maybe_retrain(
+        spark, index, growth_threshold=5.0) is False
+    # the skewed list holds ~237/500 of the corpus: imbalance fires
+    assert similarity.ivf_index_maybe_retrain(
+        spark, index, growth_threshold=5.0, max_list_share=0.35) is True
+    # retrain refreshed the watermark: growth policy quiescent again
+    assert similarity.ivf_index_maybe_retrain(
+        spark, index, growth_threshold=0.5) is False
+    # and the rebuilt index is still probe-able
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_probe_topk(spark, index, q, k=3, n_probe=3).collect()
+    assert top and top[0]["vec_id"] in {0} | set(range(10_000, 10_200))
+
+
 def test_repetition_features_crafted(spark):
     """Gopher/RefinedWeb repetition signals on crafted documents: exact
     duplicate-line/paragraph fractions, bullet/ellipsis line fractions,
