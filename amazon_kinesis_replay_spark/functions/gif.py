@@ -6,18 +6,21 @@ the decode gate in the multimodal pipeline dispatches GIF payloads here.
 
 Decoder scope: GIF87a/GIF89a, global and local color tables, interlaced
 and non-interlaced frames, transparency (via Graphic Control Extension),
-FIRST frame only — the training-data use case is "give me the image", not
-animation playback; later frames would need disposal-method compositing.
-The frame is composited onto the logical screen at its (left, top) offset
-over the background color, so the output raster is always the logical
-screen size. Malformed streams raise ValueError; wrong pixels are never
-silently emitted.
+and — r7 — full ANIMATION playback with disposal-method compositing
+(`decode_gif_frames`: keep / restore-to-background / restore-to-previous,
+GIF89a §23), with stride sampling and a frame cap for the multimodal
+sampler shape. `decode_gif` stays the "give me the image" first-frame
+path. Every frame is composited onto the logical screen at its (left,
+top) offset over the background color, so output rasters are always the
+logical screen size. Malformed streams raise ValueError; wrong pixels
+are never silently emitted.
 
-Encoder scope: single full-screen frame, global color table, optional
-interlace — enough to synthesize real decode fixtures exercising every
-decoder path and to serve as the round-trip witness. Foreign-encoder
-correctness is separately witnessed by decoding CPython's libgif-made
-test fixtures (tests/test_pipeline_ops.py).
+Encoder scope: single full-screen frame (`encode_gif`, optional
+interlace) and multi-frame animations with per-frame GCE control
+(`encode_gif_animation`) — enough to synthesize real decode fixtures
+exercising every decoder path and to serve as the round-trip witness.
+Foreign-encoder correctness is separately witnessed by decoding
+CPython's libgif-made test fixtures (tests/test_pipeline_ops.py).
 
 LZW variable-code-width pairing (GIF89a spec Appendix F): the decoder
 widens after its table length reaches 1 << code_size; the encoder widens
@@ -163,10 +166,13 @@ def _sub_blocks(raw: bytes, i: int) -> tuple[bytes, int]:
         i += n
 
 
-def decode_gif(raw: bytes) -> tuple[int, int, bytes]:
-    """(width, height, rgb_bytes) of the FIRST frame composited onto the
-    logical screen (background color under transparent / uncovered
-    pixels)."""
+def _iter_gif_frames(raw: bytes):
+    """Yield (delay_cs, rgb_bytes) for every frame of a GIF, composited
+    onto the logical screen with full disposal-method semantics (GIF89a
+    §23): 0/1 leave the frame in place, 2 restores the frame's rectangle
+    to the background color, 3 restores the pixels that were there before
+    the frame rendered. The first yield is exactly what `decode_gif`
+    returns. Malformed streams raise ValueError."""
     if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", raw, 6)
@@ -179,7 +185,17 @@ def decode_gif(raw: bytes) -> tuple[int, int, bytes]:
             raise ValueError("truncated GIF global color table")
         i += n
 
+    # Background index refers to the GLOBAL color table (GIF89a spec
+    # §18); slicing the active (possibly smaller LOCAL) table could
+    # yield <3 bytes and silently mis-size the raster (r6 ADVICE).
+    bg = (gct[3 * bg_idx:3 * bg_idx + 3]
+          if gct and bg_idx < len(gct) // 3 else b"\x00\x00\x00")
+    screen = bytearray(bg * (sw * sh))
+
+    # Graphic Control Extension state — applies to the NEXT frame only.
     transparent_idx = -1
+    disposal = 0
+    delay_cs = 0
     while i < len(raw):
         b0 = raw[i]
         if b0 == 0x3B:                           # trailer
@@ -190,8 +206,9 @@ def decode_gif(raw: bytes) -> tuple[int, int, bytes]:
             label = raw[i + 1]
             body, i = _sub_blocks(raw, i + 2)
             if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
-                if body[0] & 0x01:
-                    transparent_idx = body[3]
+                disposal = (body[0] >> 2) & 0x07
+                delay_cs = body[1] | (body[2] << 8)
+                transparent_idx = body[3] if body[0] & 0x01 else -1
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block id 0x{b0:02x}")
@@ -227,13 +244,7 @@ def decode_gif(raw: bytes) -> tuple[int, int, bytes]:
             idx = b"".join(rows)
 
         n_colors = len(table) // 3
-        # Background index refers to the GLOBAL color table (GIF89a spec
-        # §18); slicing the active (possibly smaller LOCAL) table here
-        # could yield <3 bytes and silently mis-size the raster (r6
-        # ADVICE).
-        bg = (gct[3 * bg_idx:3 * bg_idx + 3]
-              if gct and bg_idx < len(gct) // 3 else b"\x00\x00\x00")
-        screen = bytearray(bg * (sw * sh))
+        saved = bytes(screen) if disposal == 3 else None
         for y in range(fh):
             row = idx[y * fw:(y + 1) * fw]
             o = ((top + y) * sw + left) * 3
@@ -245,9 +256,51 @@ def decode_gif(raw: bytes) -> tuple[int, int, bytes]:
                         f"GIF pixel index {c} beyond color table "
                         f"({n_colors} entries)")
                 screen[o + 3 * x:o + 3 * x + 3] = table[3 * c:3 * c + 3]
-        return int(sw), int(sh), bytes(screen)
+        yield delay_cs, bytes(screen)
 
+        if disposal == 2:                        # restore to background
+            for y in range(fh):
+                o = ((top + y) * sw + left) * 3
+                screen[o:o + 3 * fw] = bg * fw
+        elif disposal == 3 and saved is not None:  # restore to previous
+            screen = bytearray(saved)
+        transparent_idx, disposal, delay_cs = -1, 0, 0
+
+    return
+
+
+def decode_gif(raw: bytes) -> tuple[int, int, bytes]:
+    """(width, height, rgb_bytes) of the FIRST frame composited onto the
+    logical screen (background color under transparent / uncovered
+    pixels)."""
+    sw, sh = struct.unpack_from("<HH", raw, 6) if len(raw) >= 10 else (0, 0)
+    for _delay, rgb in _iter_gif_frames(raw):
+        return int(sw), int(sh), rgb
     raise ValueError("GIF contains no image frame")
+
+
+def decode_gif_frames(raw: bytes, max_frames: int | None = None,
+                      stride: int = 1) -> tuple[int, int,
+                                                list[tuple[int, bytes]]]:
+    """(width, height, [(delay_cs, rgb_bytes), ...]) for an animated GIF,
+    every frame fully composited with disposal semantics
+    (`_iter_gif_frames`). `stride` keeps every stride-th frame and
+    `max_frames` caps the OUTPUT length — the same prune-before-decode
+    shape as the MJPEG sampler cannot apply here (GIF frames composite
+    cumulatively, so earlier frames must still be DECODED; stride only
+    skips the copy-out), but the cap stops the LZW walk early."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    sw, sh = struct.unpack_from("<HH", raw, 6) if len(raw) >= 10 else (0, 0)
+    frames: list[tuple[int, bytes]] = []
+    for k, (delay, rgb) in enumerate(_iter_gif_frames(raw)):
+        if k % stride == 0:
+            frames.append((delay, rgb))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return int(sw), int(sh), frames
 
 
 def encode_gif(width: int, height: int, indices: bytes, palette: bytes,
@@ -291,5 +344,61 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes,
                        0x40 if interlace else 0)
     out.append(min_code_size)
     out += blocks
+    out.append(0x3B)
+    return bytes(out)
+
+
+def encode_gif_animation(width: int, height: int, frames, palette: bytes,
+                         bg_idx: int = 0) -> bytes:
+    """Multi-frame GIF89a from a shared global palette.
+
+    `frames`: iterable of
+    (indices, left, top, fw, fh, delay_cs, disposal, transparent_idx)
+    — each frame a sub-rectangle of the logical screen with its own
+    Graphic Control Extension (delay in centiseconds, disposal method
+    0-3, transparent index or -1). Non-interlaced, global table only —
+    enough to synthesize fixtures exercising every disposal-compositing
+    path of `decode_gif_frames`."""
+    n_colors = len(palette) // 3
+    if (len(palette) % 3 or n_colors < 2 or n_colors > 256
+            or n_colors & (n_colors - 1)):
+        raise ValueError("palette must hold a power-of-two 2..256 RGB "
+                         f"entries, got {len(palette)} bytes")
+    if not 0 <= bg_idx < n_colors:
+        raise ValueError(f"bg_idx {bg_idx} beyond palette")
+    ct_bits = max(1, (n_colors - 1).bit_length())
+    min_code_size = max(2, ct_bits)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | (ct_bits - 1), bg_idx, 0)
+    out += palette
+    n_frames = 0
+    for (indices, left, top, fw, fh, delay_cs, disposal,
+         transparent_idx) in frames:
+        if len(indices) != fw * fh:
+            raise ValueError(f"frame indices must be fw*fh={fw * fh} "
+                             f"bytes, got {len(indices)}")
+        if max(indices, default=0) >= n_colors:
+            raise ValueError("index beyond palette")
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame exceeds the logical screen")
+        if not 0 <= disposal <= 3:
+            raise ValueError(f"disposal method {disposal} out of range")
+        packed = (disposal << 2) | (0x01 if transparent_idx >= 0 else 0)
+        out += bytes((0x21, 0xF9, 4, packed,
+                      delay_cs & 0xFF, (delay_cs >> 8) & 0xFF,
+                      max(transparent_idx, 0), 0))
+        out += struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0)
+        out.append(min_code_size)
+        lzw = _lzw_encode(min_code_size, indices)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("animation needs at least one frame")
     out.append(0x3B)
     return bytes(out)

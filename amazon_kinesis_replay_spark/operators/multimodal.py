@@ -502,15 +502,34 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False,
     embedded PNG/GIF/BMP still — and emits (width, height, features)
     per frame next to the sha1. Sample-then-decode is the scale shape:
     the every_n stride prunes BEFORE the expensive per-frame decode, so
-    a 1000x-frame corpus pays decode on 1/every_n of its frames."""
+    a 1000x-frame corpus pays decode on 1/every_n of its frames.
+
+    ANIMATED GIFs (r7) route through functions.gif.decode_gif_frames
+    with the same every_n stride: a sampled 'frame' is the fully
+    COMPOSITED logical screen (disposal semantics applied), because a
+    GIF frame chunk is a sub-rectangle patch meaningless on its own —
+    so frame_sha1 hashes the composited RGB raster, not stored chunk
+    bytes as in the AVI path, and the stride prunes the copy-out and
+    feature work but not the cumulative LZW walk (compositing needs
+    every prior frame decoded)."""
 
     def _real_frames(raw: bytes) -> list[bytes]:
         if raw[:4] != b"RIFF":
             raise NotImplementedError(
                 f"unsupported video magic {raw[:4]!r}: only RIFF/AVI "
-                "containers decode without ffmpeg; pass fake=True for the "
-                "deterministic test decoder")
+                "containers and animated GIFs decode without ffmpeg; pass "
+                "fake=True for the deterministic test decoder")
         return _parse_avi_frames(raw)
+
+    def _gif_samples(raw: bytes) -> list[tuple[int, int, int, bytes]]:
+        """(frame_idx, width, height, composited_rgb) per sampled frame."""
+        from ..functions.gif import decode_gif_frames
+        w, h, frames = decode_gif_frames(raw, stride=every_n)
+        return [(k * every_n, w, h, rgb)
+                for k, (_delay, rgb) in enumerate(frames)]
+
+    def _is_gif(raw: bytes) -> bool:
+        return not fake and raw[:6] in (b"GIF87a", b"GIF89a")
 
     def _fake_frames(raw: bytes) -> list[bytes]:
         return [raw[i * 1024:(i + 1) * 1024]
@@ -523,6 +542,13 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False,
             rows = {"media_id": [], "frame_idx": [], "frame_sha1": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
+                if _is_gif(raw):
+                    for idx, _w, _h, rgb in _gif_samples(raw):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_sha1"].append(
+                            hashlib.sha1(rgb).hexdigest())
+                    continue
                 frames = frames_of(raw)
                 for idx in range(0, len(frames), every_n):
                     rows["media_id"].append(mid)
@@ -538,6 +564,16 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False,
                     "width": [], "height": [], "features": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
+                if _is_gif(raw):
+                    for idx, w, h, rgb in _gif_samples(raw):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_sha1"].append(
+                            hashlib.sha1(rgb).hexdigest())
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["features"].append(_pixel_histogram(rgb))
+                    continue
                 frames = frames_of(raw)
                 for idx in range(0, len(frames), every_n):
                     frame = frames[idx]

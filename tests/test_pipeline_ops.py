@@ -856,6 +856,42 @@ def test_multimodal_mjpeg_frame_decode(spark):
         assert len(r["features"]) == 8 and abs(sum(r["features"]) - 1) < 1e-5
 
 
+def test_animated_gif_frame_sampling(spark):
+    """Animated-GIF video path: sample_frames routes GIF payloads through
+    the disposal-compositing decoder — sampled frames are composited
+    logical screens (sha1 over the RGB raster), the every_n stride holds,
+    and decode_frames=True yields real dimensions + histogram features,
+    all in the same mapInPandas pass as the AVI path."""
+    import hashlib
+
+    from amazon_kinesis_replay_spark.functions.gif import (
+        decode_gif_frames, encode_gif_animation)
+
+    pal = bytes((0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255))
+    frames = [(bytes([1 + (i % 3)] * 4), i % 3, i % 3, 2, 2, 5 * i, 1, -1)
+              for i in range(7)]
+    raw = encode_gif_animation(5, 5, frames, pal)
+    _, _, want_all = decode_gif_frames(raw)
+
+    media = spark.createDataFrame([(9, bytearray(raw))],
+                                  "media_id long, data binary")
+    out = {r["frame_idx"]: r for r in multimodal.sample_frames(
+        media, every_n=3).collect()}
+    assert sorted(out) == [0, 3, 6]
+    for idx, r in out.items():
+        assert r["frame_sha1"] == hashlib.sha1(
+            want_all[idx][1]).hexdigest()
+
+    dec = {r["frame_idx"]: r for r in multimodal.sample_frames(
+        media, every_n=3, decode_frames=True).collect()}
+    assert sorted(dec) == [0, 3, 6]
+    for idx, r in dec.items():
+        assert (r["width"], r["height"]) == (5, 5)
+        assert r["frame_sha1"] == hashlib.sha1(
+            want_all[idx][1]).hexdigest()
+        assert len(r["features"]) == 8 and abs(sum(r["features"]) - 1) < 1e-5
+
+
 def test_ivf_index_retrain_policy(spark, sf_dir, tmp_path):
     """The re-train policy must hold below the growth threshold, fire
     above it (footer-count trigger), rebuild the index on the FULL
@@ -998,6 +1034,29 @@ def test_cross_split_contamination_crafted(spark):
     assert (out[4]["n_shared_train_grams"], out[4]["contaminated"]) == (0, False)
     # doc 5 shares BOTH of doc 2's shingles
     assert (out[5]["n_shared_train_grams"], out[5]["contaminated"]) == (2, True)
+
+
+def test_cross_split_contamination_13gram(spark):
+    """k=13 — the common decontamination window (ROADMAP item): only an
+    eval doc carrying a full 13-word train run is flagged; a 12-word
+    overlap is NOT contamination at k=13 (but is at k=12). Same kernel,
+    parameter change only."""
+    train_words = " ".join(f"w{i}" for i in range(20))
+    eval_13 = "pre " + " ".join(f"w{i}" for i in range(13)) + " post"
+    eval_12 = "pre " + " ".join(f"w{i}" for i in range(12)) + " post"
+    rows = [(1, "train", train_words),
+            (2, "test", eval_13),
+            (3, "test", eval_12)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    out13 = {r["id"]: r for r in dedup.cross_split_contamination(
+        df, "doc_id", "text", "split", k=13).collect()}
+    assert (out13[2]["n_shared_train_grams"],
+            out13[2]["contaminated"]) == (1, True)
+    assert (out13[3]["n_shared_train_grams"],
+            out13[3]["contaminated"]) == (0, False)
+    out12 = {r["id"]: r for r in dedup.cross_split_contamination(
+        df, "doc_id", "text", "split", k=12).collect()}
+    assert out12[2]["contaminated"] and out12[3]["contaminated"]
 
 
 def test_pq_ann_recall_and_determinism(spark, sf_dir):
