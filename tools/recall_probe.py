@@ -68,6 +68,7 @@ def main():
     print(f"embedding truth: {len(exact)} pairs at cos>={thresh}",
           flush=True)
     signs = V >= 0
+    n_vecs = len(ids)
     for n_bands, band_bits in ((8, 8), (16, 4), (4, 16)):
         got = set()
         for i, j in zip(iu, ju):
@@ -80,8 +81,24 @@ def main():
                     got.add((min(a_, b_), max(a_, b_)))
                     break
         rec = len(got) / len(exact) if exact else 1.0
+        # Cost proxy (r6 ROADMAP candidate): quadratic verify work is
+        # confined to band buckets, so the MAX bucket share witnesses the
+        # N^2-confinement claim per config, and sum C(size,2) over all
+        # buckets is the candidate-pair cost the exact verify must absorb.
+        cand_pairs = 0
+        max_bucket = 0
+        for b in range(n_bands):
+            lo = b * band_bits
+            key = signs[:, lo:lo + band_bits] @ (
+                1 << np.arange(band_bits, dtype=np.int64))
+            _, counts = np.unique(key, return_counts=True)
+            max_bucket = max(max_bucket, int(counts.max()))
+            cand_pairs += int((counts * (counts - 1) // 2).sum())
         print(f"  {n_bands:2d} bands x {band_bits:2d} bits: "
-              f"recall {rec:6.4f} ({len(got)}/{len(exact)})", flush=True)
+              f"recall {rec:6.4f} ({len(got)}/{len(exact)}); "
+              f"max bucket {max_bucket}/{n_vecs} "
+              f"({max_bucket / n_vecs:.3f} share), "
+              f"{cand_pairs} candidate pairs", flush=True)
 
     # ---- ANN family: recall@10 + wall time vs the exact baseline ----------
     import tempfile
