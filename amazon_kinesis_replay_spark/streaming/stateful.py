@@ -235,13 +235,18 @@ def near_dup_stream(docs, index_path: str, sink,
     return w
 
 
-def _near_dup_processor(index_path: str, sink, id_col: str, text_col: str,
-                        threshold: float):
-    """The foreachBatch body of `near_dup_stream`, exposed module-level so
-    replay/bootstrap idempotency is directly testable with static frames
-    (a real streaming replay can't be forced deterministically)."""
+def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental):
+    """Shared foreachBatch body for index-backed streaming dedup (MinHash
+    text and embedding-cosine modalities): Hadoop-FS index probe, the
+    applied-batch-id replay guard, and the replay pair-dedup, with the
+    modality supplied as two callables —
+    `bootstrap(batch_df) -> pairs` (must also WRITE the index, mode
+    overwrite, meta last) and
+    `incremental(spark, batch_df, append) -> pairs`.
+    Module-level so replay/bootstrap idempotency is directly testable
+    with static frames (a real streaming replay can't be forced
+    deterministically)."""
     from .. import fsutil
-    from ..operators import dedup
 
     def _last_applied(spark) -> int:
         try:
@@ -265,23 +270,88 @@ def _near_dup_processor(index_path: str, sink, id_col: str, text_col: str,
             # batch_id <= recorded; a crash before the index write leaves
             # meta absent, so the replay re-bootstraps cleanly.
             _record_applied(spark, batch_id)
-            dedup.minhash_index_write(batch_df, index_path,
-                                      id_col, text_col)
-            pairs = dedup.minhash_dedup(batch_df, id_col, text_col,
-                                        num_hashes=32, bands=16, k=3,
-                                        threshold=threshold)
+            pairs = bootstrap(batch_df)
         else:
             append = batch_id > _last_applied(spark)
-            pairs = dedup.minhash_dedup_incremental(
-                spark, batch_df, index_path, id_col, text_col, threshold,
-                append=append)
+            pairs = incremental(spark, batch_df, append)
             if append:
                 _record_applied(spark, batch_id)
             else:
-                # Replay: the index already holds this batch's arrays, so
+                # Replay: the index already holds this batch's rows, so
                 # the verify join sees each new id twice — collapse the
                 # resulting duplicate pair rows (values are identical).
                 pairs = pairs.dropDuplicates(["id_a", "id_b"])
         sink(pairs, batch_id)
 
     return _process
+
+
+def _near_dup_processor(index_path: str, sink, id_col: str, text_col: str,
+                        threshold: float):
+    """MinHash-modality body of `near_dup_stream` (see
+    `_indexed_stream_processor`)."""
+    from ..operators import dedup
+
+    def bootstrap(batch_df):
+        dedup.minhash_index_write(batch_df, index_path, id_col, text_col)
+        return dedup.minhash_dedup(batch_df, id_col, text_col,
+                                   num_hashes=32, bands=16, k=3,
+                                   threshold=threshold)
+
+    def incremental(spark, batch_df, append):
+        return dedup.minhash_dedup_incremental(
+            spark, batch_df, index_path, id_col, text_col, threshold,
+            append=append)
+
+    return _indexed_stream_processor(index_path, sink, bootstrap,
+                                     incremental)
+
+
+def near_dup_stream_embedding(emb, index_path: str, sink,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.4,
+                              n_bands: int = 8, band_bits: int = 8,
+                              checkpoint: str | None = None):
+    """Streaming near-duplicate detection over an EMBEDDING stream — the
+    sign-LSH twin of `near_dup_stream`: each micro-batch of vectors is
+    checked incrementally against the persisted banded index
+    (operators.dedup.embedding_index_write / embedding_dedup_incremental)
+    with exact-cosine verification, so every arriving batch sees
+    everything ever indexed without re-banding history. Index probing,
+    replay idempotency (applied-batch-id marker), and the
+    one-streaming-lineage contract are exactly `near_dup_stream`'s —
+    see `_indexed_stream_processor`.
+
+    `sink(pairs_df, batch_id)` receives the verified (id_a, id_b,
+    cosine) pairs involving the batch. Returns the DataStreamWriter
+    (caller starts it)."""
+    _process = _near_dup_embedding_processor(
+        index_path, sink, id_col, vec_col, threshold, n_bands, band_bits)
+    w = emb.writeStream.foreachBatch(_process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def _near_dup_embedding_processor(index_path: str, sink, id_col: str,
+                                  vec_col: str, threshold: float,
+                                  n_bands: int, band_bits: int):
+    """Embedding-modality body of `near_dup_stream_embedding` (see
+    `_indexed_stream_processor`)."""
+    from ..operators import dedup
+
+    def bootstrap(batch_df):
+        dedup.embedding_index_write(batch_df, index_path, n_bands,
+                                    band_bits, id_col, vec_col)
+        return dedup.embedding_cosine_dedup(
+            batch_df, threshold=threshold, n_bands=n_bands,
+            band_bits=band_bits, id_col=id_col, vec_col=vec_col)
+
+    def incremental(spark, batch_df, append):
+        return dedup.embedding_dedup_incremental(
+            spark, batch_df, index_path, threshold, id_col, vec_col,
+            append=append)
+
+    return _indexed_stream_processor(index_path, sink, bootstrap,
+                                     incremental)

@@ -399,3 +399,53 @@ def test_near_dup_processor_replay_is_idempotent(spark, sf_dir, tmp_path):
     want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
             D.minhash_dedup(docs, "doc_id", "text", 32, 16, 3, 0.5).collect()}
     assert got[0][0] | got[1][0] == want
+
+
+def test_near_dup_embedding_processor_stream_and_replay(spark, sf_dir,
+                                                        tmp_path):
+    """Embedding-modality streaming near-dup: two micro-batches must
+    emit, in union, exactly the batch sign-LSH pipeline's pair set over
+    the whole corpus, and a REPLAYED batch (same batch_id) must append
+    nothing and re-emit the same pairs — the `_indexed_stream_processor`
+    guarantees, exercised through the embedding bootstrap/incremental
+    callables."""
+    from amazon_kinesis_replay_spark.operators import dedup as D
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_embedding_processor)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250)
+
+    got: dict[int, list[set]] = {}
+
+    def sink(pairs, batch_id):
+        got.setdefault(batch_id, []).append(
+            {(r["id_a"], r["id_b"], r["cosine"]) for r in pairs.collect()})
+
+    index = str(tmp_path / "emb-stream")
+    proc = _near_dup_embedding_processor(index, sink, "vec_id",
+                                         "embedding", 0.4, 8, 8)
+    proc(b0, 0)
+    proc(b0, 0)                    # replayed bootstrap -> probe-only
+    proc(b1, 1)
+    bands = spark.read.parquet(index + "/bands").count()
+    vecs = spark.read.parquet(index + "/vectors").count()
+    proc(b1, 1)                    # replayed incremental batch
+    assert spark.read.parquet(index + "/bands").count() == bands
+    assert spark.read.parquet(index + "/vectors").count() == vecs
+    assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+
+    assert got[0][0] == got[0][1]           # replays re-emit identically
+    assert got[1][0] == got[1][1]
+    want = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            D.embedding_cosine_dedup(emb, threshold=0.4).collect()}
+    assert got[0][0] | got[1][0] == want
+
+    # the writer wrapper wires the same processor into foreachBatch
+    (tmp_path / "empty-src").mkdir()
+    stream = (spark.readStream.schema(emb.schema)
+              .parquet(str(tmp_path / "empty-src")))
+    w = stateful.near_dup_stream_embedding(
+        stream, str(tmp_path / "emb-stream2"), sink)
+    assert w is not None
