@@ -108,6 +108,81 @@ def bpe_encode(df: DataFrame, text_col: str,
                         F.size(out_col).cast("long")))
 
 
+def _word_ngrams(text_col: Column, n: int) -> Column:
+    """array<struct<context,token>> of word n-grams: context = the n-1
+    preceding words space-joined (empty for unigrams), token = the n-th.
+    Pure column expression (transform/slice/array_join — whole-stage
+    codegen); documents shorter than n words yield an empty array."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.struct(
+        (F.array_join(F.slice(toks, i, n - 1), " ") if n > 1
+         else F.lit("")).alias("context"),
+        F.element_at(toks, i + (n - 1)).alias("token")))
+    # sequence(1, x) with x < 1 DESCENDS — guard short docs explicitly
+    empty = F.array().cast("array<struct<context:string,token:string>>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def ngram_lm_counts(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
+    """Train a word n-gram count model on a corpus, fully distributed:
+    one explode + one map-side-combinable groupBy — (context, token,
+    cnt) rows, where context is the n-1 preceding words. This is the
+    count table behind CCNet-style LM quality filtering (Wenzek et al.
+    2020 use a KenLM 5-gram; the smoothing here is add-k rather than
+    Kneser-Ney, the Spark plan shape is identical). The model is itself
+    a DataFrame — persist it or write it to parquet; it never has to fit
+    on the driver."""
+    return (df.select(F.explode(_word_ngrams(F.col(text_col), n))
+                      .alias("g"))
+            .groupBy(F.col("g.context").alias("context"),
+                     F.col("g.token").alias("token"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def ngram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                   lm: DataFrame, n: int = 2, k: float = 1.0) -> DataFrame:
+    """Score documents against a trained n-gram count model (the
+    perplexity-filter step of a CCNet-style curation pipeline): per
+    document, the mean add-k-smoothed negative log2 probability of its
+    n-grams (bits per token) and the corresponding perplexity — low =
+    fluent/in-domain, high = noise/boilerplate/foreign.
+
+    p(token | context) = (cnt + k) / (ctx_cnt + k * V), V = model vocab.
+
+    Plan shape: explode doc n-grams -> LEFT join the count table on
+    (context, token) -> LEFT join per-context totals (both hash joins on
+    string keys; AQE broadcasts when the model is small) -> one per-doc
+    aggregate. The only driver scalar is V (one distinct-count of the
+    vocab — metadata-scale). Documents shorter than n words come back
+    with n_grams = 0 and NULL scores (no silent drop).
+
+    Output: (id_col, n_grams, bits_per_token, perplexity)."""
+    vocab = lm.select("token").distinct().count()
+    ctx_tot = lm.groupBy("context").agg(F.sum("cnt").alias("ctx_cnt"))
+    g = (df.select(F.col(id_col).alias("__id"),
+                   F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
+         .select("__id", "g.context", "g.token"))
+    p = ((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(k)))
+         / (F.coalesce(F.col("ctx_cnt"), F.lit(0))
+            + F.lit(float(k) * vocab)))
+    scored = (g.join(lm, ["context", "token"], "left")
+              .join(ctx_tot, "context", "left")
+              .withColumn("__bits", -F.log2(p))
+              .groupBy("__id")
+              .agg(F.count("*").alias("n_grams"),
+                   F.avg("__bits").alias("bits_per_token")))
+    return (df.select(F.col(id_col).alias("__id")).distinct()
+            .join(scored, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+                    "bits_per_token",
+                    F.pow(F.lit(2.0), F.col("bits_per_token"))
+                    .alias("perplexity")))
+
+
 def stopword_ratio(text_col: Column,
                    stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     toks = tokens(text_col)

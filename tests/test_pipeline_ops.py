@@ -1397,3 +1397,53 @@ def test_bpe_train_encode_spark(spark, sf_dir):
     sample = enc.orderBy("doc_id").limit(20).collect()
     for r in sample:
         assert list(r["bpe_tokens"]) == bpe.encode_text(r["text"], ranks)
+
+
+def test_ngram_lm_train_and_score(spark):
+    """CCNet-style LM quality scoring on a hand-computable corpus: bigram
+    counts from the distributed trainer match exact enumeration, and
+    per-doc bits/perplexity equal the add-k arithmetic done by hand —
+    including the short-doc (NULL score) and unseen-context paths. A
+    fluent sentence must score lower perplexity than scrambled noise."""
+    import math
+
+    from amazon_kinesis_replay_spark.operators import text as T
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat")],
+        "doc_id long, text string")
+    lm = T.ngram_lm_counts(corpus, "text", n=2)
+    got = {(r["context"], r["token"]): r["cnt"] for r in lm.collect()}
+    assert got == {("the", "cat"): 2, ("the", "dog"): 1,
+                   ("cat", "sat"): 1, ("cat", "ran"): 1,
+                   ("dog", "sat"): 1}
+
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"),          # all seen
+         (11, "the cat flew"),         # unseen token in seen context
+         (12, "zebra quux corge"),     # everything unseen
+         (13, "word")],                # shorter than n -> NULL score
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           T.ngram_lm_score(docs, "doc_id", "text", lm, n=2, k=1.0)
+           .collect()}
+    V = 4                                     # cat dog sat ran
+
+    def bits(pairs):
+        return sum(-math.log2((c + 1.0) / (t + 1.0 * V))
+                   for c, t in pairs) / len(pairs)
+
+    # doc 10: (the,cat): 2/ctx(the)=3 ; (cat,sat): 1/ctx(cat)=2
+    want10 = bits([(2, 3), (1, 2)])
+    assert abs(out[10]["bits_per_token"] - want10) < 1e-9
+    assert abs(out[10]["perplexity"] - 2 ** want10) < 1e-9
+    assert out[10]["n_grams"] == 2
+    # doc 11: (the,cat)=(2,3); (cat,flew)=(0,2)
+    assert abs(out[11]["bits_per_token"] - bits([(2, 3), (0, 2)])) < 1e-9
+    # doc 12: both grams fully unseen -> (0,0) twice
+    assert abs(out[12]["bits_per_token"] - bits([(0, 0), (0, 0)])) < 1e-9
+    # doc 13: too short, present with NULLs, never silently dropped
+    assert out[13]["n_grams"] == 0 and out[13]["bits_per_token"] is None
+
+    # fluency sanity: in-domain text beats scrambled noise
+    assert out[10]["perplexity"] < out[12]["perplexity"]
