@@ -123,6 +123,89 @@ def _parse_ppm(raw: bytes) -> tuple[int, int, bytes]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+#: Adam7 pass geometry (x_start, y_start, x_step, y_step), RFC 2083 §2.6.
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter_pass(stream: bytes, w: int, h: int, channels: int):
+    """Unfilter one PNG image pass (a whole non-interlaced image, or one
+    Adam7 reduced image — filtering restarts per pass, RFC 2083 §6):
+    h scanlines of (filter_byte + w*channels pixels) -> (h, w*channels)
+    uint8 array. Sub vectorizes as a per-channel cumsum; Average/Paeth
+    carry a true left-pixel dependency and run per byte."""
+    import numpy as np
+    stride = w * channels
+    bpp = channels                          # bytes per pixel at depth 8
+    lines = np.frombuffer(stream, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int16)
+    for y in range(h):
+        f = int(lines[y, 0])
+        row = lines[y, 1:].astype(np.int16)
+        prev = out[y - 1] if y else np.zeros(stride, np.int16)
+        if f == 0:                          # None
+            cur = row
+        elif f == 1:                        # Sub: cumsum per channel
+            cur = (np.cumsum(row.reshape(w, bpp).astype(np.int64), axis=0)
+                   % 256).astype(np.int16).reshape(stride)
+        elif f == 2:                        # Up
+            cur = (row + prev) % 256
+        elif f in (3, 4):                   # Average / Paeth: left-dependent
+            cur = np.zeros(stride, np.int16)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = cur
+    return out.astype(np.uint8)
+
+
+def _png_filter_pass(pixels: bytes, w: int, h: int, channels: int,
+                     filters: list[int]) -> bytearray:
+    """Forward-filter one PNG image pass (inverse of _png_unfilter_pass):
+    per scanline, emit the filter byte then the filtered bytes."""
+    stride = w * channels
+    bpp = channels
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride:(y + 1) * stride]
+        f = filters[y % len(filters)]
+        out.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            out.append((row[x] - pred) % 256)
+        prev = row
+    return out
+
+
 def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
     """Width, height, and decoded pixel bytes of a PNG payload — pure
     Python/stdlib: chunk walk, zlib inflate of the concatenated IDAT
@@ -130,10 +213,11 @@ def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
     RFC 2083 §6) in numpy. Sub vectorizes as a per-channel cumsum;
     Average/Paeth carry a true left-pixel dependency and run per byte.
     Supports bit depth 8, color types 0/2/3/4/6 (indexed output is
-    expanded through the PLTE); Adam7 interlacing and other depths raise
-    NotImplementedError. Truncated chunks, stream-length mismatches, and
-    bad filter ids raise ValueError — wrong pixels are never silently
-    emitted."""
+    expanded through the PLTE), and BOTH interlace methods — Adam7 (r7)
+    reassembles the 7 reduced passes, each unfiltered independently per
+    RFC 2083 §2.6; other bit depths raise NotImplementedError. Truncated
+    chunks, stream-length mismatches, and bad filter ids raise
+    ValueError — wrong pixels are never silently emitted."""
     import struct
     import zlib
 
@@ -163,8 +247,8 @@ def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
         raise ValueError("PNG missing IHDR/IDAT chunks")
     w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13])
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
@@ -173,40 +257,28 @@ def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
             f"PNG bit depth {depth} not supported (8 only)")
     stream = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(stream) != h * (stride + 1):
-        raise ValueError("PNG pixel stream length mismatch")
-    lines = np.frombuffer(stream, np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), np.int16)
-    bpp = channels                          # bytes per pixel at depth 8
-    for y in range(h):
-        f = int(lines[y, 0])
-        row = lines[y, 1:].astype(np.int16)
-        prev = out[y - 1] if y else np.zeros(stride, np.int16)
-        if f == 0:                          # None
-            cur = row
-        elif f == 1:                        # Sub: cumsum per channel
-            cur = (np.cumsum(row.reshape(w, bpp).astype(np.int64), axis=0)
-                   % 256).astype(np.int16).reshape(stride)
-        elif f == 2:                        # Up
-            cur = (row + prev) % 256
-        elif f in (3, 4):                   # Average / Paeth: left-dependent
-            cur = np.zeros(stride, np.int16)
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else \
-                        (b if pb <= pc else c)
-                cur[x] = (int(row[x]) + pred) % 256
-        else:
-            raise ValueError(f"bad PNG filter type {f} on row {y}")
-        out[y] = cur
-    pixels = out.astype(np.uint8)
+    if interlace == 0:
+        if len(stream) != h * (stride + 1):
+            raise ValueError("PNG pixel stream length mismatch")
+        pixels = _png_unfilter_pass(stream, w, h, channels)
+    else:                                   # Adam7 (interlace validated =1)
+        full = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (pw * channels + 1)
+            if pos + nbytes > len(stream):
+                raise ValueError("PNG Adam7 pixel stream truncated")
+            sub = _png_unfilter_pass(stream[pos:pos + nbytes],
+                                     pw, ph, channels)
+            pos += nbytes
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+        if pos != len(stream):
+            raise ValueError("PNG Adam7 pixel stream length mismatch")
+        pixels = full.reshape(h, stride)
     if ctype == 3:
         if not plte or len(plte) % 3:
             raise ValueError("indexed PNG missing/malformed PLTE")
@@ -220,12 +292,16 @@ def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
 
 def encode_png(width: int, height: int, pixels: bytes, ctype: int = 2,
                filters: list[int] | None = None,
-               palette: bytes | None = None) -> bytes:
+               palette: bytes | None = None,
+               interlace: bool = False) -> bytes:
     """Pure-Python PNG ENCODER (the inverse of _parse_png): forward-filters
-    each scanline with the chosen filter type (default None) and deflates.
-    Useful for writing debug rasters/thumbnails from a pipeline without a
-    codec dependency, for synthesizing real decode fixtures, and as the
-    round-trip witness for the decoder's unfilter paths."""
+    each scanline with the chosen filter types (`filters` cycles per row;
+    default all-None) and deflates; interlace=True emits the Adam7 pass
+    sequence (r7 — each reduced image filtered independently, RFC 2083
+    §2.6/§6). Useful for writing debug rasters/thumbnails from a pipeline
+    without a codec dependency, for synthesizing real decode fixtures,
+    and as the round-trip witness for the decoder's unfilter and
+    deinterlace paths."""
     import struct
     import zlib
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
@@ -234,40 +310,31 @@ def encode_png(width: int, height: int, pixels: bytes, ctype: int = 2,
     if len(pixels) != height * stride:
         raise ValueError(f"pixels must be height*width*channels="
                          f"{height * stride} bytes, got {len(pixels)}")
-    filters = filters or [0] * height
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride:(y + 1) * stride]
-        f = filters[y]
-        out.append(f)
-        for x in range(stride):
-            a = row[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) >> 1
-            elif f == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else \
-                    (b if pb <= pc else c)
-            else:
-                raise ValueError(f"bad PNG filter type {f}")
-            out.append((row[x] - pred) % 256)
-        prev = row
+    filters = filters or [0]
+    if not interlace:
+        out = _png_filter_pass(pixels, width, height, channels, filters)
+    else:
+        # Adam7: extract each reduced image and filter it independently
+        # (filtering restarts per pass, matching the decoder)
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray()
+            for y in range(y0, height, dy):
+                row = pixels[y * stride:(y + 1) * stride]
+                for x in range(x0, width, dx):
+                    sub += row[x * bpp:(x + 1) * bpp]
+            out += _png_filter_pass(bytes(sub), pw, ph, channels, filters)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + typ + body
                 + struct.pack(">I", zlib.crc32(typ + body)))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0,
+                       1 if interlace else 0)
     png = _PNG_SIG + chunk(b"IHDR", ihdr)
     if palette is not None:
         png += chunk(b"PLTE", palette)

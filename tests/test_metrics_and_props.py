@@ -259,3 +259,33 @@ def test_gif_animation_disposal_compositing():
     assert sampled[0][1] == f1 and sampled[1][1] == f3
     _, _, capped = decode_gif_frames(raw, max_frames=2)
     assert len(capped) == 2 and capped[1][1] == f2
+
+
+@settings(deadline=None, max_examples=40,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(1, 16), h=st.integers(1, 16),
+    ctype=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+def test_png_adam7_round_trip_property(w, h, ctype, data):
+    """Property: an Adam7-interlaced encode decodes back to the exact
+    source raster for ANY size (including sizes where late passes are
+    empty), color type, and per-row filter mix — pass extraction,
+    per-pass filter restart, and reassembly are mutually inverse."""
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _parse_png, encode_png)
+    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    raster = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h * channels,
+        max_size=w * h * channels)))
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=5))
+    png = encode_png(w, h, raster, ctype=ctype, filters=filters,
+                     interlace=True)
+    gw, gh, pixels = _parse_png(png)
+    assert (gw, gh) == (w, h)
+    if ctype == 2:
+        assert pixels == raster
+    else:
+        # _parse_png returns raw channel bytes for non-RGB types too
+        assert pixels == raster

@@ -441,16 +441,21 @@ def test_multimodal_real_png_decode(spark):
     assert out2[4]["features"] == pytest.approx(
         multimodal._pixel_histogram(bytes(range(16))), abs=1e-6)
 
-    # interlaced PNGs fail loudly, not wrongly
+    # Adam7-interlaced PNGs DECODE since r7 (property-tested round trip
+    # in test_metrics_and_props); an unknown interlace method still
+    # fails loudly, not wrongly
+    ipng = _png_bytes(4, 3, bytes(range(36)), ctype=2, filters=[1, 4],
+                      interlace=True)
+    assert multimodal._parse_png(ipng) == (4, 3, bytes(range(36)))
     import struct as _st
     import zlib as _zl
-    ihdr = _st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    ihdr = _st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)
     bad = (b"\x89PNG\r\n\x1a\n"
            + _st.pack(">I", len(ihdr)) + b"IHDR" + ihdr
            + _st.pack(">I", _zl.crc32(b"IHDR" + ihdr))
            + _st.pack(">I", 0) + b"IDAT" + _st.pack(">I", _zl.crc32(b"IDAT")))
     import pytest
-    with pytest.raises(Exception, match="interlaced"):
+    with pytest.raises(Exception, match="interlace"):
         multimodal._parse_png(bad)
 
 
