@@ -781,10 +781,21 @@ def embedding_dedup_incremental(spark, new_emb: DataFrame, path: str,
 
 def dedup_clusters(nodes: DataFrame, pairs: DataFrame | str,
                    id_col: str = "doc_id", max_iters: int = 20,
-                   check_every: int = 1) -> DataFrame:
+                   check_every: int = 1,
+                   quality: DataFrame | None = None,
+                   quality_col: str = "score") -> DataFrame:
     """Group near-dup PAIRS into CLUSTERS and pick one representative per
     cluster — the step that turns any pairwise dedup modality (Jaccard,
     MinHash, SimHash, embedding-cosine) into a keep/drop decision.
+
+    Representative choice: min-id by default; pass `quality` (a
+    DataFrame carrying `id_col` + `quality_col`) to keep the
+    HIGHEST-SCORING member instead (ties and unscored-only clusters fall
+    back to min id; unscored members never beat a scored one) — the
+    curation shape where dedup keeps the best-quality copy (score from
+    `text.quality_features`, `ngram_lm_score` negated perplexity, ...)
+    rather than an arbitrary one. One extra metadata-scale join + one
+    map-side-combinable agg; nothing touches the pair pipeline.
 
     `pairs` is an (id_a, id_b) DataFrame OR a parquet path string of one
     — the path form is the cold-start entry (r6 verdict item 7): a
@@ -887,12 +898,29 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame | str,
             f"dedup_clusters did not converge within max_iters={max_iters} "
             "rounds (component diameter exceeds the bound); raise max_iters")
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    out = (labels.join(sizes, "lbl")
-           .select(F.col("id").alias(id_col),
-                   F.col("lbl").alias("cluster_id"),
-                   F.col("cluster_size").cast("long").alias("cluster_size"),
-                   (F.col("id") == F.col("lbl")).alias("is_representative")))
-    return out
+    if quality is None:
+        rep = F.col("id") == F.col("lbl")
+        out = labels.join(sizes, "lbl")
+    else:
+        q = quality.select(F.col(id_col).alias("id"),
+                           F.col(quality_col).cast("double")
+                           .alias("__score"))
+        scored = (labels.join(q, "id", "left")
+                  .withColumn("__score", F.coalesce(
+                      F.col("__score"), F.lit(float("-inf")))))
+        # min of (-score, id) = highest score, ties -> smallest id;
+        # lexicographic struct ordering keeps this one agg, any id type
+        best = (scored.groupBy("lbl")
+                .agg(F.min(F.struct((-F.col("__score")).alias("ns"),
+                                    F.col("id").alias("i"))).alias("b"))
+                .select("lbl", F.col("b.i").alias("__rep")))
+        rep = F.col("id") == F.col("__rep")
+        out = labels.join(sizes, "lbl").join(best, "lbl")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        rep.alias("is_representative"))
 
 
 # --------------------------------------------------------------------------

@@ -159,6 +159,37 @@ def test_dedup_clusters_chain_and_singleton(spark):
     assert out[6] == (6, 1, True) and out[7] == (7, 1, True)
 
 
+def test_dedup_clusters_quality_representative(spark):
+    """quality= keeps the HIGHEST-scoring cluster member (the curation
+    shape: drop dups, keep the best copy): ties fall back to min id,
+    unscored members never beat scored ones, all-unscored clusters and
+    singletons fall back to min id, and cluster membership/size are
+    untouched."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long")
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5),    # cluster {1,2,3}: 2 wins
+         (4, 0.7), (5, 0.7)],             # {4,5}: tie -> min id 4
+        "doc_id long, score double")      # {6,7}: unscored -> min id 6
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"],
+                         r["is_representative"])
+           for r in dedup.dedup_clusters(nodes, pairs,
+                                         quality=quality).collect()}
+    assert out[1] == (1, 3, False) and out[2] == (1, 3, True)
+    assert out[3] == (1, 3, False)
+    assert out[4] == (4, 2, True) and out[5] == (4, 2, False)
+    assert out[6] == (6, 2, True) and out[7] == (6, 2, False)
+    # unscored member loses to a scored one even with a negative score
+    q2 = spark.createDataFrame([(7, -5.0)], "doc_id long, score double")
+    out2 = {r["doc_id"]: r["is_representative"]
+            for r in dedup.dedup_clusters(nodes, pairs,
+                                          quality=q2).collect()}
+    assert out2[7] and not out2[6]
+    # exactly one representative per cluster ({1,2,3}, {4,5}, {6,7})
+    assert sum(out2.values()) == 3
+
+
 def test_dedup_clusters_diameter_exactly_max_iters(spark):
     """max_iters bounds the component DIAMETER: a chain whose diameter
     equals max_iters must converge (the extra zero-change verification
