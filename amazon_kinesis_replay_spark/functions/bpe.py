@@ -136,3 +136,19 @@ def encode_text(text: str, ranks: dict[tuple[str, str], int],
 
 def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
     return {pair: i for i, pair in enumerate(merges)}
+
+
+def vocab_from(merges: list[tuple[str, str]],
+               chars) -> dict[str, int]:
+    """Deterministic token->id table for a trained merge list: id 0 is
+    "<unk>", then the single-character symbols (sorted), then each merge
+    product in rank order (skipping any product that collides with an
+    existing entry). Every token `encode_*` can emit over text drawn
+    from `chars` has an id; characters outside `chars` map to <unk> at
+    encode time — never silently to a wrong id."""
+    v = {"<unk>": 0}
+    for ch in sorted(set(chars)):
+        v.setdefault(ch, len(v))
+    for a, b in merges:
+        v.setdefault(a + b, len(v))
+    return v

@@ -80,9 +80,26 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 200,
     return _bpe.learn_bpe({r["piece"]: r["cnt"] for r in top}, n_merges)
 
 
+def bpe_vocab(df: DataFrame, text_col: str,
+              merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token->id vocabulary for a trained merge table: the
+    corpus's distinct CHARACTERS are harvested distributed (explode +
+    distinct — the result is alphabet-scale, the only thing collected),
+    then ids assigned by `functions.bpe.vocab_from` (0 = <unk>, sorted
+    chars, merge products in rank order). Feed to `bpe_encode(vocab=)`
+    for id output — what packed training shards actually store."""
+    chars = [r["c"] for r in
+             df.select(F.explode(F.split(F.col(text_col), ""))
+                       .alias("c")).distinct().collect()
+             if r["c"]]
+    from ..functions import bpe as _bpe
+    return _bpe.vocab_from(merges, chars)
+
+
 def bpe_encode(df: DataFrame, text_col: str,
                merges: list[tuple[str, str]],
-               out_col: str = "bpe_tokens") -> DataFrame:
+               out_col: str = "bpe_tokens",
+               vocab: dict[str, int] | None = None) -> DataFrame:
     """Apply a trained BPE merge table: adds `out_col` (array<string> of
     subword tokens, lossless — aggregating them with concat reproduces
     the text exactly) and `{out_col}_count` (long) — the REAL token
@@ -92,10 +109,15 @@ def bpe_encode(df: DataFrame, text_col: str,
     rank-ordered pair merging has no Column-expression form), with the
     rank table shipped once per executor via a broadcast variable and a
     per-batch piece cache: pieces are heavy-tailed, so most lookups hit
-    the cache and the per-row cost collapses toward a dict probe."""
+    the cache and the per-row cost collapses toward a dict probe.
+
+    With `vocab` (from `bpe_vocab`), also adds `{out_col}_ids`
+    (array<long>) — tokens mapped through the broadcast table,
+    out-of-vocabulary tokens to <unk>=0 (the shard-ready form)."""
     from ..functions import bpe as _bpe
     ranks = _bpe.merge_ranks(merges)
-    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(ranks)
 
     @F.pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
@@ -103,9 +125,19 @@ def bpe_encode(df: DataFrame, text_col: str,
         cache: dict[str, list[str]] = {}
         return s.map(lambda t: _bpe.encode_text(t or "", r, cache))
 
-    return (df.withColumn(out_col, _enc(F.col(text_col)))
-            .withColumn(f"{out_col}_count",
-                        F.size(out_col).cast("long")))
+    out = (df.withColumn(out_col, _enc(F.col(text_col)))
+           .withColumn(f"{out_col}_count",
+                       F.size(out_col).cast("long")))
+    if vocab is not None:
+        bcv = sc.broadcast(vocab)
+
+        @F.pandas_udf("array<long>")
+        def _ids(s: pd.Series) -> pd.Series:
+            v = bcv.value
+            return s.map(lambda toks: [v.get(t, 0) for t in toks])
+
+        out = out.withColumn(f"{out_col}_ids", _ids(F.col(out_col)))
+    return out
 
 
 def _word_ngrams(text_col: Column, n: int) -> Column:

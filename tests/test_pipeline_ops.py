@@ -1483,3 +1483,35 @@ def test_ngram_lm_train_and_score(spark):
 
     # fluency sanity: in-domain text beats scrambled noise
     assert out[10]["perplexity"] < out[12]["perplexity"]
+
+
+def test_bpe_vocab_and_id_encoding(spark, sf_dir):
+    """Token-id mapping (the shard-ready form): the vocabulary is a
+    deterministic pure function of corpus + merges (0=<unk>, sorted
+    chars, merge products by rank), every emitted token over corpus text
+    maps to a non-<unk> id that inverts back to the token, and an
+    out-of-alphabet character maps to <unk>=0 rather than a wrong id."""
+    from amazon_kinesis_replay_spark.operators import text as T
+    from amazon_kinesis_replay_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = T.bpe_train(docs, "text", n_merges=32)
+    vocab = T.bpe_vocab(docs, "text", merges)
+    assert vocab == T.bpe_vocab(docs, "text", merges)      # deterministic
+    assert vocab["<unk>"] == 0
+    assert len(set(vocab.values())) == len(vocab)          # ids unique
+
+    inv = {i: t for t, i in vocab.items()}
+    enc = T.bpe_encode(docs.limit(50), "text", merges, vocab=vocab)
+    rows = enc.select("text", "bpe_tokens", "bpe_tokens_ids").collect()
+    assert rows
+    for r in rows:
+        assert len(r["bpe_tokens_ids"]) == len(r["bpe_tokens"])
+        assert 0 not in r["bpe_tokens_ids"]                # corpus: no <unk>
+        assert "".join(inv[i] for i in r["bpe_tokens_ids"]) == r["text"]
+
+    # out-of-alphabet character -> <unk>, never a wrong id
+    odd = spark.createDataFrame([(1, "abc ç")], "doc_id long, text string")
+    got = T.bpe_encode(odd, "text", merges, vocab=vocab).head()
+    if "ç" not in vocab:
+        assert 0 in got["bpe_tokens_ids"]
