@@ -36,3 +36,23 @@ def rename(spark, src: str, dst: str) -> bool:
     """Filesystem rename (atomic on HDFS/local; copy on object stores)."""
     fs, jpath = _fs(spark, src)
     return bool(fs.rename(jpath(src), jpath(dst)))
+
+
+def has_committed_output(spark, path: str) -> bool:
+    """True iff `path` holds COMMITTED job output: the _SUCCESS marker,
+    or at least one non-hidden file. A bare `exists()` is optimistic —
+    a crashed write leaves the directory (with only _temporary/ inside)
+    before the commit, and treating that as a complete table would make
+    a bootstrap-completeness probe route to the incremental path against
+    broken state."""
+    fs, jpath = _fs(spark, path)
+    d = jpath(path)
+    if not fs.exists(d):
+        return False
+    if fs.exists(jpath(path + "/_SUCCESS")):
+        return True
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False

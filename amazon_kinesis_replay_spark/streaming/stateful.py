@@ -235,14 +235,15 @@ def near_dup_stream(docs, index_path: str, sink,
     return w
 
 
-def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental):
+def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
+                              probe_subdir: str = "meta"):
     """Shared foreachBatch body for index-backed streaming dedup (MinHash
-    text and embedding-cosine modalities): Hadoop-FS index probe, the
-    applied-batch-id replay guard, and the replay pair-dedup, with the
-    modality supplied as two callables —
+    text, embedding-cosine, and SimHash modalities): Hadoop-FS index
+    probe, the applied-batch-id replay guard, and the replay pair-dedup,
+    with the modality supplied as two callables —
     `bootstrap(batch_df) -> pairs` (must also WRITE the index, mode
-    overwrite, meta last) and
-    `incremental(spark, batch_df, append) -> pairs`.
+    overwrite, `probe_subdir` last — its presence means "index
+    complete") and `incremental(spark, batch_df, append) -> pairs`.
     Module-level so replay/bootstrap idempotency is directly testable
     with static frames (a real streaming replay can't be forced
     deterministically)."""
@@ -264,7 +265,8 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not fsutil.exists(spark, index_path + "/meta"):
+        if not fsutil.has_committed_output(spark,
+                                           f"{index_path}/{probe_subdir}"):
             # Bootstrap. The marker is written FIRST so a crash after the
             # (mode=overwrite, hence idempotent) index write replays as
             # batch_id <= recorded; a crash before the index write leaves
@@ -355,3 +357,49 @@ def _near_dup_embedding_processor(index_path: str, sink, id_col: str,
 
     return _indexed_stream_processor(index_path, sink, bootstrap,
                                      incremental)
+
+
+def near_dup_stream_simhash(docs, index_path: str, sink,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3,
+                            checkpoint: str | None = None):
+    """Streaming near-duplicate detection by SimHash Hamming distance —
+    the third modality over `_indexed_stream_processor` (with MinHash
+    `near_dup_stream` and `near_dup_stream_embedding`): each micro-batch
+    is hashed, chunk-blocked against the persisted index
+    (operators.dedup.simhash_index_write / simhash_dedup_incremental),
+    and verified with bit_count on the XOR. Index probing, replay
+    idempotency, and the one-streaming-lineage contract are shared; the
+    completeness probe is the chunks/ table (this index has no separate
+    meta — the chunk table is its single, last write).
+
+    `sink(pairs_df, batch_id)` receives the (id_a, id_b, hamming) pairs
+    involving the batch. Returns the DataStreamWriter (caller starts
+    it)."""
+    _process = _near_dup_simhash_processor(index_path, sink, id_col,
+                                           text_col, max_hamming)
+    w = docs.writeStream.foreachBatch(_process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def _near_dup_simhash_processor(index_path: str, sink, id_col: str,
+                                text_col: str, max_hamming: int):
+    """SimHash-modality body of `near_dup_stream_simhash` (see
+    `_indexed_stream_processor`)."""
+    from ..operators import dedup
+
+    def bootstrap(batch_df):
+        dedup.simhash_index_write(batch_df, index_path, id_col, text_col)
+        return dedup.simhash_near_dups(batch_df, id_col, text_col,
+                                       max_hamming)
+
+    def incremental(spark, batch_df, append):
+        return dedup.simhash_dedup_incremental(
+            spark, batch_df, index_path, id_col, text_col, max_hamming,
+            append=append)
+
+    return _indexed_stream_processor(index_path, sink, bootstrap,
+                                     incremental, probe_subdir="chunks")

@@ -449,3 +449,41 @@ def test_near_dup_embedding_processor_stream_and_replay(spark, sf_dir,
     w = stateful.near_dup_stream_embedding(
         stream, str(tmp_path / "emb-stream2"), sink)
     assert w is not None
+
+
+def test_near_dup_simhash_processor_stream_and_replay(spark, sf_dir,
+                                                      tmp_path):
+    """SimHash-modality streaming near-dup (third modality over the
+    shared processor): two micro-batches union-equal to the whole-corpus
+    batch pipeline, replays append nothing and re-emit identically. The
+    completeness probe is the chunks/ table (this index has no meta)."""
+    from amazon_kinesis_replay_spark.operators import dedup as D
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_simhash_processor)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+
+    got: dict[int, list[set]] = {}
+
+    def sink(pairs, batch_id):
+        got.setdefault(batch_id, []).append(
+            {(r["id_a"], r["id_b"], r["hamming"])
+             for r in pairs.collect()})
+
+    index = str(tmp_path / "sh-stream")
+    proc = _near_dup_simhash_processor(index, sink, "doc_id", "text", 3)
+    proc(b0, 0)
+    proc(b0, 0)                    # replayed bootstrap -> probe-only
+    proc(b1, 1)
+    chunks = spark.read.parquet(index + "/chunks").count()
+    proc(b1, 1)                    # replayed incremental batch
+    assert spark.read.parquet(index + "/chunks").count() == chunks
+    assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+
+    assert got[0][0] == got[0][1]
+    assert got[1][0] == got[1][1]
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+            D.simhash_near_dups(docs, "doc_id", "text", 3).collect()}
+    assert got[0][0] | got[1][0] == want
