@@ -174,6 +174,21 @@ def ngram_lm_counts(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
             .agg(F.count("*").alias("cnt")))
 
 
+def ngram_lm_merge(*lms: DataFrame) -> DataFrame:
+    """Merge n-gram count models — the incremental-training shape: count
+    a new crawl ALONE (cost ∝ the new data), then merge with the stored
+    model instead of recounting 100 TB of history. Pure unionByName +
+    one map-side-combinable sum; merging is associative and commutative,
+    so daily models fold in any order to the same table."""
+    if not lms:
+        raise ValueError("ngram_lm_merge needs at least one model")
+    out = lms[0]
+    for lm in lms[1:]:
+        out = out.unionByName(lm)
+    return (out.groupBy("context", "token")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
 def ngram_lm_score(df: DataFrame, id_col: str, text_col: str,
                    lm: DataFrame, n: int = 2, k: float = 1.0) -> DataFrame:
     """Score documents against a trained n-gram count model (the

@@ -1515,3 +1515,74 @@ def test_bpe_vocab_and_id_encoding(spark, sf_dir):
     got = T.bpe_encode(odd, "text", merges, vocab=vocab).head()
     if "ç" not in vocab:
         assert 0 in got["bpe_tokens_ids"]
+
+
+def test_ngram_lm_merge_incremental(spark, sf_dir):
+    """Incremental LM training: counting two halves separately and
+    merging must equal counting the whole corpus — and merge order must
+    not matter (associative/commutative fold of daily models)."""
+    from amazon_kinesis_replay_spark.operators import text as T
+    from amazon_kinesis_replay_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    full = {(r["context"], r["token"]): r["cnt"]
+            for r in T.ngram_lm_counts(docs, "text", n=2).collect()}
+    lm0 = T.ngram_lm_counts(b0, "text", n=2)
+    lm1 = T.ngram_lm_counts(b1, "text", n=2)
+    merged = {(r["context"], r["token"]): r["cnt"]
+              for r in T.ngram_lm_merge(lm0, lm1).collect()}
+    assert merged == full
+    flipped = {(r["context"], r["token"]): r["cnt"]
+               for r in T.ngram_lm_merge(lm1, lm0).collect()}
+    assert flipped == full
+
+
+def test_tokenize_pack_export_end_to_end(spark, sf_dir, tmp_path):
+    """The full training-data pipeline composes: BPE-tokenize to ids ->
+    pack by REAL token count -> shard-export with packs clustered ->
+    read back. Round trip must preserve every document's ids exactly,
+    pack assignment must match the exclusive-cumsum contract on the BPE
+    counts, and each pack must live entirely inside one shard file."""
+    from amazon_kinesis_replay_spark.export import write_training_shards
+    from amazon_kinesis_replay_spark.operators import text as T
+    from amazon_kinesis_replay_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = T.bpe_train(docs, "text", n_merges=48)
+    vocab = T.bpe_vocab(docs, "text", merges)
+    enc = T.bpe_encode(docs, "text", merges, vocab=vocab)
+    packed = T.pack_sequences(enc, "doc_id", "bpe_tokens_count",
+                              seq_len=256)
+    staged = packed.withColumn(
+        "split", F.when(F.pmod("doc_id", 10) < 8, "train")
+        .otherwise("valid")).select(
+        "doc_id", "split", "pack_id", "bpe_tokens_count", "bpe_tokens_ids")
+    out = str(tmp_path / "shards")
+    write_training_shards(staged, out, rows_per_shard=120)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # ids round-trip exactly (join on doc_id, compare arrays)
+    orig = enc.select("doc_id", F.col("bpe_tokens_ids").alias("want"))
+    diff = (back.join(orig, "doc_id")
+            .filter(F.col("bpe_tokens_ids") != F.col("want")).count())
+    assert diff == 0
+    # pack ids equal the exclusive running cumsum of counts in doc order
+    rows = (enc.select("doc_id", "bpe_tokens_count")
+            .orderBy("doc_id").collect())
+    run = 0
+    want_pack = {}
+    for r in rows:
+        want_pack[r["doc_id"]] = run // 256
+        run += r["bpe_tokens_count"]
+    got_pack = {r["doc_id"]: r["pack_id"] for r in
+                back.select("doc_id", "pack_id").collect()}
+    assert got_pack == want_pack
+    # each (split, pack) lives entirely inside ONE shard file
+    import pyspark.sql.functions as SF
+    f = (back.withColumn("file", SF.input_file_name())
+         .groupBy("split", "pack_id")
+         .agg(SF.countDistinct("file").alias("nf")))
+    assert f.filter(SF.col("nf") > 1).count() == 0
