@@ -434,38 +434,44 @@ def _pixel_histogram(pixels: bytes, bins: int = 8) -> list[float]:
     return [round(float(x) / len(arr), 6) for x in hist]
 
 
-def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
+def _decode_pixels(raw: bytes) -> tuple[int, int, bytes]:
+    """(width, height, raw channel bytes) — the magic-byte codec dispatch
+    shared by feature extraction and resizing. Channel count is
+    len(pixels) // (w*h) (PNG grayscale/RGBA keep their native layout;
+    everything else is RGB)."""
     if raw[:8] == _PNG_SIG:
-        w, h, pixels = _parse_png(raw)
-    elif raw[:2] == b"\xff\xd8":
+        return _parse_png(raw)
+    if raw[:2] == b"\xff\xd8":
         from ..functions.jpeg import decode_jpeg
-        w, h, pixels = decode_jpeg(raw)
-    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_jpeg(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
         from ..functions.gif import decode_gif
-        w, h, pixels = decode_gif(raw)
-    elif raw[:2] == b"BM":
-        w, h, pixels = _parse_bmp(raw)
-    elif raw[:2] in (b"P6", b"P5"):
-        w, h, pixels = _parse_ppm(raw)
-    else:
-        raise NotImplementedError(
-            f"unsupported image magic {raw[:4]!r}: PNG, baseline JPEG, and "
-            "GIF (pure-Python codecs, functions/jpeg.py + functions/gif.py) "
-            "and uncompressed BMP/PPM/PGM decode without a third-party "
-            "library; progressive JPEG raises from the codec; pass "
-            "fake=True for the deterministic test decoder")
+        return decode_gif(raw)
+    if raw[:2] == b"BM":
+        return _parse_bmp(raw)
+    if raw[:2] in (b"P6", b"P5"):
+        return _parse_ppm(raw)
+    raise NotImplementedError(
+        f"unsupported image magic {raw[:4]!r}: PNG, baseline JPEG, and "
+        "GIF (pure-Python codecs, functions/jpeg.py + functions/gif.py) "
+        "and uncompressed BMP/PPM/PGM decode without a third-party "
+        "library; progressive JPEG raises from the codec; pass "
+        "fake=True for the deterministic test decoder")
+
+
+def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
+    w, h, pixels = _decode_pixels(raw)
     return w, h, _pixel_histogram(pixels)
 
 
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
-    The real path decodes PNG (stdlib zlib + numpy unfiltering — see
-    _parse_png) and parses uncompressed BMP/PPM/PGM headers, computing a
-    pixel-histogram feature vector over the decoded raster; JPEG raises
-    NotImplementedError from the kernel since no codec library is
-    installed. fake=True substitutes the deterministic fake decoder for
-    any payload.
+    The real path decodes PNG (incl. Adam7) / baseline JPEG / GIF /
+    BMP / PPM / PGM with the pure-Python codecs (`_decode_pixels`),
+    computing a pixel-histogram feature vector over the decoded raster;
+    unsupported formats raise loudly from the kernel. fake=True
+    substitutes the deterministic fake decoder for any payload.
     """
     decode_one = _fake_decode_image if fake else _real_decode_image
 
@@ -485,6 +491,71 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", "data").mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("pixels", BinaryType(), True),
+])
+
+
+def _resize_nn(pixels: bytes, w: int, h: int, c: int,
+               out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample via numpy fancy indexing — one gather,
+    no per-pixel Python loop."""
+    import numpy as np
+    a = np.frombuffer(pixels, np.uint8).reshape(h, w, c)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return np.ascontiguousarray(a[ys][:, xs]).tobytes()
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  fake: bool = False) -> DataFrame:
+    """Decode + RESIZE image payloads to a fixed raster (the
+    normalize-for-training step next to decode/feature-extract/
+    frame-sample): nearest-neighbor resample of the decoded raster to
+    (out_w, out_h), preserving the source's channel layout (PNG
+    grayscale/RGBA stay 1/4-channel; everything else RGB). Same
+    Arrow-batched mapInPandas shape and codec dispatch as decode_images;
+    fake=True turns any payload into a deterministic 8x8 RGB raster
+    first (payload bytes, zero-padded) so pipelines can be exercised
+    without valid media.
+
+    Output: (media_id, width, height, channels, pixels) — width/height
+    are the OUTPUT dims, pixels the resized raw channel bytes."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"output dims must be >= 1, got {out_w}x{out_h}")
+
+    def _decode(raw: bytes) -> tuple[int, int, int, bytes]:
+        if fake:
+            raster = (raw + bytes(192))[:192]
+            return 8, 8, 3, raster
+        w, h, pixels = _decode_pixels(raw)
+        if w * h == 0 or len(pixels) % (w * h):
+            raise ValueError("decoded raster size mismatch")
+        return w, h, len(pixels) // (w * h), pixels
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "channels": [], "pixels": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                w, h, c, pixels = _decode(raw)
+                out["media_id"].append(mid)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["channels"].append(c)
+                out["pixels"].append(_resize_nn(pixels, w, h, c,
+                                                out_w, out_h))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "data").mapInPandas(
+        _resize, RESIZED_IMAGE_SCHEMA)
 
 
 def _parse_avi_frames(raw: bytes) -> list[bytes]:

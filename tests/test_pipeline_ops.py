@@ -1586,3 +1586,49 @@ def test_tokenize_pack_export_end_to_end(spark, sf_dir, tmp_path):
          .groupBy("split", "pack_id")
          .agg(SF.countDistinct("file").alias("nf")))
     assert f.filter(SF.col("nf") > 1).count() == 0
+
+
+def test_resize_images(spark):
+    """Nearest-neighbor resize: exact expected raster for an integer
+    downscale (4x4 -> 2x2 checkerboard picks the top-left of each
+    block), channel layout preserved per source format (RGB PNG stays 3,
+    grayscale stays 1), upscale repeats pixels, and the fake path
+    normalizes any payload to the target size."""
+    import numpy as np
+
+    # 4x4 RGB: 2x2 blocks of solid colors
+    blocks = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    raster = bytearray()
+    for y in range(4):
+        for x in range(4):
+            raster += bytes(blocks[(y // 2) * 2 + (x // 2)])
+    png = multimodal.encode_png(4, 4, bytes(raster), ctype=2)
+    gray = multimodal.encode_png(3, 3, bytes(range(9)), ctype=0)
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gray))],
+        "media_id long, data binary")
+
+    out = {r["media_id"]: r for r in
+           multimodal.resize_images(media, 2, 2).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (2, 2, 3)
+    want = b"".join(bytes(b) for b in blocks)      # top-left of each block
+    assert bytes(r1["pixels"]) == want
+    r2 = out[2]
+    assert (r2["width"], r2["height"], r2["channels"]) == (2, 2, 1)
+    # indices (0*3//2=0, 1*3//2=1) on both axes -> rows 0,1 cols 0,1
+    assert bytes(r2["pixels"]) == bytes([0, 1, 3, 4])
+
+    # upscale: each source pixel repeats
+    up = {r["media_id"]: r for r in
+          multimodal.resize_images(media, 8, 8).collect()}
+    a = np.frombuffer(bytes(up[1]["pixels"]), np.uint8).reshape(8, 8, 3)
+    assert tuple(a[0, 0]) == blocks[0] and tuple(a[7, 7]) == blocks[3]
+    assert tuple(a[0, 7]) == blocks[1] and tuple(a[7, 0]) == blocks[2]
+
+    # fake path: arbitrary bytes -> deterministic sized raster
+    junk = spark.createDataFrame([(3, bytearray(b"not-an-image"))],
+                                 "media_id long, data binary")
+    f = multimodal.resize_images(junk, 4, 4, fake=True).head()
+    assert (f["width"], f["height"], f["channels"]) == (4, 4, 3)
+    assert len(f["pixels"]) == 48
