@@ -211,3 +211,21 @@ def test_contamination_join_is_hash_on_shingle(spark):
     p = _plan(spark, "doc_train_split")
     assert "NestedLoopJoin" not in p
     assert "LeftSemi" in p
+
+
+def test_ngram_lm_score_is_hash_joined_and_partial(spark):
+    """LM scoring must plan as hash equi-joins (model + context totals)
+    with a partial per-doc aggregate — never a nested loop / cartesian
+    — so the plan survives a corpus-scale model table."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_replay_spark.operators import text as T
+    from amazon_kinesis_replay_spark.tables import load
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    lm = T.ngram_lm_counts(docs, "text", n=2)
+    out = T.ngram_lm_score(docs, "doc_id", "text", lm, n=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    # the count-model join keys on (context, token)
+    assert re.search(r"Join.*context.*token", p) or "context" in p
