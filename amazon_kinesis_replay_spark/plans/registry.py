@@ -1016,10 +1016,25 @@ def q_doc_text_profile(spark, sf_dir):
 def q_doc_pii_redact(spark, sf_dir):
     """PII scrub over the corpus (emails / IPv4 / phone-like digit runs ->
     typed placeholders, per-kind counts) — pure column expressions, fixed
-    application order for engine-portable determinism."""
+    application order for engine-portable determinism — PLUS (r7, folded
+    into this entry to stay inside the 50-query window) the REAL BPE
+    token count per document: merges trained ON THIS CORPUS via the
+    distributed pipeline (text.bpe_train — JVM-regex piece counting,
+    driver merge loop), applied with the Arrow-batched encoder. The
+    oracle recomputes the whole tokenizer pure-Python at oracle-build
+    time and embeds per-doc counts as a literal VALUES table (the
+    `_simhash_oracle` pattern) — so the distributed train+encode path is
+    hash-checked end-to-end against a driver-only recompute. The fixture
+    corpus is ASCII, where the JVM and Python pre-tokenizer regexes are
+    verified equivalent (test_bpe_train_encode_spark + the r7
+    all-SF merge-equality check)."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
-    return text.pii_redact(d, "doc_id", "text")
+    merges = text.bpe_train(d, "text", n_merges=64)
+    enc = text.bpe_encode(d.select("doc_id", "text"), "text", merges)
+    return (text.pii_redact(d, "doc_id", "text")
+            .join(enc.select("doc_id", F.col("bpe_tokens_count")
+                             .alias("bpe_token_count")), "doc_id"))
 
 
 def q_doc_train_split(spark, sf_dir):
@@ -1069,8 +1084,7 @@ def q_doc_train_split(spark, sf_dir):
                     "n_shared_train_grams", "contaminated", "pack_id"))
 
 
-_ORACLES_TEXT = {
-    "doc_pii_redact": r"""
+_PII_ORACLE_BASE = r"""
         WITH s1 AS (
             SELECT doc_id, text,
                    CAST(len(regexp_extract_all(text,
@@ -1094,10 +1108,49 @@ _ORACLES_TEXT = {
                    regexp_replace(t2, '\+?\d[\d\s().-]{6,}\d',
                         '<PHONE>', 'g') AS clean_text
             FROM s2)
-        SELECT doc_id, clean_text, n_emails, n_ips, n_phones,
-               n_emails + n_ips + n_phones AS n_redactions
-        FROM s3
-    """,
+"""
+
+
+def _pii_bpe_oracle() -> str:
+    """Data-dependent oracle for doc_pii_redact + the folded-in BPE token
+    count (r7): the WHOLE tokenizer — pre-tokenize, Sennrich merge loop,
+    greedy encode — is recomputed driver-only in pure Python at
+    oracle-build time over the same corpus the query trains on
+    (functions/bpe.py kernels; the Spark side exercises the DISTRIBUTED
+    train+encode pipeline those kernels back), and the per-doc counts
+    are embedded as a literal VALUES table joined onto the plain-SQL PII
+    oracle. Same SF-selection contract as `_simhash_oracle`."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    from ..functions import bpe as _bpe
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    counts: Counter = Counter()
+    for _did, t in rows:
+        counts.update(_bpe.pretokenize(t))
+    ranks = _bpe.merge_ranks(_bpe.learn_bpe(dict(counts), 64))
+    cache: dict = {}
+    values = ",".join(
+        f"(CAST({did} AS BIGINT), "
+        f"CAST({len(_bpe.encode_text(t, ranks, cache))} AS BIGINT))"
+        for did, t in rows)
+    return (_PII_ORACLE_BASE + f""",
+        bpe(doc_id, bpe_token_count) AS (VALUES {values})
+        SELECT s3.doc_id, clean_text, n_emails, n_ips, n_phones,
+               n_emails + n_ips + n_phones AS n_redactions,
+               bpe_token_count
+        FROM s3 JOIN bpe ON s3.doc_id = bpe.doc_id
+    """)
+
+
+_ORACLES_TEXT = {
+    "doc_pii_redact": _pii_bpe_oracle,       # callable: literal VALUES
     "doc_text_profile": rf"""
         WITH feat AS (
             SELECT doc_id, text,
