@@ -1539,8 +1539,14 @@ def q_multimodal_decode(spark, sf_dir):
     media = multimodal.synthesize_image_media(
         d.select(F.col("doc_id").alias("media_id"),
                  F.encode("text", "UTF-8").alias("data")))
-    return multimodal.decode_images(media) \
-        .select("media_id", "width", "height", "n_bytes", "sha1")
+    # r7: the RESIZE operator rides the same gate — 4x4 nearest-neighbor
+    # raster sha1 per blob, recomputed pure-Python in the oracle, so the
+    # decode->resample path is hash-checked distributed end to end too.
+    resized = multimodal.resize_images(media, 4, 4).select(
+        "media_id", F.sha1("pixels").alias("resized_sha1"))
+    return (multimodal.decode_images(media)
+            .select("media_id", "width", "height", "n_bytes", "sha1")
+            .join(resized, "media_id"))
 
 
 def q_embedding_stats(spark, sf_dir):
@@ -1755,7 +1761,8 @@ def _multimodal_oracle() -> str:
 
     import duckdb
 
-    from ..operators.multimodal import synth_image_blob
+    from ..operators.multimodal import (_decode_pixels, _resize_nn,
+                                        synth_image_blob)
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                             "/root/testdata/sf0.01")
     rows = duckdb.sql(
@@ -1764,12 +1771,16 @@ def _multimodal_oracle() -> str:
     values = []
     for did, text in rows:
         blob = synth_image_blob(int(did), text.encode("utf-8"))
+        w, h, pixels = _decode_pixels(blob)
+        small = _resize_nn(pixels, w, h, len(pixels) // (w * h), 4, 4)
         values.append(
             f"(CAST({did} AS BIGINT), CAST(8 AS INTEGER), "
             f"CAST(8 AS INTEGER), CAST({len(blob)} AS BIGINT), "
-            f"'{hashlib.sha1(blob).hexdigest()}')")
+            f"'{hashlib.sha1(blob).hexdigest()}', "
+            f"'{hashlib.sha1(small).hexdigest()}')")
     return ("SELECT * FROM (VALUES " + ",".join(values)
-            + ") AS t(media_id, width, height, n_bytes, sha1)")
+            + ") AS t(media_id, width, height, n_bytes, sha1, "
+            "resized_sha1)")
 
 
 _ORACLES_MM = {
