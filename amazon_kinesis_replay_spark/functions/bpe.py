@@ -138,6 +138,17 @@ def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
     return {pair: i for i, pair in enumerate(merges)}
 
 
+def decode_ids(ids, vocab: dict[str, int]) -> str:
+    """Inverse of id encoding: concatenate the tokens behind `ids` (the
+    loader-side detokenize). <unk> (id 0) and unknown ids decode to ""
+    — information lost at encode time cannot be re-invented, and a
+    silent placeholder string would corrupt byte-exact round-trips for
+    in-vocabulary text."""
+    inv = {i: t for t, i in vocab.items()}
+    inv[0] = ""
+    return "".join(inv.get(i, "") for i in ids)
+
+
 def vocab_from(merges: list[tuple[str, str]],
                chars) -> dict[str, int]:
     """Deterministic token->id table for a trained merge list: id 0 is

@@ -1516,6 +1516,11 @@ def test_bpe_vocab_and_id_encoding(spark, sf_dir):
     if "ç" not in vocab:
         assert 0 in got["bpe_tokens_ids"]
 
+    # decode_ids inverts the encoding for in-vocabulary text
+    from amazon_kinesis_replay_spark.functions.bpe import decode_ids
+    for r in rows[:5]:
+        assert decode_ids(r["bpe_tokens_ids"], vocab) == r["text"]
+
 
 def test_ngram_lm_merge_incremental(spark, sf_dir):
     """Incremental LM training: counting two halves separately and
