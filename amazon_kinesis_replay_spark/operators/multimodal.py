@@ -831,6 +831,79 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(_decode, AUDIO_FEATURES_SCHEMA)
 
 
+RESAMPLED_AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("pcm", BinaryType(), True),
+])
+
+
+def resample_audio(df: DataFrame, out_rate: int,
+                   fake: bool = False) -> DataFrame:
+    """Mono-mix + linear-interpolation resample of WAV payloads to a
+    fixed sample rate (the normalize-for-training step next to the image
+    resize): channels average to mono, the signal is resampled on exact
+    time coordinates with np.interp (an integer-ratio downsample
+    therefore passes source samples through EXACTLY), output is PCM16.
+    Same Arrow-batched mapInPandas shape as decode_audio; compressed
+    audio raises loudly; fake=True treats any payload as PCM16@8kHz mono
+    so pipelines can be exercised without valid media.
+
+    Output: (media_id, sample_rate, n_samples, pcm) — rate/samples/bytes
+    of the RESAMPLED mono signal."""
+    import numpy as np
+    if out_rate < 1:
+        raise ValueError(f"out_rate must be >= 1, got {out_rate}")
+
+    def _decode(raw: bytes):
+        if fake:
+            a = np.frombuffer(raw[:len(raw) & ~1], dtype="<i2")
+            return 8000, a.astype(np.float64)
+        if raw[:4] != b"RIFF":
+            raise NotImplementedError(
+                f"unsupported audio magic {raw[:4]!r}: only uncompressed "
+                "WAV resamples without a codec library; pass fake=True "
+                "for the deterministic test path")
+        rate, channels, bits, pcm = _parse_wav(raw)
+        if bits == 16:
+            a = np.frombuffer(pcm[:len(pcm) & ~1], dtype="<i2") \
+                .astype(np.float64)
+        elif bits == 8:                        # WAV 8-bit is unsigned
+            a = np.frombuffer(pcm, dtype=np.uint8) \
+                .astype(np.float64) * 256.0 - 32768.0
+        else:
+            raise NotImplementedError(
+                f"{bits}-bit WAV not supported (8/16 only)")
+        n = (len(a) // channels) * channels
+        mono = a[:n].reshape(-1, channels).mean(axis=1)
+        return rate, mono
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "n_samples": [],
+                   "pcm": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                rate, mono = _decode(raw)
+                if len(mono) == 0:
+                    res = mono
+                else:
+                    n_out = max(1, int(round(len(mono) * out_rate / rate)))
+                    t_out = np.arange(n_out) * (rate / out_rate)
+                    res = np.interp(t_out, np.arange(len(mono)), mono)
+                pcm16 = np.clip(np.rint(res), -32768, 32767) \
+                    .astype("<i2").tobytes()
+                out["media_id"].append(mid)
+                out["sample_rate"].append(out_rate)
+                out["n_samples"].append(len(res))
+                out["pcm"].append(pcm16)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "data").mapInPandas(
+        _resample, RESAMPLED_AUDIO_SCHEMA)
+
+
 def media_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
     """JVM-side metadata over binary payloads — no Python needed: byte
     length, md5, magic-byte sniff. The cheap pre-filter that should always

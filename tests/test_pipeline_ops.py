@@ -1637,3 +1637,43 @@ def test_resize_images(spark):
     f = multimodal.resize_images(junk, 4, 4, fake=True).head()
     assert (f["width"], f["height"], f["channels"]) == (4, 4, 3)
     assert len(f["pixels"]) == 48
+
+
+def test_resample_audio(spark):
+    """Audio resample: an exact 2:1 downsample passes source samples
+    through untouched (np.interp on integer coordinates), a 1:2 upsample
+    doubles the length with midpoints interpolated, stereo mixes to mono
+    by averaging, and the fake path treats bytes as PCM16@8kHz."""
+    import numpy as np
+
+    samples = list(range(-1000, 1000, 125))       # 16 samples @ 16 kHz
+    wav = _wav_bytes(16000, 1, samples)
+    stereo = _wav_bytes(16000, 2, [v for s in samples for v in (s, s + 2)])
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(stereo))],
+        "media_id long, data binary")
+
+    down = {r["media_id"]: r for r in
+            multimodal.resample_audio(media, 8000).collect()}
+    r1 = down[1]
+    assert (r1["sample_rate"], r1["n_samples"]) == (8000, 8)
+    got = np.frombuffer(bytes(r1["pcm"]), dtype="<i2")
+    assert list(got) == samples[::2]              # exact passthrough
+    # stereo mono-mix: mean of (s, s+2) = s+1 at the sampled points
+    g2 = np.frombuffer(bytes(down[2]["pcm"]), dtype="<i2")
+    assert list(g2) == [s + 1 for s in samples[::2]]
+
+    up = multimodal.resample_audio(media.filter("media_id = 1"),
+                                   32000).head()
+    assert (up["sample_rate"], up["n_samples"]) == (32000, 32)
+    gu = np.frombuffer(bytes(up["pcm"]), dtype="<i2")
+    assert list(gu[::2])[:16] == samples          # originals at even slots
+    assert gu[1] == (samples[0] + samples[1]) // 2 or \
+        abs(int(gu[1]) - (samples[0] + samples[1]) / 2) <= 1
+
+    # fake path: arbitrary even-length bytes as PCM16@8kHz
+    junk = spark.createDataFrame(
+        [(3, bytearray(np.arange(10, dtype="<i2").tobytes()))],
+        "media_id long, data binary")
+    f = multimodal.resample_audio(junk, 4000, fake=True).head()
+    assert (f["sample_rate"], f["n_samples"]) == (4000, 5)
