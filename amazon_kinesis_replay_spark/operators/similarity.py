@@ -624,6 +624,34 @@ def ivf_pq_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
         .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
+def ivf_pq_index_append(spark, emb_new: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incrementally add vectors to a persisted IVF-PQ index: assign the
+    NEW vectors against the SAVED centroids and encode them with the
+    SAVED codebooks (both geometries are immutable between re-trains —
+    an append must neither move existing lists nor re-quantize existing
+    codes), then append codes into the matching centroid_id partitions
+    and floats into the cold re-rank table. Cost ∝ the new batch; the
+    existing index is never read or rewritten. Full rebuild
+    (ivf_pq_index_write) remains the periodic compaction path."""
+    meta = spark.read.parquet(path + "/meta").head()
+    n_subs, dim = meta["n_subs"], meta["dim"]
+    saved = spark.read.parquet(path + "/centroids")
+    rows = saved.collect()                       # tiny; pin as a literal
+    cents = spark.createDataFrame(rows, saved.schema)
+    cb = spark.read.parquet(path + "/pq_codebooks")
+    assigned = ivf_assign(emb_new, len(rows), id_col, vec_col,
+                          centroids=cents)
+    codes = pq_encode(emb_new, cb, int(n_subs), dim=int(dim),
+                      id_col=id_col, vec_col=vec_col)
+    (assigned.select("id", "centroid_id").join(codes, "id")
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(path + "/vectors"))
+    (emb_new.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+     .write.mode("append").parquet(path + "/floats"))
+
+
 def ivf_pq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
                       n_probe: int = 4, rerank_factor: int = 4,
                       id_col: str = "vec_id") -> DataFrame:

@@ -1176,6 +1176,44 @@ def test_ivf_pq_index_probe(spark, sf_dir, tmp_path):
     assert len(set(got) & set(bf)) >= 5   # probe misses + PQ error bounded
 
 
+def test_ivf_pq_index_append(spark, sf_dir, tmp_path):
+    """Incremental IVF-PQ append: new vectors are assigned with the
+    SAVED centroids and quantized with the SAVED codebooks (geometry
+    frozen — existing rows untouched), land in the right partitions, and
+    an appended clone of the query surfaces at the top of a probe with
+    its floats available for exact re-rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    index = str(tmp_path / "ivfpq-app")
+    similarity.ivf_pq_index_write(base, index, n_centroids=8,
+                                  n_subs=8, n_codes=16)
+    n0 = spark.read.parquet(index + "/vectors").count()
+    before = {(r["id"], tuple(r["codes"])) for r in
+              spark.read.parquet(index + "/vectors").collect()}
+
+    clone = (emb.filter(F.col("vec_id") == 0)
+             .select(F.lit(777777).alias("vec_id"), "embedding", "label"))
+    extra = emb.filter(F.col("vec_id") >= 400).unionByName(clone)
+    similarity.ivf_pq_index_append(spark, extra, index)
+
+    hot = spark.read.parquet(index + "/vectors")
+    assert hot.count() == n0 + extra.count()
+    after = {(r["id"], tuple(r["codes"])) for r in hot.collect()}
+    assert before <= after                     # existing rows untouched
+    # the clone carries vec 0's exact codes (same codebooks)
+    codes0 = next(c for i, c in after if i == 0)
+    assert next(c for i, c in after if i == 777777) == codes0
+    # and floats arrived for re-rank
+    assert spark.read.parquet(index + "/floats") \
+        .filter(F.col("id") == 777777).count() == 1
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"))
+    top = similarity.ivf_pq_probe_topk(spark, index, q, k=3, n_probe=3,
+                                       rerank_factor=8).collect()
+    assert {r["vec_id"] for r in top[:2]} == {0, 777777}
+
+
 def test_write_training_shards(spark, sf_dir, tmp_path):
     """Sharded export: split=... hive directories, every file under the
     rows_per_shard cap, pack ranges contiguous within shards, and the
