@@ -1032,9 +1032,33 @@ def q_doc_pii_redact(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     merges = text.bpe_train(d, "text", n_merges=64)
     enc = text.bpe_encode(d.select("doc_id", "text"), "text", merges)
+    # r7b: the n-gram LM pipeline rides the same entry with EXACT-INTEGER
+    # fit statistics (gram count / seen-in-model count / summed model
+    # counts) — the model trains on the EVEN doc_ids only so odd docs
+    # exercise the unseen-gram path, and the oracle recomputes the whole
+    # thing in plain DuckDB SQL (fully independent — no literals). The
+    # float bits/perplexity stay out: log2 + non-deterministic double
+    # summation order cannot hash-match across engines.
+    lm = text.ngram_lm_counts(d.filter(F.col("doc_id") % 2 == 0),
+                              "text", n=2)
+    g = (d.select("doc_id",
+                  F.explode(text._word_ngrams(F.col("text"), 2)).alias("g"))
+         .select("doc_id", "g.context", "g.token"))
+    per = (g.join(lm, ["context", "token"], "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("__ng"),
+                F.count("cnt").cast("long").alias("__ns"),
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+                .alias("__sc")))
     return (text.pii_redact(d, "doc_id", "text")
             .join(enc.select("doc_id", F.col("bpe_tokens_count")
-                             .alias("bpe_token_count")), "doc_id"))
+                             .alias("bpe_token_count")), "doc_id")
+            .join(per, "doc_id", "left")
+            .withColumns({
+                "lm_n_grams": F.coalesce("__ng", F.lit(0)).cast("long"),
+                "lm_n_seen": F.coalesce("__ns", F.lit(0)).cast("long"),
+                "lm_sum_cnt": F.coalesce("__sc", F.lit(0)).cast("long")})
+            .drop("__ng", "__ns", "__sc"))
 
 
 def q_doc_train_split(spark, sf_dir):
@@ -1141,11 +1165,37 @@ def _pii_bpe_oracle() -> str:
         f"CAST({len(_bpe.encode_text(t, ranks, cache))} AS BIGINT))"
         for did, t in rows)
     return (_PII_ORACLE_BASE + f""",
-        bpe(doc_id, bpe_token_count) AS (VALUES {values})
+        bpe(doc_id, bpe_token_count) AS (VALUES {values}),
+        toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                       i -> struct_pack(context := w[i],
+                                        token := w[i + 1]))) AS g
+            FROM toks WHERE len(w) >= 2),
+        flat AS (
+            SELECT doc_id, g.context AS context, g.token AS token
+            FROM grams),
+        lm AS (
+            SELECT context, token, count(*) AS cnt
+            FROM flat WHERE doc_id % 2 = 0 GROUP BY context, token),
+        perdoc AS (
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS lm_n_grams,
+                   CAST(count(lm.cnt) AS BIGINT) AS lm_n_seen,
+                   CAST(coalesce(sum(lm.cnt), 0) AS BIGINT) AS lm_sum_cnt
+            FROM flat f LEFT JOIN lm USING (context, token)
+            GROUP BY f.doc_id)
         SELECT s3.doc_id, clean_text, n_emails, n_ips, n_phones,
                n_emails + n_ips + n_phones AS n_redactions,
-               bpe_token_count
+               bpe_token_count,
+               CAST(coalesce(perdoc.lm_n_grams, 0) AS BIGINT) AS lm_n_grams,
+               CAST(coalesce(perdoc.lm_n_seen, 0) AS BIGINT) AS lm_n_seen,
+               CAST(coalesce(perdoc.lm_sum_cnt, 0) AS BIGINT) AS lm_sum_cnt
         FROM s3 JOIN bpe ON s3.doc_id = bpe.doc_id
+        LEFT JOIN perdoc ON s3.doc_id = perdoc.doc_id
     """)
 
 
