@@ -359,6 +359,23 @@ def _near_dup_embedding_processor(index_path: str, sink, id_col: str,
                                      incremental)
 
 
+def pairs_parquet_sink(out_path: str):
+    """Idempotent sink for the near-dup streams: each batch's pairs land
+    in their own `batch_id=N` subdirectory with mode=overwrite, so an
+    at-least-once REPLAY of a batch replaces its own output instead of
+    appending duplicates — this is the overwrite-by-batch-id sink the
+    stream docstrings name as the exactly-once closer. Readers get the
+    whole history with `spark.read.parquet(out_path)` (hive partition
+    discovery adds the batch_id column) and can partition-prune on it.
+
+    Returns a `sink(pairs_df, batch_id)` callable for `near_dup_stream*`.
+    """
+    def sink(pairs, batch_id: int) -> None:
+        pairs.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={int(batch_id)}")
+    return sink
+
+
 def near_dup_stream_simhash(docs, index_path: str, sink,
                             id_col: str = "doc_id",
                             text_col: str = "text",

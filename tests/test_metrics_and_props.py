@@ -289,3 +289,44 @@ def test_png_adam7_round_trip_property(w, h, ctype, data):
     else:
         # _parse_png returns raw channel bytes for non-RGB types too
         assert pixels == raster
+
+
+def test_fsutil_local_roundtrip(spark, tmp_path):
+    """fsutil routes through the Hadoop FileSystem for the path's scheme;
+    on local paths it must agree with the OS — including the
+    committed-output distinction (_temporary-only dirs are NOT complete
+    output)."""
+    from amazon_kinesis_replay_spark import fsutil
+
+    d = tmp_path / "fsu"
+    d.mkdir()
+    p = str(d / "x")
+    assert not fsutil.exists(spark, p)
+    (d / "x").mkdir()
+    assert fsutil.exists(spark, p)
+    # dir with only hidden/_temporary content != committed output
+    (d / "x" / "_temporary").mkdir()
+    assert not fsutil.has_committed_output(spark, p)
+    (d / "x" / "part-00000").write_bytes(b"data")
+    assert fsutil.has_committed_output(spark, p)
+    assert fsutil.rename(spark, p, str(d / "y"))
+    assert not fsutil.exists(spark, p) and fsutil.exists(spark, str(d / "y"))
+    fsutil.delete(spark, str(d / "y"))
+    assert not fsutil.exists(spark, str(d / "y"))
+    # _SUCCESS alone also marks committed output
+    (d / "z").mkdir()
+    (d / "z" / "_SUCCESS").write_bytes(b"")
+    assert fsutil.has_committed_output(spark, str(d / "z"))
+
+
+def test_resize_and_resample_identity():
+    """Identity properties: resizing to the source size returns the
+    source raster; resampling to the source rate returns the source
+    samples (np.interp on exact integer coordinates)."""
+    import numpy as np
+
+    from amazon_kinesis_replay_spark.operators.multimodal import _resize_nn
+    rng = np.random.RandomState(7)
+    for w, h, c in ((5, 3, 3), (1, 1, 1), (8, 2, 4)):
+        px = rng.randint(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+        assert _resize_nn(px, w, h, c, w, h) == px

@@ -487,3 +487,33 @@ def test_near_dup_simhash_processor_stream_and_replay(spark, sf_dir,
     want = {(r["id_a"], r["id_b"], r["hamming"]) for r in
             D.simhash_near_dups(docs, "doc_id", "text", 3).collect()}
     assert got[0][0] | got[1][0] == want
+
+
+def test_pairs_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """The overwrite-by-batch-id sink closes the exactly-once loop: a
+    replayed batch REPLACES its own partition instead of appending, so
+    processor replay + this sink = exactly-once pair output, readable as
+    one partitioned table."""
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_processor, pairs_parquet_sink)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    out = str(tmp_path / "pairs-out")
+    sink = pairs_parquet_sink(out)
+    proc = _near_dup_processor(str(tmp_path / "idx"), sink,
+                               "doc_id", "text", 0.5)
+    proc(b0, 0)
+    proc(b1, 1)
+    once = {(r["id_a"], r["id_b"], r["jaccard"], r["batch_id"])
+            for r in spark.read.parquet(out).collect()}
+    n_once = spark.read.parquet(out).count()
+    proc(b1, 1)                               # replay: overwrite, not append
+    again = {(r["id_a"], r["id_b"], r["jaccard"], r["batch_id"])
+             for r in spark.read.parquet(out).collect()}
+    assert again == once
+    assert spark.read.parquet(out).count() == n_once
+    # partition pruning by batch works
+    assert spark.read.parquet(out).filter("batch_id = 1").count() == \
+        len([t for t in once if t[3] == 1])
