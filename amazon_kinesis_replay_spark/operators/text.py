@@ -364,6 +364,52 @@ def pack_sequences(df: DataFrame, id_col: str, token_count_col: str,
             .drop("__cum_excl"))
 
 
+def assemble_sequences(df: DataFrame, id_col: str, ids_col: str,
+                       seq_len: int = 512,
+                       order_cols: list[str] | None = None) -> DataFrame:
+    """Materialize the PACKED TRAINING SEQUENCES that `pack_sequences`
+    only assigns ids for: concatenate every document's token ids in a
+    deterministic order into one global stream and chunk it into
+    EXACTLY-seq_len windows (GPT-style packing — documents SPLIT across
+    window boundaries; the final ragged window is emitted with its true
+    length).
+
+    Distributed shape: the per-doc exclusive token offset comes from the
+    range-bucketed global cumsum (never a single-partition window), each
+    token's global position is offset + its index within the doc
+    (posexplode), window = position div seq_len, and each window's ids
+    are rebuilt with a seq_len-BOUNDED sort inside one aggregate
+    (array_sort over (pos_in_seq, token) structs — group size is capped
+    by seq_len, so no group ever exceeds one context window regardless
+    of corpus size). Cost is one explode + one hash shuffle on seq_id.
+
+    Output: (seq_id, token_ids, n_tokens, n_docs) — flattening the
+    windows in seq_id order reproduces the concatenated corpus exactly
+    (property-tested)."""
+    from .replay_ops import with_global_cumsum
+    order = order_cols or [id_col]
+    c = with_global_cumsum(
+        df.withColumn("__n_tok", F.size(ids_col).cast("long")),
+        order, "__n_tok", "__tok_off")
+    toks = (c.select("__tok_off",
+                     F.posexplode(ids_col).alias("__i", "__tok"))
+            .withColumn("__pos", F.col("__tok_off") + F.col("__i"))
+            .withColumn("__seq", F.expr(f"__pos div {int(seq_len)}"))
+            .withColumn("__slot",
+                        (F.col("__pos") % F.lit(int(seq_len)))
+                        .cast("int")))
+    return (toks.groupBy(F.col("__seq").alias("seq_id"))
+            .agg(F.array_sort(F.collect_list(
+                     F.struct(F.col("__slot"), F.col("__tok"))))
+                 .alias("__sorted"),
+                 F.count("*").cast("long").alias("n_tokens"),
+                 F.countDistinct("__tok_off").cast("long").alias("n_docs"))
+            .select("seq_id",
+                    F.transform("__sorted", lambda s: s["__tok"])
+                    .alias("token_ids"),
+                    "n_tokens", "n_docs"))
+
+
 def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
     (Content-defined rolling-hash chunking reduces to the same normalize+

@@ -1715,3 +1715,40 @@ def test_resample_audio(spark):
         "media_id long, data binary")
     f = multimodal.resample_audio(junk, 4000, fake=True).head()
     assert (f["sample_rate"], f["n_samples"]) == (4000, 5)
+
+
+def test_assemble_sequences(spark):
+    """Window assembly: flattening the windows in seq_id order must
+    reproduce the concatenated corpus EXACTLY (docs split across window
+    boundaries), every window except the last holds exactly seq_len
+    tokens, n_docs counts contributing documents, and empty-id docs
+    vanish without shifting positions."""
+    from amazon_kinesis_replay_spark.operators import text
+
+    rows = [(1, list(range(0, 7))),          # 7 tokens
+            (2, []),                         # empty doc
+            (3, list(range(100, 109))),      # 9 tokens
+            (4, list(range(200, 204)))]      # 4 tokens
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = sorted(
+        text.assemble_sequences(df, "doc_id", "ids", seq_len=5).collect(),
+        key=lambda r: r["seq_id"])
+    stream = [t for _, ids in rows for t in ids]
+    got = [t for r in out for t in r["token_ids"]]
+    assert got == stream
+    assert [r["seq_id"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in out] == [5, 5, 5, 5]
+    # window 0 = doc1[0:5]; window 1 = doc1[5:7] + doc3[0:3] -> 2 docs
+    assert out[0]["n_docs"] == 1 and out[1]["n_docs"] == 2
+    assert out[1]["token_ids"] == [5, 6, 100, 101, 102]
+    # last window exactly full here (7+9+4 = 20 = 4*5)
+    total = sum(r["n_tokens"] for r in out)
+    assert total == 20
+
+    # ragged tail: drop doc 4 -> 16 tokens -> last window holds 1
+    out2 = sorted(text.assemble_sequences(
+        df.filter("doc_id != 4"), "doc_id", "ids", seq_len=5).collect(),
+        key=lambda r: r["seq_id"])
+    assert [r["n_tokens"] for r in out2] == [5, 5, 5, 1]
+    assert [t for r in out2 for t in r["token_ids"]] == \
+        [t for _, ids in rows[:3] for t in ids]
