@@ -229,3 +229,23 @@ def test_ngram_lm_score_is_hash_joined_and_partial(spark):
     assert "HashAggregate" in p
     # the count-model join keys on (context, token)
     assert re.search(r"Join.*context.*token", p) or "context" in p
+
+
+def test_assemble_sequences_has_no_unpartitioned_window(spark):
+    """Window assembly must never serialize the corpus through a
+    single-partition global window: every Window in the plan carries a
+    partitionBy, and the per-window rebuild is an aggregate (bounded by
+    seq_len), not a sort of the whole token stream."""
+    from amazon_kinesis_replay_spark.operators import text as T
+    from amazon_kinesis_replay_spark.tables import load
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    enc = docs.withColumn("ids", __import__("pyspark.sql.functions",
+                                            fromlist=["F"]).split("text", " "))
+    out = T.assemble_sequences(enc, "doc_id", "ids", seq_len=128)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # every Sort is partition-local (", false, 0"); a global token-stream
+    # sort would print ", true, 0" and serialize through range partitioning
+    for line in p.splitlines():
+        if "Sort [" in line:
+            assert ", false, 0" in line, f"global Sort in plan: {line}"
+    assert "HashAggregate" in p
