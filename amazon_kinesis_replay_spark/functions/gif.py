@@ -166,13 +166,18 @@ def _sub_blocks(raw: bytes, i: int) -> tuple[bytes, int]:
         i += n
 
 
-def _iter_gif_frames(raw: bytes):
-    """Yield (delay_cs, rgb_bytes) for every frame of a GIF, composited
-    onto the logical screen with full disposal-method semantics (GIF89a
-    §23): 0/1 leave the frame in place, 2 restores the frame's rectangle
-    to the background color, 3 restores the pixels that were there before
-    the frame rendered. The first yield is exactly what `decode_gif`
-    returns. Malformed streams raise ValueError."""
+def _iter_gif_frames(raw: bytes, stride: int = 1):
+    """Yield (delay_cs, rgb_bytes) for every `stride`-th frame of a GIF,
+    composited onto the logical screen with full disposal-method
+    semantics (GIF89a §23): 0/1 leave the frame in place, 2 restores the
+    frame's rectangle to the background color, 3 restores the pixels
+    that were there before the frame rendered. Every frame is still
+    DECODED and composited (compositing is cumulative), but the full
+    raster copy-out happens only for yielded frames — that is the whole
+    point of taking the stride down here (r7 review: a modulo in the
+    caller still paid one sw*sh*3 copy per skipped frame). The first
+    yield is exactly what `decode_gif` returns. Malformed streams raise
+    ValueError."""
     if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", raw, 6)
@@ -196,6 +201,7 @@ def _iter_gif_frames(raw: bytes):
     transparent_idx = -1
     disposal = 0
     delay_cs = 0
+    frame_no = 0
     while i < len(raw):
         b0 = raw[i]
         if b0 == 0x3B:                           # trailer
@@ -256,7 +262,9 @@ def _iter_gif_frames(raw: bytes):
                         f"GIF pixel index {c} beyond color table "
                         f"({n_colors} entries)")
                 screen[o + 3 * x:o + 3 * x + 3] = table[3 * c:3 * c + 3]
-        yield delay_cs, bytes(screen)
+        if frame_no % stride == 0:
+            yield delay_cs, bytes(screen)
+        frame_no += 1
 
         if disposal == 2:                        # restore to background
             for y in range(fh):
@@ -287,17 +295,17 @@ def decode_gif_frames(raw: bytes, max_frames: int | None = None,
     (`_iter_gif_frames`). `stride` keeps every stride-th frame and
     `max_frames` caps the OUTPUT length — the same prune-before-decode
     shape as the MJPEG sampler cannot apply here (GIF frames composite
-    cumulatively, so earlier frames must still be DECODED; stride only
-    skips the copy-out), but the cap stops the LZW walk early."""
+    cumulatively, so earlier frames must still be DECODED; the stride is
+    applied INSIDE the generator so skipped frames never pay the raster
+    copy-out), and the cap stops the LZW walk early."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     sw, sh = struct.unpack_from("<HH", raw, 6) if len(raw) >= 10 else (0, 0)
     frames: list[tuple[int, bytes]] = []
-    for k, (delay, rgb) in enumerate(_iter_gif_frames(raw)):
-        if k % stride == 0:
-            frames.append((delay, rgb))
-            if max_frames is not None and len(frames) >= max_frames:
-                break
+    for delay, rgb in _iter_gif_frames(raw, stride):
+        frames.append((delay, rgb))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     if not frames:
         raise ValueError("GIF contains no image frame")
     return int(sw), int(sh), frames

@@ -463,12 +463,17 @@ def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
     # scan (measured 3.5 s vs 0.4 s at sf0.1). The persist is a pushdown
     # barrier, and the two consumers (train grams / eval rows) share one
     # shingle pass instead of recomputing it per branch.
-    # `arrays`: optional caller-precomputed (id, shs) table (MUST already be
-    # persisted/materialized — it is consumed twice here too); lets composed
-    # pipelines (q_doc_train_split) share one shingle pass across legs.
+    # `arrays`: optional caller-precomputed (id, shs) table; lets composed
+    # pipelines share one shingle pass across ACTIONS. The persist
+    # contract is ENFORCED, not just documented (r7 review): an
+    # unpersisted frame here would recompute its whole plan once per
+    # consumer branch — exactly the bug the internal persist prevents.
     if arrays is None:
         arrays = shingle_arrays(df, id_col, text_col, k).persist()
     else:
+        from pyspark import StorageLevel
+        if arrays.storageLevel == StorageLevel.NONE:
+            arrays = arrays.persist()
         arrays = arrays.select("id", "shs")
     labels = df.select(F.col(id_col).alias("id"), F.col(split_col))
     sh = (arrays.select("id", F.explode("shs").alias("shingle"))
@@ -724,13 +729,22 @@ def _staged_result(out: DataFrame, path: str) -> DataFrame:
     the same barrier with no driver bytes, and works on any Hadoop
     filesystem the index itself lives on. Staging dirs are batch-scoped
     (uuid-named) and NOT auto-deleted — the returned DataFrame stays
-    backed by them;
-    callers may remove <path>/_staging once results are no longer
-    referenced."""
+    backed by them; call `clear_staging(spark, path)` once results are
+    no longer referenced (the streaming processors do this after every
+    sink call — r7 review: without it a long-running stream leaks one
+    result dataset per micro-batch into the index directory forever)."""
     import uuid
     staging = f"{path}/_staging/{uuid.uuid4().hex}"
     out.write.parquet(staging)
     return out.sparkSession.read.parquet(staging)
+
+
+def clear_staging(spark, path: str) -> None:
+    """Remove every `_staged_result` barrier dataset under an index path.
+    Safe whenever no returned incremental-result DataFrame is still
+    referenced (they are lazily backed by these files)."""
+    from .. import fsutil
+    fsutil.delete(spark, path + "/_staging")
 
 
 def embedding_dedup_incremental(spark, new_emb: DataFrame, path: str,
@@ -893,7 +907,11 @@ def dedup_clusters(nodes: DataFrame, pairs: DataFrame | str,
         # Returning partially-propagated labels would silently split one
         # component into several clusters (wrong, and un-flagged vs an
         # exact transitive-closure oracle). Long chains are pathological
-        # for near-dup graphs (star-like, diameter 2-3), so fail loudly.
+        # for near-dup graphs (star-like, diameter 2-3), so fail loudly —
+        # and release the final round's cache first (r7 review: a caller
+        # that catches and retries with a larger max_iters must not
+        # accumulate one orphaned cache entry per failed attempt).
+        cached.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge within max_iters={max_iters} "
             "rounds (component diameter exceeds the bound); raise max_iters")

@@ -70,7 +70,17 @@ def _fast_dot_fixed(a: Column, b: Column, dim: int) -> Column:
     while len(terms) > 1:
         terms = [terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
                  for i in range(0, len(terms), 2)]
-    return terms[0]
+    # Width guard (r7 review): dim SMALLER than the true vector width
+    # would silently truncate the dot (a pre-filter computed over a
+    # prefix but normalized by full norms under-scores true pairs and
+    # drops them before exact verification — silent recall loss). dim
+    # larger already throws under ANSI element_at; make the short case
+    # just as loud. assert_true returns NULL when the predicate holds,
+    # so the coalesce adds exactly 0.0 to the dot.
+    chk = F.assert_true(
+        (F.size(a) == dim) & (F.size(b) == dim),
+        F.lit(f"_fast_dot_fixed: vector width != pinned dim={dim}"))
+    return terms[0] + F.coalesce(chk.cast("double"), F.lit(0.0))
 
 
 def _fast_cosine(a: Column, b: Column) -> Column:
@@ -358,7 +368,18 @@ def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
     for sub in subs:
         fsutil.delete(spark, f"{path}/{sub}.old")        # stale leftovers
         if fsutil.exists(spark, f"{path}/{sub}"):        # pre-policy may lack meta
-            fsutil.rename(spark, f"{path}/{sub}", f"{path}/{sub}.old")
+            # The aside rename's boolean MUST be checked (r7 review): if
+            # it silently failed, the live dir would still exist and the
+            # staging rename below would NEST the new generation inside
+            # it (Hadoop rename-into-existing-dir semantics) — a corrupt
+            # index reported as success.
+            if not fsutil.rename(spark, f"{path}/{sub}",
+                                 f"{path}/{sub}.old"):
+                raise IOError(
+                    f"index swap failed moving {sub} aside in {path}; "
+                    "the previous generation is intact (split across "
+                    "<sub> and <sub>.old) and the staged build remains "
+                    f"at {staging}")
     for sub in subs:
         if not fsutil.rename(spark, f"{staging}/{sub}", f"{path}/{sub}"):
             raise IOError(

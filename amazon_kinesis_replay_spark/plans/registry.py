@@ -1158,7 +1158,13 @@ def _pii_bpe_oracle() -> str:
     counts: Counter = Counter()
     for _did, t in rows:
         counts.update(_bpe.pretokenize(t))
-    ranks = _bpe.merge_ranks(_bpe.learn_bpe(dict(counts), 64))
+    # Mirror bpe_train's max_words cap EXACTLY (r7 review): the Spark
+    # side trains on the top-1M pieces by (count desc, piece asc); a
+    # fixture whose distinct-piece count ever exceeds the cap must see
+    # the same truncation here or the merge lists silently diverge.
+    capped = dict(sorted(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:1_000_000])
+    ranks = _bpe.merge_ranks(_bpe.learn_bpe(capped, 64))
     cache: dict = {}
     values = ",".join(
         f"(CAST({did} AS BIGINT), "

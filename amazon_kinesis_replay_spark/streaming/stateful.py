@@ -284,6 +284,12 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
                 # resulting duplicate pair rows (values are identical).
                 pairs = pairs.dropDuplicates(["id_a", "id_b"])
         sink(pairs, batch_id)
+        # The sink contract is consume-within-the-call, so the batch's
+        # _staged_result barrier files are garbage now — without this a
+        # long-running stream leaks one result dataset per micro-batch
+        # into the index directory forever (r7 review finding).
+        from ..operators.dedup import clear_staging
+        clear_staging(spark, index_path)
 
     return _process
 

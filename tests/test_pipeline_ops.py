@@ -1752,3 +1752,35 @@ def test_assemble_sequences(spark):
     assert [r["n_tokens"] for r in out2] == [5, 5, 5, 1]
     assert [t for r in out2 for t in r["token_ids"]] == \
         [t for _, ids in rows[:3] for t in ids]
+
+
+def test_fast_dot_fixed_width_guard(spark):
+    """A pinned dim that does not match the vectors' true width must
+    raise, never silently truncate the pre-filter dot (silent recall
+    loss — r7 review finding)."""
+    import pytest
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ok = dedup.embedding_cosine_dedup(emb, threshold=0.0, n_bands=2,
+                                      band_bits=4, dim=8)
+    ok.collect()                              # matching width: fine
+    bad = dedup.embedding_cosine_dedup(emb, threshold=0.0, n_bands=2,
+                                       band_bits=4, dim=4)
+    with pytest.raises(Exception, match="pinned dim|ASSERT|assert"):
+        bad.collect()
+
+
+def test_shingle_arrays_extra_columns(spark):
+    """`extra=` computes named columns inside the same widened
+    projection (kept for cross-ACTION reuse after the r7 composition
+    revert) — they must ride along with exact values."""
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x y")],
+                               "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.shingle_arrays(
+        df, "doc_id", "text", 3,
+        extra={"n_tok": F.size(F.split("text", r"\s+")).cast("long"),
+               "flag": F.col("doc_id") % 2 == 0}).collect()}
+    assert out[1]["n_tok"] == 4 and out[1]["flag"] is False
+    assert out[2]["n_tok"] == 2 and out[2]["flag"] is True
+    assert len(out[1]["shs"]) == 2            # "a b c", "b c d"

@@ -391,6 +391,10 @@ def test_near_dup_processor_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(index + "/bands").count() == bands
     assert spark.read.parquet(index + "/arrays").count() == arrays
     assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+    # the staging barrier datasets are cleaned after every sink call
+    # (r7 review: they leaked one result dataset per micro-batch)
+    import os
+    assert not os.path.exists(index + "/_staging")
 
     # each replay re-emitted exactly the original batch's pair set
     assert got[0][0] == got[0][1]
