@@ -23,7 +23,15 @@ def co_located_join(spark: SparkSession, left_table: str, right_table: str,
                     left_key: str, right_key: str) -> DataFrame:
     """Join two same-bucket-count tables on their bucket keys with a merge
     hint — with matching bucketing this plans as an exchange-free
-    sort-merge join."""
+    sort-merge join.
+
+    When the key NAMES match (the normal bucketed case), the join uses
+    the name form so the output carries ONE coalesced key column — the
+    expression form would keep two identically-named columns and make
+    the key unreferenceable downstream (AMBIGUOUS_REFERENCE on any later
+    select/groupBy; r7 review)."""
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
+    if left_key == right_key:
+        return left.join(right, on=[left_key])
     return left.join(right, left[left_key] == right[right_key])

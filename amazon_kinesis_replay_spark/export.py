@@ -1,13 +1,17 @@
-"""Training-data export: split-partitioned, uniformly-sized shards.
+"""Training-data export: split-partitioned, pack-aligned shards.
 
 The last stage of the cleaning pipeline: after filtering, dedup,
 decontamination, and sequence packing, the corpus ships as shard files a
 training loader streams. Two failure modes matter at 100 TB — millions
 of tiny files (listing/open overhead dominates) and multi-GB monsters
-(no read parallelism, stragglers) — so the writer controls BOTH ends:
-`repartition` bounds the file count from above (one writer task per
-partition per split directory) and `maxRecordsPerFile` splits any
-oversized task output.
+(no read parallelism, stragglers) — so the writer bounds shard size from
+both ends; and one CORRECTNESS contract matters: a pack must never be
+split across files (a loader reads whole packs from single files).
+maxRecordsPerFile cannot honor that contract — it cuts writer output at
+arbitrary row boundaries (r7 review caught a pack straddling every
+rows_per_shard multiple) — so shard ids are assigned explicitly,
+pack-aligned, with the same exclusive-cumsum-div rule sequence packing
+itself uses.
 """
 
 from __future__ import annotations
@@ -21,26 +25,47 @@ def write_training_shards(df: DataFrame, path: str,
                           order_col: str | None = "pack_id",
                           rows_per_shard: int = 100_000,
                           n_tasks: int | None = None) -> None:
-    """Write `df` as parquet shards partitioned by `split_col`
-    (split=train/valid/test directories — a loader reads one directory,
-    and Spark readers partition-prune on the split), with every file
-    holding at most `rows_per_shard` rows.
+    """Write `df` as parquet shards under split=<v>/__shard=<k>/
+    hive directories (readers partition-prune on both levels; a loader
+    streams one split directory recursively).
 
-    order_col (default pack_id): rows are clustered so each shard holds a
-    contiguous range — repartitionByRange + sortWithinPartitions — which
-    keeps one pack's documents inside one shard file (a training loader
-    reads whole packs from single files) and makes shard contents
-    deterministic given the data. Pass None for don't-care placement
-    (plain hash repartition, one less sort)."""
+    order_col (default pack_id): shard ids are assigned PACK-ALIGNED — a
+    pack belongs to the shard its first row's running position lands in
+    (exclusive cumsum div rows_per_shard, per split; the
+    `pack_sequences` rule applied one level up), every row of a pack
+    lands in the same shard directory, and each shard is written by one
+    task as one file. Shards therefore hold at most rows_per_shard +
+    (largest pack - 1) rows — the cap flexes ONLY to keep packs whole,
+    and a single pack larger than the cap gets its own oversized shard
+    rather than being torn. The cumsum is the range-bucketed distributed
+    kernel, never a single-partition window, so assignment scales with
+    the number of packs.
+
+    Pass order_col=None for don't-care placement: plain hash
+    repartition, flat split=<v>/ layout, maxRecordsPerFile as the hard
+    per-file cap (no grouping contract to preserve)."""
     spark = df.sparkSession
     tasks = n_tasks or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if order_col is not None:
-        staged = (df.repartitionByRange(tasks, F.col(split_col),
-                                        F.col(order_col))
+        from .operators.replay_ops import with_global_cumsum
+        sizes = (df.groupBy(split_col, order_col)
+                 .agg(F.count("*").alias("__n")))
+        csum = with_global_cumsum(sizes, [split_col, order_col], "__n",
+                                  "__cum")
+        starts = csum.groupBy(split_col).agg(F.min("__cum").alias("__start"))
+        assign = (csum.join(F.broadcast(starts), split_col)
+                  .select(split_col, order_col,
+                          F.expr(f"(__cum - __start) div "
+                                 f"{int(rows_per_shard)}").alias("__shard")))
+        staged = (df.join(assign, [split_col, order_col])
+                  .repartition(tasks, F.col(split_col), F.col("__shard"))
                   .sortWithinPartitions(split_col, order_col))
+        (staged.write.mode("overwrite")
+         .partitionBy(split_col, "__shard")
+         .parquet(path))
     else:
         staged = df.repartition(tasks, F.col(split_col))
-    (staged.write.mode("overwrite")
-     .option("maxRecordsPerFile", rows_per_shard)
-     .partitionBy(split_col)
-     .parquet(path))
+        (staged.write.mode("overwrite")
+         .option("maxRecordsPerFile", rows_per_shard)
+         .partitionBy(split_col)
+         .parquet(path))

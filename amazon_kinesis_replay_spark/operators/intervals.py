@@ -47,7 +47,8 @@ def interval_join(points: DataFrame, intervals: DataFrame,
 
 def multi_resolution_rollup(events: DataFrame, ts_col: str = "ts",
                             resolutions_s: tuple[int, ...] = (60, 3600, 86400),
-                            group_col: str | None = None) -> DataFrame:
+                            group_col: str | None = None,
+                            persist: bool = True) -> DataFrame:
     """Hypertable-style continuous-aggregate rollup at several resolutions:
     counts per (bucket, group), stacked with a `resolution_s`
     discriminator.
@@ -59,7 +60,15 @@ def multi_resolution_rollup(events: DataFrame, ts_col: str = "ts",
     results to independent aggregates because counts are decomposable,
     but a 100 TB input is read once instead of once per level. Falls back
     to independent per-level aggregates for non-nesting resolutions.
-    """
+
+    Cache ownership (r7 review): the returned DataFrame is lazily
+    derived from the persisted finest-grain table, so this operator
+    CANNOT unpersist it — the cache (#fine-buckets rows, bounded) lives
+    until the session ends or the caller releases it via
+    `spark.catalog.clearCache()`. Repeated calls in one session each pin
+    their own copy; pass persist=False to trade the single-scan
+    guarantee for zero cache residency (each coarser level then re-folds
+    from its own scan — the pre-r1 shape)."""
     def bucket_ms(src_s, res: int):
         return (F.floor(src_s / res) * res * 1000).cast("long")
 
@@ -69,8 +78,9 @@ def multi_resolution_rollup(events: DataFrame, ts_col: str = "ts",
         base = (events.groupBy(
             bucket_ms(F.unix_timestamp(F.col(ts_col)), finest)
             .alias("bucket_start_ms"), *group_keys)
-            .agg(F.count("*").alias("n_events"))
-            .persist())                # consumed once per level
+            .agg(F.count("*").alias("n_events")))
+        if persist:
+            base = base.persist()      # consumed once per level
         outs = []
         for res in resolutions_s:
             if res == finest:

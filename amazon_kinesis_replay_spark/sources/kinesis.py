@@ -148,10 +148,19 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
         "shard_id string")
 
     def _drain(batches):
+        import time as _time  # noqa: PLC0415
+
         import boto3 as b3  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
         cl = b3.client("kinesis", region_name=region, endpoint_url=endpoint,
                        **creds)
+        # Kinesis allows 5 get_records calls/sec/shard — an unpaced loop
+        # (each call returning in 50-200 ms) sustains 5-20 TPS and burns
+        # boto3's retry budget on ProvisionedThroughputExceeded until the
+        # task dies (r7 review). Pace to the documented limit; emulated
+        # endpoints skip the sleep (they have no such limit and the
+        # tests' wall clock matters).
+        min_interval = 0.0 if endpoint else 0.2
         for pdf in batches:
             for shard_id in pdf["shard_id"]:
                 it_kwargs = {"StreamName": stream, "ShardId": shard_id,
@@ -161,8 +170,20 @@ def read_kinesis_batch(spark: SparkSession, cfg: ReplayConfig,
                     it_kwargs["Timestamp"] = seek_at
                 it = cl.get_shard_iterator(**it_kwargs)["ShardIterator"]
                 drained = False
+                last_call = 0.0
                 for _ in range(max_polls_per_shard):
-                    resp = cl.get_records(ShardIterator=it, Limit=10_000)
+                    gap = min_interval - (_time.monotonic() - last_call)
+                    if gap > 0:
+                        _time.sleep(gap)
+                    last_call = _time.monotonic()
+                    try:
+                        resp = cl.get_records(ShardIterator=it, Limit=10_000)
+                    except cl.exceptions.ProvisionedThroughputExceededException:
+                        # back off a full second (the limit window) and
+                        # retry this page; the poll budget still bounds
+                        # the loop
+                        _time.sleep(1.0)
+                        continue
                     if resp["Records"]:
                         # yield per page: the shard's records stream into
                         # Arrow batches instead of accumulating the whole

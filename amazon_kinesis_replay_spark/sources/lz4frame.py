@@ -36,9 +36,16 @@ class LZ4FrameError(ValueError):
 # ---------------------------------------------------------------------------
 
 
-def block_decompress(src: bytes) -> bytes:
-    """Decode one LZ4 block (token-coded sequences of literals + matches)."""
-    out = bytearray()
+def block_decompress(src: bytes, prefix: bytes = b"") -> bytes:
+    """Decode one LZ4 block (token-coded sequences of literals + matches).
+
+    `prefix` is the match WINDOW a block-LINKED frame carries across
+    block boundaries (the last <=64 KiB of the frame's prior output, LZ4
+    frame spec §Block-Dependency) — matches may reach into it; only the
+    newly decoded bytes are returned. Independent blocks pass b"" (the
+    r6-and-earlier behavior, unchanged)."""
+    out = bytearray(prefix)
+    base = len(prefix)
     i, n = 0, len(src)
     while i < n:
         token = src[i]
@@ -83,7 +90,7 @@ def block_decompress(src: bytes) -> bytes:
             seg = out[start:]
             q, r = divmod(match_len, offset)
             out += seg * q + seg[:r]
-    return bytes(out)
+    return bytes(out[base:])
 
 
 def block_compress(src: bytes) -> bytes:
@@ -165,18 +172,26 @@ def frame_decompress(data: bytes) -> bytes:
         flg = data[i]
         if (flg >> 6) != 0b01:
             raise LZ4FrameError(f"unsupported frame version {flg >> 6}")
+        block_independent = bool(flg & 0x20)
         block_checksum = bool(flg & 0x10)
         content_size_present = bool(flg & 0x08)
         content_checksum = bool(flg & 0x04)
         dict_id_present = bool(flg & 0x01)
+        if dict_id_present:
+            # A dictionary frame is VALID lz4 we cannot decode without
+            # the external dictionary — that must surface as a loud
+            # unsupported-feature error, not be classified corrupt and
+            # silently skipped by the ingest path (r7 review).
+            raise NotImplementedError(
+                "LZ4 frame uses an external dictionary (FLG dict-id bit); "
+                "decoding requires the dictionary content")
         i += 2                          # FLG + BD
         if content_size_present:
             i += 8
-        if dict_id_present:
-            i += 4
         i += 1                          # header checksum (not verified)
         if i > n:
             raise LZ4FrameError("truncated frame header")
+        frame_start = len(out)
         while True:
             if i + 4 > n:
                 raise LZ4FrameError("truncated block size")
@@ -192,7 +207,17 @@ def frame_decompress(data: bytes) -> bytes:
             i += bsize
             if block_checksum:
                 i += 4
-            out += block if uncompressed else block_decompress(block)
+            if uncompressed:
+                out += block
+            else:
+                # Block-LINKED frames (lz4 CLI/python-lz4 defaults write
+                # them; FLG bit 5 clear) carry matches across block
+                # boundaries — feed the frame's last <=64 KiB as the
+                # window (r7 review: these spec-valid frames previously
+                # raised and were silently skipped as corrupt).
+                prefix = (b"" if block_independent else
+                          bytes(out[max(frame_start, len(out) - 65536):]))
+                out += block_decompress(block, prefix)
         if content_checksum:
             i += 4
     return bytes(out)

@@ -68,13 +68,19 @@ def _decode_lines(pdf_iter):
     # subclass, NOT OSError). Missing any of these would fail the whole
     # ingest job on one corrupt object instead of skipping it.
     corrupt = (LZ4FrameError, OSError, EOFError, ValueError,
-               UnicodeDecodeError, lzma.LZMAError, zlib.error)
+               lzma.LZMAError, zlib.error)
 
     for pdf in pdf_iter:
         for path, content in zip(pdf["path"], pdf["content"]):
             try:
                 text = decompress_auto(bytes(content))
-                lines = text.decode("utf-8").splitlines()
+                # errors="replace", NOT strict (r7 review): one bad byte
+                # must not silently drop the whole object — the text path
+                # (spark.read.text), sources/kinesis.py, and the
+                # reference's InputStreamReader all substitute U+FFFD,
+                # and the malformed-JSON row is then dropped PER ROW by
+                # the parse tail, matching every other ingest path.
+                lines = text.decode("utf-8", "replace").splitlines()
             except corrupt:
                 continue                # corrupt object: skip whole file
             if lines:

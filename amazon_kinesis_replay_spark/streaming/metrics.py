@@ -24,8 +24,25 @@ class ReplayProgressListener(StreamingQueryListener):
 
     def __init__(self, history: int = 256, printer=None):
         self.history: deque = deque(maxlen=history)
-        self.total_events = 0                    # OP-AGG-RUNNINGTOTAL
         self.printer = printer
+        # Per-(query, run) running totals (r7 review): a session-wide
+        # counter would sum UNRELATED queries on the same session and
+        # double-count micro-batches replayed after a restart (a new
+        # runId re-delivers the recovered batch's progress). Totals are
+        # keyed by query id and RESET when its runId changes — the
+        # reference's counter also counts one run of one replay.
+        self._totals: dict = {}                  # query_id -> total
+        self._runs: dict = {}                    # query_id -> run_id
+
+    @property
+    def total_events(self) -> int:               # OP-AGG-RUNNINGTOTAL
+        """Events across all live runs (sum of per-query totals)."""
+        return sum(self._totals.values())
+
+    @property
+    def events_by_query(self) -> dict:
+        """query_id -> events replayed by its CURRENT run."""
+        return dict(self._totals)
 
     # StreamingQueryListener interface -------------------------------------
     def onQueryStarted(self, event):
@@ -40,12 +57,18 @@ class ReplayProgressListener(StreamingQueryListener):
     def onQueryProgress(self, event):
         p = json.loads(event.progress.json)
         n = int(p.get("numInputRows") or 0)
-        self.total_events += n
+        qid, run = p.get("id"), p.get("runId")
+        if self._runs.get(qid) != run:           # first batch of a new run
+            self._runs[qid] = run
+            self._totals[qid] = 0
+        self._totals[qid] += n
         snap = {
+            "query_id": qid,
+            "run_id": run,
             "batch_id": p.get("batchId"),
             "batch_events": n,
             "events_per_sec": p.get("processedRowsPerSecond"),  # OP-AGG-WINDOWCOUNT
-            "total_events": self.total_events,
+            "total_events": self._totals[qid],   # THIS query's run
             # max event time seen by the engine (OP-AGG-MAXWM); present when
             # the query has an event-time watermark
             "max_event_time": (p.get("eventTime") or {}).get("max"),

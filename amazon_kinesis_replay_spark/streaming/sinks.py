@@ -92,8 +92,22 @@ class KinesisSink:
         # else AWS_ENDPOINT_URL — boto3 only honors that env var natively
         # from recent versions, so resolve it here for consistency
         endpoint = endpoint_url or os.environ.get("AWS_ENDPOINT_URL") or None
+        # Emulated endpoints accept any credentials, but partitioned-mode
+        # sinks are constructed INSIDE executor Python workers, which may
+        # have been forked before the test/driver set AWS_* env vars —
+        # resolve explicit values here exactly like
+        # sources/kinesis.read_kinesis_batch does (r7 review: without
+        # this the sink factory hits NoCredentialsError on every task
+        # while the source against the same endpoint works). Real
+        # endpoints keep the default provider chain.
+        creds = {}
+        if endpoint:
+            creds = {"aws_access_key_id":
+                     os.environ.get("AWS_ACCESS_KEY_ID", "emulated"),
+                     "aws_secret_access_key":
+                     os.environ.get("AWS_SECRET_ACCESS_KEY", "emulated")}
         self._client = boto3.client("kinesis", region_name=region,
-                                    endpoint_url=endpoint)
+                                    endpoint_url=endpoint, **creds)
 
     def put_records(self, records: list[dict]) -> list[int]:  # pragma: no cover
         entries = [{

@@ -1215,9 +1215,11 @@ def test_ivf_pq_index_append(spark, sf_dir, tmp_path):
 
 
 def test_write_training_shards(spark, sf_dir, tmp_path):
-    """Sharded export: split=... hive directories, every file under the
-    rows_per_shard cap, pack ranges contiguous within shards, and the
-    round-trip preserves the data exactly."""
+    """Sharded export: split=/__shard= hive directories, PACK-ALIGNED
+    file cuts — every pack lives entirely inside one shard file (the
+    contract maxRecordsPerFile could not honor, r7 review), shard sizes
+    within cap + largest-pack slack, and the round-trip preserves the
+    data exactly."""
     import glob
 
     from amazon_kinesis_replay_spark import export as X
@@ -1234,13 +1236,25 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
 
     dirs = sorted(p.split("split=")[1] for p in glob.glob(out + "/split=*"))
     assert dirs == ["train", "valid"]
-    for f in glob.glob(out + "/split=*/*.parquet"):
-        import pyarrow.parquet as pq
-        assert pq.ParquetFile(f).metadata.num_rows <= 100
+    max_pack = (df.groupBy("split", "pack_id").count()
+                .agg(F.max("count")).head()[0])
+    files = glob.glob(out + "/split=*/__shard=*/*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 100 + max_pack - 1
     back = spark.read.parquet(out)
     assert back.count() == df.count()
     assert (back.select("doc_id", "pack_id", "split").exceptAll(df).count()
             == 0)
+    # THE contract: every (split, pack) lives in exactly one file
+    per = (back.withColumn("file", F.input_file_name())
+           .groupBy("split", "pack_id")
+           .agg(F.countDistinct("file").alias("nf")))
+    assert per.filter(F.col("nf") > 1).count() == 0
+    # and shards are non-degenerate: fewer files than packs
+    n_packs = df.select("split", "pack_id").distinct().count()
+    assert len(files) < n_packs
 
 
 def test_minhash_incremental_matches_batch(spark, sf_dir, tmp_path):

@@ -461,3 +461,74 @@ def test_kinesis_sink_e2e_driver_replay():
         assert engine.stats.sink.records_sent == n
         payloads = _drain_stream(client, "replay-drv")
         assert len(payloads) == n
+
+
+def test_lz4_block_linked_frames_decode():
+    """Block-LINKED frames (lz4 CLI -BD / python-lz4 defaults) carry
+    matches across block boundaries — spec-valid input that must decode,
+    not be classified corrupt (r7 review). Verified against the real lz4
+    CLI when present, plus a hand-crafted frame whose second block's
+    match reaches into the first."""
+    import shutil
+    import struct as st
+    import subprocess
+
+    from amazon_kinesis_replay_spark.sources.lz4frame import (
+        frame_decompress)
+
+    if shutil.which("lz4"):
+        data = (b"the quick brown fox jumps over the lazy dog 0123456789\n"
+                * 3000)
+        p = subprocess.run(["lz4", "-c", "-BD", "-B4"], input=data,
+                           capture_output=True, check=True)
+        assert frame_decompress(p.stdout) == data
+
+    # hand-crafted: block 1 stored, block 2's match offsets into block 1
+    b1 = b"HelloWorldABCDEFGH" * 8                   # 144 bytes, stored
+    seq = bytes([0x0F]) + st.pack("<H", len(b1)) + bytes([1])  # 20-byte match
+    tail = bytes([0x50]) + b"tail!"                  # final literals
+    b2 = seq + tail
+    raw = (b"\x04\x22\x4d\x18"                       # magic
+           + bytes([(0b01 << 6), 0x40, 0]))          # FLG linked, BD, hdr-ck
+    raw += st.pack("<I", len(b1) | 0x80000000) + b1  # stored block
+    raw += st.pack("<I", len(b2)) + b2               # compressed block
+    raw += st.pack("<I", 0)                          # EndMark
+    assert frame_decompress(raw) == b1 + b1[:20] + b"tail!"
+
+
+def test_lz4_dictionary_frame_raises_loudly():
+    """A dictionary frame is VALID lz4 we cannot decode without the
+    dictionary — it must raise NotImplementedError (NOT LZ4FrameError,
+    which the ingest path classifies as corrupt and silently skips)."""
+    import struct as st
+
+    import pytest
+
+    from amazon_kinesis_replay_spark.sources.lz4frame import (
+        frame_decompress)
+    raw = (b"\x04\x22\x4d\x18"
+           + bytes([(0b01 << 6) | 0x20 | 0x01, 0x40, 0])  # dict-id bit
+           + st.pack("<I", 1234)                          # dict id
+           + st.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        frame_decompress(raw)
+
+
+def test_sniffed_ingest_replaces_bad_utf8_instead_of_dropping(spark,
+                                                             tmp_path):
+    """One invalid UTF-8 byte must not silently drop a whole object: the
+    binary sniffed path substitutes U+FFFD like the text path and the
+    reference's InputStreamReader, and the malformed-JSON ROW is then
+    dropped per row, keeping every other record in the object."""
+    import json as js
+    src = tmp_path / "utf8"
+    src.mkdir()
+    good = js.dumps({"dropoff_datetime": "2024-01-01T00:00:00"})
+    with open(src / "a.json", "wb") as fh:
+        fh.write(good.encode() + b"\n")
+        fh.write(b'{"dropoff_datetime": "2024-01-01T00:01:00", "x": "\xff"}\n')
+        fh.write(good.encode() + b"\n")
+    cfg = ReplayConfig(source_path=str(src))
+    got = ndjson.read_events_sniffed(spark, cfg).collect()
+    # all three rows survive: the bad byte became U+FFFD, still valid JSON
+    assert len(got) == 3
