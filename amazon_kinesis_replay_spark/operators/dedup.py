@@ -1152,3 +1152,138 @@ def exact_dedup_incremental(spark, new_df: DataFrame, path: str,
          .select(*key_cols, F.col("batch_keep").alias("keep_id"), "__kh")
          .write.mode("append").parquet(path + "/keys"))
     return out
+
+
+# --------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr variant, at token
+# granularity)
+# --------------------------------------------------------------------------
+
+
+def window_occurrences(df: DataFrame, id_col: str, text_col: str,
+                       window: int = 12) -> DataFrame:
+    """Every fixed-width token window of every document, one row per
+    occurrence: (id, pos, win). Windows are built JVM-side with
+    transform-over-sequence (no Python), then posexploded; docs shorter
+    than `window` tokens emit nothing (a doc-length duplicate of a short
+    doc is exact dedup's job, not substring dedup's).
+
+    Tokenization matches the module convention (`_tokens`: lower, trim,
+    split on whitespace) so the same oracle CTE text applies.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(window))
+    wins = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    return (df.filter(n >= window)
+            .select(F.col(id_col),
+                    F.posexplode(wins).alias("pos", "win")))
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    window: int = 12) -> DataFrame:
+    """Maximal duplicated token spans per document: merge every
+    fixed-width window whose exact text occurs more than once in the
+    corpus (any doc, including the same one) into per-doc islands.
+    Returns (id_col, span_start, span_end, n_windows) with token-index
+    half-open spans [span_start, span_end). The returned frame is
+    persisted and already materialized (the window-occurrence barrier is
+    released before returning, so re-computation without the cache would
+    re-pay the generate-feeds-join trap) — the CALLER owns unpersist().
+
+    Scale shape (100 TB): the heavy shuffle is the candidate pass on
+    xxhash64(win) — 8-byte keys with map-side combine, never the window
+    strings; only hash-colliding candidates re-shuffle their strings for
+    the exact count (collision freedom is verified, not assumed — module
+    rule). The island merge is a per-doc window function (lag + running
+    sum partitioned by id), no global sort. A degenerate hot window
+    ("a a a ..." boilerplate repeated across the corpus) concentrates its
+    occurrence join on one string key; AQE skew-join handles moderate
+    skew, and the candidate set it joins is already >1-filtered so the
+    blowup is bounded by true duplicate mass, which is exactly the data
+    this operator exists to find.
+
+    The reference engine has no substring dedup; this extends the
+    training-data family (SURVEY §6) with the standard exact-substring
+    method. Unlike the paper's suffix array, windows give spans snapped
+    to `window`-token granularity — maximal duplicated runs shorter than
+    `window` are missed and span edges can overhang a true duplicate run
+    by up to window-1 tokens; that approximation is what makes the op a
+    pure groupBy/join plan.
+    """
+    rows = window_occurrences(df, id_col, text_col, window)
+    rows = rows.withColumn("__h", F.xxhash64("win"))
+    # Persist barrier: `rows` (a generator output) feeds both the
+    # candidate agg and the occurrence join — without it,
+    # InferFiltersFromGenerate pushes a size()>0 predicate containing
+    # the whole window-construction expression below the join input
+    # (the r6 contamination trap, CLAUDE.md).
+    rows = rows.persist()
+    cand_h = (rows.groupBy("__h").count()
+              .filter(F.col("count") > 1).select("__h"))
+    cand = rows.join(cand_h, "__h", "left_semi")
+    win_cnt = (cand.groupBy("win").count()
+               .filter(F.col("count") > 1).select("win"))
+    occ = cand.join(win_cnt, "win", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = occ.withColumn(
+        "__b",
+        (F.col("pos") >
+         F.coalesce(F.lag("pos").over(w), F.lit(-window - 1)) + window)
+        .cast("int"))
+    grp = brk.withColumn(
+        "__g", F.sum("__b").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    out = (grp.groupBy(id_col, "__g")
+           .agg(F.min("pos").cast("long").alias("span_start"),
+                (F.max("pos") + window).cast("long").alias("span_end"),
+                F.count("*").alias("n_windows"))
+           .drop("__g"))
+    out = out.select(id_col, "span_start", "span_end", "n_windows")
+    # materialize before releasing the barrier
+    out = out.persist()
+    out.count()
+    rows.unpersist()
+    return out
+
+
+def remove_duplicate_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """Rewrite each document with every duplicated span's tokens removed
+    (ALL occurrences — the behavior of the released ExactSubstr tool; a
+    keep-one policy would need a global per-window occurrence ranking
+    that merged spans make ill-defined). Returns
+    (id_col, clean_text, n_removed_tokens); every doc comes back in the
+    module's normalized token form (lower/trim, single-space joined —
+    the convention the spans were computed under), spans-free docs with
+    n_removed_tokens = 0.
+
+    Spans aggregate to one array per doc (bounded by doc length / window)
+    and join back on the id — one equi-join, token filtering is a JVM
+    higher-order filter/exists over the token array, no Python.
+    """
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    toks = _tokens(F.col(text_col))
+    joined = df.join(agg, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    idxed = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(
+        idxed,
+        lambda p: ~F.exists(
+            spans_arr,
+            lambda s: (p["i"] >= s["span_start"]) &
+                      (p["i"] < s["span_end"])))
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda p: p["t"]))
+         .alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long")
+         .alias("n_removed_tokens"))

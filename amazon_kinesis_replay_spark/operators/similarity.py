@@ -454,6 +454,45 @@ def pairwise_topk_per_label(emb: DataFrame, k: int = 3,
             .select("lbl", "id_a", "id_b", "cosine", "rank"))
 
 
+def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
+                   n_centroids: int = 16, n_iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: DataFrame | None = None,
+                   exact: bool = False) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then mark semantic duplicates WITHIN each cluster —
+    a vector is a duplicate iff some lower-id vector in its cluster has
+    cosine >= threshold (deterministic min-id-wins representative; the
+    paper keeps the member farthest from the centroid — an arbitrary
+    choice there, pinned here to ids so reruns and the SQL oracle agree).
+
+    Output: (id, centroid_id, is_dup). Scale shape: the clustering
+    confines the quadratic term to clusters (the paper's own argument) —
+    at 100 TB, n_centroids grows ∝ corpus so per-cluster membership
+    stays bounded, the pair join is an equi-join on centroid_id, and
+    nothing all-pairs ever forms. exact=True uses decimal-exact cosine
+    end-to-end (training + pair scoring) for cross-engine gates.
+    """
+    cents = centroids if centroids is not None else kmeans_centroids(
+        emb, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col,
+        vec_col=vec_col, exact=exact)
+    asg = ivf_assign(emb, n_centroids=n_centroids, id_col=id_col,
+                     vec_col=vec_col, centroids=cents, exact=exact)
+    scorer = cosine if exact else _fast_cosine
+    a = asg.select(F.col("centroid_id"), F.col("id").alias("id_a"),
+                   F.col("vec").alias("va"))
+    b = asg.select(F.col("centroid_id"), F.col("id").alias("id_b"),
+                   F.col("vec").alias("vb"))
+    dup_ids = (a.join(b, "centroid_id")
+               .filter(F.col("id_b") < F.col("id_a"))
+               .filter(scorer(F.col("va"), F.col("vb")) >= threshold)
+               .select(F.col("id_a").alias("id")).distinct())
+    return (asg.join(dup_ids.withColumn("__d", F.lit(True)), "id", "left")
+            .select("id", "centroid_id",
+                    F.coalesce("__d", F.lit(False)).alias("is_dup")))
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) — compressed ANN for 100 TB embedding corpora
 # --------------------------------------------------------------------------

@@ -1354,13 +1354,35 @@ _CLUSTERS_ORACLE = f"""
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup (hash-groupBy): duplicated corpus (documents unioned with
-    an id-shifted copy) -> one representative id + duplicate count per
-    distinct text. One shuffle, map-side combinable."""
+    """Exact dedup, two granularities under one kind discriminator
+    (registry is pinned at 50 entries — CLAUDE.md):
+
+    - kind='exact': hash-groupBy row dedup over a duplicated corpus
+      (documents unioned with an id-shifted copy) -> representative id +
+      duplicate count per distinct text. One shuffle, map-side
+      combinable.
+    - kind='span': exact substring-span dedup (Lee et al. 2021
+      ExactSubstr at 12-token window granularity) — maximal duplicated
+      token spans per doc; keep_id carries the doc id, dup_count the
+      merged window count. Candidate pass shuffles 8-byte xxhash64 keys,
+      string-exact confirm confined to candidates, island merge is a
+      per-doc window function (`dedup.duplicate_spans`).
+    """
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    return dedup.exact_dedup(d.unionAll(copy), ["text"], "doc_id")
+    ex = dedup.exact_dedup(d.unionAll(copy), ["text"], "doc_id")
+    ex_rows = ex.select(
+        F.lit("exact").alias("kind"), "keep_id",
+        F.col("dup_count").cast("long").alias("dup_count"),
+        F.lit(None).cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"))
+    spans = dedup.duplicate_spans(d, "doc_id", "text", window=12)
+    sp_rows = spans.select(
+        F.lit("span").alias("kind"), F.col("doc_id").alias("keep_id"),
+        F.col("n_windows").cast("long").alias("dup_count"),
+        "span_start", "span_end")
+    return ex_rows.unionAll(sp_rows)
 
 
 def q_ngram_jaccard_dedup(spark, sf_dir):
@@ -1470,13 +1492,51 @@ def _simhash_oracle() -> str:
 
 
 _ORACLES_DEDUP = {
-    "dedup_exact": """
+    "dedup_exact": r"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000 AS doc_id, text FROM documents)
-        SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        sd_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+        sd_wins0 AS (
+            SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 12 + 2, 1)::BIGINT))
+                       AS i
+            FROM sd_toks),
+        sd_wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[i:i + 11], ' ') AS win
+            FROM sd_wins0),
+        sd_dup AS (
+            SELECT win FROM sd_wins GROUP BY win HAVING count(*) > 1),
+        sd_occ AS (
+            SELECT w.doc_id, w.pos FROM sd_wins w JOIN sd_dup USING (win)),
+        sd_brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos), -13) + 12
+                        THEN 1 ELSE 0 END AS b
+            FROM sd_occ),
+        sd_grp AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS gid
+            FROM sd_brk)
+        SELECT 'exact' AS kind, min(doc_id) AS keep_id,
+               count(*) AS dup_count,
+               CAST(NULL AS BIGINT) AS span_start,
+               CAST(NULL AS BIGINT) AS span_end
         FROM corpus GROUP BY text
+        UNION ALL
+        SELECT 'span' AS kind, doc_id AS keep_id,
+               CAST(count(*) AS BIGINT) AS dup_count,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 12 AS BIGINT) AS span_end
+        FROM sd_grp GROUP BY doc_id, gid
     """,
     "ngram_jaccard_dedup": _JACCARD_ORACLE,
     # minhash verified output == exact jaccard pairs at this threshold
@@ -1632,13 +1692,39 @@ def q_embedding_stats(spark, sf_dir):
 
 
 def q_pairwise_topk_per_label(spark, sf_dir):
-    """Within-label pairwise cosine top-3 (label equi-join blocks the
-    quadratic term), over a deterministic 1-in-5 sample."""
+    """Blocked pairwise-similarity surface, two methods under one kind
+    discriminator (registry pinned at 50 — CLAUDE.md):
+
+    - kind='pair': within-label pairwise cosine top-3 (label equi-join
+      blocks the quadratic term), over a deterministic 1-in-5 sample.
+    - kind='semdedup': SemDeDup (Abbas et al. 2023) over the full
+      embedding table — k-means clusters (same exact-arithmetic trainer
+      and seed as ann_ivf_topk: 16 centroids, 2 Lloyd iterations), then
+      within-cluster min-id-wins duplicate marking at cosine >= 0.4.
+      label carries centroid_id, id_a the vector, is_dup the verdict;
+      the cluster equi-join confines the quadratic exactly as the label
+      join does for kind='pair'.
+    """
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     out = similarity.pairwise_topk_per_label(emb, k=3)
-    return out.select(F.col("lbl").alias("label"), "id_a", "id_b", "cosine",
-                      F.col("rank").cast("long").alias("rank"))
+    pair = out.select(
+        F.lit("pair").alias("kind"),
+        F.col("lbl").cast("long").alias("label"), "id_a", "id_b", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit(None).cast("boolean").alias("is_dup"))
+    sem = similarity.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_centroids=16, n_iters=2, exact=True)
+    sem_rows = sem.select(
+        F.lit("semdedup").alias("kind"),
+        F.col("centroid_id").cast("long").alias("label"),
+        F.col("id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(None).cast("long").alias("rank"),
+        "is_dup")
+    return pair.unionAll(sem_rows)
 
 
 _SIGN_BUCKET_SQL = ("(CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END"
@@ -1774,9 +1860,31 @@ _ORACLES_SIM = {
             SELECT label, id_a, id_b, cosine,
                    row_number() OVER (PARTITION BY label
                        ORDER BY cosine DESC, id_a ASC, id_b ASC) AS rank
-            FROM scored)
-        SELECT label, id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank
+            FROM scored),
+        sd_c0 AS (
+            SELECT vec_id AS centroid_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
+            FROM embeddings ORDER BY vec_id LIMIT 16),
+        sd_a1 AS ({_ivf_assign_sql('sd_c0')}),
+        sd_c1 AS ({_ivf_update_sql('sd_a1')}),
+        sd_a2 AS ({_ivf_assign_sql('sd_c1')}),
+        sd_c2 AS ({_ivf_update_sql('sd_a2')}),
+        sd_af AS ({_ivf_assign_sql('sd_c2')}),
+        sd_dups AS (
+            SELECT DISTINCT a.vec_id
+            FROM sd_af a JOIN sd_af b
+              ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4)
+        SELECT 'pair' AS kind, CAST(label AS BIGINT) AS label, id_a, id_b,
+               cosine, CAST(rank AS BIGINT) AS rank,
+               CAST(NULL AS BOOLEAN) AS is_dup
         FROM ranked WHERE rank <= 3
+        UNION ALL
+        SELECT 'semdedup' AS kind, CAST(af.centroid_id AS BIGINT) AS label,
+               af.vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BIGINT) AS rank,
+               coalesce(d.vec_id IS NOT NULL, FALSE) AS is_dup
+        FROM sd_af af LEFT JOIN sd_dups d ON af.vec_id = d.vec_id
     """,
 }
 

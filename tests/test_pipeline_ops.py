@@ -1798,3 +1798,91 @@ def test_shingle_arrays_extra_columns(spark):
     assert out[1]["n_tok"] == 4 and out[1]["flag"] is False
     assert out[2]["n_tok"] == 2 and out[2]["flag"] is True
     assert len(out[1]["shs"]) == 2            # "a b c", "b c d"
+
+
+def test_duplicate_spans_crafted(spark):
+    """Hand-built corpus, window=4: a cross-doc shared 6-token run
+    merges to one span per doc; a periodic doc self-duplicates into one
+    whole-doc span; unique docs emit nothing."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "x y a b c d e f q r"),
+         (3, "p q r s t u"),
+         (4, "m n o p m n o p m n o p")],
+        "doc_id long, text string")
+    spans = dedup.duplicate_spans(df, "doc_id", "text", window=4)
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in spans.collect()}
+    spans.unpersist()
+    assert got == {(1, 0, 6, 3), (2, 2, 8, 3), (4, 0, 12, 9)}
+
+
+def test_remove_duplicate_spans_crafted(spark):
+    """Span removal drops exactly the span tokens (ALL occurrences) and
+    passes span-free docs through in normalized token form."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "x y a b c d e f q r"),
+         (3, "  P q R s t u  "),
+         (4, "m n o p m n o p m n o p")],
+        "doc_id long, text string")
+    spans = dedup.duplicate_spans(df, "doc_id", "text", window=4)
+    clean = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+             for r in dedup.remove_duplicate_spans(
+                 df, spans, "doc_id", "text").collect()}
+    spans.unpersist()
+    assert clean[1] == ("g h", 6)
+    assert clean[2] == ("x y q r", 6)
+    assert clean[3] == ("p q r s t u", 0)    # normalized, untouched
+    assert clean[4] == ("", 12)
+
+
+def test_duplicate_spans_matches_python_reference(spark, sf_dir):
+    """Fixture corpus vs an independent brute-force recompute (dict of
+    window-string -> occurrence count, then island merge per doc)."""
+    W = 12
+    d = load(spark, sf_dir, "documents")
+    rows = [(r["doc_id"], r["text"]) for r in
+            d.select("doc_id", "text").collect()]
+    from collections import Counter, defaultdict
+    cnt = Counter()
+    occ = defaultdict(list)
+    for doc_id, text in rows:
+        t = text.strip().lower().split()
+        for i in range(len(t) - W + 1):
+            win = " ".join(t[i:i + W])
+            cnt[win] += 1
+            occ[doc_id].append((i, win))
+    expect = set()
+    for doc_id, wins in occ.items():
+        dup_pos = sorted(i for i, w in wins if cnt[w] > 1)
+        if not dup_pos:
+            continue
+        start, prev, n = dup_pos[0], dup_pos[0], 1
+        for p in dup_pos[1:]:
+            if p > prev + W:
+                expect.add((doc_id, start, prev + W, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        expect.add((doc_id, start, prev + W, n))
+    spans = dedup.duplicate_spans(d, "doc_id", "text", window=W)
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in spans.collect()}
+    spans.unpersist()
+    assert got == expect
+
+
+def test_semantic_dedup_crafted(spark):
+    """Two directional clusters; in each, the lower-id member survives
+    and its near-duplicate is marked. Orthogonal member is kept."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [-1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0, 0.0], 0),
+            (3, [0.0, 0.0, 1.0, 0.0], 0),
+            (4, [-0.95, 0.05, 0.0, 0.0], 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["id"]: r["is_dup"] for r in similarity.semantic_dedup(
+        emb, threshold=0.7, n_centroids=2, n_iters=1).collect()}
+    assert out == {0: False, 1: False, 2: True, 3: False, 4: True}
