@@ -1,0 +1,241 @@
+"""Deterministic corpus-sampling operators for training-data mixtures.
+
+Temperature-weighted domain mixture sampling (the multilingual-LM
+standard: sampled share q_d proportional to (weight x size)^(1/T)),
+deterministic hash subsampling (no RNG state — reruns and engines
+agree), and DSIR-style importance resampling (Xie et al. 2023, "Data
+Selection for Language Models via Importance Resampling": rank raw
+documents by the log-likelihood ratio between a target-domain n-gram LM
+and a raw-pool n-gram LM, then sample with Gumbel-top-k).
+
+Everything is DataFrame ops: per-domain rates come from one map-side
+combinable groupBy over a domain column (metadata-scale result,
+broadcast back), membership tests are pure column arithmetic on a
+multiplicative hash of the id, and DSIR scoring reuses the distributed
+n-gram LM join shape (operators/text.py). Nothing collects corpus-sized
+data on the driver.
+
+Cross-engine exactness (the oracle-gate discipline of this repo): at
+temperature=2.0 the whole rate computation uses only correctly-rounded
+IEEE double ops (sqrt / multiply / divide) plus one decimal-summed
+total, so DuckDB reproduces the kept-set bit-for-bit; other
+temperatures go through pow(), which libm implementations round
+differently — fine for production, not for hash gates (documented on
+the function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Multiplier for the sampling hash — a different odd constant than the
+#: split hash (2654435761, registry q_doc_train_split) so "which split"
+#: and "sampled?" are not correlated through a shared residue chain.
+_SAMPLE_MULT = 2246822519
+
+#: Quantization of sampling rates: membership is `hash mod 1e6 < ppm`,
+#: so rates resolve to parts-per-million — coarse enough that a 1-ulp
+#: rate difference would have to land exactly on a floor boundary to
+#: matter, and at T=2 there is no ulp difference at all.
+_PPM = 1_000_000
+
+
+def hash_ppm(id_col: Column) -> Column:
+    """Deterministic uniform-ish value in [0, 1e6) from an integer id —
+    multiplicative hashing, the same family as the train/valid/test
+    split bucket. Pure column arithmetic, no RNG."""
+    return F.pmod(id_col.cast("long") * F.lit(_SAMPLE_MULT), F.lit(_PPM))
+
+
+def deterministic_sample(df: DataFrame, id_col: str,
+                         rate: float) -> DataFrame:
+    """Uniform deterministic subsample: keep iff
+    hash_ppm(id) < floor(rate * 1e6). Stable under reruns, resumable,
+    and engine-portable — the property a 100 TB pipeline needs from a
+    sample (a Bernoulli RNG sample is none of those)."""
+    return df.filter(hash_ppm(F.col(id_col)) < int(rate * _PPM))
+
+
+def temperature_mixture_rates(df: DataFrame, domain_col: str,
+                              weight, target_frac: float = 0.5,
+                              temperature: float = 2.0) -> DataFrame:
+    """Per-domain sampling rates for temperature mixture sampling.
+
+    q_d  ∝  (w_d * n_d)^(1/T)          (sampled share of domain d)
+    rate_d = min(1, target_frac * N * q_d / n_d)
+
+    returned quantized: (domain, n_docs, rate_ppm). `weight` is a
+    callable Column -> Column evaluated on the domain value (a plan
+    literal / pure function — e.g. a CASE over domain names), or None
+    for weight 1.
+
+    T=2 (the default) evaluates as sqrt(w*n) — sqrt, multiply and
+    divide are correctly-rounded IEEE ops, and the cross-domain total
+    is summed in decimal(24,12) (exact, order-independent; the mirrored
+    double->decimal cast is the sanctioned CLAUDE.md exception), so an
+    oracle SQL engine computes the identical rate_ppm. Other T values
+    use pow() and are NOT bit-portable across engines (libm variance);
+    they remain available for production use.
+
+    Scale shape: one map-side-combinable count per domain (the result
+    is domain-cardinality — metadata), one single-row total, broadcast
+    join back. The corpus is scanned once and never shuffled on rows.
+    """
+    w = weight(F.col(domain_col)) if weight is not None else F.lit(1)
+    counts = (df.groupBy(domain_col)
+              .agg(F.count("*").alias("n_docs"))
+              .withColumn("__w", w.cast("long")))
+    base = (F.col("__w") * F.col("n_docs")).cast("double")
+    if temperature == 2.0:
+        s = F.sqrt(base)
+    else:
+        s = F.pow(base, F.lit(1.0 / temperature))
+    counts = counts.withColumn("__s", s)
+    tot = counts.agg(
+        F.sum(F.col("__s").cast("decimal(24,12)")).cast("double")
+        .alias("__stot"),
+        F.sum("n_docs").cast("double").alias("__ntot"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_frac)) * F.col("__ntot"))
+        * (F.col("__s") / F.col("__stot")) / F.col("n_docs").cast("double"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(domain_col, "n_docs",
+                    F.floor(rate * F.lit(float(_PPM))).cast("long")
+                    .alias("rate_ppm")))
+
+
+def mixture_sample(df: DataFrame, id_col: str, domain_col: str,
+                   weight=None, target_frac: float = 0.5,
+                   temperature: float = 2.0) -> DataFrame:
+    """Tag every row with its domain's temperature-mixture rate and the
+    deterministic keep verdict: adds (mix_rate_ppm, mix_kept). Filter
+    on mix_kept for the sampled corpus; keeping the verdict as a column
+    (instead of filtering here) lets one pass feed both the sample and
+    its audit (per-domain kept counts vs target shares).
+
+    The rates table is domain-cardinality — broadcast; the corpus scan
+    stays pipeline-local (no shuffle of data rows).
+    """
+    rates = temperature_mixture_rates(df, domain_col, weight,
+                                      target_frac, temperature)
+    return (df.join(F.broadcast(rates.select(domain_col, "rate_ppm")),
+                    domain_col)
+            .withColumn("mix_rate_ppm", F.col("rate_ppm"))
+            .drop("rate_ppm")
+            .withColumn("mix_kept",
+                        hash_ppm(F.col(id_col)) < F.col("mix_rate_ppm")))
+
+
+# --------------------------------------------------------------------------
+# DSIR — importance resampling between two n-gram LMs
+# --------------------------------------------------------------------------
+
+
+def dsir_stats(df: DataFrame, id_col: str, text_col: str,
+               target_lm: DataFrame, raw_lm: DataFrame,
+               n: int = 2) -> DataFrame:
+    """EXACT-INTEGER sufficient statistics of a document against a
+    target and a raw n-gram count model: (id, n_grams, t_seen, t_sum,
+    r_seen, r_sum) — gram count, how many grams each model has seen,
+    and the summed model counts. These are the hash-gateable core of
+    DSIR scoring (the float log-ratio in dsir_log_weights is built from
+    exactly these joins); they are also the right thing to persist at
+    scale, since logs can be re-applied to stats without re-scanning
+    text.
+
+    One explode + two LEFT hash joins on (context, token) + one per-doc
+    aggregate; AQE broadcasts small models.
+    """
+    from . import text as _text
+    g = (df.select(F.col(id_col).alias("__id"),
+                   F.explode(_text._word_ngrams(F.col(text_col), n))
+                   .alias("g"))
+         .select("__id", "g.context", "g.token"))
+    t = target_lm.select("context", "token", F.col("cnt").alias("__tc"))
+    r = raw_lm.select("context", "token", F.col("cnt").alias("__rc"))
+    per = (g.join(t, ["context", "token"], "left")
+           .join(r, ["context", "token"], "left")
+           .groupBy("__id")
+           .agg(F.count("*").cast("long").alias("n_grams"),
+                F.count("__tc").cast("long").alias("t_seen"),
+                F.coalesce(F.sum("__tc"), F.lit(0)).cast("long")
+                .alias("t_sum"),
+                F.count("__rc").cast("long").alias("r_seen"),
+                F.coalesce(F.sum("__rc"), F.lit(0)).cast("long")
+                .alias("r_sum")))
+    return (df.select(F.col(id_col).alias("__id")).distinct()
+            .join(per, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    *[F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                      for c in ("n_grams", "t_seen", "t_sum",
+                                "r_seen", "r_sum")]))
+
+
+def dsir_log_weights(df: DataFrame, id_col: str, text_col: str,
+                     target_lm: DataFrame, raw_lm: DataFrame,
+                     n: int = 2, k: float = 0.5) -> DataFrame:
+    """Per-document DSIR importance log-weight:
+
+    log w(x) = sum_g [ log p_target(g) - log p_raw(g) ]
+
+    with add-k-smoothed gram probabilities under each model
+    (p(tok|ctx) = (cnt + k) / (ctx_cnt + k * V), the ngram_lm_score
+    convention). High log_w = looks like the target domain relative to
+    the raw pool. Documents shorter than n words get NULL (no silent
+    drop). Output: (id, n_grams, log_w).
+
+    Same two-hash-join plan as dsir_stats plus per-context totals; only
+    the two vocab sizes touch the driver (metadata-scale counts).
+    """
+    from . import text as _text
+    v_t = target_lm.select("token").distinct().count()
+    v_r = raw_lm.select("token").distinct().count()
+    t_ctx = target_lm.groupBy("context").agg(
+        F.sum("cnt").alias("__tctx"))
+    r_ctx = raw_lm.groupBy("context").agg(
+        F.sum("cnt").alias("__rctx"))
+    g = (df.select(F.col(id_col).alias("__id"),
+                   F.explode(_text._word_ngrams(F.col(text_col), n))
+                   .alias("g"))
+         .select("__id", "g.context", "g.token"))
+    t = target_lm.select("context", "token", F.col("cnt").alias("__tc"))
+    r = raw_lm.select("context", "token", F.col("cnt").alias("__rc"))
+    kf = F.lit(float(k))
+    lp_t = (F.log(F.coalesce("__tc", F.lit(0)) + kf)
+            - F.log(F.coalesce("__tctx", F.lit(0)) + F.lit(float(k * v_t))))
+    lp_r = (F.log(F.coalesce("__rc", F.lit(0)) + kf)
+            - F.log(F.coalesce("__rctx", F.lit(0)) + F.lit(float(k * v_r))))
+    per = (g.join(t, ["context", "token"], "left")
+           .join(r, ["context", "token"], "left")
+           .join(t_ctx, "context", "left")
+           .join(r_ctx, "context", "left")
+           .groupBy("__id")
+           .agg(F.count("*").cast("long").alias("n_grams"),
+                F.sum(lp_t - lp_r).alias("log_w")))
+    return (df.select(F.col(id_col).alias("__id")).distinct()
+            .join(per, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    "log_w"))
+
+
+def dsir_sample(weights: DataFrame, id_col: str, k: int,
+                log_w_col: str = "log_w") -> DataFrame:
+    """Gumbel-top-k importance sample over DSIR log-weights: key =
+    log_w + Gumbel noise, take the k largest — equivalent to sampling k
+    items without replacement with probability proportional to w (the
+    Gumbel-max trick). The noise is DERIVED from the id hash
+    (u = (hash_ppm + 0.5) / 1e6, g = -ln(-ln u)) so the sample is
+    deterministic and rerun-stable; NULL-weight rows (short docs) are
+    excluded. The global top-k is a TakeOrdered — no full sort.
+    """
+    u = (hash_ppm(F.col(id_col)).cast("double") + F.lit(0.5)) \
+        / F.lit(float(_PPM))
+    gumbel = -F.log(-F.log(u))
+    return (weights.filter(F.col(log_w_col).isNotNull())
+            .withColumn("gumbel_key", F.col(log_w_col) + gumbel)
+            .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+            .limit(k))

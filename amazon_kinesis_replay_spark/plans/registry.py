@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import arn as arnf
 from ..functions import jsonf
-from ..operators import dedup, replay_ops, similarity, stats, text
+from ..operators import dedup, replay_ops, sampling, similarity, stats, text
 from ..session import ensure_engine_conf
 from ..tables import load
 
@@ -1041,15 +1041,27 @@ def q_doc_pii_redact(spark, sf_dir):
     # summation order cannot hash-match across engines.
     lm = text.ngram_lm_counts(d.filter(F.col("doc_id") % 2 == 0),
                               "text", n=2)
+    # r7c: DSIR importance-resampling stats ride the same gram frame —
+    # the even-doc model doubles as the TARGET model and a raw model
+    # over the WHOLE corpus joins alongside it, exactly the
+    # sampling.dsir_stats join shape (the float log-ratio in
+    # dsir_log_weights is built from these same joins; logs stay out of
+    # the gate for the usual libm reason).
+    raw = text.ngram_lm_counts(d, "text", n=2) \
+        .withColumnRenamed("cnt", "rcnt")
     g = (d.select("doc_id",
                   F.explode(text._word_ngrams(F.col("text"), 2)).alias("g"))
          .select("doc_id", "g.context", "g.token"))
     per = (g.join(lm, ["context", "token"], "left")
+           .join(raw, ["context", "token"], "left")
            .groupBy("doc_id")
            .agg(F.count("*").cast("long").alias("__ng"),
                 F.count("cnt").cast("long").alias("__ns"),
                 F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
-                .alias("__sc")))
+                .alias("__sc"),
+                F.count("rcnt").cast("long").alias("__rns"),
+                F.coalesce(F.sum("rcnt"), F.lit(0)).cast("long")
+                .alias("__rsc")))
     return (text.pii_redact(d, "doc_id", "text")
             .join(enc.select("doc_id", F.col("bpe_tokens_count")
                              .alias("bpe_token_count")), "doc_id")
@@ -1057,8 +1069,12 @@ def q_doc_pii_redact(spark, sf_dir):
             .withColumns({
                 "lm_n_grams": F.coalesce("__ng", F.lit(0)).cast("long"),
                 "lm_n_seen": F.coalesce("__ns", F.lit(0)).cast("long"),
-                "lm_sum_cnt": F.coalesce("__sc", F.lit(0)).cast("long")})
-            .drop("__ng", "__ns", "__sc"))
+                "lm_sum_cnt": F.coalesce("__sc", F.lit(0)).cast("long"),
+                "dsir_raw_n_seen": F.coalesce("__rns", F.lit(0))
+                .cast("long"),
+                "dsir_raw_sum_cnt": F.coalesce("__rsc", F.lit(0))
+                .cast("long")})
+            .drop("__ng", "__ns", "__sc", "__rns", "__rsc"))
 
 
 def q_doc_train_split(spark, sf_dir):
@@ -1098,14 +1114,30 @@ def q_doc_train_split(spark, sf_dir):
     packed = text.pack_sequences(
         split.withColumn("__n_tok", text.token_count(F.col("text"))),
         "doc_id", "__n_tok", seq_len=512)
+    # r7c: temperature mixture sampling rides this entry (it is the
+    # registry's sampling/split surface): per-source sqrt-temperature
+    # rates (weight = a pure function of the source name, target_frac
+    # 0.5) and the deterministic keep verdict. The rate math at T=2 is
+    # correctly-rounded-IEEE-only plus one decimal-summed total, so the
+    # oracle reproduces rate_ppm and the kept set bit-for-bit
+    # (operators/sampling.py). Cost: one metadata-scale groupBy on
+    # source + a broadcast join — negligible next to the shingle legs.
+    mix = sampling.mixture_sample(
+        d.select("doc_id", "source"), "doc_id", "source",
+        weight=lambda c: F.substring(c, 4, 10).cast("int") % 4 + 1,
+        target_frac=0.5)
     # Assembly joins stay unhinted: all three sides are doc-count-sized
     # (too big to force-broadcast at 100 TB); AQE picks broadcast at bench
     # SFs and colocated shuffle joins on doc_id beyond.
     return (split.join(cont, split["doc_id"] == cont["id"])
             .join(packed.select(F.col("doc_id").alias("__pdoc"), "pack_id"),
                   split["doc_id"] == F.col("__pdoc"))
+            .join(mix.select(F.col("doc_id").alias("__mdoc"),
+                             "mix_rate_ppm", "mix_kept"),
+                  split["doc_id"] == F.col("__mdoc"))
             .select("doc_id", "bucket", "split",
-                    "n_shared_train_grams", "contaminated", "pack_id"))
+                    "n_shared_train_grams", "contaminated", "pack_id",
+                    "mix_rate_ppm", "mix_kept"))
 
 
 _PII_ORACLE_BASE = r"""
@@ -1187,19 +1219,30 @@ def _pii_bpe_oracle() -> str:
         lm AS (
             SELECT context, token, count(*) AS cnt
             FROM flat WHERE doc_id % 2 = 0 GROUP BY context, token),
+        rawlm AS (
+            SELECT context, token, count(*) AS rcnt
+            FROM flat GROUP BY context, token),
         perdoc AS (
             SELECT f.doc_id,
                    CAST(count(*) AS BIGINT) AS lm_n_grams,
                    CAST(count(lm.cnt) AS BIGINT) AS lm_n_seen,
-                   CAST(coalesce(sum(lm.cnt), 0) AS BIGINT) AS lm_sum_cnt
+                   CAST(coalesce(sum(lm.cnt), 0) AS BIGINT) AS lm_sum_cnt,
+                   CAST(count(rawlm.rcnt) AS BIGINT) AS dsir_raw_n_seen,
+                   CAST(coalesce(sum(rawlm.rcnt), 0) AS BIGINT)
+                       AS dsir_raw_sum_cnt
             FROM flat f LEFT JOIN lm USING (context, token)
+            LEFT JOIN rawlm USING (context, token)
             GROUP BY f.doc_id)
         SELECT s3.doc_id, clean_text, n_emails, n_ips, n_phones,
                n_emails + n_ips + n_phones AS n_redactions,
                bpe_token_count,
                CAST(coalesce(perdoc.lm_n_grams, 0) AS BIGINT) AS lm_n_grams,
                CAST(coalesce(perdoc.lm_n_seen, 0) AS BIGINT) AS lm_n_seen,
-               CAST(coalesce(perdoc.lm_sum_cnt, 0) AS BIGINT) AS lm_sum_cnt
+               CAST(coalesce(perdoc.lm_sum_cnt, 0) AS BIGINT) AS lm_sum_cnt,
+               CAST(coalesce(perdoc.dsir_raw_n_seen, 0) AS BIGINT)
+                   AS dsir_raw_n_seen,
+               CAST(coalesce(perdoc.dsir_raw_sum_cnt, 0) AS BIGINT)
+                   AS dsir_raw_sum_cnt
         FROM s3 JOIN bpe ON s3.doc_id = bpe.doc_id
         LEFT JOIN perdoc ON s3.doc_id = perdoc.doc_id
     """)
@@ -1308,15 +1351,40 @@ _ORACLES_TEXT["doc_train_split"] = """
                         OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
                               PRECEDING AND 1 PRECEDING), 0) // 512
                         AS BIGINT) AS pack_id
-            FROM documents)
+            FROM documents),
+        mixc AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(substr(source, 4) AS INT) % 4 + 1 AS w
+            FROM documents GROUP BY source),
+        mixs AS (
+            SELECT source, n_docs,
+                   sqrt(CAST(w * n_docs AS DOUBLE)) AS s
+            FROM mixc),
+        mixt AS (
+            SELECT CAST(CAST(sum(CAST(s AS DECIMAL(24,12))) AS VARCHAR)
+                        AS DOUBLE) AS st,
+                   CAST(sum(n_docs) AS DOUBLE) AS nt
+            FROM mixs),
+        mixr AS (
+            SELECT source,
+                   CAST(floor(least(CAST(1.0 AS DOUBLE),
+                        (CAST(0.5 AS DOUBLE) * nt) * (s / st)
+                        / CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       AS mix_rate_ppm
+            FROM mixs, mixt)
         SELECT s.doc_id, s.bucket, s.split,
                CAST(coalesce(h.n_shared, 0) AS BIGINT)
                    AS n_shared_train_grams,
                (s.split <> 'train' AND coalesce(h.n_shared, 0) > 0)
                    AS contaminated,
-               p.pack_id
+               p.pack_id,
+               m.mix_rate_ppm,
+               (s.doc_id * 2246822519) % 1000000 < m.mix_rate_ppm
+                   AS mix_kept
         FROM sp s LEFT JOIN hits h USING (doc_id)
         JOIN packs p USING (doc_id)
+        JOIN documents dd ON dd.doc_id = s.doc_id
+        JOIN mixr m ON m.source = dd.source
     """
 
 _JACCARD_ORACLE = ("WITH corpus AS (SELECT doc_id, text FROM documents), "

@@ -1,0 +1,170 @@
+"""Deterministic mixture sampling + DSIR importance resampling."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.operators import sampling, text
+from amazon_kinesis_replay_spark.tables import load
+
+_M = 2246822519
+_PPM = 1_000_000
+
+
+def _py_rates(dom_counts, weights, target_frac=0.5):
+    """Independent recompute of temperature_mixture_rates at T=2."""
+    from decimal import Decimal
+    s = {d: math.sqrt(float(weights[d] * n)) for d, n in dom_counts.items()}
+    stot = float(sum(Decimal(f"{v:.12f}").quantize(Decimal("1e-12"))
+                     for v in s.values()))
+    ntot = float(sum(dom_counts.values()))
+    out = {}
+    for d, n in dom_counts.items():
+        rate = min(1.0, (target_frac * ntot) * (s[d] / stot) / float(n))
+        out[d] = int(math.floor(rate * _PPM))
+    return out
+
+
+def test_mixture_rates_match_python(spark):
+    rows = ([("a", i) for i in range(40)] + [("b", i + 100) for i in range(10)]
+            + [("c", i + 200) for i in range(50)])
+    df = spark.createDataFrame(
+        [(d, i) for d, i in rows], "dom string, id long")
+    w = {"a": 1, "b": 4, "c": 2}
+    rates = {r["dom"]: r["rate_ppm"]
+             for r in sampling.temperature_mixture_rates(
+                 df, "dom",
+                 weight=lambda c: F.when(c == "a", 1)
+                 .when(c == "b", 4).otherwise(2)).collect()}
+    expect = _py_rates(Counter(d for d, _ in rows), w)
+    assert rates == expect
+
+
+def test_mixture_sample_verdicts_exact(spark):
+    rows = [("a", i) for i in range(30)] + [("b", i + 50) for i in range(20)]
+    df = spark.createDataFrame(rows, "dom string, id long")
+    out = sampling.mixture_sample(df, "id", "dom")
+    got = {r["id"]: (r["mix_rate_ppm"], r["mix_kept"])
+           for r in out.collect()}
+    rates = _py_rates(Counter(d for d, _ in rows), {"a": 1, "b": 1})
+    assert len(got) == 50
+    for d, i in rows:
+        ppm, kept = got[i]
+        assert ppm == rates[d]
+        assert kept == ((i * _M) % _PPM < ppm)
+
+
+def test_deterministic_sample_is_stable(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in
+         sampling.deterministic_sample(d, "doc_id", 0.3)
+         .select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         sampling.deterministic_sample(d, "doc_id", 0.3)
+         .select("doc_id").collect()}
+    assert a == b
+    n = d.count()
+    assert 0.2 * n < len(a) < 0.4 * n
+    # monotone in rate: every 30% member is a 50% member
+    c = {r["doc_id"] for r in
+         sampling.deterministic_sample(d, "doc_id", 0.5)
+         .select("doc_id").collect()}
+    assert a <= c
+
+
+def _tiny_corpus(spark):
+    return spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "the dog sat on the rug"),
+         (2, "a completely different sentence here now"),
+         (3, "the cat sat"),
+         (4, "xy")],                       # shorter than n=2 -> NULL path
+        "doc_id long, text string")
+
+
+def _py_bigram_counts(rows):
+    cnt = Counter()
+    for _i, t in rows:
+        w = t.strip().lower().split()
+        for j in range(len(w) - 1):
+            cnt[(w[j], w[j + 1])] += 1
+    return cnt
+
+
+def test_dsir_stats_match_python(spark):
+    df = _tiny_corpus(spark)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    target = [x for x in rows if x[0] % 2 == 0]
+    t_cnt, r_cnt = _py_bigram_counts(target), _py_bigram_counts(rows)
+    t_lm = text.ngram_lm_counts(df.filter(F.col("doc_id") % 2 == 0),
+                                "text", n=2)
+    r_lm = text.ngram_lm_counts(df, "text", n=2)
+    got = {r["doc_id"]: r for r in sampling.dsir_stats(
+        df, "doc_id", "text", t_lm, r_lm, n=2).collect()}
+    for did, t in rows:
+        w = t.strip().lower().split()
+        grams = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+        assert got[did]["n_grams"] == len(grams)
+        assert got[did]["t_seen"] == sum(1 for g in grams if g in t_cnt)
+        assert got[did]["t_sum"] == sum(t_cnt.get(g, 0) for g in grams)
+        assert got[did]["r_seen"] == sum(1 for g in grams if g in r_cnt)
+        assert got[did]["r_sum"] == sum(r_cnt.get(g, 0) for g in grams)
+
+
+def test_dsir_log_weights_match_python(spark):
+    df = _tiny_corpus(spark)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    target = [x for x in rows if x[0] % 2 == 0]
+    t_cnt, r_cnt = _py_bigram_counts(target), _py_bigram_counts(rows)
+    t_ctx = Counter()
+    for (c, _t), n in t_cnt.items():
+        t_ctx[c] += n
+    r_ctx = Counter()
+    for (c, _t), n in r_cnt.items():
+        r_ctx[c] += n
+    v_t = len({t for _c, t in t_cnt})
+    v_r = len({t for _c, t in r_cnt})
+    k = 0.5
+    t_lm = text.ngram_lm_counts(df.filter(F.col("doc_id") % 2 == 0),
+                                "text", n=2)
+    r_lm = text.ngram_lm_counts(df, "text", n=2)
+    got = {r["doc_id"]: r for r in sampling.dsir_log_weights(
+        df, "doc_id", "text", t_lm, r_lm, n=2, k=k).collect()}
+    for did, t in rows:
+        w = t.strip().lower().split()
+        grams = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+        if not grams:
+            assert got[did]["log_w"] is None
+            continue
+        lw = 0.0
+        for g in grams:
+            lp_t = (math.log(t_cnt.get(g, 0) + k)
+                    - math.log(t_ctx.get(g[0], 0) + k * v_t))
+            lp_r = (math.log(r_cnt.get(g, 0) + k)
+                    - math.log(r_ctx.get(g[0], 0) + k * v_r))
+            lw += lp_t - lp_r
+        assert got[did]["log_w"] == pytest.approx(lw, abs=1e-9)
+
+
+def test_dsir_sample_gumbel_topk(spark):
+    df = _tiny_corpus(spark)
+    t_lm = text.ngram_lm_counts(df.filter(F.col("doc_id") % 2 == 0),
+                                "text", n=2)
+    r_lm = text.ngram_lm_counts(df, "text", n=2)
+    wts = sampling.dsir_log_weights(df, "doc_id", "text", t_lm, r_lm, n=2)
+    picked = sampling.dsir_sample(wts, "doc_id", k=2)
+    rows = {r["doc_id"]: r for r in wts.collect()}
+    keys = {}
+    for did, r in rows.items():
+        if r["log_w"] is None:
+            continue
+        u = ((did * _M) % _PPM + 0.5) / _PPM
+        keys[did] = r["log_w"] + (-math.log(-math.log(u)))
+    expect = sorted(keys, key=lambda d: (-keys[d], d))[:2]
+    got = [r["doc_id"] for r in picked.collect()]
+    assert got == expect
+    # rerun-stable
+    assert [r["doc_id"] for r in
+            sampling.dsir_sample(wts, "doc_id", k=2).collect()] == expect
