@@ -1227,6 +1227,18 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     win_cnt = (cand.groupBy("win").count()
                .filter(F.col("count") > 1).select("win"))
     occ = cand.join(win_cnt, "win", "left_semi")
+    out = _merge_islands(occ, id_col, window)
+    # materialize before releasing the barrier
+    out = out.persist()
+    out.count()
+    rows.unpersist()
+    return out
+
+
+def _merge_islands(occ: DataFrame, id_col: str, window: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window occurrences
+    (id, pos, ...) into per-doc spans — lag + running sum partitioned by
+    id, no global sort."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = occ.withColumn(
         "__b",
@@ -1236,17 +1248,12 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     grp = brk.withColumn(
         "__g", F.sum("__b").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    out = (grp.groupBy(id_col, "__g")
-           .agg(F.min("pos").cast("long").alias("span_start"),
-                (F.max("pos") + window).cast("long").alias("span_end"),
-                F.count("*").alias("n_windows"))
-           .drop("__g"))
-    out = out.select(id_col, "span_start", "span_end", "n_windows")
-    # materialize before releasing the barrier
-    out = out.persist()
-    out.count()
-    rows.unpersist()
-    return out
+    return (grp.groupBy(id_col, "__g")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + window).cast("long").alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .drop("__g")
+            .select(id_col, "span_start", "span_end", "n_windows"))
 
 
 def remove_duplicate_spans(df: DataFrame, spans: DataFrame, id_col: str,
@@ -1287,3 +1294,73 @@ def remove_duplicate_spans(df: DataFrame, spans: DataFrame, id_col: str,
          .alias("clean_text"),
         (F.size(toks) - F.size(kept)).cast("long")
          .alias("n_removed_tokens"))
+
+
+def substring_index_write(df: DataFrame, path: str, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          window: int = 12) -> None:
+    """Persist the substring-dedup window index: one row per DISTINCT
+    window string — (__h, win, cnt). The hash column shuffles joins as
+    8-byte longs; the string rides along so incremental confirmation
+    never depends on collision freedom (module rule). Index size is
+    ∝ distinct windows × window tokens — the same order as the corpus
+    itself, which is what any exact-substring method pays (a suffix
+    array is corpus-sized too); store it columnar-compressed and cold.
+    """
+    rows = window_occurrences(df, id_col, text_col, window)
+    (rows.groupBy("win").agg(F.count("*").alias("cnt"))
+     .withColumn("__h", F.xxhash64("win"))
+     .write.mode("overwrite").parquet(path + "/wins"))
+
+
+def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", window: int = 12,
+                                append: bool = True,
+                                replay: bool = False) -> DataFrame:
+    """Duplicated spans for a NEW batch against the persisted window
+    index: a batch window is duplicated iff its corpus-wide count
+    (index + batch) exceeds 1 — so the spans returned for batch docs are
+    IDENTICAL to what a full-corpus `duplicate_spans` re-run would
+    return for them (proven by test), at per-batch cost: the batch's
+    windows join the index on (__h, win) — 8-byte hash key with string
+    residual — and nothing rescans history. Docs already in the corpus
+    whose text becomes retroactively duplicated by this batch are NOT
+    re-flagged (same new-vs-old contract as every incremental twin in
+    this module); a periodic full `duplicate_spans` compaction picks
+    those up.
+
+    With append, the batch's window counts are appended as DELTA rows;
+    the index is sum-on-read (the groupBy below), so appends stay
+    ∝ batch. Compact by rewriting `substring_index_write` output from
+    the summed table when delta files accumulate. The result rides the
+    `_staged_result` barrier (computed against the PRE-append index);
+    call `clear_staging` when done.
+
+    replay=True is the at-least-once re-delivery mode (the streaming
+    processor passes it when batch_id <= the applied marker): the index
+    ALREADY holds this batch's delta, so the duplicate condition is the
+    index count alone — adding the batch's counts again would flag
+    every unique batch window as duplicated (count 1+1), a WRONG
+    answer, not merely a duplicated row. With replay the summed index
+    count equals exactly the pre-append+batch total of the original
+    run, so the emitted spans are identical.
+    """
+    rows = window_occurrences(new_df, id_col, text_col, window)
+    rows = rows.withColumn("__h", F.xxhash64("win"))
+    rows = rows.persist()            # generate-feeds-join barrier
+    idx = (spark.read.parquet(path + "/wins")
+           .groupBy("__h", "win").agg(F.sum("cnt").alias("cnt")))
+    bc = rows.groupBy("__h", "win").agg(F.count("*").alias("bcnt"))
+    total = (F.lit(0) if replay else F.col("bcnt")) \
+        + F.coalesce(F.col("cnt"), F.lit(0))
+    dup_wins = (bc.join(idx, ["__h", "win"], "left")
+                .filter(total > 1)
+                .select("__h", "win"))
+    occ = rows.join(dup_wins, ["__h", "win"], "left_semi")
+    out = _staged_result(_merge_islands(occ, id_col, window), path)
+    if append:
+        (bc.select("win", F.col("bcnt").alias("cnt"), "__h")
+         .write.mode("append").parquet(path + "/wins"))
+    rows.unpersist()
+    return out

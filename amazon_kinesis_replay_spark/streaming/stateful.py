@@ -236,7 +236,8 @@ def near_dup_stream(docs, index_path: str, sink,
 
 
 def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
-                              probe_subdir: str = "meta"):
+                              probe_subdir: str = "meta",
+                              replay_dedup_cols=("id_a", "id_b")):
     """Shared foreachBatch body for index-backed streaming dedup (MinHash
     text, embedding-cosine, and SimHash modalities): Hadoop-FS index
     probe, the applied-batch-id replay guard, and the replay pair-dedup,
@@ -282,7 +283,11 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
                 # Replay: the index already holds this batch's rows, so
                 # the verify join sees each new id twice — collapse the
                 # resulting duplicate pair rows (values are identical).
-                pairs = pairs.dropDuplicates(["id_a", "id_b"])
+                # Modalities whose incremental is replay-exact on its own
+                # (the substring-span path, which takes a `replay` flag
+                # instead) pass replay_dedup_cols=None to skip this.
+                if replay_dedup_cols is not None:
+                    pairs = pairs.dropDuplicates(list(replay_dedup_cols))
         sink(pairs, batch_id)
         # The sink contract is consume-within-the-call, so the batch's
         # _staged_result barrier files are garbage now — without this a
@@ -426,3 +431,58 @@ def _near_dup_simhash_processor(index_path: str, sink, id_col: str,
 
     return _indexed_stream_processor(index_path, sink, bootstrap,
                                      incremental, probe_subdir="chunks")
+
+
+def near_dup_stream_substring(docs, index_path: str, sink,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", window: int = 12,
+                              checkpoint: str | None = None):
+    """Streaming exact substring-span dedup — the fourth modality over
+    `_indexed_stream_processor`: each micro-batch's duplicated token
+    spans (vs everything ever indexed + within the batch) are emitted
+    and the batch's window counts are appended as deltas
+    (operators.dedup.substring_index_write /
+    duplicate_spans_incremental). Replay correctness differs from the
+    pair modalities: a replayed batch's counts are already in the
+    sum-on-read index, so the incremental runs in `replay` mode (count
+    the index alone) rather than collapsing duplicate output rows —
+    adding the batch twice would flag unique windows as duplicates
+    (wrong rows, not duplicated rows); the processor therefore skips
+    its generic pair-dedup (replay_dedup_cols=None).
+
+    `sink(spans_df, batch_id)` receives (id, span_start, span_end,
+    n_windows) for the batch's docs. Returns the DataStreamWriter
+    (caller starts it)."""
+    _process = _near_dup_substring_processor(index_path, sink, id_col,
+                                             text_col, window)
+    w = docs.writeStream.foreachBatch(_process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def _near_dup_substring_processor(index_path: str, sink, id_col: str,
+                                  text_col: str, window: int):
+    """Substring-span-modality body of `near_dup_stream_substring` (see
+    `_indexed_stream_processor`)."""
+    from ..operators import dedup
+
+    def bootstrap(batch_df):
+        spans = dedup.duplicate_spans(batch_df, id_col, text_col, window)
+        # Move the result onto the staging barrier and release the
+        # operator's cache NOW — the processor clears staging after the
+        # sink, so nothing leaks per bootstrap.
+        out = dedup._staged_result(spans, index_path)
+        spans.unpersist()
+        dedup.substring_index_write(batch_df, index_path, id_col,
+                                    text_col, window)
+        return out
+
+    def incremental(spark, batch_df, append):
+        return dedup.duplicate_spans_incremental(
+            spark, batch_df, index_path, id_col, text_col, window,
+            append=append, replay=not append)
+
+    return _indexed_stream_processor(index_path, sink, bootstrap,
+                                     incremental, probe_subdir="wins",
+                                     replay_dedup_cols=None)

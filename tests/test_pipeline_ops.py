@@ -1886,3 +1886,34 @@ def test_semantic_dedup_crafted(spark):
     out = {r["id"]: r["is_dup"] for r in similarity.semantic_dedup(
         emb, threshold=0.7, n_centroids=2, n_iters=1).collect()}
     assert out == {0: False, 1: False, 2: True, 3: False, 4: True}
+
+
+def test_duplicate_spans_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental spans for a new batch == the full-corpus batch run
+    restricted to the batch's docs; appended deltas then catch a
+    follow-up duplicate of batch text."""
+    W = 12
+    d = load(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "subidx")
+    dedup.substring_index_write(b1, path, window=W)
+    inc = dedup.duplicate_spans_incremental(spark, b2, path, window=W)
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in inc.collect()}
+    full = dedup.duplicate_spans(d, "doc_id", "text", window=W)
+    expect = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+              for r in full.collect() if r["doc_id"] % 2 == 1}
+    full.unpersist()
+    assert got == expect
+    # a doc repeating indexed batch-2 text is fully flagged via the
+    # appended deltas (pick a long-enough b2 doc)
+    src = b2.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= W) \
+        .orderBy("doc_id").limit(1).collect()[0]
+    b3 = spark.createDataFrame([(999999, src["text"])],
+                               "doc_id long, text string")
+    inc3 = dedup.duplicate_spans_incremental(spark, b3, path, window=W)
+    n_tok = len(src["text"].strip().lower().split())
+    assert [tuple(r) for r in inc3.collect()] == \
+        [(999999, 0, n_tok, n_tok - W + 1)]
+    dedup.clear_staging(spark, path)

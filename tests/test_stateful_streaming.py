@@ -521,3 +521,50 @@ def test_pairs_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
     # partition pruning by batch works
     assert spark.read.parquet(out).filter("batch_id = 1").count() == \
         len([t for t in once if t[3] == 1])
+
+
+def test_near_dup_substring_processor_stream_and_replay(spark, sf_dir,
+                                                        tmp_path):
+    """Substring-span streaming dedup (fourth modality over the shared
+    processor): batch-0 emits its within-batch spans, batch-1 emits
+    exactly what a full-corpus batch run computes for its docs, and
+    replays append nothing and re-emit identically (the replay flag —
+    NOT pair-dedup — makes the replayed answer correct: the index
+    already holds the batch's counts)."""
+    from amazon_kinesis_replay_spark.operators import dedup as D
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_substring_processor)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+
+    got: dict[int, list[set]] = {}
+
+    def sink(spans, batch_id):
+        got.setdefault(batch_id, []).append(
+            {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+             for r in spans.collect()})
+
+    index = str(tmp_path / "ss-stream")
+    proc = _near_dup_substring_processor(index, sink, "doc_id", "text", 12)
+    proc(b0, 0)
+    proc(b0, 0)                    # replayed bootstrap -> probe-only
+    proc(b1, 1)
+    n_win_rows = spark.read.parquet(index + "/wins").count()
+    proc(b1, 1)                    # replayed incremental batch
+    assert spark.read.parquet(index + "/wins").count() == n_win_rows
+    assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+
+    assert got[0][0] == got[0][1]
+    assert got[1][0] == got[1][1]
+    sp0 = D.duplicate_spans(b0, "doc_id", "text", window=12)
+    want0 = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+             for r in sp0.collect()}
+    sp0.unpersist()
+    full = D.duplicate_spans(docs, "doc_id", "text", window=12)
+    want1 = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+             for r in full.collect() if r["doc_id"] >= 250}
+    full.unpersist()
+    assert got[0][0] == want0
+    assert got[1][0] == want1
