@@ -14,6 +14,9 @@ near-linear curve is the evidence the plans have no quadratic term:
                    at one core and OOM at scale)
 - export         : range-clustered sharded parquet write (write cost
                    must track rows, with no global sort bottleneck)
+- substring      : window-hash candidate groupBy -> string confirm on
+                   >1-count survivors -> per-doc island merge (vs a
+                   corpus-wide suffix sort or all-pairs span compare)
 
 Usage: python tools/scale_probe.py [sf_dir]
 
@@ -154,7 +157,16 @@ def main():
             shutil.rmtree(tmp, ignore_errors=True)
         return f"{n} rows sharded"
 
+    def run_substring(mult):
+        corpus = _expand_docs(docs, mult)
+        n = corpus.count()
+        spans = dedup.duplicate_spans(corpus, "doc_id", "text", window=12)
+        m = spans.count()
+        spans.unpersist()
+        return f"{n} docs -> {m} spans"
+
     _probe("minhash", run_minhash, families)
+    _probe("substring", run_substring, families)
     _probe("contamination", run_contamination, families)
     _probe("embedding_dedup", run_embedding, families)
     _probe("packing", run_packing, families)
