@@ -1,0 +1,150 @@
+"""Distributed-trained linear quality classifier (fastText-style).
+
+The curation stacks behind public LLM corpora (LLaMA, GPT-3, Falcon)
+gate documents with a small linear classifier over bag-of-words
+features ("looks like Wikipedia/books" vs "random crawl"). This module
+provides that capability Spark-first:
+
+- `hashed_features`: the hashing trick — tokens hash into a fixed
+  dimensionality with xxhash64 (JVM-side, collision-tolerant by
+  design), binary presence per (doc, index). No vocabulary object, no
+  driver state, merge-free across corpora.
+- `logreg_train`: full-batch logistic-regression gradient descent with
+  the aggregate-then-fit shape of the k-means trainer
+  (similarity.kmeans_centroids): each iteration is ONE distributed pass
+  computing the per-dimension gradient as a map-side-combinable
+  aggregation; only the dim-sized gradient vector (metadata scale)
+  reaches the driver. Deterministic: zero init, fixed iterations, no
+  sampling, no RNG.
+- `logreg_score`: broadcast the weight vector back as a tiny table and
+  score every document in one join + aggregate.
+
+The per-iteration plan: features (persisted once) ⨝ broadcast weights
+→ per-doc margin (groupBy id, sum) → sigmoid residual → features ⨝
+residuals → per-index gradient (groupBy idx, sum). Two shuffles per
+iteration, both on compact keys; the corpus is never collected.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_features(df: DataFrame, id_col: str, text_col: str,
+                    dim: int = 1024) -> DataFrame:
+    """Binary hashed bag-of-words: (id, idx) rows, one per DISTINCT
+    token hash bucket per document — idx = xxhash64(token) mod dim.
+    Binary presence (not counts) keeps margins bounded without
+    normalization passes; collisions are part of the hashing-trick
+    contract (they cost accuracy, never correctness of the pipeline).
+    """
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(toks).alias("__t"))
+            .select("id", F.pmod(F.xxhash64("__t"), F.lit(dim))
+                    .alias("idx"))
+            .distinct())
+
+
+def _margin(feats: DataFrame, weights: list[float]) -> DataFrame:
+    """Per-doc linear margin under the current weights: broadcast the
+    dim-sized weight table, one join + per-doc sum. weights[-1] is the
+    bias."""
+    spark = feats.sparkSession
+    dim = len(weights) - 1
+    w_df = spark.createDataFrame(
+        [(i, float(weights[i])) for i in range(dim)], "idx long, w double")
+    return (feats.join(F.broadcast(w_df), "idx")
+            .groupBy("id")
+            .agg((F.sum("w") + F.lit(float(weights[-1])))
+                 .alias("margin")))
+
+
+def logreg_train(df: DataFrame, id_col: str, text_col: str,
+                 label_col: str, dim: int = 256, n_iters: int = 30,
+                 lr: float = 1.0, l2: float = 0.0) -> list[float]:
+    """Train logistic regression over hashed features by full-batch
+    gradient descent. Returns dim+1 weights (bias last) — a plain
+    Python list, because the MODEL is metadata-scale; the DATA never
+    leaves the cluster. Labels must be 0/1.
+
+    Each iteration runs one distributed pass; the only driver traffic
+    is the dim-sized gradient (same contract as the k-means centroid
+    table). Deterministic by construction: zero init, fixed iteration
+    count, no sampling — reruns give bit-comparable models up to
+    float-sum ordering inside Spark aggregates.
+    """
+    feats = hashed_features(df, id_col, text_col, dim).persist()
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(label_col).cast("double").alias("y"))
+    n = labels.count()
+    w = [0.0] * (dim + 1)
+    for _ in range(n_iters):
+        m = _margin(feats, w)
+        resid = (labels.join(m, "id", "left")
+                 .select("id",
+                         (F.lit(1.0)
+                          / (F.lit(1.0) + F.exp(-F.coalesce("margin",
+                                                            F.lit(0.0))))
+                          - F.col("y")).alias("r")))
+        g_rows = (feats.join(resid, "id")
+                  .groupBy("idx").agg(F.sum("r").alias("g"))
+                  .collect())
+        g = {int(r["idx"]): float(r["g"]) for r in g_rows}
+        g_b = float(resid.agg(F.sum("r")).head()[0] or 0.0)
+        for j in range(dim):
+            w[j] -= lr * ((g.get(j, 0.0) / n) + l2 * w[j])
+        w[dim] -= lr * (g_b / n)
+    feats.unpersist()
+    return w
+
+
+def logreg_score(df: DataFrame, id_col: str, text_col: str,
+                 weights: list[float], dim: int | None = None) -> DataFrame:
+    """Score documents under a trained model: (id, margin, prob).
+    Broadcast weight table + one join/aggregate; docs with no active
+    feature get the bias alone (LEFT join, margin = bias)."""
+    dim = dim if dim is not None else len(weights) - 1
+    feats = hashed_features(df, id_col, text_col, dim)
+    m = _margin(feats, weights)
+    bias = float(weights[-1])
+    return (df.select(F.col(id_col).alias("id"))
+            .join(m, "id", "left")
+            .select("id",
+                    F.coalesce("margin", F.lit(bias)).alias("margin"),
+                    (F.lit(1.0)
+                     / (F.lit(1.0)
+                        + F.exp(-F.coalesce("margin", F.lit(bias)))))
+                    .alias("prob")))
+
+
+def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
+                       lr: float = 1.0, l2: float = 0.0) -> list[float]:
+    """Driver-only reference twin of logreg_train over (text, label)
+    tuples — same features (via the pure-Python xxh64 that matches
+    Spark's xxhash64), same update rule; used by tests to pin the
+    distributed trainer's arithmetic."""
+    from ..functions.xxh import xxh64_string
+    docs = []
+    for t, y in rows:
+        idxs = {xxh64_string(tok) % dim
+                for tok in t.strip().lower().split()}
+        docs.append((sorted(idxs), float(y)))
+    n = len(docs)
+    w = [0.0] * (dim + 1)
+    for _ in range(n_iters):
+        g = [0.0] * (dim + 1)
+        for idxs, y in docs:
+            mg = sum(w[j] for j in idxs) + w[dim]
+            r = 1.0 / (1.0 + math.exp(-mg)) - y
+            for j in idxs:
+                g[j] += r
+            g[dim] += r
+        for j in range(dim):
+            w[j] -= lr * ((g[j] / n) + l2 * w[j])
+        w[dim] -= lr * (g[dim] / n)
+    return w
