@@ -1,0 +1,164 @@
+"""Mergeable cardinality / frequency sketches as DataFrame tables.
+
+At 100 TB you do not count distinct users by shuffling every key — you
+build a sketch per partition-of-time/source, store it as a tiny table,
+and MERGE sketches associatively. Spark ships HLL++ behind
+`approx_count_distinct` (use it for one-shot answers); these operators
+provide the sketch AS DATA — a persistable, mergeable register table —
+which is what a pipeline needs for incremental rollups (daily sketch +
+daily sketch = weekly sketch, no re-scan of history):
+
+- HyperLogLog (Flajolet et al. 2007): register table = (bucket,
+  max_rho) over xxhash64 — one map-side-combinable groupBy, 2^p rows.
+  `hll_merge` is a max-union; `hll_estimate` applies the standard bias
+  correction + linear counting on the tiny table, driver-free until
+  the final scalar.
+- Count-Min (Cormode & Muthukrishnan 2005): d×w counter table from d
+  salted hashes; point lookups take the min over rows; `cms_merge` is
+  a cell-wise sum.
+
+Both are DETERMINISTIC (hash-derived, no RNG) — sketches of the same
+data are bit-identical across runs and engines that share the hash,
+the property that makes them safe to reconcile across pipelines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def _as_unsigned_bits(h: Column) -> Column:
+    """xxhash64 yields a SIGNED long; reinterpret as the raw 64-bit
+    pattern for bit slicing (shiftrightunsigned works on the pattern,
+    so no conversion is actually needed — kept for clarity)."""
+    return h
+
+
+def hll_register_table(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """HLL register table for one column: (bucket, max_rho) with
+    2^p buckets. bucket = top p bits of xxhash64(value); rho = position
+    of the first 1-bit in the remaining 64-p bits (1-based; 64-p+1 when
+    they are all zero). One groupBy with map-side combine — the shuffle
+    carries at most 2^p rows per map task. Only OCCUPIED buckets are
+    materialized (absent rows mean rho 0 to the estimator)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    h = F.xxhash64(F.col(col))
+    bucket = F.shiftrightunsigned(h, 64 - p)
+    rest = F.shiftleft(h, p)      # low 64-p bits, left-aligned
+    # first 1-bit position in the left-aligned remainder: 63 - floor(
+    # log2(pattern)) + 1 computed via bit ops — use 64 - bit_length =
+    # number of leading zeros; Spark has no bit_length for longs, so
+    # count leading zeros by comparing against powers of two is O(64).
+    # Cheaper and exact: rho = 64 - floor(log2(unsigned rest)) ... log2
+    # on doubles is unsafe for exactness. Use a 4-ary search via
+    # CASE-free arithmetic: convert to binary string and find '1'.
+    bits = F.lpad(F.conv(F.format_string("%d",
+                                         F.shiftrightunsigned(rest, 1)),
+                         10, 2), 64, "0")
+    # shiftrightunsigned(rest,1) guarantees a non-negative value for
+    # %d/conv (conv of base-10 negative strings would sign-wrap); the
+    # shift moves every bit one position right, so the first '1' lands
+    # at char rho+1 of the padded string — rho = instr - 1. The lost
+    # low bit is always shiftleft padding (p >= 1), and an all-zero
+    # remainder yields instr=0, mapped to the spec's 64-p+1.
+    rho = F.instr(bits, "1") - 1
+    rho = F.when(rho == -1, F.lit(64 - p + 1)).otherwise(rho)
+    return (df.select(bucket.cast("long").alias("bucket"),
+                      rho.cast("int").alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("max_rho")))
+
+
+def hll_merge(*tables: DataFrame) -> DataFrame:
+    """Union register tables and keep the per-bucket max — the HLL merge
+    is associative/commutative/idempotent, so daily tables fold in any
+    order (and re-merging a table is harmless)."""
+    if not tables:
+        raise ValueError("hll_merge needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(regs: DataFrame, p: int = 12) -> float:
+    """Standard HLL estimator over the register table: raw harmonic-mean
+    estimate with the alpha_m bias constant, small-range linear-counting
+    correction below 5m/2. The aggregation runs on the 2^p-row table;
+    only the final scalar reaches the driver."""
+    m = 1 << p
+    alpha = (0.673 if p == 4 else 0.697 if p == 5 else 0.709 if p == 6
+             else 0.7213 / (1 + 1.079 / m))
+    row = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.count("*").alias("occupied")).head()
+    occupied = int(row["occupied"] or 0)
+    zeros = m - occupied                    # absent buckets have rho 0
+    s = float(row["s"] or 0.0) + zeros      # 2^-0 = 1 per empty bucket
+    raw = alpha * m * m / s
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)      # linear counting
+    return raw
+
+
+# --------------------------------------------------------------------------
+# Count-Min
+# --------------------------------------------------------------------------
+
+
+def cms_table(df: DataFrame, col: str, w: int = 1024,
+              d: int = 4) -> DataFrame:
+    """Count-Min counter table: (row, bucket, cnt), d salted hash rows
+    of width w. Salting prefixes the row index to the value before
+    hashing — d independent-enough hash functions from one xxhash64.
+    One explode (factor d) + one map-side-combinable groupBy; at most
+    d*w rows survive."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    return (df.select(F.col(col).cast("string").alias("__v"))
+            .select("__v", rows)
+            .select("row",
+                    F.pmod(F.xxhash64(F.concat_ws("",
+                                                  F.col("row").cast("string"),
+                                                  F.col("__v"))),
+                           F.lit(w)).alias("bucket"))
+            .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Cell-wise sum — Count-Min merges by addition (NOT idempotent:
+    merging a table with itself double-counts, unlike HLL)."""
+    if not tables:
+        raise ValueError("cms_merge needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(cms: DataFrame, items: DataFrame, col: str, w: int = 1024,
+               d: int = 4) -> DataFrame:
+    """Point-estimate counts for a table of items: re-derive each item's
+    d cells, join the counter table, take the per-item MIN — the
+    classic overestimate-only bound (estimate >= true count, with high
+    probability within eps*N). Missing cells count as 0."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    probes = (items.select(F.col(col).cast("string").alias("item"))
+              .distinct()
+              .select("item", rows)
+              .select("item", "row",
+                      F.pmod(F.xxhash64(
+                          F.concat_ws("",
+                                      F.col("row").cast("string"),
+                                      F.col("item"))),
+                          F.lit(w)).alias("bucket")))
+    return (probes.join(cms, ["row", "bucket"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
+                 .alias("est_count")))

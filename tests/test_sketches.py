@@ -1,0 +1,76 @@
+"""HLL / Count-Min sketch tables: register-exactness vs the pure-python
+hash twin, estimator accuracy, and merge algebra."""
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.functions.xxh import xxh64_long
+from amazon_kinesis_replay_spark.operators import sketches
+from amazon_kinesis_replay_spark.tables import load
+
+
+def _py_registers(values, p):
+    regs = {}
+    for v in values:
+        h = xxh64_long(v) & ((1 << 64) - 1)     # raw 64-bit pattern
+        bucket = h >> (64 - p)
+        rest = (h << p) & ((1 << 64) - 1)
+        rho = 64 - p + 1
+        for i in range(64):
+            if rest & (1 << (63 - i)):
+                rho = i + 1
+                break
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python(spark, sf_dir):
+    p = 10
+    ev = load(spark, sf_dir, "events").select("user_id")
+    got = {r["bucket"]: r["max_rho"] for r in
+           sketches.hll_register_table(ev, "user_id", p).collect()}
+    vals = [r["user_id"] for r in ev.collect()]
+    assert got == _py_registers(vals, p)
+
+
+def test_hll_estimate_accuracy_and_merge(spark, sf_dir):
+    p = 12
+    ev = load(spark, sf_dir, "events").select("user_id")
+    exact = ev.distinct().count()
+    regs = sketches.hll_register_table(ev, "user_id", p)
+    est = sketches.hll_estimate(regs, p)
+    assert abs(est - exact) / exact < 0.05
+    # merge algebra: per-batch sketches union to the full sketch exactly
+    b1 = ev.filter(F.col("user_id") % 2 == 0)
+    b2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = sketches.hll_merge(
+        sketches.hll_register_table(b1, "user_id", p),
+        sketches.hll_register_table(b2, "user_id", p))
+    full = {(r["bucket"], r["max_rho"]) for r in regs.collect()}
+    assert {(r["bucket"], r["max_rho"]) for r in merged.collect()} == full
+    # idempotent: re-merging the same table changes nothing
+    again = sketches.hll_merge(regs, regs)
+    assert {(r["bucket"], r["max_rho"]) for r in again.collect()} == full
+
+
+def test_cms_overestimates_and_merges(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_type")
+    truth = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.count("*").alias("n"))
+             .collect()}
+    cms = sketches.cms_table(ev, "event_type", w=512, d=4)
+    est = {r["item"]: r["est_count"] for r in
+           sketches.cms_lookup(cms, ev.select("event_type").distinct(),
+                               "event_type", w=512, d=4).collect()}
+    n_total = sum(truth.values())
+    for k, true_n in truth.items():
+        assert est[k] >= true_n                      # overestimate-only
+        assert est[k] - true_n <= 0.05 * n_total     # loose eps bound
+    # additive merge: batch tables sum to the full table cell-for-cell
+    b1 = ev.filter(F.col("event_type") < "m")
+    b2 = ev.filter(F.col("event_type") >= "m")
+    merged = sketches.cms_merge(
+        sketches.cms_table(b1, "event_type", w=512, d=4),
+        sketches.cms_table(b2, "event_type", w=512, d=4))
+    full = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
