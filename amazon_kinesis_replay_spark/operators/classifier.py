@@ -66,11 +66,20 @@ def _margin(feats: DataFrame, weights: list[float]) -> DataFrame:
 
 def logreg_train(df: DataFrame, id_col: str, text_col: str,
                  label_col: str, dim: int = 256, n_iters: int = 30,
-                 lr: float = 1.0, l2: float = 0.0) -> list[float]:
+                 lr: float | None = None, l2: float = 0.0) -> list[float]:
     """Train logistic regression over hashed features by full-batch
     gradient descent. Returns dim+1 weights (bias last) — a plain
     Python list, because the MODEL is metadata-scale; the DATA never
     leaves the cluster. Labels must be 0/1.
+
+    lr=None (default) sets the step to 4/(max_nnz+1), where max_nnz is
+    the largest active-feature count of any document — the inverse of
+    the logistic loss's gradient-Lipschitz bound L <= max||x||^2 / 4
+    for binary features (+1 for the bias). A fixed lr=1.0 DIVERGES once
+    documents carry tens of active features (observed on the fixture:
+    oscillation that parks every probability near 0); the bound-derived
+    step is stable for any corpus and stays deterministic (max is an
+    exact aggregate).
 
     Each iteration runs one distributed pass; the only driver traffic
     is the dim-sized gradient (same contract as the k-means centroid
@@ -82,6 +91,10 @@ def logreg_train(df: DataFrame, id_col: str, text_col: str,
     labels = df.select(F.col(id_col).alias("id"),
                        F.col(label_col).cast("double").alias("y"))
     n = labels.count()
+    if lr is None:
+        max_nnz = int(feats.groupBy("id").count()
+                      .agg(F.max("count")).head()[0] or 1)
+        lr = 4.0 / (max_nnz + 1)
     w = [0.0] * (dim + 1)
     for _ in range(n_iters):
         m = _margin(feats, w)
@@ -123,11 +136,12 @@ def logreg_score(df: DataFrame, id_col: str, text_col: str,
 
 
 def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
-                       lr: float = 1.0, l2: float = 0.0) -> list[float]:
+                       lr: float | None = None,
+                       l2: float = 0.0) -> list[float]:
     """Driver-only reference twin of logreg_train over (text, label)
     tuples — same features (via the pure-Python xxh64 that matches
-    Spark's xxhash64), same update rule; used by tests to pin the
-    distributed trainer's arithmetic."""
+    Spark's xxhash64), same update rule and auto step size; used by
+    tests to pin the distributed trainer's arithmetic."""
     from ..functions.xxh import xxh64_string
     docs = []
     for t, y in rows:
@@ -135,6 +149,8 @@ def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
                 for tok in t.strip().lower().split()}
         docs.append((sorted(idxs), float(y)))
     n = len(docs)
+    if lr is None:
+        lr = 4.0 / (max(len(i) for i, _y in docs) + 1)
     w = [0.0] * (dim + 1)
     for _ in range(n_iters):
         g = [0.0] * (dim + 1)

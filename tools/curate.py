@@ -4,13 +4,25 @@
 
   1. quality + repetition signals      (text.quality_features profile)
   2. n-gram LM fit scoring             (ngram_lm_counts/ngram_lm_score)
+  2b. distill the quality signal into a reusable linear classifier
+      (classifier.logreg_train/logreg_score) and gate near-certain junk
   3. PII redaction                     (text.pii_redact)
   4. near-dup detection (MinHash-LSH)  (dedup.minhash_dedup)
   5. clustering, KEEP THE BEST copy    (dedup.dedup_clusters(quality=))
+  5b. exact substring-span dedup ON SURVIVORS (dedup.duplicate_spans +
+      remove_duplicate_spans). Order matters: stripping shared spans
+      BEFORE near-dup clustering reduces whole-doc near-dups to tiny
+      remnants that then spuriously cluster with every other remnant
+      (observed: 74/500 survivors vs ~430 expected) — dedup picks the
+      best copy first, span removal then strips residual boilerplate.
+  5c. temperature mixture sampling     (sampling.mixture_sample over
+      the source domain)
   6. deterministic split + decontam    (hash split + cross_split_contamination)
   7. BPE tokenize to ids               (text.bpe_train/bpe_vocab/bpe_encode)
   8. sequence packing                  (text.pack_sequences)
   9. sharded export                    (export.write_training_shards)
+  10. corpus audit sketch              (sketches.hll_register_table —
+      distinct-token estimate, a mergeable artifact)
 
 Usage: python tools/curate.py [sf_dir] [out_dir]
 
@@ -37,7 +49,8 @@ def main():
     from pyspark.sql import functions as F
 
     from amazon_kinesis_replay_spark import export
-    from amazon_kinesis_replay_spark.operators import dedup, text
+    from amazon_kinesis_replay_spark.operators import (
+        classifier, dedup, sampling, sketches, text)
     from amazon_kinesis_replay_spark.session import build_spark
     from amazon_kinesis_replay_spark.tables import load
 
@@ -47,6 +60,7 @@ def main():
     summary: dict = {"sf_dir": sf_dir, "out_dir": out_dir}
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_src = load(spark, sf_dir, "documents").select("doc_id", "source")
     summary["docs_in"] = docs.count()
 
     # 1-2: quality profile + LM fit -> one combined quality score
@@ -61,6 +75,33 @@ def main():
                         / F.lit(64.0)).alias("score")).persist())
     quality.count()
     print(f"[1-2] quality+LM scored {summary['docs_in']} docs", flush=True)
+
+    # 2b: distill the (expensive, multi-signal) quality score into a
+    # cheap reusable linear model — weak labels from the score median —
+    # then gate only near-certain junk (the model artifact is the
+    # point; aggressive gating on self-distilled labels would be
+    # circular)
+    med = quality.approxQuantile("score", [0.5], 0.0)[0]
+    lab = docs.join(quality, "doc_id").withColumn(
+        "label", (F.col("score") >= F.lit(med)).cast("int"))
+    w = classifier.logreg_train(lab, "doc_id", "text", "label",
+                                dim=256)
+    probs = classifier.logreg_score(docs, "doc_id", "text", w)         .select(F.col("id").alias("doc_id"), "prob").persist()
+    agree = (probs.join(lab.select("doc_id", "label"), "doc_id")
+             .filter((F.col("prob") >= 0.5) == (F.col("label") == 1))
+             .count())
+    summary["clf_agreement"] = round(agree / summary["docs_in"], 3)
+    gated = probs.filter(F.col("prob") >= 0.05).select("doc_id")
+    # localCheckpoint: truncate the lineage at the composition joint —
+    # every downstream stage otherwise embeds the scoring plan in ITS
+    # plan, and by the mixture stage the duplicated mega-lineage OOMs
+    # the driver during ANALYSIS (observed; persist() does not help —
+    # it shortcuts execution, not plan construction)
+    docs = docs.join(gated, "doc_id").localCheckpoint()
+    summary["docs_after_clf_gate"] = docs.count()
+    print(f"[2b] classifier agreement {summary['clf_agreement']}, "
+          f"{summary['docs_after_clf_gate']} docs pass the junk gate",
+          flush=True)
 
     # 3: PII redaction (clean_text replaces text downstream)
     red = text.pii_redact(docs, "doc_id", "text").persist()
@@ -80,9 +121,32 @@ def main():
     print(f"[4-5] dedup kept {summary['docs_after_dedup']} "
           f"(dropped {summary['dup_docs_dropped']})", flush=True)
 
-    kept = (red.join(keep, "doc_id")
-            .select("doc_id", F.col("clean_text").alias("text")).persist())
-    kept.count()
+    kept0 = (red.join(keep, "doc_id")
+             .select("doc_id", F.col("clean_text").alias("text")))
+
+    # 5b: exact substring-span removal on the dedup SURVIVORS — strips
+    # residual duplicated boilerplate runs (all occurrences)
+    spans = dedup.duplicate_spans(kept0, "doc_id", "text", window=12)
+    cleaned = dedup.remove_duplicate_spans(kept0, spans,
+                                           "doc_id", "text").persist()
+    summary["span_tokens_removed"] = int(
+        cleaned.agg(F.sum("n_removed_tokens")).head()[0] or 0)
+    spans.unpersist()
+    kept = cleaned.select("doc_id", F.col("clean_text").alias("text")) \
+        .localCheckpoint()          # second lineage cut (see 2b note)
+    cleaned.unpersist()
+    print(f"[5b] substring dedup removed "
+          f"{summary['span_tokens_removed']} duplicated tokens",
+          flush=True)
+
+    # 5c: temperature mixture sampling over the source domain — flatten
+    # the domain distribution toward sqrt shares at 90% volume
+    mix = sampling.mixture_sample(kept.join(doc_src, "doc_id"),
+                                  "doc_id", "source", target_frac=0.9)
+    kept = mix.filter("mix_kept").select("doc_id", "text").persist()
+    summary["docs_after_mixture"] = kept.count()
+    print(f"[5c] mixture sampling kept {summary['docs_after_mixture']}",
+          flush=True)
 
     # 6: deterministic split + decontamination of eval against train
     bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) \
@@ -118,6 +182,13 @@ def main():
     summary["total_tokens"] = back.agg(
         F.sum("bpe_tokens_count")).head()[0]
     summary["n_packs"] = back.select("split", "pack_id").distinct().count()
+
+    # 10: audit sketch — a mergeable distinct-token cardinality artifact
+    toks = clean.select(F.explode(
+        F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+    regs = sketches.hll_register_table(toks, "tok", p=12)
+    summary["distinct_token_estimate"] = int(
+        sketches.hll_estimate(regs, 12))
     summary["wall_s"] = round(time.monotonic() - t0, 2)
     print(json.dumps(summary), flush=True)
     if len(sys.argv) <= 2:
