@@ -50,18 +50,29 @@ def hashed_features(df: DataFrame, id_col: str, text_col: str,
             .distinct())
 
 
-def _margin(feats: DataFrame, weights: list[float]) -> DataFrame:
-    """Per-doc linear margin under the current weights: broadcast the
-    dim-sized weight table, one join + per-doc sum. weights[-1] is the
-    bias."""
-    spark = feats.sparkSession
-    dim = len(weights) - 1
+def _with_bias(feats: DataFrame, df: DataFrame, id_col: str,
+               dim: int) -> DataFrame:
+    """Append the synthetic bias feature (idx = dim) to EVERY document —
+    so the bias rides the same join/aggregate as the real features: the
+    margin needs no separate add, the bias gradient needs no separate
+    action, and feature-less documents still reach the margin join
+    (keeping train and score consistent on them)."""
+    bias_rows = df.select(F.col(id_col).alias("id"),
+                          F.lit(dim).cast("long").alias("idx"))
+    return feats.unionByName(bias_rows)
+
+
+def _margin(feats_b: DataFrame, weights: list[float]) -> DataFrame:
+    """Per-doc linear margin under the current weights over a
+    bias-augmented feature table: broadcast the (dim+1)-row weight
+    table, one join + per-doc sum (weights[-1] = bias = idx dim)."""
+    spark = feats_b.sparkSession
     w_df = spark.createDataFrame(
-        [(i, float(weights[i])) for i in range(dim)], "idx long, w double")
-    return (feats.join(F.broadcast(w_df), "idx")
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "idx long, w double")
+    return (feats_b.join(F.broadcast(w_df), "idx")
             .groupBy("id")
-            .agg((F.sum("w") + F.lit(float(weights[-1])))
-                 .alias("margin")))
+            .agg(F.sum("w").alias("margin")))
 
 
 def logreg_train(df: DataFrame, id_col: str, text_col: str,
@@ -72,46 +83,50 @@ def logreg_train(df: DataFrame, id_col: str, text_col: str,
     Python list, because the MODEL is metadata-scale; the DATA never
     leaves the cluster. Labels must be 0/1.
 
-    lr=None (default) sets the step to 4/(max_nnz+1), where max_nnz is
-    the largest active-feature count of any document — the inverse of
-    the logistic loss's gradient-Lipschitz bound L <= max||x||^2 / 4
-    for binary features (+1 for the bias). A fixed lr=1.0 DIVERGES once
-    documents carry tens of active features (observed on the fixture:
-    oscillation that parks every probability near 0); the bound-derived
-    step is stable for any corpus and stays deterministic (max is an
-    exact aggregate).
+    lr=None (default) sets the step to 4/max(||x||^2) (the feature
+    count including the synthetic bias feature) — the inverse of the
+    logistic loss's gradient-Lipschitz bound L <= max||x||^2 / 4 for
+    binary features. A fixed lr=1.0 DIVERGES once documents carry tens
+    of active features (observed on the fixture: oscillation that
+    parks every probability near 0); the bound-derived step is stable
+    for any corpus and stays deterministic (max is an exact aggregate).
 
-    Each iteration runs one distributed pass; the only driver traffic
-    is the dim-sized gradient (same contract as the k-means centroid
-    table). Deterministic by construction: zero init, fixed iteration
-    count, no sampling — reruns give bit-comparable models up to
-    float-sum ordering inside Spark aggregates.
+    The bias is a synthetic always-on feature (idx = dim), so each
+    iteration is ONE Spark action (margin join -> residual -> one
+    per-index gradient aggregate that includes the bias row); the only
+    driver traffic is the dim-sized gradient (same contract as the
+    k-means centroid table). Deterministic by construction: zero init,
+    fixed iteration count, no sampling — reruns give bit-comparable
+    models up to float-sum ordering inside Spark aggregates.
     """
-    feats = hashed_features(df, id_col, text_col, dim).persist()
+    feats = _with_bias(hashed_features(df, id_col, text_col, dim),
+                       df, id_col, dim).persist()
     labels = df.select(F.col(id_col).alias("id"),
                        F.col(label_col).cast("double").alias("y"))
     n = labels.count()
     if lr is None:
+        # count INCLUDES the synthetic bias feature, so this is
+        # max(||x||^2) directly — no +1 needed
         max_nnz = int(feats.groupBy("id").count()
                       .agg(F.max("count")).head()[0] or 1)
-        lr = 4.0 / (max_nnz + 1)
+        lr = 4.0 / max_nnz
     w = [0.0] * (dim + 1)
     for _ in range(n_iters):
         m = _margin(feats, w)
-        resid = (labels.join(m, "id", "left")
+        # every doc carries the bias feature, so margin is never NULL
+        resid = (labels.join(m, "id")
                  .select("id",
-                         (F.lit(1.0)
-                          / (F.lit(1.0) + F.exp(-F.coalesce("margin",
-                                                            F.lit(0.0))))
+                         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
                           - F.col("y")).alias("r")))
+        # ONE action per iteration: the bias gradient is just the
+        # idx=dim row of the same aggregate
         g_rows = (feats.join(resid, "id")
                   .groupBy("idx").agg(F.sum("r").alias("g"))
                   .collect())
         g = {int(r["idx"]): float(r["g"]) for r in g_rows}
-        g_b = float(resid.agg(F.sum("r")).head()[0] or 0.0)
         for j in range(dim):
             w[j] -= lr * ((g.get(j, 0.0) / n) + l2 * w[j])
-        w[dim] -= lr * (g_b / n)
+        w[dim] -= lr * (g.get(dim, 0.0) / n)
     feats.unpersist()
     return w
 
@@ -122,16 +137,13 @@ def logreg_score(df: DataFrame, id_col: str, text_col: str,
     Broadcast weight table + one join/aggregate; docs with no active
     feature get the bias alone (LEFT join, margin = bias)."""
     dim = dim if dim is not None else len(weights) - 1
-    feats = hashed_features(df, id_col, text_col, dim)
+    feats = _with_bias(hashed_features(df, id_col, text_col, dim),
+                       df, id_col, dim)
     m = _margin(feats, weights)
-    bias = float(weights[-1])
     return (df.select(F.col(id_col).alias("id"))
-            .join(m, "id", "left")
-            .select("id",
-                    F.coalesce("margin", F.lit(bias)).alias("margin"),
-                    (F.lit(1.0)
-                     / (F.lit(1.0)
-                        + F.exp(-F.coalesce("margin", F.lit(bias)))))
+            .join(m, "id")     # bias feature: every doc has a margin
+            .select("id", "margin",
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
                     .alias("prob")))
 
 
@@ -142,15 +154,20 @@ def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
     tuples — same features (via the pure-Python xxh64 that matches
     Spark's xxhash64), same update rule and auto step size; used by
     tests to pin the distributed trainer's arithmetic."""
+    import re
+
     from ..functions.xxh import xxh64_string
     docs = []
     for t, y in rows:
-        idxs = {xxh64_string(tok) % dim
-                for tok in t.strip().lower().split()}
+        # EXACT twin of the Spark tokenization: split(trim(lower), \s+)
+        # yields [''] for empty/whitespace-only text (str.split() would
+        # yield [] and diverge on blank docs — review finding)
+        toks = re.split(r"\s+", t.strip().lower())
+        idxs = {xxh64_string(tok) % dim for tok in toks}
         docs.append((sorted(idxs), float(y)))
     n = len(docs)
     if lr is None:
-        lr = 4.0 / (max(len(i) for i, _y in docs) + 1)
+        lr = 4.0 / (max(len(i) for i, _y in docs) + 1)   # +1 = bias
     w = [0.0] * (dim + 1)
     for _ in range(n_iters):
         g = [0.0] * (dim + 1)

@@ -1189,9 +1189,15 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     corpus (any doc, including the same one) into per-doc islands.
     Returns (id_col, span_start, span_end, n_windows) with token-index
     half-open spans [span_start, span_end). The returned frame is
-    persisted and already materialized (the window-occurrence barrier is
-    released before returning, so re-computation without the cache would
-    re-pay the generate-feeds-join trap) — the CALLER owns unpersist().
+    eagerly localCheckpoint-ed (the window-occurrence barrier is
+    released before returning, so re-computation without the
+    materialized copy would re-pay the generate-feeds-join trap);
+    unlike a persist() this needs no caller-side unpersist — the
+    ContextCleaner reclaims the checkpoint blocks once the frame is
+    unreferenced (the registry query cannot unpersist after returning
+    its DataFrame — review finding). Trade-off: localCheckpoint blocks
+    do not survive executor loss; on a lossy cluster, recompute or
+    reliable-checkpoint instead.
 
     Scale shape (100 TB): the heavy shuffle is the candidate pass on
     xxhash64(win) — 8-byte keys with map-side combine, never the window
@@ -1227,10 +1233,8 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     win_cnt = (cand.groupBy("win").count()
                .filter(F.col("count") > 1).select("win"))
     occ = cand.join(win_cnt, "win", "left_semi")
-    out = _merge_islands(occ, id_col, window)
-    # materialize before releasing the barrier
-    out = out.persist()
-    out.count()
+    # eager localCheckpoint materializes before the barrier is released
+    out = _merge_islands(occ, id_col, window).localCheckpoint()
     rows.unpersist()
     return out
 
@@ -1306,18 +1310,27 @@ def substring_index_write(df: DataFrame, path: str, id_col: str = "doc_id",
     ∝ distinct windows × window tokens — the same order as the corpus
     itself, which is what any exact-substring method pays (a suffix
     array is corpus-sized too); store it columnar-compressed and cold.
+
+    Layout: every writer owns a PARTITION DIRECTORY under wins/
+    (part=base here, part=<delta_name> for incremental deltas) so each
+    write is an idempotent directory overwrite — re-delivering a batch
+    replaces its own delta instead of double-appending counts into the
+    sum-on-read index (review finding: a crash between a plain append
+    and the stream's applied-marker write would otherwise corrupt
+    every future count).
     """
     rows = window_occurrences(df, id_col, text_col, window)
     (rows.groupBy("win").agg(F.count("*").alias("cnt"))
      .withColumn("__h", F.xxhash64("win"))
-     .write.mode("overwrite").parquet(path + "/wins"))
+     .write.mode("overwrite").parquet(path + "/wins/part=base"))
 
 
 def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
                                 id_col: str = "doc_id",
                                 text_col: str = "text", window: int = 12,
                                 append: bool = True,
-                                replay: bool = False) -> DataFrame:
+                                replay: bool = False,
+                                delta_name: str | None = None) -> DataFrame:
     """Duplicated spans for a NEW batch against the persisted window
     index: a batch window is duplicated iff its corpus-wide count
     (index + batch) exceeds 1 — so the spans returned for batch docs are
@@ -1330,27 +1343,44 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
     this module); a periodic full `duplicate_spans` compaction picks
     those up.
 
-    With append, the batch's window counts are appended as DELTA rows;
-    the index is sum-on-read (the groupBy below), so appends stay
-    ∝ batch. Compact by rewriting `substring_index_write` output from
-    the summed table when delta files accumulate. The result rides the
-    `_staged_result` barrier (computed against the PRE-append index);
-    call `clear_staging` when done.
+    With append, the batch's window counts land in their OWN partition
+    directory wins/part=<delta_name> (a fresh uuid name when None) via
+    an idempotent mode=overwrite write — re-running the same
+    delta_name REPLACES the delta instead of double-counting it, which
+    closes the crash window between a streaming batch's append and its
+    applied-marker write (review finding: with a plain file append,
+    one crash there would permanently inflate every count). The index
+    is sum-on-read (the groupBy below), so appends stay ∝ batch;
+    compact by rewriting part=base from the summed table when delta
+    dirs accumulate. The result rides the `_staged_result` barrier
+    (computed against the PRE-append index); call `clear_staging` when
+    done.
 
-    replay=True is the at-least-once re-delivery mode (the streaming
-    processor passes it when batch_id <= the applied marker): the index
-    ALREADY holds this batch's delta, so the duplicate condition is the
-    index count alone — adding the batch's counts again would flag
-    every unique batch window as duplicated (count 1+1), a WRONG
-    answer, not merely a duplicated row. With replay the summed index
-    count equals exactly the pre-append+batch total of the original
-    run, so the emitted spans are identical.
+    replay=True is the at-least-once re-delivery mode for UNNAMED
+    deltas: the index already holds this batch's delta, so the
+    duplicate condition is the index count alone — adding the batch's
+    counts again would flag every unique batch window as duplicated
+    (count 1+1), a WRONG answer, not merely a duplicated row. When
+    delta_name IS given, self-exclusion (filter own partition, always
+    add the batch once) supersedes it — one formula that is also
+    correct in the crash window where the delta landed but the marker
+    did not, which the replay flag alone cannot distinguish.
     """
     rows = window_occurrences(new_df, id_col, text_col, window)
     rows = rows.withColumn("__h", F.xxhash64("win"))
     rows = rows.persist()            # generate-feeds-join barrier
-    idx = (spark.read.parquet(path + "/wins")
-           .groupBy("__h", "win").agg(F.sum("cnt").alias("cnt")))
+    idx_raw = spark.read.parquet(path + "/wins")
+    if delta_name is not None:
+        # SELF-EXCLUSION: drop this batch's own delta partition from
+        # the sum-on-read, then always add the batch's counts once —
+        # correct on the first run (no such partition), on a replay
+        # after the marker (own delta present), AND in the crash
+        # window between delta write and marker (own delta present,
+        # append re-runs) — the three cases collapse to one formula,
+        # so `replay` is ignored when deltas are named.
+        idx_raw = idx_raw.filter(F.col("part") != delta_name)
+        replay = False
+    idx = idx_raw.groupBy("__h", "win").agg(F.sum("cnt").alias("cnt"))
     bc = rows.groupBy("__h", "win").agg(F.count("*").alias("bcnt"))
     total = (F.lit(0) if replay else F.col("bcnt")) \
         + F.coalesce(F.col("cnt"), F.lit(0))
@@ -1360,7 +1390,9 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
     occ = rows.join(dup_wins, ["__h", "win"], "left_semi")
     out = _staged_result(_merge_islands(occ, id_col, window), path)
     if append:
+        import uuid
+        name = delta_name if delta_name is not None else uuid.uuid4().hex
         (bc.select("win", F.col("bcnt").alias("cnt"), "__h")
-         .write.mode("append").parquet(path + "/wins"))
+         .write.mode("overwrite").parquet(f"{path}/wins/part={name}"))
     rows.unpersist()
     return out

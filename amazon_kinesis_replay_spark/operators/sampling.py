@@ -83,10 +83,15 @@ def temperature_mixture_rates(df: DataFrame, domain_col: str,
     join back. The corpus is scanned once and never shuffled on rows.
     """
     w = weight(F.col(domain_col)) if weight is not None else F.lit(1)
+    # double, NOT long: a fractional weight (0.5, 2.9) must scale the
+    # share, not silently truncate — a weight in (0,1) cast to long
+    # would zero the domain out of the sample entirely (review
+    # finding). Integer-valued weights stay exact in double, so the
+    # T=2 cross-engine bit-match is unchanged.
     counts = (df.groupBy(domain_col)
               .agg(F.count("*").alias("n_docs"))
-              .withColumn("__w", w.cast("long")))
-    base = (F.col("__w") * F.col("n_docs")).cast("double")
+              .withColumn("__w", w.cast("double")))
+    base = F.col("__w") * F.col("n_docs").cast("double")
     if temperature == 2.0:
         s = F.sqrt(base)
     else:
@@ -120,8 +125,14 @@ def mixture_sample(df: DataFrame, id_col: str, domain_col: str,
     """
     rates = temperature_mixture_rates(df, domain_col, weight,
                                       target_frac, temperature)
-    return (df.join(F.broadcast(rates.select(domain_col, "rate_ppm")),
-                    domain_col)
+    r = rates.select(F.col(domain_col).alias("__dom"), "rate_ppm")
+    # NULL-SAFE join: a NULL domain is a real domain — groupBy gave it
+    # a rates row, and an inner equi-join would silently drop its docs
+    # while still counting them in the total, inflating every other
+    # domain's rate (review finding)
+    return (df.join(F.broadcast(r),
+                    F.col(domain_col).eqNullSafe(F.col("__dom")))
+            .drop("__dom")
             .withColumn("mix_rate_ppm", F.col("rate_ppm"))
             .drop("rate_ppm")
             .withColumn("mix_kept",

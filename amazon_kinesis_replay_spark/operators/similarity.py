@@ -479,6 +479,12 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
         vec_col=vec_col, exact=exact)
     asg = ivf_assign(emb, n_centroids=n_centroids, id_col=id_col,
                      vec_col=vec_col, centroids=cents, exact=exact)
+    # The assignment feeds THREE plan branches (both self-join sides +
+    # the output base); without a materialization each action would
+    # re-run the broadcast-centroid scan and per-id window three times
+    # (review finding). localCheckpoint needs no caller-side unpersist
+    # — the ContextCleaner reclaims it once unreferenced.
+    asg = asg.localCheckpoint()
     scorer = cosine if exact else _fast_cosine
     a = asg.select(F.col("centroid_id"), F.col("id").alias("id_a"),
                    F.col("vec").alias("va"))

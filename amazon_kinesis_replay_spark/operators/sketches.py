@@ -34,13 +34,6 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 
-def _as_unsigned_bits(h: Column) -> Column:
-    """xxhash64 yields a SIGNED long; reinterpret as the raw 64-bit
-    pattern for bit slicing (shiftrightunsigned works on the pattern,
-    so no conversion is actually needed — kept for clarity)."""
-    return h
-
-
 def hll_register_table(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     """HLL register table for one column: (bucket, max_rho) with
     2^p buckets. bucket = top p bits of xxhash64(value); rho = position
@@ -116,17 +109,21 @@ def hll_estimate(regs: DataFrame, p: int = 12) -> float:
 def cms_table(df: DataFrame, col: str, w: int = 1024,
               d: int = 4) -> DataFrame:
     """Count-Min counter table: (row, bucket, cnt), d salted hash rows
-    of width w. Salting prefixes the row index to the value before
+    of width w. The row index salts the hash as a separate column before
     hashing — d independent-enough hash functions from one xxhash64.
     One explode (factor d) + one map-side-combinable groupBy; at most
     d*w rows survive."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    # MULTI-COLUMN xxhash64, not a string concat: concat salting is
+    # ambiguously decodable ((row=1,'2x') == (row=12,'x') once d > 10),
+    # breaking the independence of the d rows (review finding). NULL
+    # values are excluded explicitly: Spark hash functions SKIP null
+    # columns, so a NULL would alias the row-only hash.
     return (df.select(F.col(col).cast("string").alias("__v"))
+            .filter(F.col("__v").isNotNull())
             .select("__v", rows)
             .select("row",
-                    F.pmod(F.xxhash64(F.concat_ws("",
-                                                  F.col("row").cast("string"),
-                                                  F.col("__v"))),
+                    F.pmod(F.xxhash64(F.col("row"), F.col("__v")),
                            F.lit(w)).alias("bucket"))
             .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
 
@@ -150,14 +147,12 @@ def cms_lookup(cms: DataFrame, items: DataFrame, col: str, w: int = 1024,
     probability within eps*N). Missing cells count as 0."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
     probes = (items.select(F.col(col).cast("string").alias("item"))
+              .filter(F.col("item").isNotNull())
               .distinct()
               .select("item", rows)
               .select("item", "row",
-                      F.pmod(F.xxhash64(
-                          F.concat_ws("",
-                                      F.col("row").cast("string"),
-                                      F.col("item"))),
-                          F.lit(w)).alias("bucket")))
+                      F.pmod(F.xxhash64(F.col("row"), F.col("item")),
+                             F.lit(w)).alias("bucket")))
     return (probes.join(cms, ["row", "bucket"], "left")
             .groupBy("item")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")

@@ -244,7 +244,9 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
     with the modality supplied as two callables —
     `bootstrap(batch_df) -> pairs` (must also WRITE the index, mode
     overwrite, `probe_subdir` last — its presence means "index
-    complete") and `incremental(spark, batch_df, append) -> pairs`.
+    complete") and `incremental(spark, batch_df, append, batch_id) ->
+    pairs` (batch_id lets count-delta modalities name their delta dir
+    idempotently — a replayed append then OVERWRITES its own delta).
     Module-level so replay/bootstrap idempotency is directly testable
     with static frames (a real streaming replay can't be forced
     deterministically)."""
@@ -276,7 +278,7 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
             pairs = bootstrap(batch_df)
         else:
             append = batch_id > _last_applied(spark)
-            pairs = incremental(spark, batch_df, append)
+            pairs = incremental(spark, batch_df, append, batch_id)
             if append:
                 _record_applied(spark, batch_id)
             else:
@@ -311,7 +313,7 @@ def _near_dup_processor(index_path: str, sink, id_col: str, text_col: str,
                                    num_hashes=32, bands=16, k=3,
                                    threshold=threshold)
 
-    def incremental(spark, batch_df, append):
+    def incremental(spark, batch_df, append, batch_id):
         return dedup.minhash_dedup_incremental(
             spark, batch_df, index_path, id_col, text_col, threshold,
             append=append)
@@ -361,7 +363,7 @@ def _near_dup_embedding_processor(index_path: str, sink, id_col: str,
             batch_df, threshold=threshold, n_bands=n_bands,
             band_bits=band_bits, id_col=id_col, vec_col=vec_col)
 
-    def incremental(spark, batch_df, append):
+    def incremental(spark, batch_df, append, batch_id):
         return dedup.embedding_dedup_incremental(
             spark, batch_df, index_path, threshold, id_col, vec_col,
             append=append)
@@ -424,7 +426,7 @@ def _near_dup_simhash_processor(index_path: str, sink, id_col: str,
         return dedup.simhash_near_dups(batch_df, id_col, text_col,
                                        max_hamming)
 
-    def incremental(spark, batch_df, append):
+    def incremental(spark, batch_df, append, batch_id):
         return dedup.simhash_dedup_incremental(
             spark, batch_df, index_path, id_col, text_col, max_hamming,
             append=append)
@@ -478,11 +480,25 @@ def _near_dup_substring_processor(index_path: str, sink, id_col: str,
                                     text_col, window)
         return out
 
-    def incremental(spark, batch_df, append):
+    def incremental(spark, batch_df, append, batch_id):
+        if append:
+            # delta_name = the batch id: a crash between the delta
+            # write and the applied marker re-delivers the batch with
+            # append still True — the overwrite-by-name delta REPLACES
+            # itself and self-exclusion keeps the emitted spans right
+            # (review finding)
+            return dedup.duplicate_spans_incremental(
+                spark, batch_df, index_path, id_col, text_col, window,
+                append=True, delta_name=f"b{int(batch_id)}")
+        # Marker-confirmed replay: the batch's counts are in the index
+        # — under part=b<id> for an incremental batch, but under
+        # part=base for a replayed BOOTSTRAP — so self-exclusion can't
+        # cover both; the replay formula (index count alone) does.
         return dedup.duplicate_spans_incremental(
             spark, batch_df, index_path, id_col, text_col, window,
-            append=append, replay=not append)
+            append=False, replay=True)
 
     return _indexed_stream_processor(index_path, sink, bootstrap,
-                                     incremental, probe_subdir="wins",
+                                     incremental,
+                                     probe_subdir="wins/part=base",
                                      replay_dedup_cols=None)

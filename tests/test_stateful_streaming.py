@@ -568,3 +568,38 @@ def test_near_dup_substring_processor_stream_and_replay(spark, sf_dir,
     full.unpersist()
     assert got[0][0] == want0
     assert got[1][0] == want1
+
+
+def test_substring_delta_overwrite_closes_crash_window(spark, sf_dir,
+                                                       tmp_path):
+    """The one residual at-least-once window: delta written, applied
+    marker NOT (crash between them). Redelivery then re-runs the
+    APPEND path against an index that already holds the batch's delta
+    — the named-delta overwrite + self-exclusion must yield identical
+    spans and leave exactly one copy of the delta."""
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_substring_processor)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    got: dict[int, list[set]] = {}
+
+    def sink(spans, batch_id):
+        got.setdefault(batch_id, []).append(
+            {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+             for r in spans.collect()})
+
+    index = str(tmp_path / "ss-crash")
+    proc = _near_dup_substring_processor(index, sink, "doc_id", "text", 12)
+    proc(b0, 0)
+    proc(b1, 1)
+    n_wins = spark.read.parquet(index + "/wins").count()
+    # simulate the crash window: roll the applied marker BACK to 0 so
+    # batch 1 redelivers with append=True while its delta is on disk
+    spark.createDataFrame([(0,)], "batch_id long").coalesce(1) \
+        .write.mode("overwrite").parquet(index + "/applied")
+    proc(b1, 1)
+    assert got[1][0] == got[1][1]          # identical spans re-emitted
+    assert spark.read.parquet(index + "/wins").count() == n_wins
+    assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
