@@ -168,3 +168,45 @@ def test_dsir_sample_gumbel_topk(spark):
     # rerun-stable
     assert [r["doc_id"] for r in
             sampling.dsir_sample(wts, "doc_id", k=2).collect()] == expect
+
+
+def test_mixture_fractional_weights_and_null_domain(spark):
+    """Review-fix pins: a weight in (0,1) scales the share instead of
+    silently zeroing the domain, and NULL-domain rows survive the
+    rates join as their own domain."""
+    rows = ([("a", i) for i in range(40)]
+            + [("b", i + 100) for i in range(40)]
+            + [(None, i + 200) for i in range(20)])
+    df = spark.createDataFrame(rows, "dom string, id long")
+    out = sampling.mixture_sample(
+        df, "id", "dom",
+        weight=lambda c: F.when(c == "a", 0.25).otherwise(F.lit(1.0)))
+    got = {r["id"]: (r["dom"], r["mix_rate_ppm"]) for r in out.collect()}
+    assert len(got) == 100                      # NULL-domain rows kept
+    rate_a = got[0][1]
+    rate_b = got[100][1]
+    assert 0 < rate_a < rate_b                  # 0.25 weight: smaller, not 0
+    # expected ratio sqrt(0.25*40)/sqrt(1*40) = 0.5 (same n per domain)
+    assert abs(rate_a / rate_b - 0.5) < 0.01
+    assert got[200][0] is None                  # null domain, own rate
+
+
+def test_cms_salt_rows_are_independent(spark):
+    """Review-fix pin: with string-concat salting, (row=1, '2x') and
+    (row=12, 'x') hashed identically once d > 10; the multi-column
+    hash must give them different buckets (for these specific values)."""
+    from amazon_kinesis_replay_spark.operators import sketches
+    df = spark.createDataFrame([("2x",), ("x",)], "v string")
+    cells = {(r["row"], r["bucket"]) for r in
+             sketches.cms_table(df, "v", w=1 << 20, d=13).collect()}
+    # reconstruct the two previously-colliding cells
+    by_row = {}
+    for row, bucket in cells:
+        by_row.setdefault(row, set()).add(bucket)
+    # '2x' at row 1 and 'x' at row 12 must occupy DISTINCT cells now:
+    # with the old concat they were guaranteed equal
+    probe = sketches.cms_lookup(
+        sketches.cms_table(df.filter(F.col("v") == "2x"), "v",
+                           w=1 << 20, d=13),
+        df.filter(F.col("v") == "x"), "v", w=1 << 20, d=13)
+    assert probe.head()["est_count"] == 0       # no cross-contamination
