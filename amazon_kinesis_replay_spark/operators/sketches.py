@@ -34,25 +34,13 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 
-def hll_register_table(df: DataFrame, col: str, p: int = 12) -> DataFrame:
-    """HLL register table for one column: (bucket, max_rho) with
-    2^p buckets. bucket = top p bits of xxhash64(value); rho = position
-    of the first 1-bit in the remaining 64-p bits (1-based; 64-p+1 when
-    they are all zero). One groupBy with map-side combine — the shuffle
-    carries at most 2^p rows per map task. Only OCCUPIED buckets are
-    materialized (absent rows mean rho 0 to the estimator)."""
-    if not 4 <= p <= 18:
-        raise ValueError(f"p must be in [4, 18], got {p}")
-    h = F.xxhash64(F.col(col))
+def _hll_bucket_rho(value_col: Column, p: int):
+    """(bucket, rho) column pair for one hashed value — shared by the
+    global and grouped register builders (see hll_register_table for
+    the bit-slicing rationale)."""
+    h = F.xxhash64(value_col)
     bucket = F.shiftrightunsigned(h, 64 - p)
     rest = F.shiftleft(h, p)      # low 64-p bits, left-aligned
-    # first 1-bit position in the left-aligned remainder: 63 - floor(
-    # log2(pattern)) + 1 computed via bit ops — use 64 - bit_length =
-    # number of leading zeros; Spark has no bit_length for longs, so
-    # count leading zeros by comparing against powers of two is O(64).
-    # Cheaper and exact: rho = 64 - floor(log2(unsigned rest)) ... log2
-    # on doubles is unsafe for exactness. Use a 4-ary search via
-    # CASE-free arithmetic: convert to binary string and find '1'.
     bits = F.lpad(F.conv(F.format_string("%d",
                                          F.shiftrightunsigned(rest, 1)),
                          10, 2), 64, "0")
@@ -64,9 +52,67 @@ def hll_register_table(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     # remainder yields instr=0, mapped to the spec's 64-p+1.
     rho = F.instr(bits, "1") - 1
     rho = F.when(rho == -1, F.lit(64 - p + 1)).otherwise(rho)
-    return (df.select(bucket.cast("long").alias("bucket"),
-                      rho.cast("int").alias("rho"))
+    return bucket.cast("long").alias("bucket"), rho.cast("int").alias("rho")
+
+
+def hll_register_table(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """HLL register table for one column: (bucket, max_rho) with
+    2^p buckets. bucket = top p bits of xxhash64(value); rho = position
+    of the first 1-bit in the remaining 64-p bits (1-based; 64-p+1 when
+    they are all zero). One groupBy with map-side combine — the shuffle
+    carries at most 2^p rows per map task. Only OCCUPIED buckets are
+    materialized (absent rows mean rho 0 to the estimator)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    bucket, rho = _hll_bucket_rho(F.col(col), p)
+    return (df.select(bucket, rho)
             .groupBy("bucket").agg(F.max("rho").alias("max_rho")))
+
+
+def hll_register_table_grouped(df: DataFrame, group_col: str, col: str,
+                               p: int = 12) -> DataFrame:
+    """Per-group HLL registers: (group, bucket, max_rho) — the
+    distinct-users-per-day shape. One groupBy with map-side combine;
+    at most 2^p rows per group survive. Merge tables for the same
+    groups with hll_merge_grouped; estimate with hll_estimate_grouped
+    (both stay DataFrames — nothing per-group touches the driver)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    bucket, rho = _hll_bucket_rho(F.col(col), p)
+    return (df.select(F.col(group_col), bucket, rho)
+            .groupBy(group_col, "bucket").agg(F.max("rho").alias("max_rho")))
+
+
+def hll_merge_grouped(group_col: str, *tables: DataFrame) -> DataFrame:
+    """Per-group max-union (associative, commutative, idempotent)."""
+    if not tables:
+        raise ValueError("hll_merge_grouped needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return (out.groupBy(group_col, "bucket")
+            .agg(F.max("max_rho").alias("max_rho")))
+
+
+def hll_estimate_grouped(regs: DataFrame, group_col: str,
+                         p: int = 12) -> DataFrame:
+    """Per-group estimates as a DataFrame (group, n_distinct_est):
+    the same alpha_m harmonic-mean + linear-counting estimator as
+    hll_estimate, expressed in columns so a million groups never
+    collect to the driver."""
+    m = 1 << p
+    alpha = (0.673 if p == 4 else 0.697 if p == 5 else 0.709 if p == 6
+             else 0.7213 / (1 + 1.079 / m))
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s"),
+        F.count("*").alias("__occ"))
+    zeros = F.lit(m) - F.col("__occ")
+    s = F.col("__s") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m))
+                                         / zeros.cast("double")))         .otherwise(raw)
+    return agg.select(group_col, est.alias("n_distinct_est"))
 
 
 def hll_merge(*tables: DataFrame) -> DataFrame:

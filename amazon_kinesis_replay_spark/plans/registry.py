@@ -523,16 +523,35 @@ def q_agg_events_by_type(spark, sf_dir):
     """Grouped aggregation over the event stream table (count / exact sum /
     manual avg / EXACT DISTINCT user count per event_type). countDistinct
     exercises the two-phase distinct-aggregate shuffle alongside the plain
-    aggregates (the former standalone count-distinct query was folded in;
-    approx_count_distinct is the sketch path at 100 TB — not
-    oracle-comparable, different HLL implementations)."""
+    aggregates (the former standalone count-distinct query was folded in).
+
+    r7c: the SKETCH path rides the same entry — Spark's own
+    approx_count_distinct is not oracle-comparable (different HLL
+    implementation per engine), but the repo's deterministic
+    xxhash64-based HLL (operators/sketches.py) IS: per-event_type
+    register tables summarized as exact-integer statistics (occupied
+    buckets, rho sum, bucket*rho checksum — the checksum pins the full
+    register table content), recomputed independently in pure Python
+    at oracle-build time via the Spark-matching xxh64 and embedded as
+    a literal VALUES table (the `_simhash_oracle` pattern). Estimator
+    floats stay out of the gate (libm); accuracy is unit-tested
+    against exact counts."""
+    from ..operators import sketches
     e = _events(spark, sf_dir)
     val = F.col("value").cast(_DEC_VALUE)
-    return e.groupBy("event_type").agg(
+    base = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(val).cast("double").alias("sum_value"),
         (F.sum(val).cast("double") / F.count("*")).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"))
+    regs = sketches.hll_register_table_grouped(
+        e.select("event_type", "user_id"), "event_type", "user_id", p=10)
+    hll = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("hll_occupied"),
+        F.sum("max_rho").cast("long").alias("hll_rho_sum"),
+        F.sum(F.col("bucket") * F.col("max_rho")).cast("long")
+        .alias("hll_checksum"))
+    return base.join(hll, "event_type")
 
 
 def q_top_users_by_value(spark, sf_dir):
@@ -552,6 +571,60 @@ _SQL_DISC_PRICE = ("(CAST(l_extendedprice AS DECIMAL(12,2)) * "
                    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))")
 _SQL_CHARGE = (f"({_SQL_DISC_PRICE} * "
                "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4))))")
+
+def _agg_events_hll_oracle() -> str:
+    """Data-dependent oracle for agg_events_by_type + the folded-in HLL
+    register statistics (r7c): the per-event_type register tables are
+    recomputed driver-only in pure Python over the Spark-matching
+    xxh64 (`functions/xxh.py` — the same kernel the simhash oracle
+    leans on) and their exact-integer summaries (occupied, rho sum,
+    bucket*rho checksum) are embedded as a literal VALUES table joined
+    onto the plain-SQL aggregates. Same SF-selection contract as
+    `_simhash_oracle` (SPARK_GRAFT_ORACLE_SF_DIR)."""
+    import os
+
+    import duckdb
+
+    from ..functions.xxh import xxh64_long
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT event_type, user_id FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    p = 10
+    regs: dict = {}
+    for et, uid in rows:
+        h = xxh64_long(int(uid)) & ((1 << 64) - 1)
+        bucket = h >> (64 - p)
+        rest = (h << p) & ((1 << 64) - 1)
+        rho = (65 - rest.bit_length()) if rest else (64 - p + 1)
+        key = (et, bucket)
+        if regs.get(key, 0) < rho:
+            regs[key] = rho
+    per: dict = {}
+    for (et, b), r in regs.items():
+        occ, rs, ck = per.get(et, (0, 0, 0))
+        per[et] = (occ + 1, rs + r, ck + b * r)
+    values = ",".join(
+        f"('{et}', CAST({occ} AS BIGINT), CAST({rs} AS BIGINT), "
+        f"CAST({ck} AS BIGINT))"
+        for et, (occ, rs, ck) in sorted(per.items()))
+    return f"""
+        WITH hll(event_type, hll_occupied, hll_rho_sum, hll_checksum)
+            AS (VALUES {values})
+        SELECT e.event_type, count(*) AS n,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                    AS DOUBLE) AS sum_value,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                    AS DOUBLE) / count(*) AS avg_value,
+               count(DISTINCT user_id) AS n_users,
+               any_value(h.hll_occupied) AS hll_occupied,
+               any_value(h.hll_rho_sum) AS hll_rho_sum,
+               any_value(h.hll_checksum) AS hll_checksum
+        FROM events e JOIN hll h ON e.event_type = h.event_type
+        GROUP BY e.event_type
+    """
+
 
 _ORACLES_TPCH = {
     "q1_pricing_summary": f"""
@@ -656,13 +729,7 @@ _ORACLES_TPCH = {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     """,
-    "agg_events_by_type": """
-        SELECT event_type, count(*) AS n,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value,
-               count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY event_type
-    """,
+    "agg_events_by_type": _agg_events_hll_oracle,   # callable: literal VALUES
     "top_users_by_value": """
         SELECT user_id,
                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,

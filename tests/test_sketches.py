@@ -74,3 +74,41 @@ def test_cms_overestimates_and_merges(spark, sf_dir):
     full = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == full
+
+
+def test_hll_grouped_registers_estimate_and_merge(spark, sf_dir):
+    """Per-group registers equal per-group recomputes of the global
+    builder; the column-expressed estimator tracks exact distincts;
+    grouped merge of batch tables equals the full table."""
+    p = 10
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = sketches.hll_register_table_grouped(ev, "event_type",
+                                               "user_id", p)
+    groups = [r["event_type"] for r in
+              ev.select("event_type").distinct().collect()]
+    for g in groups[:2]:
+        solo = {(r["bucket"], r["max_rho"]) for r in
+                sketches.hll_register_table(
+                    ev.filter(F.col("event_type") == g), "user_id", p)
+                .collect()}
+        sub = {(r["bucket"], r["max_rho"]) for r in
+               regs.filter(F.col("event_type") == g)
+               .select("bucket", "max_rho").collect()}
+        assert sub == solo
+    est = {r["event_type"]: r["n_distinct_est"] for r in
+           sketches.hll_estimate_grouped(regs, "event_type", p).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.1       # p=10: ~3.2% typical
+    b1 = ev.filter(F.col("user_id") % 2 == 0)
+    b2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = sketches.hll_merge_grouped(
+        "event_type",
+        sketches.hll_register_table_grouped(b1, "event_type", "user_id", p),
+        sketches.hll_register_table_grouped(b2, "event_type", "user_id", p))
+    full = {(r["event_type"], r["bucket"], r["max_rho"])
+            for r in regs.collect()}
+    assert {(r["event_type"], r["bucket"], r["max_rho"])
+            for r in merged.collect()} == full
