@@ -249,3 +249,55 @@ def test_assemble_sequences_has_no_unpartitioned_window(spark):
         if "Sort [" in line:
             assert ", false, 0" in line, f"global Sort in plan: {line}"
     assert "HashAggregate" in p
+
+
+def test_duplicate_spans_plan_has_no_cartesian(spark):
+    """Substring dedup must stay equi-join/aggregate shaped: no nested
+    loop, no cartesian, and the island merge windows per-doc (no
+    unpartitioned global window)."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_replay_spark.operators import dedup
+    from amazon_kinesis_replay_spark.tables import load
+    d = load(spark, SF, "documents")
+    spans = dedup.duplicate_spans(d, "doc_id", "text", window=12)
+    p = spans._jdf.queryExecution().executedPlan().toString()
+    # the returned frame is checkpointed; inspect the pre-checkpoint
+    # plan via a fresh (unexecuted) composition of the same stages
+    rows = (dedup.window_occurrences(d, "doc_id", "text", 12)
+            .withColumn("__h", F.xxhash64("win")))
+    occ = rows.join(rows.groupBy("__h").count()
+                    .filter("count > 1").select("__h"), "__h", "left_semi")
+    merged = dedup._merge_islands(occ, "doc_id", 12)
+    q = merged._jdf.queryExecution().executedPlan().toString()
+    for plan in (p, q):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in q
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", q):
+        assert "doc_id" in m.group(1)      # partitioned, never global
+
+
+def test_mixture_sample_broadcasts_rates_no_row_shuffle(spark):
+    """The rates table is metadata-scale: the corpus join must be a
+    broadcast hash join, never a sort-merge shuffle of data rows."""
+    from amazon_kinesis_replay_spark.operators import sampling
+    from amazon_kinesis_replay_spark.tables import load
+    d = load(spark, SF, "documents").select("doc_id", "source")
+    out = sampling.mixture_sample(d, "doc_id", "source")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hll_grouped_aggregate_is_partial(spark):
+    """The register build must map-side combine (partial_max before the
+    exchange) — the shuffle carries at most groups x 2^p rows."""
+    from amazon_kinesis_replay_spark.operators import sketches
+    from amazon_kinesis_replay_spark.tables import load
+    ev = load(spark, SF, "events").select("event_type", "user_id")
+    regs = sketches.hll_register_table_grouped(ev, "event_type",
+                                               "user_id", 10)
+    p = regs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in p
