@@ -26,7 +26,7 @@ the function).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Multiplier for the sampling hash — a different odd constant than the
@@ -79,8 +79,9 @@ def temperature_mixture_rates(df: DataFrame, domain_col: str,
     they remain available for production use.
 
     Scale shape: one map-side-combinable count per domain (the result
-    is domain-cardinality — metadata), one single-row total, broadcast
-    join back. The corpus is scanned once and never shuffled on rows.
+    is domain-cardinality — metadata), cross-domain totals via an
+    unpartitioned window over that tiny frame. The corpus is scanned
+    once and never shuffled on rows.
     """
     w = weight(F.col(domain_col)) if weight is not None else F.lit(1)
     # double, NOT long: a fractional weight (0.5, 2.9) must scale the
@@ -97,18 +98,25 @@ def temperature_mixture_rates(df: DataFrame, domain_col: str,
     else:
         s = F.pow(base, F.lit(1.0 / temperature))
     counts = counts.withColumn("__s", s)
-    tot = counts.agg(
-        F.sum(F.col("__s").cast("decimal(24,12)")).cast("double")
-        .alias("__stot"),
-        F.sum("n_docs").cast("double").alias("__ntot"))
+    # cross-domain totals as an UNPARTITIONED window over the counts
+    # frame — acceptable precisely because this frame is
+    # domain-cardinality (metadata), and it keeps a (harmless but
+    # plan-pin-tripping) broadcast-nested-loop totals join out of every
+    # composed query's physical plan. The decimal window-sum is the
+    # same exact order-independent total the agg form computed.
+    wall = Window.partitionBy()
+    counts = counts.withColumn(
+        "__stot",
+        F.sum(F.col("__s").cast("decimal(24,12)")).over(wall)
+        .cast("double")).withColumn(
+        "__ntot", F.sum("n_docs").over(wall).cast("double"))
     rate = F.least(
         F.lit(1.0),
         (F.lit(float(target_frac)) * F.col("__ntot"))
         * (F.col("__s") / F.col("__stot")) / F.col("n_docs").cast("double"))
-    return (counts.crossJoin(F.broadcast(tot))
-            .select(domain_col, "n_docs",
-                    F.floor(rate * F.lit(float(_PPM))).cast("long")
-                    .alias("rate_ppm")))
+    return counts.select(
+        domain_col, "n_docs",
+        F.floor(rate * F.lit(float(_PPM))).cast("long").alias("rate_ppm"))
 
 
 def mixture_sample(df: DataFrame, id_col: str, domain_col: str,
