@@ -1396,3 +1396,38 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
          .write.mode("overwrite").parquet(f"{path}/wins/part={name}"))
     rows.unpersist()
     return out
+
+
+def substring_index_compact(spark, path: str) -> None:
+    """Compact the sum-on-read window index: fold base + all delta
+    partitions into one summed part=base and drop the deltas. Run it
+    when delta directories accumulate (each adds a read-side union +
+    re-aggregation); cost is one scan of the index, never the corpus.
+
+    Swap is rename-ASIDE (the audited IVF pattern,
+    similarity.ivf_index_maybe_retrain): write the summed table to a
+    staging dir, move live wins/ to wins.old, rename staging in, delete
+    .old — a crash at any step leaves at least one COMPLETE index
+    generation on disk, and the aside rename's boolean is checked (an
+    ignored failure would nest the new generation inside the live dir
+    under Hadoop rename-into-existing semantics).
+    """
+    from .. import fsutil
+    summed = (spark.read.parquet(path + "/wins")
+              .groupBy("__h", "win").agg(F.sum("cnt").alias("cnt"))
+              .select("win", "cnt", "__h"))
+    staging = path + "/wins.compact"
+    fsutil.delete(spark, staging)                 # stale leftovers
+    summed.write.parquet(staging + "/part=base")
+    fsutil.delete(spark, path + "/wins.old")
+    if not fsutil.rename(spark, path + "/wins", path + "/wins.old"):
+        raise RuntimeError(
+            f"compact: could not move {path}/wins aside; live index "
+            "left untouched, staged compact retained at wins.compact")
+    if not fsutil.rename(spark, staging, path + "/wins"):
+        # restore the live generation before failing loudly
+        fsutil.rename(spark, path + "/wins.old", path + "/wins")
+        raise RuntimeError(
+            f"compact: staging rename failed; original index restored "
+            f"from {path}/wins.old")
+    fsutil.delete(spark, path + "/wins.old")

@@ -1917,3 +1917,35 @@ def test_duplicate_spans_incremental_matches_batch(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in inc3.collect()] == \
         [(999999, 0, n_tok, n_tok - W + 1)]
     dedup.clear_staging(spark, path)
+
+
+def test_substring_index_compact(spark, sf_dir, tmp_path):
+    """Compaction folds base + deltas into one partition with identical
+    summed counts; incremental answers are unchanged afterwards."""
+    W = 12
+    d = load(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 1)
+    b3 = d.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "subcompact")
+    dedup.substring_index_write(b1, path, window=W)
+    dedup.duplicate_spans_incremental(spark, b2, path, window=W).count()
+    before = {(r["__h"], r["win"]): r["cnt"] for r in
+              spark.read.parquet(path + "/wins")
+              .groupBy("__h", "win")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    dedup.substring_index_compact(spark, path)
+    after_parts = spark.read.parquet(path + "/wins") \
+        .select("part").distinct().collect()
+    assert [r["part"] for r in after_parts] == ["base"]
+    after = {(r["__h"], r["win"]): r["cnt"] for r in
+             spark.read.parquet(path + "/wins").collect()}
+    assert after == before
+    inc = dedup.duplicate_spans_incremental(spark, b3, path, window=W)
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in inc.collect()}
+    full = dedup.duplicate_spans(d, "doc_id", "text", window=W)
+    expect = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+              for r in full.collect() if r["doc_id"] % 3 == 2}
+    assert got == expect
+    dedup.clear_staging(spark, path)
