@@ -56,3 +56,13 @@ def has_committed_output(spark, path: str) -> bool:
         if not name.startswith(("_", ".")):
             return True
     return False
+
+
+def listdir(spark, path: str) -> list[str]:
+    """Names of the direct children of `path` (empty when absent) — on
+    the PATH's filesystem, like every helper here."""
+    fs, jpath = _fs(spark, path)
+    d = jpath(path)
+    if not fs.exists(d):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(d)]

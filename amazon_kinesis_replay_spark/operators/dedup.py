@@ -1183,7 +1183,8 @@ def window_occurrences(df: DataFrame, id_col: str, text_col: str,
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                    window: int = 12) -> DataFrame:
+                    window: int = 12,
+                    materialize: bool = True) -> DataFrame:
     """Maximal duplicated token spans per document: merge every
     fixed-width window whose exact text occurs more than once in the
     corpus (any doc, including the same one) into per-doc islands.
@@ -1221,20 +1222,28 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     """
     rows = window_occurrences(df, id_col, text_col, window)
     rows = rows.withColumn("__h", F.xxhash64("win"))
-    # Persist barrier: `rows` (a generator output) feeds both the
-    # candidate agg and the occurrence join — without it,
-    # InferFiltersFromGenerate pushes a size()>0 predicate containing
-    # the whole window-construction expression below the join input
-    # (the r6 contamination trap, CLAUDE.md).
-    rows = rows.persist()
+    if materialize:
+        # Persist barrier: `rows` (a generator output) feeds both the
+        # candidate agg and the occurrence join — without it,
+        # InferFiltersFromGenerate pushes a size()>0 predicate
+        # containing the whole window-construction expression below
+        # the join input (the r6 contamination trap, CLAUDE.md).
+        rows = rows.persist()
     cand_h = (rows.groupBy("__h").count()
               .filter(F.col("count") > 1).select("__h"))
     cand = rows.join(cand_h, "__h", "left_semi")
     win_cnt = (cand.groupBy("win").count()
                .filter(F.col("count") > 1).select("win"))
     occ = cand.join(win_cnt, "win", "left_semi")
+    out = _merge_islands(occ, id_col, window)
+    if not materialize:
+        # materialize=False returns the LAZY full composition — for
+        # plan inspection/tests only (a checkpointed frame's plan is
+        # just an RDD scan, which pins nothing — second review); an
+        # action on it re-pays the generate-feeds-join trap.
+        return out
     # eager localCheckpoint materializes before the barrier is released
-    out = _merge_islands(occ, id_col, window).localCheckpoint()
+    out = out.localCheckpoint()
     rows.unpersist()
     return out
 
@@ -1399,21 +1408,52 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
 
 
 def substring_index_compact(spark, path: str) -> None:
-    """Compact the sum-on-read window index: fold base + all delta
-    partitions into one summed part=base and drop the deltas. Run it
-    when delta directories accumulate (each adds a read-side union +
-    re-aggregation); cost is one scan of the index, never the corpus.
+    """Compact the sum-on-read window index: fold the committed
+    partitions into one summed part=base and drop the folded deltas.
+    Run it when delta directories accumulate (each adds a read-side
+    union + re-aggregation); cost is one scan of the index, never the
+    corpus.
 
-    Swap is rename-ASIDE (the audited IVF pattern,
-    similarity.ivf_index_maybe_retrain): write the summed table to a
-    staging dir, move live wins/ to wins.old, rename staging in, delete
-    .old — a crash at any step leaves at least one COMPLETE index
-    generation on disk, and the aside rename's boolean is checked (an
-    ignored failure would nest the new generation inside the live dir
-    under Hadoop rename-into-existing semantics).
+    Streaming-safety (second-review findings):
+    - IN-FLIGHT deltas are NEVER folded: with an `applied/` marker
+      present, any part=bN with N > the recorded batch_id is in the
+      crash window between its delta write and the marker — folding it
+      into base would defeat that batch's self-exclusion on redelivery
+      (unique windows flagged duplicated AND double-counted forever).
+      Such deltas are carried over verbatim.
+    - Deltas that land BETWEEN the compaction's snapshot and its swap
+      are recovered from wins.old before it is deleted (any child not
+      in the snapshot is renamed into the new generation), so a
+      concurrent writer loses nothing.
+    - The swap itself is the audited checked rename-ASIDE (IVF
+      pattern); the RESTORE rename in the failure path is checked too
+      — claiming "restored" after an ignored failed rename would leave
+      no live index while reporting success.
     """
     from .. import fsutil
-    summed = (spark.read.parquet(path + "/wins")
+    snapshot = set(fsutil.listdir(spark, path + "/wins"))
+    last = -1
+    try:
+        row = spark.read.parquet(path + "/applied").head()
+        last = int(row["batch_id"]) if row is not None else -1
+    except Exception:
+        pass
+    keep: set[str] = set()
+    fold: list[str] = []
+    for name in snapshot:
+        if name.startswith(("_", ".")):
+            continue
+        val = name.split("=", 1)[1] if "=" in name else name
+        if (val.startswith("b") and val[1:].isdigit()
+                and int(val[1:]) > last):
+            keep.add(name)                      # in-flight: carry over
+        else:
+            fold.append(name)
+    if not fold:
+        return
+    summed = (spark.read.parquet(
+                  *[f"{path}/wins/{n}" for n in fold])
+              .drop("part")
               .groupBy("__h", "win").agg(F.sum("cnt").alias("cnt"))
               .select("win", "cnt", "__h"))
     staging = path + "/wins.compact"
@@ -1425,9 +1465,19 @@ def substring_index_compact(spark, path: str) -> None:
             f"compact: could not move {path}/wins aside; live index "
             "left untouched, staged compact retained at wins.compact")
     if not fsutil.rename(spark, staging, path + "/wins"):
-        # restore the live generation before failing loudly
-        fsutil.rename(spark, path + "/wins.old", path + "/wins")
+        restored = fsutil.rename(spark, path + "/wins.old",
+                                 path + "/wins")
         raise RuntimeError(
-            f"compact: staging rename failed; original index restored "
-            f"from {path}/wins.old")
+            "compact: staging rename failed; original index "
+            + ("restored from" if restored else
+               "NOT restored — recover manually from")
+            + f" {path}/wins.old")
+    # carry over in-flight deltas and anything written since the
+    # snapshot, then drop the old generation
+    for name in fsutil.listdir(spark, path + "/wins.old"):
+        if name.startswith(("_", ".")):
+            continue
+        if name in keep or name not in snapshot:
+            fsutil.rename(spark, f"{path}/wins.old/{name}",
+                          f"{path}/wins/{name}")
     fsutil.delete(spark, path + "/wins.old")

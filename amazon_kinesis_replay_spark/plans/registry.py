@@ -544,8 +544,13 @@ def q_agg_events_by_type(spark, sf_dir):
         F.sum(val).cast("double").alias("sum_value"),
         (F.sum(val).cast("double") / F.count("*")).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"))
+    # NULL user_ids excluded to match countDistinct semantics (and the
+    # oracle recompute, where int(None) would raise) — latent-fixture
+    # guard, the current fixtures have none (second review)
     regs = sketches.hll_register_table_grouped(
-        e.select("event_type", "user_id"), "event_type", "user_id", p=10)
+        e.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull()),
+        "event_type", "user_id", p=10)
     hll = regs.groupBy("event_type").agg(
         F.count("*").cast("long").alias("hll_occupied"),
         F.sum("max_rho").cast("long").alias("hll_rho_sum"),
@@ -589,7 +594,8 @@ def _agg_events_hll_oracle() -> str:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                             "/root/testdata/sf0.01")
     rows = duckdb.sql(
-        f"SELECT event_type, user_id FROM '{sf_dir}/events.parquet'"
+        f"SELECT event_type, user_id FROM '{sf_dir}/events.parquet' "
+        "WHERE user_id IS NOT NULL"      # mirror of the Spark-side filter
     ).fetchall()
     p = 10
     regs: dict = {}
@@ -606,8 +612,10 @@ def _agg_events_hll_oracle() -> str:
         occ, rs, ck = per.get(et, (0, 0, 0))
         per[et] = (occ + 1, rs + r, ck + b * r)
     values = ",".join(
-        f"('{et}', CAST({occ} AS BIGINT), CAST({rs} AS BIGINT), "
-        f"CAST({ck} AS BIGINT))"
+        # single quotes doubled: an event_type like "o'brien" must not
+        # break the VALUES literal (second review)
+        f"""('{et.replace("'", "''")}', CAST({occ} AS BIGINT), """
+        f"CAST({rs} AS BIGINT), CAST({ck} AS BIGINT))"
         for et, (occ, rs, ck) in sorted(per.items()))
     return f"""
         WITH hll(event_type, hll_occupied, hll_rho_sum, hll_checksum)

@@ -1949,3 +1949,36 @@ def test_substring_index_compact(spark, sf_dir, tmp_path):
               for r in full.collect() if r["doc_id"] % 3 == 2}
     assert got == expect
     dedup.clear_staging(spark, path)
+
+
+def test_substring_compact_preserves_inflight_deltas(spark, sf_dir,
+                                                     tmp_path):
+    """A delta beyond the applied marker (the delta-write/marker crash
+    window) must NOT be folded — folding it would defeat that batch's
+    self-exclusion on redelivery. The carried-over delta plus the
+    compacted base must replay to exactly the original answer."""
+    W = 12
+    d = load(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 1)
+    path = str(tmp_path / "subinflight")
+    dedup.substring_index_write(b1, path, window=W)
+    # applied marker says batch 0 is recorded; b7 is IN-FLIGHT
+    spark.createDataFrame([(0,)], "batch_id long").coalesce(1) \
+        .write.mode("overwrite").parquet(path + "/applied")
+    inc = dedup.duplicate_spans_incremental(spark, b2, path, window=W,
+                                            delta_name="b7")
+    want = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in inc.collect()}
+    dedup.substring_index_compact(spark, path)
+    parts = {r["part"] for r in spark.read.parquet(path + "/wins")
+             .select("part").distinct().collect()}
+    assert parts == {"base", "b7"}       # in-flight delta carried over
+    # crash-window redelivery: append again under the same name —
+    # self-exclusion must still work against the compacted base
+    again = dedup.duplicate_spans_incremental(spark, b2, path, window=W,
+                                              delta_name="b7")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in again.collect()}
+    assert got == want
+    dedup.clear_staging(spark, path)
