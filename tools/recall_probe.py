@@ -142,6 +142,28 @@ def main():
               f"({hits}/{n_ret}), {dt:5.2f}s for {len(queries)} queries",
               flush=True)
 
+    # ---- SemDeDup epsilon sweep (dup mass / cluster-confinement cost) ----
+    from amazon_kinesis_replay_spark.operators import similarity
+    emb = load(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    asg = similarity.ivf_assign(
+        emb, centroids=similarity.kmeans_centroids(
+            emb, n_centroids=16, n_iters=2))
+    sizes = [r["c"] for r in asg.groupBy("centroid_id")
+             .agg(F.count("*").alias("c")).collect()]
+    pair_cost = sum(c * (c - 1) // 2 for c in sizes)
+    all_pairs = n_vec * (n_vec - 1) // 2
+    print(f"SemDeDup cluster confinement ({sf_dir}): "
+          f"max cluster share {max(sizes) / n_vec:.3f}, "
+          f"within-cluster pairs {pair_cost} "
+          f"({pair_cost / all_pairs:.3%} of all-pairs)", flush=True)
+    for eps in (0.3, 0.4, 0.5, 0.7):
+        sem = similarity.semantic_dedup(emb, threshold=eps,
+                                        n_centroids=16, n_iters=2)
+        n_dup = sem.filter("is_dup").count()
+        print(f"  eps={eps:.1f}: {n_dup}/{n_vec} marked duplicate "
+              f"({n_dup / n_vec:.1%})", flush=True)
+
     spark.stop()
 
 
