@@ -58,6 +58,33 @@ def has_committed_output(spark, path: str) -> bool:
     return False
 
 
+def write_text(spark, path: str, content: str) -> None:
+    """Create/overwrite a small text file at `path` (manifests, markers)
+    through the Hadoop FS API — correct on file://, hdfs://, s3a://."""
+    fs, jpath = _fs(spark, path)
+    out = fs.create(jpath(path), True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark, path: str):
+    """Contents of a small text file, or None when absent."""
+    fs, jpath = _fs(spark, path)
+    p = jpath(path)
+    if not fs.exists(p):
+        return None
+    ins = fs.open(p)
+    try:
+        jvm = spark._jvm
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        ins.close()
+
+
 def listdir(spark, path: str) -> list[str]:
     """Names of the direct children of `path` (empty when absent) — on
     the PATH's filesystem, like every helper here."""

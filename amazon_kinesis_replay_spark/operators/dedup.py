@@ -1378,6 +1378,7 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
     rows = window_occurrences(new_df, id_col, text_col, window)
     rows = rows.withColumn("__h", F.xxhash64("win"))
     rows = rows.persist()            # generate-feeds-join barrier
+    _heal_wins(spark, path)          # recover a crashed compaction first
     idx_raw = spark.read.parquet(path + "/wins")
     if delta_name is not None:
         # SELF-EXCLUSION: drop this batch's own delta partition from
@@ -1407,6 +1408,59 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
     return out
 
 
+#: Hidden (never scanned by Spark) manifest the compaction writes into the
+#: NEW generation listing the partitions it folded into part=base — the
+#: fact a crash-recovery needs to finish the carry-over without
+#: double-counting (r8 advice item).
+_FOLDED_MANIFEST = "_folded.txt"
+
+
+def _heal_wins(spark, path: str) -> None:
+    """Auto-heal the two `substring_index_compact` crash windows (r8
+    advice item — previously a crash between the wins->wins.old rename
+    and the staging->wins rename left NO live wins/, every incremental
+    read failed, and a compact re-run silently no-op'd on the empty
+    snapshot instead of recovering):
+
+    1. wins/ absent or empty, wins.old present: the rename-aside
+       happened but the staging swap did not — the complete previous
+       generation is wins.old; rename it back.
+    2. both present: the swap happened but the in-flight-delta
+       carry-over did not finish — finish it from the folded manifest
+       the compaction wrote into the new generation (children of
+       wins.old NOT in the manifest are unfolded deltas; move them in),
+       then drop wins.old. Without a manifest (pre-manifest state) the
+       split is unknowable, so the heal leaves wins.old untouched
+       rather than risk double-counting a folded delta.
+
+    Idempotent and cheap (directory listings + renames, no data reads);
+    called at compact entry and before every incremental index read.
+    """
+    from .. import fsutil
+    wins, old = path + "/wins", path + "/wins.old"
+    if not fsutil.exists(spark, old):
+        return
+    live = [n for n in fsutil.listdir(spark, wins)
+            if not n.startswith(("_", "."))]
+    if not live:
+        fsutil.delete(spark, wins)          # empty husk blocks the rename
+        if not fsutil.rename(spark, old, wins):
+            raise RuntimeError(
+                f"heal: could not restore {old} to {wins}; index "
+                "unavailable until manual recovery")
+        return
+    manifest = fsutil.read_text(spark, f"{wins}/{_FOLDED_MANIFEST}")
+    if manifest is None:
+        return                              # unknowable split — keep .old
+    folded = set(manifest.split())
+    for name in fsutil.listdir(spark, old):
+        if name.startswith(("_", ".")):
+            continue
+        if name not in folded and not fsutil.exists(spark, f"{wins}/{name}"):
+            fsutil.rename(spark, f"{old}/{name}", f"{wins}/{name}")
+    fsutil.delete(spark, old)
+
+
 def substring_index_compact(spark, path: str) -> None:
     """Compact the sum-on-read window index: fold the committed
     partitions into one summed part=base and drop the folded deltas.
@@ -1431,6 +1485,7 @@ def substring_index_compact(spark, path: str) -> None:
       no live index while reporting success.
     """
     from .. import fsutil
+    _heal_wins(spark, path)     # a prior crashed compact must be resolved
     snapshot = set(fsutil.listdir(spark, path + "/wins"))
     last = -1
     try:
@@ -1459,6 +1514,10 @@ def substring_index_compact(spark, path: str) -> None:
     staging = path + "/wins.compact"
     fsutil.delete(spark, staging)                 # stale leftovers
     summed.write.parquet(staging + "/part=base")
+    # per-generation folded manifest: the fact _heal_wins needs to finish
+    # a crashed carry-over without double-counting a folded delta
+    fsutil.write_text(spark, f"{staging}/{_FOLDED_MANIFEST}",
+                      "\n".join(sorted(fold)))
     fsutil.delete(spark, path + "/wins.old")
     if not fsutil.rename(spark, path + "/wins", path + "/wins.old"):
         raise RuntimeError(

@@ -44,8 +44,16 @@ _PPM = 1_000_000
 def hash_ppm(id_col: Column) -> Column:
     """Deterministic uniform-ish value in [0, 1e6) from an integer id —
     multiplicative hashing, the same family as the train/valid/test
-    split bucket. Pure column arithmetic, no RNG."""
-    return F.pmod(id_col.cast("long") * F.lit(_SAMPLE_MULT), F.lit(_PPM))
+    split bucket. Pure column arithmetic, no RNG.
+
+    Overflow-safe for the FULL long id range (r8 advice item): the
+    double-pmod identity (id*M) % 1e6 == ((id%1e6)*M) % 1e6 keeps the
+    product <= ~2.2e15 — the bare product throws an ANSI overflow for
+    ids >= ~4.1e9, exactly the id spaces a 100 TB corpus has. Values
+    are unchanged wherever the old form didn't overflow; the
+    doc_train_split oracle SQL mirrors the same rewrite."""
+    return F.pmod(F.pmod(id_col.cast("long"), F.lit(_PPM))
+                  * F.lit(_SAMPLE_MULT), F.lit(_PPM))
 
 
 def deterministic_sample(df: DataFrame, id_col: str,

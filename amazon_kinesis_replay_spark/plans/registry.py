@@ -535,28 +535,55 @@ def q_agg_events_by_type(spark, sf_dir):
     at oracle-build time via the Spark-matching xxh64 and embedded as
     a literal VALUES table (the `_simhash_oracle` pattern). Estimator
     floats stay out of the gate (libm); accuracy is unit-tested
-    against exact counts."""
-    from ..operators import sketches
-    e = _events(spark, sf_dir)
-    val = F.col("value").cast(_DEC_VALUE)
-    base = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(val).cast("double").alias("sum_value"),
-        (F.sum(val).cast("double") / F.count("*")).alias("avg_value"),
-        F.countDistinct("user_id").alias("n_users"))
-    # NULL user_ids excluded to match countDistinct semantics (and the
-    # oracle recompute, where int(None) would raise) — latent-fixture
-    # guard, the current fixtures have none (second review)
-    regs = sketches.hll_register_table_grouped(
-        e.select("event_type", "user_id")
-        .filter(F.col("user_id").isNotNull()),
-        "event_type", "user_id", p=10)
-    hll = regs.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("hll_occupied"),
-        F.sum("max_rho").cast("long").alias("hll_rho_sum"),
-        F.sum(F.col("bucket") * F.col("max_rho")).cast("long")
-        .alias("hll_checksum"))
-    return base.join(hll, "event_type")
+    against exact counts.
+
+    r8 (verdict task 2): SINGLE SCAN. The r7 shape read `events` twice
+    (base aggregate + HLL register path) and joined — a full second
+    table read at 100 TB. Now one linear three-level aggregation tree:
+
+      L1 groupBy(event_type, user_id)       — collapses duplicate users
+                                              (map-side combine does the
+                                              heavy lifting on the scan)
+      L2 groupBy(event_type, hll_bucket)    — max rho per register +
+                                              partial counts ride along
+      L3 groupBy(event_type)                — final counts + register
+                                              statistics
+
+    One FileScan, three drastically-reducing shuffles, no join, no
+    cache/checkpoint (plan-pinned in tests/test_plan_quality.py). The
+    countDistinct expansion the old plan paid is subsumed by L1 (the
+    pairs are already distinct). NULL user_ids ride the NULL-bucket
+    group so an event_type whose user_ids are ALL NULL keeps its
+    aggregate row with zeroed HLL stats — the r7 inner join dropped it
+    (r8 advice item; oracle mirrors via LEFT JOIN + COALESCE)."""
+    from ..operators.sketches import _hll_bucket_rho
+    e = _events(spark, sf_dir).select(
+        "event_type", "user_id",
+        F.col("value").cast(_DEC_VALUE).alias("val"))
+    l1 = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n1"), F.sum("val").alias("sv1"))
+    bucket, rho = _hll_bucket_rho(F.col("user_id"), p=10)
+    # xxhash64(NULL) degenerates to the seed — a NULL user_id must land
+    # in the NULL bucket (excluded from registers), not bucket(seed)
+    not_null = F.col("user_id").isNotNull()
+    l2 = (l1.select(
+        "event_type", "n1", "sv1",
+        F.when(not_null, bucket).alias("bucket"),
+        F.when(not_null, rho).alias("rho"),
+        not_null.cast("long").alias("u1"))
+        .groupBy("event_type", "bucket").agg(
+            F.sum("n1").alias("n2"), F.sum("sv1").alias("sv2"),
+            F.sum("u1").alias("users2"), F.max("rho").alias("max_rho")))
+    return l2.groupBy("event_type").agg(
+        F.sum("n2").alias("n"),
+        F.sum("sv2").cast("double").alias("sum_value"),
+        (F.sum("sv2").cast("double") / F.sum("n2")).alias("avg_value"),
+        F.sum("users2").alias("n_users"),
+        F.count("bucket").alias("hll_occupied"),
+        F.coalesce(F.sum("max_rho"), F.lit(0)).cast("long")
+        .alias("hll_rho_sum"),
+        F.coalesce(F.sum(F.col("bucket") * F.col("max_rho")), F.lit(0))
+        .cast("long").alias("hll_checksum"))
 
 
 def q_top_users_by_value(spark, sf_dir):
@@ -626,10 +653,13 @@ def _agg_events_hll_oracle() -> str:
                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
                     AS DOUBLE) / count(*) AS avg_value,
                count(DISTINCT user_id) AS n_users,
-               any_value(h.hll_occupied) AS hll_occupied,
-               any_value(h.hll_rho_sum) AS hll_rho_sum,
-               any_value(h.hll_checksum) AS hll_checksum
-        FROM events e JOIN hll h ON e.event_type = h.event_type
+               COALESCE(any_value(h.hll_occupied), CAST(0 AS BIGINT))
+                   AS hll_occupied,
+               COALESCE(any_value(h.hll_rho_sum), CAST(0 AS BIGINT))
+                   AS hll_rho_sum,
+               COALESCE(any_value(h.hll_checksum), CAST(0 AS BIGINT))
+                   AS hll_checksum
+        FROM events e LEFT JOIN hll h ON e.event_type = h.event_type
         GROUP BY e.event_type
     """
 
@@ -1167,7 +1197,12 @@ def q_doc_train_split(spark, sf_dir):
     cumsum (never a single-partition window)."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)).cast("long")
+    # double-pmod: (id*M) % 100 == ((id%100)*M) % 100 and the inner pmod
+    # keeps the product < 2.7e11 — the bare product overflows a long (ANSI
+    # exception) for ids >= ~3.5e9, a latent hazard on 100 TB id spaces
+    # (r8 advice item; oracle SQL mirrors the same rewrite)
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(100))
+                    * F.lit(2654435761), F.lit(100)).cast("long")
     split = d.select(
         "doc_id", bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "valid")
@@ -1405,9 +1440,12 @@ _ORACLES_TEXT["doc_train_split"] = """
         WITH corpus AS (SELECT doc_id, text FROM documents),
         sp AS (
             SELECT doc_id,
-                   CAST((doc_id * 2654435761) % 100 AS BIGINT) AS bucket,
-                   CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                        WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+                   CAST(((doc_id % 100) * 2654435761) % 100 AS BIGINT)
+                       AS bucket,
+                   CASE WHEN ((doc_id % 100) * 2654435761) % 100 < 80
+                            THEN 'train'
+                        WHEN ((doc_id % 100) * 2654435761) % 100 < 90
+                            THEN 'valid'
                         ELSE 'test' END AS split
             FROM documents),
         """ + _SHINGLE_SQL.replace("WITH toks", "toks", 1) + """,
@@ -1454,7 +1492,7 @@ _ORACLES_TEXT["doc_train_split"] = """
                    AS contaminated,
                p.pack_id,
                m.mix_rate_ppm,
-               (s.doc_id * 2246822519) % 1000000 < m.mix_rate_ppm
+               ((s.doc_id % 1000000) * 2246822519) % 1000000 < m.mix_rate_ppm
                    AS mix_kept
         FROM sp s LEFT JOIN hits h USING (doc_id)
         JOIN packs p USING (doc_id)

@@ -7,6 +7,23 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is measured with the noop sink (full computation, no driver
 collect), after a warm-up query so JVM/codegen startup isn't billed to the
 first entry.
+
+Methodology notes:
+
+- Each query's timer starts BEFORE `QUERIES[name].fn(...)` is invoked, so
+  any Spark jobs a query runs at construction time (eager localCheckpoint
+  barriers in `duplicate_spans` / `semantic_dedup`, k-means collect) are
+  billed to that query — build-time materialization cannot hide from the
+  bench (r8 advice item).
+- NOISE CALIBRATION (r8): this box is shared; co-tenant load inflated r7's
+  total 1.42x with zero plan changes and the acquittal took forensics. The
+  output now carries (a) `canary_sec` — min-of-N of a pinned single-threaded
+  pure-Python workload interleaved across the bench, (b) `steal_pct` /
+  `idle_pct` / `load1` — /proc/stat + loadavg sampled over the whole bench
+  window, and (c) `value_normalized` = value * (CANARY_REF_SEC /
+  canary_sec) — the one-division round-over-round comparison. CANARY_REF_SEC
+  is pinned to the quiet-box r8 measurement; a later round divides its own
+  canary by it to convert wall seconds into quiet-box-equivalent seconds.
 """
 
 from __future__ import annotations
@@ -15,6 +32,30 @@ import json
 import os
 import sys
 import time
+
+#: Pinned quiet-box canary time (r8, load1 ~1.5, steal <1%): min-of-4 of
+#: _canary() measured 0.227 s. Normalization divides this by the observed
+#: canary, so value_normalized is comparable ACROSS rounds on this box
+#: family regardless of co-tenant load.
+CANARY_REF_SEC = 0.227
+
+
+def _canary_once() -> float:
+    """Pinned single-threaded pure-Python workload (~0.23 s quiet): a
+    2M-iteration integer LCG. GIL-bound, allocation-free — its wall time
+    scales with exactly the CPU contention that inflates Spark's 32-way
+    barrier stages, which makes it a per-run noise meter."""
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+    assert acc == 129402725096896, "canary kernel drifted"
+    return time.monotonic() - t0
+
+
+def _proc_cpu_times() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,6 +89,16 @@ def main():
     spark = build_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # noise meters: canary samples interleave with the query sweeps (min
+    # sees the quietest window, same discipline as the query timings);
+    # /proc/stat deltas cover the WHOLE bench window so a mid-bench
+    # co-tenant burst shows up even if the canary's min dodges it.
+    canary_samples = [_canary_once()]
+    try:
+        cpu0 = _proc_cpu_times()
+    except OSError:
+        cpu0 = None
+
     # warm-up: JVM, codegen, parquet footer caches
     QUERIES["replay_watermarks"].fn(spark, sf_dir).collect()
 
@@ -70,6 +121,7 @@ def main():
             dt = time.monotonic() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+        canary_samples.append(_canary_once())
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     # Streaming-engine throughput: pace-free replay of the events table
@@ -154,12 +206,35 @@ def main():
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    # close the noise meters (one final canary + the whole-window steal)
+    canary_samples.append(_canary_once())
+    canary_sec = round(min(canary_samples), 4)
+    noise = {"canary_sec": canary_sec,
+             "canary_ref_sec": CANARY_REF_SEC,
+             "canary_samples": [round(c, 4) for c in canary_samples]}
+    try:
+        cpu1 = _proc_cpu_times()
+        if cpu0 is not None:
+            d = [b - a for a, b in zip(cpu0, cpu1)]
+            tot = sum(d) or 1
+            noise["steal_pct"] = round(100.0 * d[7] / tot, 2)
+            noise["idle_pct"] = round(100.0 * d[3] / tot, 2)
+        noise["load1"] = float(open("/proc/loadavg").read().split()[0])
+    except (OSError, IndexError, ValueError):
+        pass
+
+    total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
+        # quiet-box-equivalent total: one division makes r(N) vs r(N+1)
+        # comparable without forensics (r8 verdict task 1)
+        "value_normalized": round(total * CANARY_REF_SEC / canary_sec, 3),
         "unit": "sec",
         "queries": timings,
         "oracle_sec": oracle_timings,
+        **noise,
         "sf": sf_val,
     }))
 

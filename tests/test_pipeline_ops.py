@@ -1982,3 +1982,97 @@ def test_substring_compact_preserves_inflight_deltas(spark, sf_dir,
            for r in again.collect()}
     assert got == want
     dedup.clear_staging(spark, path)
+
+
+def test_substring_compact_crash_heal_rename_aside(spark, sf_dir,
+                                                   tmp_path):
+    """r8 advice item: a compact that crashes between the wins->wins.old
+    rename and the staging swap leaves NO live wins/. Both the
+    incremental read path and a compact re-run must auto-heal (rename
+    wins.old back) instead of failing / silently no-op'ing."""
+    from amazon_kinesis_replay_spark import fsutil
+    W = 12
+    d = load(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 1)
+    path = str(tmp_path / "subheal1")
+    dedup.substring_index_write(b1, path, window=W)
+    want_idx = {(r["__h"], r["win"]): r["cnt"] for r in
+                spark.read.parquet(path + "/wins")
+                .groupBy("__h", "win")
+                .agg(F.sum("cnt").alias("cnt")).collect()}
+    # simulate the crash window: wins moved aside, no staging swap
+    assert fsutil.rename(spark, path + "/wins", path + "/wins.old")
+    assert not fsutil.exists(spark, path + "/wins")
+    # the incremental read path heals and answers correctly
+    inc = dedup.duplicate_spans_incremental(spark, b2, path, window=W,
+                                            append=False)
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in inc.collect()}
+    full = dedup.duplicate_spans(d.filter(F.col("doc_id") % 3 != 2),
+                                 "doc_id", "text", window=W)
+    expect = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+              for r in full.collect() if r["doc_id"] % 3 == 1}
+    full.unpersist()
+    assert got == expect
+    assert not fsutil.exists(spark, path + "/wins.old")
+    after = {(r["__h"], r["win"]): r["cnt"] for r in
+             spark.read.parquet(path + "/wins")
+             .groupBy("__h", "win")
+             .agg(F.sum("cnt").alias("cnt")).collect()}
+    assert after == want_idx
+    dedup.clear_staging(spark, path)
+
+
+def test_substring_compact_crash_heal_carry_over(spark, sf_dir, tmp_path):
+    """r8 advice item, window 2: a crash AFTER the staging swap but
+    before the carry-over finished leaves wins (new gen + manifest) and
+    wins.old (folded parts + unfolded in-flight deltas). The heal must
+    move ONLY the unfolded deltas in (no double-count) and drop
+    wins.old; without a manifest it must leave everything untouched."""
+    from amazon_kinesis_replay_spark import fsutil
+    from amazon_kinesis_replay_spark.operators.dedup import (
+        _FOLDED_MANIFEST, _heal_wins)
+    W = 12
+    d = load(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 1)
+    path = str(tmp_path / "subheal2")
+    dedup.substring_index_write(b1, path, window=W)
+    spark.createDataFrame([(0,)], "batch_id long").coalesce(1) \
+        .write.mode("overwrite").parquet(path + "/applied")
+    dedup.duplicate_spans_incremental(
+        spark, b2, path, window=W, delta_name="b7").count()
+    before = {(r["__h"], r["win"]): r["cnt"] for r in
+              spark.read.parquet(path + "/wins")
+              .groupBy("__h", "win")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    # construct the mid-carry-over state by hand: compact folds ONLY
+    # part=base (b7 is in-flight), then "crashes" before moving b7
+    summed = (spark.read.parquet(path + "/wins/part=base")
+              .groupBy("__h", "win").agg(F.sum("cnt").alias("cnt"))
+              .select("win", "cnt", "__h"))
+    staging = path + "/wins.compact"
+    summed.write.parquet(staging + "/part=base")
+    fsutil.write_text(spark, f"{staging}/{_FOLDED_MANIFEST}", "part=base")
+    assert fsutil.rename(spark, path + "/wins", path + "/wins.old")
+    assert fsutil.rename(spark, staging, path + "/wins")
+    # heal finishes the carry-over: b7 moved, folded part NOT re-added
+    _heal_wins(spark, path)
+    assert not fsutil.exists(spark, path + "/wins.old")
+    parts = {r["part"] for r in spark.read.parquet(path + "/wins")
+             .select("part").distinct().collect()}
+    assert parts == {"base", "b7"}
+    after = {(r["__h"], r["win"]): r["cnt"] for r in
+             spark.read.parquet(path + "/wins")
+             .groupBy("__h", "win")
+             .agg(F.sum("cnt").alias("cnt")).collect()}
+    assert after == before
+    # manifest-absent ambiguity: heal must refuse to touch wins.old
+    (spark.read.parquet(path + "/wins/part=b7").drop("part")
+     .write.parquet(path + "/wins.old/part=b7"))   # creates parent dirs
+    fsutil.delete(spark, path + "/wins/part=b7")
+    fsutil.delete(spark, f"{path}/wins/{_FOLDED_MANIFEST}")
+    _heal_wins(spark, path)
+    assert fsutil.exists(spark, path + "/wins.old/part=b7")
+    dedup.clear_staging(spark, path)

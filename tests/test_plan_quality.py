@@ -192,6 +192,22 @@ def test_aggregates_are_partial(spark, name):
     assert p.count("HashAggregate") >= 2
 
 
+def test_agg_events_single_scan_no_join(spark):
+    """agg_events_by_type (r8, verdict task 2): the base aggregate and the
+    per-group HLL register statistics must derive from ONE scan of events
+    via the linear three-level aggregation tree — the r7 shape scanned the
+    table twice and joined (a full second table read at 100 TB)."""
+    p = _plan(spark, "agg_events_by_type")
+    assert p.count("FileScan parquet") == 1
+    assert "Join" not in p                       # no join of the two paths
+    assert "events.parquet" in p
+    # three shuffles, each level partial+final (drastic reduction per level)
+    assert p.count("Exchange hashpartitioning") == 3
+    # still column-pruned: only the three needed columns reach the scan
+    assert re.search(r"ReadSchema: [^\n]*user_id", p)
+    assert not re.search(r"ReadSchema: [^\n]*props", p)
+
+
 def test_q5_streams_lineitem_not_builds_it(spark):
     """Q5's fact table must be the streamed probe side: no hashtable is
     ever built over lineitem (the dimension-first join order let the

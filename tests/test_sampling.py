@@ -56,6 +56,21 @@ def test_mixture_sample_verdicts_exact(spark):
         assert kept == ((i * _M) % _PPM < ppm)
 
 
+def test_hash_ppm_large_ids_no_ansi_overflow(spark):
+    """r8 advice item: the bare id*mult product overflows a long (ANSI
+    exception) for ids >= ~4.1e9 — exactly a 100 TB corpus's id space.
+    The double-pmod form must (a) not raise for any long id and (b) equal
+    the true modular product (python bigint recompute)."""
+    ids = [0, 1, 4_100_000_000, 2**40 + 7, 2**62 + 12345,
+           9_223_372_036_854_775_807]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["ppm"] for r in
+           df.select("id", sampling.hash_ppm(F.col("id")).alias("ppm"))
+           .collect()}
+    for i in ids:
+        assert got[i] == (i * _M) % _PPM, i
+
+
 def test_deterministic_sample_is_stable(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     a = {r["doc_id"] for r in

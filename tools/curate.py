@@ -149,8 +149,9 @@ def main():
           flush=True)
 
     # 6: deterministic split + decontamination of eval against train
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) \
-        .cast("long")
+    # overflow-safe double-pmod (same identity as the registry split hash)
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(100))
+                    * F.lit(2654435761), F.lit(100)).cast("long")
     split = kept.withColumn(
         "split", F.when(bucket < 90, "train").otherwise("valid"))
     cont = dedup.cross_split_contamination(split, "doc_id", "text",
