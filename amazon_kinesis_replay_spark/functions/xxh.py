@@ -4,7 +4,8 @@ parameterized with Spark's default seed 42 so outputs match Spark SQL's
 ``xxhash64`` over string columns bit-for-bit.
 
 Purpose: the simhash oracle. The driver's DuckDB gate cannot express
-Spark's xxhash64, so ``simhash_dedup`` was a rows-only check; this module
+Spark's xxhash64 natively, so without this module ``simhash_dedup``
+could only be checked by row count, not by value; this module
 recomputes each document's simhash from scratch (own tokenizer, own hash,
 own bit-vote logic — sharing no code with the Spark operators), letting
 the oracle embed independently-derived simhashes as SQL literals and the

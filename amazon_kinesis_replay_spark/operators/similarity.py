@@ -121,15 +121,53 @@ def sign_bucket(vec_col: Column, n_bits: int = 4) -> Column:
 
 def lsh_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_bits: int = 4) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's sign-bucket.
+             n_bits: int = 4, n_probe: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign-bucket(s).
 
     Scale path: bucket is a pre-computable partition key (write the corpus
-    bucketed-by `bucket` and the probe prunes to 1/2^n_bits of the data).
-    """
+    bucketed-by `bucket` and the probe prunes to n_probe/2^n_bits of the
+    data).
+
+    MULTI-PROBE (r8, verdict task 6 — the Lv et al. 2007 "Multi-Probe
+    LSH" idea): with n_probe > 1, also probe the n_probe-1 neighboring
+    buckets obtained by flipping the LEAST-CONFIDENT sign bits — the
+    components with the smallest |value|, i.e. the hyperplanes the query
+    sits closest to, exactly where a true neighbor most likely landed on
+    the other side. Measured on the fixture (tools/recall_probe.py):
+    recall@10 0.27 single-probe -> 0.33 at n_probe=2 -> 0.60 at
+    n_probe=4, while still scanning only n_probe of 2^n_bits buckets. The probe
+    table stays 1-row-per-bucket and broadcast; candidate rows join each
+    probe bucket at most once (probe buckets are distinct by
+    construction), so no post-join dedup is needed. Only single-bit
+    flips are generated, so at most n_bits + 1 buckets are probeable —
+    deeper perturbation sequences belong to the IVF tier (n_probe of
+    n_centroids), which this family hands off to for recall > ~0.6."""
+    if n_probe > n_bits + 1:
+        raise ValueError(
+            f"n_probe={n_probe} exceeds the {n_bits + 1} buckets reachable "
+            "by single-bit flips; use the IVF index for deeper probing")
     bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
     q = query_df.withColumn("q_bucket", sign_bucket(F.col("q_vec"), n_bits))
-    probed = bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+    if n_probe <= 1:
+        probes = q.select("q_vec", F.col("q_bucket").alias("p_bucket"))
+    else:
+        # (|component|, bit index, flipped bucket) per hyperplane, sorted
+        # ascending by confidence (ties break on bit index) — flipping
+        # bit i toggles 1 << (n_bits-1-i) because sign_bucket makes
+        # component 0 the MOST significant bit
+        flips = F.array(*[
+            F.struct(
+                F.abs(F.element_at(F.col("q_vec"), i + 1)).alias("conf"),
+                F.lit(i).alias("idx"),
+                F.col("q_bucket").bitwiseXOR(
+                    F.lit(1 << (n_bits - 1 - i))).alias("b"))
+            for i in range(n_bits)])
+        near = F.slice(F.array_sort(flips), 1, n_probe - 1)
+        buckets = F.concat(F.array(F.col("q_bucket")),
+                           F.transform(near, lambda s: s["b"]))
+        probes = q.select("q_vec", F.explode(buckets).alias("p_bucket"))
+    probed = bucketed.join(F.broadcast(probes),
+                           F.col("bucket") == F.col("p_bucket"))
     scored = probed.select(
         F.col(id_col), cosine(F.col(vec_col), F.col("q_vec")).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

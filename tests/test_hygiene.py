@@ -1,0 +1,102 @@
+"""Lint-style hygiene pins (r8 verdict item 8): grep rules previous
+rounds enforced by hand, frozen as tests so drift cannot recur.
+
+Each rule encodes a 100 TB scale invariant:
+- `.collect()` / `.toPandas()` pull data onto the driver — allowed only
+  in files whose collects are bounded-small BY CONSTRUCTION (vocab-capped
+  BPE merges, dim-sized gradients, centroid/codebook tables, 1-row stat
+  frames), pinned as an explicit allowlist.
+- `crossJoin` is a cartesian product — every call site must broadcast a
+  provably tiny side (anchor row / query vector / salt range).
+- "rows-only" in package source is docstring drift: since r7 the whole
+  registry is hash-gated, so any new claim of a rows-only check is
+  either stale history or a regression being documented instead of
+  fixed.
+"""
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "amazon_kinesis_replay_spark"
+
+#: Files where driver-side collection is sanctioned because the collected
+#: frame is bounded-small by construction (NOT corpus-scale). Growing this
+#: list requires the same justification in the file's docstring.
+COLLECT_ALLOWED = {
+    "operators/classifier.py",   # dim-sized gradient vector per iteration
+    "operators/similarity.py",   # centroid / codebook / k-means tables
+    "operators/text.py",         # vocab-capped BPE merge aggregate
+}
+TOPANDAS_ALLOWED = {
+    "streaming/replay.py",       # 1-row anchor / per-partition stat frames
+}
+
+
+def _py_sources():
+    return sorted(PKG.rglob("*.py"))
+
+
+def _rel(p: Path) -> str:
+    return str(p.relative_to(PKG))
+
+
+def test_collect_only_in_allowlisted_files():
+    offenders = {}
+    for p in _py_sources():
+        hits = [i + 1 for i, line in enumerate(p.read_text().splitlines())
+                if ".collect()" in line]
+        if hits and _rel(p) not in COLLECT_ALLOWED:
+            offenders[_rel(p)] = hits
+    assert not offenders, (
+        f"driver-side .collect() outside the bounded-small allowlist: "
+        f"{offenders} — distribute the computation or justify + allowlist")
+
+
+def test_topandas_only_in_allowlisted_files():
+    offenders = {}
+    for p in _py_sources():
+        hits = [i + 1 for i, line in enumerate(p.read_text().splitlines())
+                if ".toPandas()" in line]
+        if hits and _rel(p) not in TOPANDAS_ALLOWED:
+            offenders[_rel(p)] = hits
+    assert not offenders, (
+        f".toPandas() outside the allowlist: {offenders}")
+
+
+def test_every_crossjoin_broadcasts_a_tiny_side():
+    """The 120 chars after each crossJoin( must contain F.broadcast —
+    a cartesian product is only acceptable against a provably tiny
+    broadcast side (1-row anchor, query vector, salt range)."""
+    offenders = []
+    for p in _py_sources():
+        src = p.read_text()
+        for m in re.finditer(r"\.crossJoin\(", src):
+            window = src[m.end():m.end() + 120]
+            if "broadcast" not in window:
+                line = src[:m.start()].count("\n") + 1
+                offenders.append(f"{_rel(p)}:{line}")
+    assert not offenders, (
+        f"crossJoin without a broadcast side: {offenders}")
+
+
+def test_no_rows_only_claims_in_package_source():
+    offenders = []
+    for p in _py_sources():
+        for i, line in enumerate(p.read_text().splitlines()):
+            if "rows-only" in line:
+                offenders.append(f"{_rel(p)}:{i + 1}")
+    assert not offenders, (
+        f"stale 'rows-only' claim in package source: {offenders} — the "
+        "registry has been fully hash-gated since r7; reword or fix")
+
+
+def test_no_row_at_a_time_python_udf():
+    """Python in the hot path must be Arrow-batched (pandas_udf /
+    mapInPandas / applyInPandas) — a row-at-a-time F.udf( call is the
+    10-100x slow path and must not reappear."""
+    offenders = []
+    for p in _py_sources():
+        for i, line in enumerate(p.read_text().splitlines()):
+            if re.search(r"\bF\.udf\(|\budf\(lambda", line):
+                offenders.append(f"{_rel(p)}:{i + 1}")
+    assert not offenders, f"row-at-a-time Python UDF: {offenders}"

@@ -1,6 +1,7 @@
 """Training-data pipeline operators: dedup recall, similarity, multimodal
 plumbing."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from amazon_kinesis_replay_spark.operators import (
@@ -254,6 +255,37 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q_vec"))
     approx = similarity.lsh_topk(emb, q, k=5, n_bits=4).collect()
     assert approx and approx[0]["vec_id"] == 7            # probe finds self
+
+
+def test_lsh_multiprobe_monotone_recall(spark, sf_dir):
+    """r8, multi-probe LSH: raising n_probe widens the candidate set
+    monotonically (each probe adds a distinct bucket), so recall@10 vs
+    brute force is non-decreasing in n_probe and the full-probe run
+    (n_probe = 2^n_bits) IS brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 7, 100]
+    recalls = {}
+    for n_probe in (1, 2, 4):
+        hits = 0
+        for qid in qids:
+            q = emb.filter(F.col("vec_id") == qid) \
+                .select(F.col("embedding").alias("q_vec"))
+            exact = {r["vec_id"] for r in
+                     similarity.brute_force_topk(emb, q, k=10).collect()}
+            got = {r["vec_id"] for r in
+                   similarity.lsh_topk(emb, q, k=10, n_bits=4,
+                                       n_probe=n_probe).collect()}
+            assert qid in got                 # self survives every probing
+            hits += len(exact & got)
+        recalls[n_probe] = hits / (10 * len(qids))
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[2] > recalls[1], recalls   # the extra bucket must help
+    # single-bit flips reach at most n_bits+1 buckets: deeper probing
+    # must be refused loudly (the IVF tier owns that regime)
+    q = emb.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("q_vec"))
+    with pytest.raises(ValueError, match="IVF"):
+        similarity.lsh_topk(emb, q, k=10, n_bits=4, n_probe=16)
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):

@@ -205,3 +205,103 @@ def test_stats_windows(spark, stream_fixture, tmp_path):
     # counts conserve events modulo the still-open last window
     recorded = sum(n for _, n, _ in engine.stats.window_counts)
     assert recorded <= engine.stats.total_events == n_events
+
+
+def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
+    """r8 verdict task 5: QUANTIFY the engine's #1 documented deviation —
+    pacing per partition-chunk instead of per event (reference:
+    RePlayer.java:136-140 sleeps before every single send). Replays the
+    full events fixture in partitioned mode at a speedup that paces the
+    whole span into ~5 s and measures per-record |emit_wall - target|
+    against the engine's own affine schedule (anchor + offset/speedup):
+
+    - NO record is ever emitted EARLY (the sleep loop runs before the
+      sink hand-off) — early emission would be a correctness bug, not a
+      granularity artifact.
+    - STEADY-STATE lateness (records due >=0.3 s after their sender
+      started, excluding the one-time micro-batch launch latency) is
+      bounded by the sink-buffer window: with max_records_per_request=25
+      at ~50 rec/s/sender the buffer spans ~0.5 s; measured on this
+      fixture p50~0.25 s / p99~0.6 s across repeated runs. Pinned at 3x
+      / 2x margins for co-tenant noise.
+
+    The one-time launch latency (~0.3-1.3 s warm) is Spark's micro-batch
+    scheduling floor — reported in docs/DEVIATIONS.md, not asserted, as
+    it is environment- not plan-determined."""
+    import datetime as dt
+    import glob
+    import json as js
+    import os
+    import time
+
+    events = load(spark, sf_dir, "events").select(
+        F.col("props").alias("payload"), "ts")
+    row = events.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")) \
+        .collect()[0]
+    span_s = (row["mx"] - row["mn"]).total_seconds()
+    anchor = row["mn"]
+    speedup = span_s / 5.0
+    rec_dir = str(tmp_path / "pace-rec")
+    os.makedirs(rec_dir, exist_ok=True)
+
+    class RecordingSink:
+        """Executor-side sink that journals (ts, emit wall clock) to a
+        per-instance NDJSON file the driver can aggregate."""
+        def __init__(self):
+            self.f = open(os.path.join(
+                rec_dir, f"{os.getpid()}-{id(self)}.jsonl"), "a")
+
+        def put_records(self, records):
+            w = time.time()
+            for r in records:
+                self.f.write(js.dumps(
+                    {"ts": r["ts"], "wall": w, "k": id(self)}) + "\n")
+            self.f.flush()
+            return []
+
+    # warm the Python workers so the measured run's launch latency is the
+    # steady micro-batch floor, not one-time worker startup
+    warm = ReplayEngine(ReplayConfig(speedup_factor=1e12, sender_threads=4),
+                        RecordingSink, mode="partitioned")
+    warm.process_batch(events, 0)
+    for fp in glob.glob(rec_dir + "/*.jsonl"):
+        os.unlink(fp)
+
+    cfg = ReplayConfig(speedup_factor=speedup, sender_threads=4,
+                       max_records_per_request=25,
+                       anchor_ts=anchor.isoformat())
+    engine = ReplayEngine(cfg, RecordingSink, mode="partitioned")
+    t0 = time.time()
+    engine.process_batch(events, 0)
+
+    by_sender: dict = {}
+    for fp in glob.glob(rec_dir + "/*.jsonl"):
+        for line in open(fp):
+            d = js.loads(line)
+            ts = dt.datetime.fromisoformat(d["ts"])
+            off = (ts - anchor).total_seconds() / speedup
+            by_sender.setdefault(d["k"], []).append(
+                (off, d["wall"] - t0))
+    n_total = sum(len(v) for v in by_sender.values())
+    assert n_total == engine.stats.total_events > 0
+
+    all_dev, steady = [], []
+    for lst in by_sender.values():
+        lst.sort()
+        launch = lst[0][1] - lst[0][0]      # first-due record's lateness
+        for off, wall_rel in lst:
+            dev = wall_rel - off
+            all_dev.append(dev)
+            if off >= launch + 0.3:
+                steady.append(dev)
+    all_dev.sort()
+    steady.sort()
+    # never early (clock-skew epsilon only)
+    assert all_dev[0] >= -0.05, f"record emitted early: {all_dev[0]:.3f}s"
+    # warm launch must leave a measurable steady-state population
+    assert len(steady) >= n_total // 5, (
+        f"launch latency ate the span: {len(steady)}/{n_total} steady")
+    p50 = steady[len(steady) // 2]
+    p99 = steady[min(len(steady) - 1, int(len(steady) * 0.99))]
+    assert p50 <= 0.75, f"steady-state p50 lateness {p50:.3f}s"
+    assert p99 <= 1.2, f"steady-state p99 lateness {p99:.3f}s"

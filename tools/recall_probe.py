@@ -122,6 +122,10 @@ def main():
 
     variants = {
         "lsh(4bit)": lambda qdf: S.lsh_topk(full, qdf, k=10),
+        # multi-probe (r8): +1 / +3 least-confident-bit neighbor buckets —
+        # recall at 2x / 4x the scanned fraction, still bucket-pruned
+        "lsh(4bit,p2)": lambda qdf: S.lsh_topk(full, qdf, k=10, n_probe=2),
+        "lsh(4bit,p4)": lambda qdf: S.lsh_topk(full, qdf, k=10, n_probe=4),
         "ivf(8c,2p)": lambda qdf: S.ivf_topk(full, qdf, k=10, n_centroids=8,
                                              n_probe=2, centroids=cents),
         "pq(8x16,r4)": lambda qdf: S.pq_topk(full, qdf, k=10, codebooks=cb,

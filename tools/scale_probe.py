@@ -17,6 +17,19 @@ near-linear curve is the evidence the plans have no quadratic term:
 - substring      : window-hash candidate groupBy -> string confirm on
                    >1-count survivors -> per-doc island merge (vs a
                    corpus-wide suffix sort or all-pairs span compare)
+- semdedup       : k-means clusters confine the pairwise term; centroids
+                   scale WITH the corpus (the 100 TB contract in
+                   operators/similarity.semantic_dedup) so per-cluster
+                   membership — and with it the quadratic — stays bounded
+- mixture_dsir   : domain-count groupBy + broadcast rate join, then the
+                   DSIR LM join shape + Gumbel-top-k (vs any per-domain
+                   driver loop or corpus-scale weight sort)
+- classifier     : per-iteration cost is one margin join + one gradient
+                   aggregate over the corpus — linear per iteration,
+                   driver traffic stays dim-sized
+- sketches       : grouped-HLL register build + Count-Min counters —
+                   map-side-combinable groupBys whose outputs are
+                   SKETCH-sized, not data-sized
 
 Usage: python tools/scale_probe.py [sf_dir]
 
@@ -94,8 +107,10 @@ def main():
     from pyspark.sql import functions as F
 
     from amazon_kinesis_replay_spark import export
-    from amazon_kinesis_replay_spark.operators import dedup, text
+    from amazon_kinesis_replay_spark.operators import (
+        classifier, dedup, sampling, similarity, sketches, text)
     from amazon_kinesis_replay_spark.session import build_spark
+    from amazon_kinesis_replay_spark.tables import load
 
     spark = build_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,6 +118,8 @@ def main():
         .select("doc_id", "text")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
+    events = load(spark, sf_dir, "events") \
+        .select("event_type", "user_id")
 
     families: dict[str, dict] = {}
 
@@ -165,8 +182,62 @@ def main():
         spans.unpersist()
         return f"{n} docs -> {m} spans"
 
+    def run_semdedup(mult):
+        corpus = _expand_emb(emb, mult)
+        n = corpus.count()
+        # centroids scale WITH the corpus — the operator's own 100 TB
+        # contract (bounded per-cluster membership bounds the quadratic);
+        # a fixed centroid count would measure the quadratic instead
+        out = similarity.semantic_dedup(corpus, threshold=0.4,
+                                        n_centroids=16 * mult)
+        dups = out.filter("is_dup").count()
+        return f"{n} vecs -> {dups} dups ({16 * mult} centroids)"
+
+    def run_mixture_dsir(mult):
+        corpus = _expand_docs(docs, mult).withColumn(
+            "dom", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
+        n = corpus.count()
+        kept = (sampling.mixture_sample(corpus, "doc_id", "dom")
+                .filter("mix_kept").count())
+        target_lm = text.ngram_lm_counts(corpus.filter("dom = '0'"),
+                                         "text", n=2)
+        raw_lm = text.ngram_lm_counts(corpus, "text", n=2)
+        w = sampling.dsir_log_weights(corpus, "doc_id", "text",
+                                      target_lm, raw_lm, n=2)
+        sampled = sampling.dsir_sample(w, "doc_id",
+                                       k=max(50, n // 10)).count()
+        return f"{n} docs -> {kept} mixture-kept, {sampled} DSIR-sampled"
+
+    def run_classifier(mult):
+        corpus = _expand_docs(docs, mult).withColumn(
+            "label", F.pmod(F.col("doc_id"), F.lit(2)).cast("int"))
+        n = corpus.count()
+        weights = classifier.logreg_train(corpus, "doc_id", "text",
+                                          "label", dim=256, n_iters=5)
+        return f"{n} docs -> {len(weights)} weights (5 iters)"
+
+    def run_sketches(mult):
+        parts = [events]
+        for i in range(1, mult):
+            parts.append(events.select(
+                "event_type",
+                (F.col("user_id") + 1_000_000_000 * i).alias("user_id")))
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        n = corpus.count()
+        regs = (sketches.hll_register_table_grouped(
+            corpus.filter(F.col("user_id").isNotNull()),
+            "event_type", "user_id", p=12).count())
+        cells = sketches.cms_table(corpus, "user_id").count()
+        return f"{n} events -> {regs} HLL registers, {cells} CMS cells"
+
     _probe("minhash", run_minhash, families)
     _probe("substring", run_substring, families)
+    _probe("semdedup", run_semdedup, families)
+    _probe("mixture_dsir", run_mixture_dsir, families)
+    _probe("classifier", run_classifier, families)
+    _probe("sketches", run_sketches, families)
     _probe("contamination", run_contamination, families)
     _probe("embedding_dedup", run_embedding, families)
     _probe("packing", run_packing, families)
