@@ -208,6 +208,51 @@ def test_agg_events_single_scan_no_join(spark):
     assert not re.search(r"ReadSchema: [^\n]*props", p)
 
 
+def test_perf_weak_ratio_ceilings(spark):
+    """r8 verdict task 7: the two perf-weak entries are PERMANENTLY
+    CLOSED as stable engine constants (docs/ROADMAP.md cites the two
+    measured lever rejections each). This guard pins their Spark/DuckDB
+    ratio at ~2.5x the confirmed constant so a future PLAN regression
+    (lost broadcast, new shuffle, HOF replaced by per-row Python) trips
+    it — while co-tenant load, which inflates both engines together,
+    does not. Measured quiet-box constants: embedding 10.3x, split 4.0x.
+    AT SF0.1 — the constants are SF-specific (at smaller SFs Spark's
+    fixed stage cost over a near-zero DuckDB denominator makes the ratio
+    meaningless), so this test pins the bench SF.
+    """
+    import time
+
+    import duckdb
+
+    from amazon_kinesis_replay_spark.plans import QUERIES
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ceilings = {"dedup_embedding_cosine": 26.0, "doc_train_split": 10.0}
+    for name, ceiling in ceilings.items():
+        fn, oracle = QUERIES[name].fn, QUERIES[name].oracle
+        if callable(oracle):
+            oracle = oracle()
+        best_s = best_o = None
+        for _ in range(3):              # min-of-3, interleaved per query
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best_s = dt if best_s is None else min(best_s, dt)
+            t0 = time.monotonic()
+            con.execute(oracle).fetchall()
+            dt = time.monotonic() - t0
+            best_o = dt if best_o is None else min(best_o, dt)
+        ratio = best_s / max(best_o, 1e-6)
+        assert ratio <= ceiling, (
+            f"{name}: Spark/DuckDB ratio {ratio:.1f} exceeds the pinned "
+            f"ceiling {ceiling} — a plan regression, not noise (both "
+            "engines inflate together under load)")
+
+
 def test_q5_streams_lineitem_not_builds_it(spark):
     """Q5's fact table must be the streamed probe side: no hashtable is
     ever built over lineitem (the dimension-first join order let the
