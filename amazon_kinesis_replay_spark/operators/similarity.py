@@ -517,13 +517,21 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
         vec_col=vec_col, exact=exact)
     asg = ivf_assign(emb, n_centroids=n_centroids, id_col=id_col,
                      vec_col=vec_col, centroids=cents, exact=exact)
+    return _mark_semantic_dups(asg, threshold,
+                               cosine if exact else _fast_cosine)
+
+
+def _mark_semantic_dups(asg: DataFrame, threshold: float,
+                        scorer) -> DataFrame:
+    """Min-id-wins duplicate marking over an (id, vec, centroid_id)
+    assignment: is_dup iff some lower-id vector in the SAME cluster has
+    cosine >= threshold. Shared by the flat and two-level SemDeDup."""
     # The assignment feeds THREE plan branches (both self-join sides +
     # the output base); without a materialization each action would
-    # re-run the broadcast-centroid scan and per-id window three times
-    # (review finding). localCheckpoint needs no caller-side unpersist
-    # — the ContextCleaner reclaims it once unreferenced.
+    # re-run the assignment (broadcast-centroid scan + per-id window)
+    # three times (review finding). localCheckpoint needs no caller-side
+    # unpersist — the ContextCleaner reclaims it once unreferenced.
     asg = asg.localCheckpoint()
-    scorer = cosine if exact else _fast_cosine
     a = asg.select(F.col("centroid_id"), F.col("id").alias("id_a"),
                    F.col("vec").alias("va"))
     b = asg.select(F.col("centroid_id"), F.col("id").alias("id_b"),
@@ -535,6 +543,139 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
     return (asg.join(dup_ids.withColumn("__d", F.lit(True)), "id", "left")
             .select("id", "centroid_id",
                     F.coalesce("__d", F.lit(False)).alias("is_dup")))
+
+
+def kmeans_centroids_two_level(emb: DataFrame, n_coarse: int = 8,
+                               n_fine: int = 8, n_iters: int = 2,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               train_mod: int | None = None) -> DataFrame:
+    """Hierarchical (two-level) k-means: n_coarse top-level centroids,
+    then n_fine centroids per coarse cell — n_coarse*n_fine leaf cells
+    total, trained at O(n*(n_coarse + n_fine)) assignment cost instead
+    of flat Lloyd's O(n * k). This is the 100 TB SemDeDup shape the r8
+    scale probe motivated (flat training with k ∝ corpus bent the curve
+    to O(n²); see docs/SCALE.md): with n_coarse ≈ n_fine ≈ √k, every
+    scan compares each vector against √k candidates, so doubling BOTH
+    levels quadruples the leaf count for 2× the per-vector work.
+
+    train_mod hash-samples the TRAINING corpus (keep ids with
+    id % train_mod == 0; deterministic, rerun-stable) — the standard
+    big-data k-means practice: centroid quality needs a representative
+    sample, not every row; assignment still covers the full corpus.
+
+    Per fine iteration: the fine-centroid table (n_coarse*n_fine rows)
+    is broadcast and joined ON coarse_id — each vector scores only its
+    own cell's n_fine candidates (never the full k). Centroid updates
+    are the same per-dimension mean aggregates as flat Lloyd; only the
+    (k-sized) centroid table is ever collected.
+
+    Returns (fine, coarse): fine = (coarse_id, fine_id, centroid_id,
+    c_vec) with centroid_id = coarse_id * n_fine + fine_id (the
+    leaf-cell id), coarse = the (centroid_id, c_vec) top level. A coarse
+    cell that captured no training members (possible under train_mod)
+    falls back to the coarse centroid itself as its single fine
+    centroid, so full-corpus assignment can never drop a vector.
+    """
+    from pyspark.sql import Window
+    spark = emb.sparkSession
+    train = emb
+    if train_mod is not None and train_mod > 1:
+        train = emb.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
+    coarse = kmeans_centroids(train, n_centroids=n_coarse,
+                              n_iters=n_iters, id_col=id_col,
+                              vec_col=vec_col)
+    asg1 = ivf_assign(train, id_col=id_col, vec_col=vec_col,
+                      centroids=coarse) \
+        .select("id", "vec", F.col("centroid_id").alias("coarse_id"))
+    # training scans the sample 2*n_iters+1 times — cut the lineage once
+    asg1 = asg1.localCheckpoint()
+    # deterministic seeds: first n_fine member vectors per coarse cell
+    wseed = Window.partitionBy("coarse_id").orderBy(F.col("id").asc())
+    fine = (asg1.withColumn("rn", F.row_number().over(wseed))
+            .filter(F.col("rn") <= n_fine)
+            .select("coarse_id", (F.col("rn") - 1).alias("fine_id"),
+                    F.col("vec").alias("c_vec")))
+    for _ in range(n_iters):
+        scored = (asg1.join(F.broadcast(fine), "coarse_id")
+                  .select("coarse_id", "id", "vec", "fine_id",
+                          _fast_cosine(F.col("vec"),
+                                       F.col("c_vec")).alias("sim")))
+        w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
+                                             F.col("fine_id").asc())
+        assigned = (scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1))
+        dims = assigned.select(
+            "coarse_id", "fine_id", F.posexplode("vec").alias("pos", "x"))
+        means = dims.groupBy("coarse_id", "fine_id", "pos") \
+            .agg(F.avg("x").alias("m"))
+        new_fine = (means.groupBy("coarse_id", "fine_id")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                         .alias("pm"))
+                    .select("coarse_id", "fine_id",
+                            F.transform("pm", lambda s: s["m"]
+                                        .cast("float")).alias("c_vec")))
+        # materialize the (k-sized) table per iteration — same contract
+        # as flat kmeans_centroids (lazy chaining re-executes history)
+        fine = spark.createDataFrame(new_fine.collect(), new_fine.schema)
+    # empty-cell fallback: a coarse cell with no training members gets
+    # its coarse centroid as fine_id 0, so assignment covers every cell
+    missing = coarse.join(
+        fine.select(F.col("coarse_id").alias("centroid_id")).distinct(),
+        "centroid_id", "left_anti")
+    fallback = missing.select(
+        F.col("centroid_id").alias("coarse_id"),
+        F.lit(0).alias("fine_id"),
+        F.transform("c_vec", lambda x: x.cast("float")).alias("c_vec"))
+    fine = fine.unionByName(fallback)
+    return (fine.withColumn(
+        "centroid_id",
+        (F.col("coarse_id") * n_fine + F.col("fine_id")).cast("int"))
+        .select("coarse_id", "fine_id", "centroid_id", "c_vec"), coarse)
+
+
+def ivf_assign_two_level(emb: DataFrame, coarse: DataFrame,
+                         fine: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its leaf cell through the hierarchy:
+    nearest coarse centroid (broadcast scan over n_coarse), then nearest
+    fine centroid WITHIN that cell (broadcast join on coarse_id over
+    n_fine candidates). Output: (id, vec, centroid_id) — the same
+    contract as flat ivf_assign, at O(n_coarse + n_fine) comparisons
+    per vector."""
+    from pyspark.sql import Window
+    asg1 = ivf_assign(emb, id_col=id_col, vec_col=vec_col,
+                      centroids=coarse) \
+        .select("id", "vec", F.col("centroid_id").alias("coarse_id"))
+    scored = (asg1.join(F.broadcast(fine), "coarse_id")
+              .select("id", "vec", "centroid_id",
+                      _fast_cosine(F.col("vec"),
+                                   F.col("c_vec")).alias("sim")))
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
+                                         F.col("centroid_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("id", "vec", "centroid_id"))
+
+
+def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.4,
+                             n_coarse: int = 8, n_fine: int = 8,
+                             n_iters: int = 2, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             train_mod: int | None = None) -> DataFrame:
+    """SemDeDup over hierarchical leaf cells — the 100 TB variant: same
+    min-id-wins duplicate semantics as `semantic_dedup`, but clustering
+    cost is O(n·√k) instead of O(n·k) when k grows ∝ corpus (flat
+    training measured O(n²) in the r8 scale probe; the two-level probe
+    family measures this fix). Not oracle-gated (the flat exact-mode
+    entry carries the hash gate); behavior is pinned by tests: full
+    assignment coverage, within-cell confinement, and pure-python
+    recomputation of the dup set from the produced assignment."""
+    fine, coarse = kmeans_centroids_two_level(
+        emb, n_coarse=n_coarse, n_fine=n_fine, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, train_mod=train_mod)
+    asg = ivf_assign_two_level(emb, coarse, fine, id_col=id_col,
+                               vec_col=vec_col)
+    return _mark_semantic_dups(asg, threshold, _fast_cosine)
 
 
 # --------------------------------------------------------------------------

@@ -1920,6 +1920,50 @@ def test_semantic_dedup_crafted(spark):
     assert out == {0: False, 1: False, 2: True, 3: False, 4: True}
 
 
+def test_semantic_dedup_two_level_matches_definition(spark, sf_dir):
+    """r8, two-level SemDeDup (the O(n·√k) scale variant): full-corpus
+    assignment coverage, and the dup set matches a pure-python
+    recomputation of the min-id-wins definition over the PRODUCED leaf
+    assignment — the semantics are centroid-set-independent given the
+    assignment, so this checks everything downstream of clustering."""
+    import math
+    from collections import defaultdict
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = similarity.semantic_dedup_two_level(
+        emb, threshold=0.4, n_coarse=4, n_fine=4, n_iters=2).collect()
+    assert len(rows) == n                       # nothing dropped
+    assert len({r["centroid_id"] for r in rows}) > 4   # real leaf split
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r["centroid_id"]].append(r["id"])
+    expect = set()
+    for ids in cells.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            if any(cos(vecs[a], vecs[b]) >= 0.4 - 1e-9 for b in ids[:i]):
+                expect.add(a)
+    got = {r["id"] for r in rows if r["is_dup"]}
+    assert got == expect
+
+
+def test_semantic_dedup_two_level_train_mod_covers(spark, sf_dir):
+    """Hash-sampled training (train_mod) must still assign EVERY corpus
+    vector — the empty-cell fallback (coarse centroid as the cell's only
+    fine centroid) guarantees no vector is dropped by the fine join."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup_two_level(
+        emb, threshold=0.4, n_coarse=4, n_fine=4, n_iters=1, train_mod=7)
+    assert out.count() == emb.count()
+
+
 def test_duplicate_spans_incremental_matches_batch(spark, sf_dir, tmp_path):
     """Incremental spans for a new batch == the full-corpus batch run
     restricted to the batch's docs; appended deltas then catch a

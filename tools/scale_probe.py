@@ -21,6 +21,10 @@ near-linear curve is the evidence the plans have no quadratic term:
                    scale WITH the corpus (the 100 TB contract in
                    operators/similarity.semantic_dedup) so per-cluster
                    membership — and with it the quadratic — stays bounded
+- semdedup_2l    : the two-level fix for flat training's O(n·k) term
+                   (k ∝ n makes flat O(n²) — measured r8): hierarchical
+                   centroids cost O(n·√k) to train AND assign, so the
+                   same k-∝-corpus growth costs ~mult^1.5, not mult²
 - mixture_dsir   : domain-count groupBy + broadcast rate join, then the
                    DSIR LM join shape + Gumbel-top-k (vs any per-domain
                    driver loop or corpus-scale weight sort)
@@ -193,6 +197,17 @@ def main():
         dups = out.filter("is_dup").count()
         return f"{n} vecs -> {dups} dups ({16 * mult} centroids)"
 
+    def run_semdedup_2l(mult):
+        corpus = _expand_emb(emb, mult)
+        n = corpus.count()
+        # leaf count k = 16*mult (same contract as the flat family), but
+        # trained/assigned hierarchically: n_coarse = n_fine = 4*sqrt(mult)
+        side = max(4, int(round(4 * mult ** 0.5)))
+        out = similarity.semantic_dedup_two_level(
+            corpus, threshold=0.4, n_coarse=side, n_fine=side)
+        dups = out.filter("is_dup").count()
+        return f"{n} vecs -> {dups} dups ({side}x{side} leaf cells)"
+
     def run_mixture_dsir(mult):
         corpus = _expand_docs(docs, mult).withColumn(
             "dom", F.pmod(F.col("doc_id"), F.lit(8)).cast("string"))
@@ -235,6 +250,7 @@ def main():
     _probe("minhash", run_minhash, families)
     _probe("substring", run_substring, families)
     _probe("semdedup", run_semdedup, families)
+    _probe("semdedup_2l", run_semdedup_2l, families)
     _probe("mixture_dsir", run_mixture_dsir, families)
     _probe("classifier", run_classifier, families)
     _probe("sketches", run_sketches, families)
