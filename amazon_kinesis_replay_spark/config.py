@@ -37,6 +37,16 @@ class ReplayConfig:
     reader_buffer_size: int = 100_000          # RePlayer.java:26
     producer_buffer_size: int = 5_000          # RePlayer.java:27
     sender_threads: int = 4                    # RePlayer.java:28
+    #: r8: opt-in driver-mode mirror of the reference's 100k-event
+    #: reorder PRIORITY QUEUE (JsonEventBufferedReader.java:39): hold the
+    #: last `reader_buffer_size` rows of the merged ts-sorted stream
+    #: across micro-batches so bounded disorder is repaired ACROSS
+    #: batches, not just within one; disorder beyond the window emits
+    #: late rather than dropping. Call `engine.finalize()` after a
+    #: finite stream to drain the tail. Off by default: per-batch
+    #: sorting (the Structured-Streaming-idiomatic shape) emits every
+    #: batch eagerly and needs no drain step.
+    reorder_across_batches: bool = False
 
     # -- sink (OP-SINK-*) -----------------------------------------------------
     stream_arn: str | None = None              # required in reference CLI

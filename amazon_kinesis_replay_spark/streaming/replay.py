@@ -96,6 +96,7 @@ class ReplayEngine:
         self.stats = ReplayStats()
         self._first_event_ts = None        # event-time anchor
         self._ingestion_start = None       # wall-clock anchor
+        self._held = None                  # cross-batch reorder buffer (pdf)
 
     # -- anchor management (OP-PROJ-INGEST) --------------------------------
 
@@ -151,7 +152,6 @@ class ReplayEngine:
         # ensure_engine_conf), so emitted ts isoformat strings are
         # deterministic UTC regardless of host TZ — the pre-Arrow collect()
         # path rendered them in host-local time.
-        import numpy as np
         bound = self.cfg.driver_mode_max_rows
         pdf = (batch_df.select("payload", "ts")
                .orderBy(F.col("ts").asc())           # OP-SORT-EVENTTIME
@@ -164,8 +164,51 @@ class ReplayEngine:
                 "collect()ed onto the driver. Use mode='partitioned' "
                 "(per-sender pacing, executor-side sinks) or raise "
                 "driver_mode_max_rows explicitly.")
+        if self.cfg.reorder_across_batches:
+            pdf = self._reorder_gate(pdf)
         if pdf.empty:
             return
+        self._emit_pdf(pdf)
+
+    def _reorder_gate(self, pdf):
+        """Row-count-bounded cross-batch reorder buffer — the reference's
+        100k-event priority queue (JsonEventBufferedReader.java:39,
+        RePlayer.java:26) at micro-batch granularity: hold back the
+        LAST `reader_buffer_size` rows of the merged (held + batch)
+        ts-sorted stream and emit the prefix. An event is emitted only
+        once `reader_buffer_size` later-or-equal events have been seen —
+        exactly the priority queue's poll-when-full rule — so any
+        disorder within that window is repaired ACROSS micro-batches
+        (per-batch sorting alone cannot), and disorder beyond it is
+        emitted late rather than dropped (the watermark-based stateful
+        ops drop instead; docs/DEVIATIONS.md item 3). Call `finalize()`
+        after the stream terminates to drain the tail."""
+        import pandas as pd
+        bound = max(1, self.cfg.reader_buffer_size)
+        combined = (pd.concat([self._held, pdf], ignore_index=True)
+                    if self._held is not None else pdf)
+        # mergesort = stable: equal-ts rows keep arrival order, matching
+        # the reference's insertion-ordered tie behavior
+        combined = combined.sort_values("ts", kind="mergesort",
+                                        ignore_index=True)
+        if len(combined) <= bound:
+            self._held = combined
+            return combined.iloc[0:0]
+        split = len(combined) - bound
+        self._held = combined.iloc[split:].reset_index(drop=True)
+        return combined.iloc[:split].reset_index(drop=True)
+
+    def finalize(self):
+        """Drain the cross-batch reorder buffer — the reference drains
+        its priority queue when the S3 iterator is exhausted; a finite
+        (availableNow) stream calls this after awaitTermination."""
+        held, self._held = self._held, None
+        if held is None or held.empty:
+            return
+        self._emit_pdf(held)
+
+    def _emit_pdf(self, pdf):
+        import numpy as np
         ts_col = pdf["ts"]
         self._ensure_anchor(ts_col.iloc[0])
         # Vectorized pacing targets (RePlayer.java:132-143 semantics, batch
