@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="driver mode refuses micro-batches above this row "
                         "count (it collect()s for exact global pacing); "
                         "partitioned mode has no such bound")
+    p.add_argument("--reorder-across-batches", action="store_true",
+                   help="driver mode only: repair event-time disorder "
+                        "ACROSS micro-batches with a row-count-bounded "
+                        "buffer of -readerBufferSize rows (the "
+                        "reference's always-on 100k-event priority "
+                        "queue); beyond-window stragglers emit late, "
+                        "never drop")
     p.add_argument("--codec", choices=["text", "sniff"], default="text",
                    help="'text' = extension-dispatched Hadoop codecs (fast "
                         "JVM path, .gz/.bz2); 'sniff' = content-sniffed "
@@ -80,6 +87,7 @@ def config_from_args(args: argparse.Namespace) -> ReplayConfig:
         producer_buffer_size=args.kinesisProducerBuffer,
         sender_threads=args.kinesisSenderThreads,
         driver_mode_max_rows=args.driver_mode_max_rows,
+        reorder_across_batches=args.reorder_across_batches,
     )
 
 
@@ -116,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.mode)
     query = run_replay_stream(events, engine, args.checkpoint)
     query.awaitTermination()
+    engine.finalize()         # drain the reorder buffer (no-op when off)
     s = engine.stats
     print(f"replayed {s.total_events} events in {s.batches} micro-batches; "
           f"sink requests={s.sink.requests} retried={s.sink.retried_records}")

@@ -203,3 +203,77 @@ def cms_lookup(cms: DataFrame, items: DataFrame, col: str, w: int = 1024,
             .groupBy("item")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
                  .alias("est_count")))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — mergeable approximate-membership table
+# --------------------------------------------------------------------------
+#
+# The third mergeable sketch (with HLL for cardinality and Count-Min for
+# frequency): answers "possibly seen / definitely not seen". At 100 TB
+# the canonical uses are dedup pre-filters (skip the exact check for
+# definitely-new keys) and cross-pipeline reconciliation (ship a few MB
+# of bits instead of re-scanning a corpus for membership). Stored SPARSE:
+# a table of SET bit positions, so an empty filter is zero rows, merge is
+# a distinct union (idempotent OR — safe under replay, unlike CMS), and
+# the table stays small until the filter actually fills.
+
+
+def bloom_table(df: DataFrame, col: str, m: int = 1 << 20,
+                k: int = 4) -> DataFrame:
+    """Sparse Bloom filter of a column: the DISTINCT set bit positions
+    (bit long) of an m-bit filter with k hash rows. Positions come from
+    the same multi-column xxhash64 salting as cms_table (hash-row index
+    as a separate column — no concat ambiguity; NULLs excluded — Spark
+    hash functions skip null columns, which would alias the salt-only
+    hash). One explode (factor k) + one map-side-combinable distinct;
+    at most m rows survive regardless of input size."""
+    if m < 8 or k < 1:
+        raise ValueError(f"need m >= 8 and k >= 1, got m={m} k={k}")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
+    return (df.select(F.col(col).cast("string").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .select("__v", rows)
+            .select(F.pmod(F.xxhash64(F.col("hash_i"), F.col("__v")),
+                           F.lit(m)).alias("bit"))
+            .distinct())
+
+
+def bloom_merge(*tables: DataFrame) -> DataFrame:
+    """Bitwise OR = distinct union of set positions. Idempotent and
+    commutative — merging a filter with itself is a no-op, so replayed
+    batches cannot corrupt it (the property CMS lacks)."""
+    if not tables:
+        raise ValueError("bloom_merge needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.distinct()
+
+
+def bloom_contains(bloom: DataFrame, items: DataFrame, col: str,
+                   m: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Membership probe: (item, maybe_present). maybe_present=False is
+    EXACT (no false negatives: every inserted item's k bits are set);
+    True is probabilistic with the standard FPP ~ (1 - e^(-kn/m))^k.
+    Re-derives each item's k positions, LEFT-joins the bit table, and
+    requires all k present — a hash equi-join against an at-most-m-row
+    broadcastable table, never a scan of the source data."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
+    probes = (items.select(F.col(col).cast("string").alias("item"))
+              .filter(F.col("item").isNotNull())
+              .distinct()
+              .select("item", rows)
+              .select("item",
+                      F.pmod(F.xxhash64(F.col("hash_i"), F.col("item")),
+                             F.lit(m)).alias("bit")))
+    hit = bloom.select("bit").distinct().withColumn("__set", F.lit(1))
+    return (probes.join(hit, "bit", "left")
+            .groupBy("item")
+            .agg((F.count("__set") == F.count("*"))
+                 .alias("maybe_present")))
+
+
+def bloom_fpp(n_items: int, m: int = 1 << 20, k: int = 4) -> float:
+    """Textbook false-positive probability after n insertions."""
+    return (1.0 - math.exp(-k * n_items / float(m))) ** k

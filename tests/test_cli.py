@@ -20,6 +20,16 @@ def test_reference_defaults_parity():
     assert cfg.reader_buffer_size == 100_000
     assert cfg.producer_buffer_size == 5_000
     assert cfg.sender_threads == 4
+    assert cfg.reorder_across_batches is False   # opt-in (r8)
+
+
+def test_reorder_flag_maps_to_config():
+    args = build_parser().parse_args(
+        ["--source", "/x", "--sink-dir", "/y", "--reorder-across-batches",
+         "-readerBufferSize", "5000"])
+    cfg = config_from_args(args)
+    assert cfg.reorder_across_batches is True
+    assert cfg.reader_buffer_size == 5000
 
 
 def test_arn_validation_rejects_garbage():

@@ -112,3 +112,49 @@ def test_hll_grouped_registers_estimate_and_merge(spark, sf_dir):
             for r in regs.collect()}
     assert {(r["event_type"], r["bucket"], r["max_rho"])
             for r in merged.collect()} == full
+
+
+def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
+    """Every inserted key probes maybe_present=True (exactness of the
+    negative side is the filter's contract); batch merge == full build
+    (idempotent OR — self-merge is a no-op); deterministic rebuild."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    M, K = 1 << 14, 4
+    bloom = sketches.bloom_table(ev, "user_id", m=M, k=K)
+    probed = {r["item"]: r["maybe_present"] for r in
+              sketches.bloom_contains(
+                  bloom, ev.select("user_id").distinct(),
+                  "user_id", m=M, k=K).collect()}
+    assert probed and all(probed.values())        # no false negatives
+    # merge of two disjoint batches == the full filter, bit for bit
+    b1 = ev.filter(F.col("user_id") % 2 == 0)
+    b2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = sketches.bloom_merge(
+        sketches.bloom_table(b1, "user_id", m=M, k=K),
+        sketches.bloom_table(b2, "user_id", m=M, k=K))
+    full_bits = {r["bit"] for r in bloom.collect()}
+    assert {r["bit"] for r in merged.collect()} == full_bits
+    # idempotent: self-merge changes nothing (the replay-safety property)
+    again = sketches.bloom_merge(bloom, bloom)
+    assert {r["bit"] for r in again.collect()} == full_bits
+    # deterministic: a rebuild is bit-identical
+    rebuilt = {r["bit"] for r in
+               sketches.bloom_table(ev, "user_id", m=M, k=K).collect()}
+    assert rebuilt == full_bits
+
+
+def test_bloom_false_positive_rate_near_theory(spark, sf_dir):
+    """Probe keys that were NEVER inserted: the observed FPP must sit
+    near the textbook (1-e^{-kn/m})^k — within 3x, loose enough for a
+    fixture-sized sample, tight enough to catch a broken hash (a
+    constant-bucket bug probes ~100% positive)."""
+    ev = load(spark, sf_dir, "events").select("user_id").distinct()
+    n = ev.count()
+    M, K = 1 << 12, 4
+    bloom = sketches.bloom_table(ev, "user_id", m=M, k=K)
+    absent = ev.sparkSession.range(5_000_000, 5_010_000) \
+        .select(F.col("id").alias("user_id"))
+    got = sketches.bloom_contains(bloom, absent, "user_id", m=M, k=K)
+    fp = got.filter("maybe_present").count() / 10_000
+    theory = sketches.bloom_fpp(n, m=M, k=K)
+    assert fp <= max(3 * theory, 0.01), (fp, theory)
