@@ -679,6 +679,106 @@ def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.4,
 
 
 # --------------------------------------------------------------------------
+# Semantic dedup: persisted index + incremental (the streaming substrate)
+# --------------------------------------------------------------------------
+
+
+def _cell_pairs(a_side: DataFrame, b_side: DataFrame, scorer,
+                threshold: float) -> DataFrame:
+    """Same-cell (id_a < id_b, cosine >= threshold) pairs between two
+    (centroid_id, id, vec) tables — an equi-join on centroid_id, so the
+    pairwise term stays confined to clusters."""
+    a, b = a_side.alias("a"), b_side.alias("b")
+    return (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    scorer(F.col("a.vec"), F.col("b.vec")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def semantic_pairs(emb: DataFrame, threshold: float = 0.4,
+                   n_centroids: int = 16, n_iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """The PAIR form of semantic_dedup: every same-cluster pair at
+    cosine >= threshold (id_a < id_b) — the batch ground truth the
+    streaming twin is tested equal to, and the edge input
+    dedup_clusters wants."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        emb, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col,
+        vec_col=vec_col)
+    asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col,
+                     centroids=cents).localCheckpoint()
+    side = asg.select("centroid_id", "id", "vec")
+    return _cell_pairs(side, side, _fast_cosine, threshold)
+
+
+def semantic_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
+                         n_iters: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """Persist the semantic-dedup state: trained centroids (frozen — the
+    streaming contract; retrain policy belongs to the caller, same as
+    the IVF index) and the member table written under
+    members/part=base, hive-partitioned by centroid_id so incremental
+    probes prune to the batch's cells at FILE LISTING. meta/ is written
+    LAST — the index-complete marker the stream processor probes."""
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, n_centroids=n_centroids,
+                             n_iters=n_iters, id_col=id_col,
+                             vec_col=vec_col)
+    asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, centroids=cents)
+    (asg.select("id", "vec", "centroid_id")
+        .write.partitionBy("centroid_id").mode("overwrite")
+        .parquet(path + "/members/part=base"))
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame([(int(n_centroids),)], "n_centroids int") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
+                               threshold: float = 0.4,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               append: bool = True,
+                               delta_name: str | None = None) -> DataFrame:
+    """Same-cluster pairs INVOLVING the new batch (new x new plus
+    new x indexed) against the FROZEN index centroids — the semantic
+    twin of embedding_dedup_incremental, at per-batch cost: assign the
+    batch (broadcast centroid scan), then one equi-join per direction
+    against the member table, partition-pruned to the batch's cells.
+
+    Appends land in their OWN partition directory
+    members/part=<delta_name> (fresh uuid when None) via mode=overwrite
+    — idempotent under crash-window redelivery — and the incremental
+    SELF-EXCLUDES that partition from its probe, so the returned pairs
+    are computed against the pre-append state with no staging barrier
+    at all (the substring-index delta pattern, simplified: cells have
+    no counts to sum, so exclusion alone is sufficient)."""
+    import uuid
+    cents = spark.read.parquet(path + "/centroids")
+    name = delta_name if delta_name is not None else uuid.uuid4().hex
+    asg_new = ivf_assign(new_emb, id_col=id_col, vec_col=vec_col,
+                         centroids=cents)
+    # feeds three pair joins + the append write — cut the lineage once
+    asg_new = asg_new.localCheckpoint()
+    members = (spark.read.parquet(path + "/members")
+               .filter(F.col("part") != name))       # self-exclusion
+    old_side = members.select("centroid_id", "id", "vec")
+    new_side = asg_new.select("centroid_id", "id", "vec")
+    out = (_cell_pairs(new_side, new_side, _fast_cosine, threshold)
+           .unionAll(_cell_pairs(new_side, old_side, _fast_cosine,
+                                 threshold))
+           .unionAll(_cell_pairs(old_side, new_side, _fast_cosine,
+                                 threshold)))
+    if append:
+        (asg_new.select("id", "vec", "centroid_id")
+            .write.partitionBy("centroid_id").mode("overwrite")
+            .parquet(f"{path}/members/part={name}"))
+    return out
+
+
+# --------------------------------------------------------------------------
 # Product quantization (PQ) — compressed ANN for 100 TB embedding corpora
 # --------------------------------------------------------------------------
 #

@@ -502,3 +502,62 @@ def _near_dup_substring_processor(index_path: str, sink, id_col: str,
                                      incremental,
                                      probe_subdir="wins/part=base",
                                      replay_dedup_cols=None)
+
+
+def near_dup_stream_semantic(emb, index_path: str, sink,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.4,
+                             n_centroids: int = 16, n_iters: int = 2,
+                             checkpoint: str | None = None):
+    """Streaming SEMANTIC near-dup — the FIFTH modality over
+    `_indexed_stream_processor`: the first batch trains the k-means
+    centroids and writes the member index
+    (similarity.semantic_index_write); every later micro-batch is
+    assigned against those FROZEN centroids and joined (equi-join on
+    centroid_id, partition-pruned member read) against everything ever
+    indexed plus itself (similarity.semantic_dedup_incremental).
+    Appends are overwrite-by-named-delta-partition, so the crash window
+    between a batch's append and its applied marker redelivers
+    idempotently — self-exclusion of the batch's own partition replaces
+    the staging barrier entirely. Centroid drift under a shifting
+    stream is the caller's retrain policy, same contract as the IVF
+    index (`ivf_index_maybe_retrain`).
+
+    `sink(pairs_df, batch_id)` receives the (id_a, id_b, cosine)
+    same-cluster pairs involving the batch. Returns the
+    DataStreamWriter (caller starts it)."""
+    _process = _near_dup_semantic_processor(index_path, sink, id_col,
+                                            vec_col, threshold,
+                                            n_centroids, n_iters)
+    w = emb.writeStream.foreachBatch(_process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
+                                 vec_col: str, threshold: float,
+                                 n_centroids: int, n_iters: int):
+    """Semantic-modality body of `near_dup_stream_semantic` (see
+    `_indexed_stream_processor`)."""
+    from ..operators import similarity
+
+    def bootstrap(batch_df):
+        similarity.semantic_index_write(batch_df, index_path,
+                                        n_centroids=n_centroids,
+                                        n_iters=n_iters, id_col=id_col,
+                                        vec_col=vec_col)
+        cents = batch_df.sparkSession.read.parquet(
+            index_path + "/centroids")
+        return similarity.semantic_pairs(batch_df, threshold,
+                                         id_col=id_col, vec_col=vec_col,
+                                         centroids=cents)
+
+    def incremental(spark, batch_df, append, batch_id):
+        return similarity.semantic_dedup_incremental(
+            spark, batch_df, index_path, threshold, id_col, vec_col,
+            append=append, delta_name=f"b{int(batch_id)}")
+
+    return _indexed_stream_processor(index_path, sink, bootstrap,
+                                     incremental)

@@ -603,3 +603,64 @@ def test_substring_delta_overwrite_closes_crash_window(spark, sf_dir,
     assert got[1][0] == got[1][1]          # identical spans re-emitted
     assert spark.read.parquet(index + "/wins").count() == n_wins
     assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+
+
+def test_near_dup_semantic_processor_stream_and_replay(spark, sf_dir,
+                                                       tmp_path):
+    """Semantic-modality streaming near-dup (FIFTH modality over the
+    shared processor): two micro-batches must emit, in union, exactly
+    the batch semantic_pairs set over the whole corpus UNDER THE
+    BOOTSTRAP CENTROIDS (frozen-centroid contract); marker-confirmed
+    replays re-emit identically and append nothing; and the
+    crash-window redelivery (append done, marker lost) overwrites its
+    own delta partition instead of double-appending."""
+    from amazon_kinesis_replay_spark.operators import similarity as S
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_semantic_processor)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250)
+
+    got: dict[int, list[set]] = {}
+
+    def sink(pairs, batch_id):
+        got.setdefault(batch_id, []).append(
+            {(r["id_a"], r["id_b"], r["cosine"]) for r in pairs.collect()})
+
+    index = str(tmp_path / "sem-stream")
+    proc = _near_dup_semantic_processor(index, sink, "vec_id",
+                                        "embedding", 0.4, 8, 2)
+    proc(b0, 0)
+    proc(b0, 0)                    # replayed bootstrap -> probe-only
+    proc(b1, 1)
+    n_members = spark.read.parquet(index + "/members").count()
+    proc(b1, 1)                    # marker-confirmed replay
+    assert spark.read.parquet(index + "/members").count() == n_members
+    assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+    assert got[0][0] == got[0][1]          # replays re-emit identically
+    assert got[1][0] == got[1][1]
+
+    # crash window: the applied marker "lost" after b1's append — the
+    # redelivered batch must OVERWRITE part=b1, not double it
+    spark.createDataFrame([(0,)], "batch_id long").coalesce(1) \
+        .write.mode("overwrite").parquet(index + "/applied")
+    proc(b1, 1)
+    assert spark.read.parquet(index + "/members").count() == n_members
+    assert got[1][2] == got[1][0]
+    assert spark.read.parquet(index + "/applied").head()["batch_id"] == 1
+
+    # union of stream emissions == the batch pair set under the
+    # bootstrap-trained (frozen) centroids
+    cents = spark.read.parquet(index + "/centroids")
+    want = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            S.semantic_pairs(emb, 0.4, centroids=cents).collect()}
+    assert got[0][0] | got[1][0] == want
+
+    # the writer wrapper wires the same processor into foreachBatch
+    (tmp_path / "empty-src").mkdir()
+    stream = (spark.readStream.schema(emb.schema)
+              .parquet(str(tmp_path / "empty-src")))
+    w = stateful.near_dup_stream_semantic(
+        stream, str(tmp_path / "sem-stream2"), sink)
+    assert w is not None
