@@ -231,10 +231,14 @@ def bloom_table(df: DataFrame, col: str, m: int = 1 << 20,
     if m < 8 or k < 1:
         raise ValueError(f"need m >= 8 and k >= 1, got m={m} k={k}")
     rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
+    # salt cast to LONG so the chained hash is pure-python twin-computable
+    # (xxh64_long(i) as the seed of xxh64_string(v) — the hash-gate
+    # pattern; Spark hashes int and long columns differently)
     return (df.select(F.col(col).cast("string").alias("__v"))
             .filter(F.col("__v").isNotNull())
             .select("__v", rows)
-            .select(F.pmod(F.xxhash64(F.col("hash_i"), F.col("__v")),
+            .select(F.pmod(F.xxhash64(F.col("hash_i").cast("long"),
+                                      F.col("__v")),
                            F.lit(m)).alias("bit"))
             .distinct())
 
@@ -265,7 +269,8 @@ def bloom_contains(bloom: DataFrame, items: DataFrame, col: str,
               .distinct()
               .select("item", rows)
               .select("item",
-                      F.pmod(F.xxhash64(F.col("hash_i"), F.col("item")),
+                      F.pmod(F.xxhash64(F.col("hash_i").cast("long"),
+                                        F.col("item")),
                              F.lit(m)).alias("bit")))
     hit = bloom.select("bit").distinct().withColumn("__set", F.lit(1))
     return (probes.join(hit, "bit", "left")

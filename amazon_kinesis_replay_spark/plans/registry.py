@@ -1548,7 +1548,15 @@ def q_dedup_exact(spark, sf_dir):
       merged window count. Candidate pass shuffles 8-byte xxhash64 keys,
       string-exact confirm confined to candidates, island merge is a
       per-doc window function (`dedup.duplicate_spans`).
+    - kind='bloom' (r8): ONE summary row of the corpus text Bloom
+      filter's full bit-set — keep_id = set-bit count, dup_count =
+      bit-position sum, span_start/span_end = min/max bit. The sum +
+      count + extrema pin the bit table tightly enough that any
+      hash/salt/pmod drift flips the gate; the oracle recomputes every
+      bit pure-python via the chained xxh64 twin (the bloom salt is
+      hashed as LONG precisely so that chain is twin-computable).
     """
+    from ..operators import sketches
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -1563,7 +1571,22 @@ def q_dedup_exact(spark, sf_dir):
         F.lit("span").alias("kind"), F.col("doc_id").alias("keep_id"),
         F.col("n_windows").cast("long").alias("dup_count"),
         "span_start", "span_end")
-    return ex_rows.unionAll(sp_rows)
+    bl = sketches.bloom_table(d, "text", m=_BLOOM_M, k=_BLOOM_K)
+    bl_rows = bl.agg(
+        F.count("*").alias("keep_id"),
+        F.sum("bit").alias("dup_count"),
+        F.min("bit").alias("span_start"),
+        F.max("bit").alias("span_end")).select(
+        F.lit("bloom").alias("kind"), F.col("keep_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+        "span_start", "span_end")
+    return ex_rows.unionAll(sp_rows).unionAll(bl_rows)
+
+
+#: dedup_exact kind='bloom' parameters — shared by the Spark query and
+#: the pure-python oracle recompute.
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
 
 
 def q_ngram_jaccard_dedup(spark, sf_dir):
@@ -1725,6 +1748,45 @@ _ORACLES_DEDUP = {
     "dedup_clusters": _CLUSTERS_ORACLE,
     "simhash_dedup": _simhash_oracle,        # callable: literal VALUES
 }
+
+_DEDUP_EXACT_STATIC = _ORACLES_DEDUP["dedup_exact"]
+
+
+def _dedup_exact_oracle() -> str:
+    """Data-dependent oracle for dedup_exact + the folded-in Bloom bit
+    statistics (r8): every set bit of the corpus-text Bloom filter is
+    recomputed driver-only in pure python via the chained xxh64 twin
+    (seed chain xxh64_long(salt) -> xxh64_string(text) matches Spark's
+    multi-column xxhash64 with a LONG salt — verified bit-for-bit) and
+    summarized as exact integers appended to the static SQL. Same
+    SF-selection contract as `_simhash_oracle`
+    (SPARK_GRAFT_ORACLE_SF_DIR)."""
+    import os
+
+    import duckdb
+
+    from ..functions.xxh import xxh64_long, xxh64_string
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT DISTINCT text FROM '{sf_dir}/documents.parquet' "
+        "WHERE text IS NOT NULL").fetchall()
+    mask = (1 << 64) - 1
+    seeds = [xxh64_long(i) & mask for i in range(_BLOOM_K)]
+    bits = set()
+    for (t,) in rows:
+        for s in seeds:
+            bits.add(xxh64_string(t, seed=s) % _BLOOM_M)
+    return _DEDUP_EXACT_STATIC + f"""
+        UNION ALL
+        SELECT 'bloom' AS kind, CAST({len(bits)} AS BIGINT) AS keep_id,
+               CAST({sum(bits)} AS BIGINT) AS dup_count,
+               CAST({min(bits)} AS BIGINT) AS span_start,
+               CAST({max(bits)} AS BIGINT) AS span_end
+    """
+
+
+_ORACLES_DEDUP["dedup_exact"] = _dedup_exact_oracle
 
 
 # ===========================================================================
