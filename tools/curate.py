@@ -184,12 +184,32 @@ def main():
         F.sum("bpe_tokens_count")).head()[0]
     summary["n_packs"] = back.select("split", "pack_id").distinct().count()
 
-    # 10: audit sketch — a mergeable distinct-token cardinality artifact
+    # 9b: semantic dedup on the embeddings table — the vector-modality
+    # pass a multimodal corpus runs beside the text pipeline, in its
+    # 100 TB shape (two-level hierarchical k-means, O(n*sqrt(k)))
+    from amazon_kinesis_replay_spark.operators import similarity
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sem = similarity.semantic_dedup_two_level(
+        emb, threshold=0.4, n_coarse=4, n_fine=4)
+    summary["semantic_dups"] = sem.filter("is_dup").count()
+    print(f"[9b] semantic dedup (two-level) flagged "
+          f"{summary['semantic_dups']} near-dup vectors", flush=True)
+
+    # 10: audit sketches — mergeable artifacts: distinct-token
+    # cardinality (HLL) + corpus-membership filter (Bloom) with a
+    # self-check that every exported doc probes present (the exact
+    # negative side is the filter's contract)
     toks = clean.select(F.explode(
         F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
     regs = sketches.hll_register_table(toks, "tok", p=12)
     summary["distinct_token_estimate"] = int(
         sketches.hll_estimate(regs, 12))
+    bloom = sketches.bloom_table(clean, "doc_id", m=1 << 18, k=4)
+    summary["bloom_bits_set"] = bloom.count()
+    probed = sketches.bloom_contains(
+        bloom, clean.select("doc_id"), "doc_id", m=1 << 18, k=4)
+    summary["bloom_membership_ok"] = bool(
+        probed.filter("NOT maybe_present").count() == 0)
     summary["wall_s"] = round(time.monotonic() - t0, 2)
     print(json.dumps(summary), flush=True)
     if len(sys.argv) <= 2:
