@@ -732,8 +732,121 @@ def semantic_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
         .write.partitionBy("centroid_id").mode("overwrite")
         .parquet(path + "/members/part=base"))
     cents.write.mode("overwrite").parquet(path + "/centroids")
-    spark.createDataFrame([(int(n_centroids),)], "n_centroids int") \
+    # count from the WRITTEN parquet (footer metadata), not a second
+    # assignment pass over the corpus
+    n_at_train = spark.read.parquet(path + "/members/part=base").count()
+    spark.createDataFrame([(int(n_centroids), int(n_at_train))],
+                          "n_centroids int, n_at_train long") \
         .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def semantic_index_maybe_retrain(spark, path: str,
+                                 growth_threshold: float = 0.5,
+                                 n_iters: int = 2,
+                                 max_cell_share: float | None = None) -> bool:
+    """Drift policy for the semantic-dedup index — the twin of
+    `ivf_index_maybe_retrain` (same triggers, same audited rename-aside
+    swap): incremental appends keep the centroid geometry FROZEN, so
+    appended mass degrades cell balance and dup recall over time.
+
+    Metadata-scale triggers (partition-column projections only):
+    - GROWTH: committed members exceed `growth_threshold` over the
+      count at last train (meta.n_at_train; a pre-r8 meta without it is
+      treated as due).
+    - IMBALANCE (`max_cell_share`, opt-in): the largest cell holds more
+      than that share of members — the near-identical-append pileup
+      growth can't see.
+
+    On trigger: re-train on ALL COMMITTED members (delta partitions fold
+    into the new part=base), EXCEPT in-flight deltas — part=bN with N
+    beyond the applied marker is in the crash window between a streaming
+    batch's append and its marker; folding it would break that batch's
+    self-exclusion on redelivery (the substring-compact rule). In-flight
+    deltas are instead RE-ASSIGNED under the new centroids and carried
+    over under their own names, so redelivery overwrite-by-name still
+    works and their cells match the new geometry.
+
+    Returns True iff a re-train ran."""
+    from .. import fsutil
+    last = -1
+    try:
+        row = spark.read.parquet(path + "/applied").head()
+        last = int(row["batch_id"]) if row is not None else -1
+    except Exception:
+        pass
+
+    def _in_flight(p: str) -> bool:
+        return p.startswith("b") and p[1:].isdigit() and int(p[1:]) > last
+
+    part_names = [n.split("=", 1)[1]
+                  for n in fsutil.listdir(spark, path + "/members")
+                  if n.startswith("part=")]
+    keep = sorted(p for p in part_names if _in_flight(p))
+    members = spark.read.parquet(path + "/members")
+    committed = (members.filter(~F.col("part").isin(keep))
+                 if keep else members)
+    n_now = committed.count()
+    try:
+        meta = spark.read.parquet(path + "/meta").head()
+        n_cent = int(meta["n_centroids"])
+        n_at_train = (int(meta["n_at_train"])
+                      if "n_at_train" in meta.__fields__ else None)
+    except Exception:
+        n_cent, n_at_train = None, None
+    due = n_at_train is None
+    if not due:
+        due = (n_now - n_at_train) > growth_threshold * max(n_at_train, 1)
+    if not due and max_cell_share is not None:
+        biggest = (committed.groupBy("centroid_id")
+                   .agg(F.count("*").alias("n"))
+                   .agg(F.max("n")).head()[0]) or 0
+        due = biggest > max_cell_share * max(n_now, 1)
+    if not due:
+        return False
+    if n_cent is None:
+        n_cent = spark.read.parquet(path + "/centroids").count()
+
+    emb = committed.select(F.col("id").alias("vec_id"),
+                           F.col("vec").alias("embedding"))
+    staging = path + "/.retrain-staging"
+    fsutil.delete(spark, staging)
+    semantic_index_write(emb, staging, n_centroids=int(n_cent),
+                         n_iters=n_iters)
+
+    # audited rename-aside swap (see ivf_index_maybe_retrain): a crash
+    # at any step leaves at least one complete generation on disk
+    subs = ("members", "centroids", "meta")
+    for sub in subs:
+        fsutil.delete(spark, f"{path}/{sub}.old")
+        if fsutil.exists(spark, f"{path}/{sub}"):
+            if not fsutil.rename(spark, f"{path}/{sub}",
+                                 f"{path}/{sub}.old"):
+                raise IOError(
+                    f"index swap failed moving {sub} aside in {path}; "
+                    "the previous generation is intact and the staged "
+                    f"build remains at {staging}")
+    for sub in subs:
+        if not fsutil.rename(spark, f"{staging}/{sub}", f"{path}/{sub}"):
+            raise IOError(
+                f"index swap failed renaming {sub} into {path}; the "
+                f"previous generation is intact under {path}/<sub>.old")
+    # in-flight deltas: re-assign under the NEW centroids, same names
+    if keep:
+        cents = spark.read.parquet(path + "/centroids")
+        for p in keep:
+            old_delta = spark.read.parquet(
+                f"{path}/members.old/part={p}")
+            reasg = ivf_assign(
+                old_delta.select(F.col("id").alias("vec_id"),
+                                 F.col("vec").alias("embedding")),
+                centroids=cents)
+            (reasg.select("id", "vec", "centroid_id")
+             .write.partitionBy("centroid_id").mode("overwrite")
+             .parquet(f"{path}/members/part={p}"))
+    for sub in subs:
+        fsutil.delete(spark, f"{path}/{sub}.old")
+    fsutil.delete(spark, staging)
+    return True
 
 
 def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,

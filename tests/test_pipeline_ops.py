@@ -2152,3 +2152,57 @@ def test_substring_compact_crash_heal_carry_over(spark, sf_dir, tmp_path):
     _heal_wins(spark, path)
     assert fsutil.exists(spark, path + "/wins.old/part=b7")
     dedup.clear_staging(spark, path)
+
+
+def test_semantic_index_retrain_growth_and_inflight(spark, sf_dir,
+                                                    tmp_path):
+    """r8, semantic index drift policy: growth past the threshold
+    triggers a re-train that folds COMMITTED deltas into the new
+    part=base but carries IN-FLIGHT deltas (beyond the applied marker)
+    over re-assigned under the new centroids — preserving both the
+    overwrite-by-name redelivery contract and geometry consistency."""
+    from amazon_kinesis_replay_spark import fsutil
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") < 200)
+    b1 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    b2 = emb.filter(F.col("vec_id") >= 350)
+    path = str(tmp_path / "semidx")
+    similarity.semantic_index_write(b0, path, n_centroids=8, n_iters=1)
+    similarity.semantic_dedup_incremental(
+        spark, b1, path, 0.4, append=True, delta_name="b1").count()
+    spark.createDataFrame([(1,)], "batch_id long").coalesce(1) \
+        .write.mode("overwrite").parquet(path + "/applied")   # b1 committed
+    similarity.semantic_dedup_incremental(
+        spark, b2, path, 0.4, append=True, delta_name="b2").count()
+    # b2 is IN-FLIGHT (marker still 1)
+
+    # below threshold: 150 committed new members vs 200 at train
+    assert not similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=0.9)
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=0.5)
+
+    parts = {n.split("=", 1)[1]
+             for n in fsutil.listdir(spark, path + "/members")
+             if n.startswith("part=")}
+    assert parts == {"base", "b2"}       # committed folded, in-flight kept
+    base = spark.read.parquet(path + "/members/part=base")
+    assert base.count() == 350
+    delta = spark.read.parquet(path + "/members/part=b2")
+    assert delta.count() == emb.count() - 350
+    meta = spark.read.parquet(path + "/meta").head()
+    assert meta["n_at_train"] == 350
+    # every member's cell matches an assignment under the NEW centroids
+    cents = spark.read.parquet(path + "/centroids")
+    fresh = similarity.ivf_assign(
+        spark.read.parquet(path + "/members")
+        .select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding")),
+        centroids=cents)
+    stored = {(r["id"], r["centroid_id"]) for r in
+              spark.read.parquet(path + "/members")
+              .select("id", "centroid_id").collect()}
+    assert {(r["id"], r["centroid_id"]) for r in fresh.collect()} == stored
+    # immediately after a re-train nothing is due
+    assert not similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=0.5)
+    assert not fsutil.exists(spark, path + "/members.old")
