@@ -58,6 +58,17 @@ def has_committed_output(spark, path: str) -> bool:
     return False
 
 
+def read_applied_batch(spark, path: str) -> int:
+    """The applied-batch-id marker of an index directory (-1 when absent
+    or unreadable) — the replay guard every index-backed incremental
+    consults. One shared reader (r8 review: three copies had grown)."""
+    try:
+        row = spark.read.parquet(path + "/applied").head()
+        return int(row["batch_id"]) if row is not None else -1
+    except Exception:
+        return -1
+
+
 def write_text(spark, path: str, content: str) -> None:
     """Create/overwrite a small text file at `path` (manifests, markers)
     through the Hadoop FS API — correct on file://, hdfs://, s3a://."""

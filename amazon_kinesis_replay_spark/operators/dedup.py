@@ -1486,13 +1486,15 @@ def substring_index_compact(spark, path: str) -> None:
     """
     from .. import fsutil
     _heal_wins(spark, path)     # a prior crashed compact must be resolved
+    if fsutil.exists(spark, path + "/wins.old"):
+        # _heal_wins deliberately preserved it (pre-manifest crash, split
+        # unknowable) — compacting now would DELETE it below and lose any
+        # unfolded delta forever (r8 review finding). Refuse instead.
+        raise RuntimeError(
+            f"compact: unresolved {path}/wins.old from a pre-manifest "
+            "crash — fold or remove it manually before compacting")
     snapshot = set(fsutil.listdir(spark, path + "/wins"))
-    last = -1
-    try:
-        row = spark.read.parquet(path + "/applied").head()
-        last = int(row["batch_id"]) if row is not None else -1
-    except Exception:
-        pass
+    last = fsutil.read_applied_batch(spark, path)
     keep: set[str] = set()
     fold: list[str] = []
     for name in snapshot:

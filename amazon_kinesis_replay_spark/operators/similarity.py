@@ -337,6 +337,97 @@ def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
         .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
+#: Staging directory name shared by every index swap in this module.
+_RETRAIN_STAGING = "/.retrain-staging"
+
+
+def _audited_swap(spark, path: str, staging: str, subs) -> None:
+    """Swap a staged index generation in by rename-ASIDE, not
+    delete-then-rename: move each live subdir to <sub>.old first, rename
+    the staged one in, and only then delete the .old copies. A crash at
+    any step leaves at least one COMPLETE generation on disk (live, .old,
+    or staging) — the delete-first form had a window where the live index
+    was simply gone (r6 ADVICE). Renames are atomic on HDFS/local; on
+    object stores version the whole index path instead. Crashes inside
+    this function are recovered by `_heal_index_swap`."""
+    from .. import fsutil
+    for sub in subs:
+        fsutil.delete(spark, f"{path}/{sub}.old")        # stale leftovers
+        if fsutil.exists(spark, f"{path}/{sub}"):   # pre-policy may lack one
+            # The aside rename's boolean MUST be checked (r7 review): if
+            # it silently failed, the live dir would still exist and the
+            # staging rename below would NEST the new generation inside
+            # it (Hadoop rename-into-existing-dir semantics) — a corrupt
+            # index reported as success.
+            if not fsutil.rename(spark, f"{path}/{sub}",
+                                 f"{path}/{sub}.old"):
+                raise IOError(
+                    f"index swap failed moving {sub} aside in {path}; "
+                    "the previous generation is intact (split across "
+                    "<sub> and <sub>.old) and the staged build remains "
+                    f"at {staging}")
+    for sub in subs:
+        if not fsutil.rename(spark, f"{staging}/{sub}", f"{path}/{sub}"):
+            raise IOError(
+                f"index swap failed renaming {sub} into {path}; the "
+                f"previous generation is intact under {path}/<sub>.old")
+    for sub in subs:
+        fsutil.delete(spark, f"{path}/{sub}.old")
+    fsutil.delete(spark, staging)
+
+
+def _heal_index_swap(spark, path: str, subs) -> None:
+    """Auto-heal a crashed `_audited_swap` (r8 review finding: without
+    this, a crash between the aside renames and the staging renames
+    leaves no live index — and an index whose READ path auto-bootstraps,
+    like the semantic stream processor probing meta/, would silently
+    discard the entire history instead of failing loudly).
+
+    Disambiguation: the aside loop moves EVERY sub to .old before any
+    staging rename runs, so
+    - .old COMPLETE  -> the crash was during/after the staging renames;
+      any live sub is already the NEW generation — roll FORWARD (finish
+      the staging renames, then drop .old and staging);
+    - .old PARTIAL   -> the crash was mid-aside; no staging rename ran,
+      live subs are the OLD generation — roll BACK (restore the .old
+      prefix; the staged build is recomputable and is deleted).
+
+    Idempotent, metadata-only (existence probes + renames); called at
+    retrain entry and before every index read that could bootstrap."""
+    from .. import fsutil
+    staging = path + _RETRAIN_STAGING
+    missing = [s for s in subs if not fsutil.exists(spark, f"{path}/{s}")]
+    if not missing:
+        return
+    if not any(fsutil.exists(spark, f"{path}/{s}.old") for s in subs) \
+            and not fsutil.exists(spark, staging):
+        return          # genuinely fresh path — bootstrapping is correct
+    old_complete = all(fsutil.exists(spark, f"{path}/{s}.old")
+                       for s in subs)
+    if old_complete and all(fsutil.exists(spark, f"{staging}/{s}")
+                            for s in missing):
+        for s in missing:                                 # roll FORWARD
+            if not fsutil.rename(spark, f"{staging}/{s}", f"{path}/{s}"):
+                raise IOError(
+                    f"heal: could not finish the swap of {s} into "
+                    f"{path}; recover manually from {path}/<sub>.old")
+        for s in subs:
+            fsutil.delete(spark, f"{path}/{s}.old")
+        fsutil.delete(spark, staging)
+        return
+    for s in missing:                                     # roll BACK
+        if fsutil.exists(spark, f"{path}/{s}.old"):
+            if not fsutil.rename(spark, f"{path}/{s}.old", f"{path}/{s}"):
+                raise IOError(
+                    f"heal: could not restore {s} in {path}; recover "
+                    f"manually from {path}/{s}.old")
+        else:
+            raise IOError(
+                f"index at {path} unrecoverable: {s} missing from live, "
+                ".old and staging — manual recovery required")
+    fsutil.delete(spark, staging)
+
+
 def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
                             train_iters: int = 2,
                             max_list_share: float | None = None) -> bool:
@@ -368,6 +459,7 @@ def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
 
     Returns True iff a re-train ran.
     """
+    _heal_index_swap(spark, path, ("vectors", "centroids", "meta"))
     vecs = spark.read.parquet(path + "/vectors")
     n_now = vecs.count()
     try:
@@ -390,42 +482,10 @@ def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
 
     emb = vecs.select(F.col("id").alias("vec_id"),
                       F.col("vec").alias("embedding"))
-    staging = path + "/.retrain-staging"
+    staging = path + _RETRAIN_STAGING
     ivf_index_write(emb, staging, n_centroids=int(n_cent),
                     train_iters=train_iters)
-
-    # Swap by rename-ASIDE, not delete-then-rename: move each live subdir
-    # to <sub>.old first, rename the staged one in, and only then delete
-    # the .old copies. A crash at any step leaves at least one COMPLETE
-    # generation on disk (live, .old, or staging) — the delete-first form
-    # had a window where the live index was simply gone (r6 ADVICE).
-    # Renames are atomic on HDFS/local; on object stores version the
-    # whole index path instead.
-    from .. import fsutil
-    subs = ("vectors", "centroids", "meta")
-    for sub in subs:
-        fsutil.delete(spark, f"{path}/{sub}.old")        # stale leftovers
-        if fsutil.exists(spark, f"{path}/{sub}"):        # pre-policy may lack meta
-            # The aside rename's boolean MUST be checked (r7 review): if
-            # it silently failed, the live dir would still exist and the
-            # staging rename below would NEST the new generation inside
-            # it (Hadoop rename-into-existing-dir semantics) — a corrupt
-            # index reported as success.
-            if not fsutil.rename(spark, f"{path}/{sub}",
-                                 f"{path}/{sub}.old"):
-                raise IOError(
-                    f"index swap failed moving {sub} aside in {path}; "
-                    "the previous generation is intact (split across "
-                    "<sub> and <sub>.old) and the staged build remains "
-                    f"at {staging}")
-    for sub in subs:
-        if not fsutil.rename(spark, f"{staging}/{sub}", f"{path}/{sub}"):
-            raise IOError(
-                f"index swap failed renaming {sub} into {path}; the "
-                f"previous generation is intact under {path}/<sub>.old")
-    for sub in subs:
-        fsutil.delete(spark, f"{path}/{sub}.old")
-    fsutil.delete(spark, staging)
+    _audited_swap(spark, path, staging, ("vectors", "centroids", "meta"))
     return True
 
 
@@ -545,11 +605,11 @@ def _mark_semantic_dups(asg: DataFrame, threshold: float,
                     F.coalesce("__d", F.lit(False)).alias("is_dup")))
 
 
-def kmeans_centroids_two_level(emb: DataFrame, n_coarse: int = 8,
-                               n_fine: int = 8, n_iters: int = 2,
-                               id_col: str = "vec_id",
-                               vec_col: str = "embedding",
-                               train_mod: int | None = None) -> DataFrame:
+def kmeans_centroids_two_level(
+        emb: DataFrame, n_coarse: int = 8, n_fine: int = 8,
+        n_iters: int = 2, id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        train_mod: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Hierarchical (two-level) k-means: n_coarse top-level centroids,
     then n_fine centroids per coarse cell — n_coarse*n_fine leaf cells
     total, trained at O(n*(n_coarse + n_fine)) assignment cost instead
@@ -762,18 +822,20 @@ def semantic_index_maybe_retrain(spark, path: str,
     beyond the applied marker is in the crash window between a streaming
     batch's append and its marker; folding it would break that batch's
     self-exclusion on redelivery (the substring-compact rule). In-flight
-    deltas are instead RE-ASSIGNED under the new centroids and carried
-    over under their own names, so redelivery overwrite-by-name still
-    works and their cells match the new geometry.
+    deltas are RE-ASSIGNED under the new centroids (keeping their names,
+    so redelivery overwrite-by-name still works) INTO THE STAGING
+    generation, before the swap — the swap is then the only critical
+    section and `_heal_index_swap` (called at entry here, at every
+    incremental read, and before the stream processor's bootstrap probe)
+    fully recovers any crash inside it (r8 review finding: without the
+    heal, a swap crash left no meta/ and the streaming processor
+    silently RE-BOOTSTRAPPED, discarding the whole index history).
 
     Returns True iff a re-train ran."""
     from .. import fsutil
-    last = -1
-    try:
-        row = spark.read.parquet(path + "/applied").head()
-        last = int(row["batch_id"]) if row is not None else -1
-    except Exception:
-        pass
+    subs = ("members", "centroids", "meta")
+    _heal_index_swap(spark, path, subs)
+    last = fsutil.read_applied_batch(spark, path)
 
     def _in_flight(p: str) -> bool:
         return p.startswith("b") and p[1:].isdigit() and int(p[1:]) > last
@@ -808,44 +870,24 @@ def semantic_index_maybe_retrain(spark, path: str,
 
     emb = committed.select(F.col("id").alias("vec_id"),
                            F.col("vec").alias("embedding"))
-    staging = path + "/.retrain-staging"
+    staging = path + _RETRAIN_STAGING
     fsutil.delete(spark, staging)
     semantic_index_write(emb, staging, n_centroids=int(n_cent),
                          n_iters=n_iters)
-
-    # audited rename-aside swap (see ivf_index_maybe_retrain): a crash
-    # at any step leaves at least one complete generation on disk
-    subs = ("members", "centroids", "meta")
-    for sub in subs:
-        fsutil.delete(spark, f"{path}/{sub}.old")
-        if fsutil.exists(spark, f"{path}/{sub}"):
-            if not fsutil.rename(spark, f"{path}/{sub}",
-                                 f"{path}/{sub}.old"):
-                raise IOError(
-                    f"index swap failed moving {sub} aside in {path}; "
-                    "the previous generation is intact and the staged "
-                    f"build remains at {staging}")
-    for sub in subs:
-        if not fsutil.rename(spark, f"{staging}/{sub}", f"{path}/{sub}"):
-            raise IOError(
-                f"index swap failed renaming {sub} into {path}; the "
-                f"previous generation is intact under {path}/<sub>.old")
-    # in-flight deltas: re-assign under the NEW centroids, same names
+    # in-flight deltas re-assign into STAGING (pre-swap): the staged
+    # generation is complete before the critical section begins
     if keep:
-        cents = spark.read.parquet(path + "/centroids")
+        cents = spark.read.parquet(staging + "/centroids")
         for p in keep:
-            old_delta = spark.read.parquet(
-                f"{path}/members.old/part={p}")
+            old_delta = spark.read.parquet(f"{path}/members/part={p}")
             reasg = ivf_assign(
                 old_delta.select(F.col("id").alias("vec_id"),
                                  F.col("vec").alias("embedding")),
                 centroids=cents)
             (reasg.select("id", "vec", "centroid_id")
              .write.partitionBy("centroid_id").mode("overwrite")
-             .parquet(f"{path}/members/part={p}"))
-    for sub in subs:
-        fsutil.delete(spark, f"{path}/{sub}.old")
-    fsutil.delete(spark, staging)
+             .parquet(f"{staging}/members/part={p}"))
+    _audited_swap(spark, path, staging, subs)
     return True
 
 
@@ -869,6 +911,7 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
     at all (the substring-index delta pattern, simplified: cells have
     no counts to sum, so exclusion alone is sufficient)."""
     import uuid
+    _heal_index_swap(spark, path, ("members", "centroids", "meta"))
     cents = spark.read.parquet(path + "/centroids")
     name = delta_name if delta_name is not None else uuid.uuid4().hex
     asg_new = ivf_assign(new_emb, id_col=id_col, vec_col=vec_col,

@@ -88,6 +88,15 @@ class ReplayEngine:
                  clock=time.monotonic, sleep=time.sleep):
         if mode not in ("driver", "partitioned"):
             raise ValueError(f"unknown replay mode {mode!r}")
+        if cfg.reorder_across_batches and mode != "driver":
+            # silently ignoring the flag would let a user believe
+            # cross-batch disorder is being repaired while partitioned
+            # mode only sorts within partitions (r8 review finding)
+            raise ValueError(
+                "reorder_across_batches is a driver-mode feature: "
+                "partitioned mode sorts within partitions only (see "
+                "docs/DEVIATIONS.md item 3); run mode='driver' or drop "
+                "the flag")
         self.cfg = cfg
         self.sink = sink
         self.mode = mode
@@ -241,8 +250,15 @@ class ReplayEngine:
                 if lag > self.stats.max_lag_s:
                     self.stats.max_lag_s = lag
             # watermark BEFORE the flush: a sink failure must leave
-            # OP-AGG-MAXWM reflecting what was handed to the send path
-            self.stats.max_emitted_ts = ts_col.iloc[hi - 1]
+            # OP-AGG-MAXWM reflecting what was handed to the send path.
+            # MAX, not assignment (r8 review): a beyond-window straggler
+            # batch (reorder buffer's emit-late path) is entirely older
+            # than what was already emitted — the watermark must not
+            # move backward (the partitioned path already guards this).
+            chunk_mx = ts_col.iloc[hi - 1]
+            if (self.stats.max_emitted_ts is None
+                    or chunk_mx > self.stats.max_emitted_ts):
+                self.stats.max_emitted_ts = chunk_mx
             self._flush([{"payload": p, "ts": t}
                          for p, t in zip(payloads[lo:hi], iso[lo:hi])])
         self.stats.tick(n, self.clock(), self.cfg.statistics_frequency_ms)

@@ -237,7 +237,8 @@ def near_dup_stream(docs, index_path: str, sink,
 
 def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
                               probe_subdir: str = "meta",
-                              replay_dedup_cols=("id_a", "id_b")):
+                              replay_dedup_cols=("id_a", "id_b"),
+                              heal=None):
     """Shared foreachBatch body for index-backed streaming dedup (MinHash
     text, embedding-cosine, and SimHash modalities): Hadoop-FS index
     probe, the applied-batch-id replay guard, and the replay pair-dedup,
@@ -249,15 +250,15 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
     idempotently — a replayed append then OVERWRITES its own delta).
     Module-level so replay/bootstrap idempotency is directly testable
     with static frames (a real streaming replay can't be forced
-    deterministically)."""
+    deterministically). `heal` (optional, spark -> None) runs before the
+    bootstrap probe — a modality whose index swap can crash mid-rename
+    (the semantic retrain) must recover it HERE, because an absent
+    probe_subdir would otherwise silently re-bootstrap over the
+    recoverable history (r8 review finding)."""
     from .. import fsutil
 
     def _last_applied(spark) -> int:
-        try:
-            row = spark.read.parquet(index_path + "/applied").head()
-            return int(row["batch_id"]) if row is not None else -1
-        except Exception:
-            return -1
+        return fsutil.read_applied_batch(spark, index_path)
 
     def _record_applied(spark, batch_id: int) -> None:
         spark.createDataFrame([(int(batch_id),)], "batch_id long") \
@@ -268,6 +269,8 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if heal is not None:
+            heal(spark)
         if not fsutil.has_committed_output(spark,
                                            f"{index_path}/{probe_subdir}"):
             # Bootstrap. The marker is written FIRST so a crash after the
@@ -548,16 +551,22 @@ def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
                                         n_centroids=n_centroids,
                                         n_iters=n_iters, id_col=id_col,
                                         vec_col=vec_col)
-        cents = batch_df.sparkSession.read.parquet(
-            index_path + "/centroids")
-        return similarity.semantic_pairs(batch_df, threshold,
-                                         id_col=id_col, vec_col=vec_col,
-                                         centroids=cents)
+        # reuse the PERSISTED assignment the index write just produced —
+        # a semantic_pairs() call here would re-run the whole
+        # broadcast-centroid assignment over the same rows (r8 review)
+        asg = (batch_df.sparkSession.read.parquet(index_path + "/members")
+               .select("centroid_id", "id", "vec"))
+        return similarity._cell_pairs(asg, asg, similarity._fast_cosine,
+                                      threshold)
 
     def incremental(spark, batch_df, append, batch_id):
         return similarity.semantic_dedup_incremental(
             spark, batch_df, index_path, threshold, id_col, vec_col,
             append=append, delta_name=f"b{int(batch_id)}")
 
+    def heal(spark):
+        similarity._heal_index_swap(spark, index_path,
+                                    ("members", "centroids", "meta"))
+
     return _indexed_stream_processor(index_path, sink, bootstrap,
-                                     incremental)
+                                     incremental, heal=heal)

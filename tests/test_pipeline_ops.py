@@ -2151,6 +2151,12 @@ def test_substring_compact_crash_heal_carry_over(spark, sf_dir, tmp_path):
     fsutil.delete(spark, f"{path}/wins/{_FOLDED_MANIFEST}")
     _heal_wins(spark, path)
     assert fsutil.exists(spark, path + "/wins.old/part=b7")
+    # ...and compact must REFUSE rather than delete the preserved
+    # wins.old (its pre-swap cleanup would lose the stranded delta —
+    # r8 review finding)
+    with pytest.raises(RuntimeError, match="wins.old"):
+        dedup.substring_index_compact(spark, path)
+    assert fsutil.exists(spark, path + "/wins.old/part=b7")
     dedup.clear_staging(spark, path)
 
 
@@ -2206,3 +2212,55 @@ def test_semantic_index_retrain_growth_and_inflight(spark, sf_dir,
     assert not similarity.semantic_index_maybe_retrain(
         spark, path, growth_threshold=0.5)
     assert not fsutil.exists(spark, path + "/members.old")
+
+
+def test_semantic_index_swap_heal_rollback_and_rollforward(spark, sf_dir,
+                                                           tmp_path):
+    """r8 review finding: a retrain-swap crash must be auto-healed before
+    any read — especially the stream processor's bootstrap probe, which
+    would otherwise silently re-bootstrap over the recoverable history.
+    Mid-aside crash (partial .old, no staging rename ran) rolls BACK to
+    the old generation; post-aside crash (complete .old) rolls FORWARD
+    to the staged one."""
+    from amazon_kinesis_replay_spark import fsutil
+    from amazon_kinesis_replay_spark.operators.similarity import (
+        _RETRAIN_STAGING, _heal_index_swap)
+    subs = ("members", "centroids", "meta")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "semheal")
+    staging = path + _RETRAIN_STAGING
+    similarity.semantic_index_write(b0, path, n_centroids=4, n_iters=1)
+    n_old = spark.read.parquet(path + "/members").count()
+
+    # staged new generation (different corpus so the two are tellable)
+    similarity.semantic_index_write(emb, staging, n_centroids=4, n_iters=1)
+    n_new = spark.read.parquet(staging + "/members").count()
+    assert n_new != n_old
+
+    # mid-aside crash: members+centroids moved aside, meta still live
+    assert fsutil.rename(spark, path + "/members", path + "/members.old")
+    assert fsutil.rename(spark, path + "/centroids",
+                         path + "/centroids.old")
+    _heal_index_swap(spark, path, subs)
+    assert spark.read.parquet(path + "/members").count() == n_old
+    assert not fsutil.exists(spark, path + "/members.old")
+    assert not fsutil.exists(spark, staging)      # staged build discarded
+
+    # post-aside crash: ALL subs aside, staging complete, zero renamed in
+    similarity.semantic_index_write(emb, staging, n_centroids=4, n_iters=1)
+    for s in subs:
+        assert fsutil.rename(spark, f"{path}/{s}", f"{path}/{s}.old")
+    _heal_index_swap(spark, path, subs)
+    assert spark.read.parquet(path + "/members").count() == n_new
+    assert not fsutil.exists(spark, path + "/members.old")
+    assert not fsutil.exists(spark, staging)
+
+    # the incremental read path heals too (no silent bootstrap window)
+    similarity.semantic_index_write(emb, staging, n_centroids=4, n_iters=1)
+    for s in subs:
+        assert fsutil.rename(spark, f"{path}/{s}", f"{path}/{s}.old")
+    out = similarity.semantic_dedup_incremental(
+        spark, b0.limit(10), path, 0.4, append=False)
+    out.count()                                   # read succeeds post-heal
+    assert fsutil.exists(spark, path + "/meta")

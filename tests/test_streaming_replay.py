@@ -326,8 +326,12 @@ def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
         def put_records(self, records):
             w = time.time()
             for r in records:
+                # key by (pid, id): forked PySpark workers share CPython
+                # object addresses, so bare id(self) collides across
+                # processes (r8 review finding)
                 self.f.write(js.dumps(
-                    {"ts": r["ts"], "wall": w, "k": id(self)}) + "\n")
+                    {"ts": r["ts"], "wall": w,
+                     "k": f"{os.getpid()}-{id(self)}"}) + "\n")
             self.f.flush()
             return []
 
@@ -377,3 +381,14 @@ def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
     p99 = steady[min(len(steady) - 1, int(len(steady) * 0.99))]
     assert p50 <= 0.75, f"steady-state p50 lateness {p50:.3f}s"
     assert p99 <= 1.2, f"steady-state p99 lateness {p99:.3f}s"
+
+
+def test_reorder_flag_rejected_in_partitioned_mode():
+    """r8 review finding: partitioned mode sorts within partitions only —
+    silently ignoring reorder_across_batches would let a user believe
+    cross-batch disorder is being repaired. The engine must refuse."""
+    cfg = ReplayConfig(speedup_factor=1e12, reorder_across_batches=True)
+    with pytest.raises(ValueError, match="driver-mode"):
+        ReplayEngine(cfg, lambda: InMemorySink(), mode="partitioned")
+    # driver mode accepts it
+    ReplayEngine(cfg, InMemorySink(), mode="driver")
