@@ -164,12 +164,16 @@ def cms_table(df: DataFrame, col: str, w: int = 1024,
     # ambiguously decodable ((row=1,'2x') == (row=12,'x') once d > 10),
     # breaking the independence of the d rows (review finding). NULL
     # values are excluded explicitly: Spark hash functions SKIP null
-    # columns, so a NULL would alias the row-only hash.
+    # columns, so a NULL would alias the row-only hash. The salt is cast
+    # to LONG (r8, matching bloom_table) so the chained hash has a
+    # pure-python twin — xxh64_string(v, seed=xxh64_long(row)) — making
+    # CMS cells hash-gate-checkable.
     return (df.select(F.col(col).cast("string").alias("__v"))
             .filter(F.col("__v").isNotNull())
             .select("__v", rows)
             .select("row",
-                    F.pmod(F.xxhash64(F.col("row"), F.col("__v")),
+                    F.pmod(F.xxhash64(F.col("row").cast("long"),
+                                      F.col("__v")),
                            F.lit(w)).alias("bucket"))
             .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
 
@@ -197,7 +201,8 @@ def cms_lookup(cms: DataFrame, items: DataFrame, col: str, w: int = 1024,
               .distinct()
               .select("item", rows)
               .select("item", "row",
-                      F.pmod(F.xxhash64(F.col("row"), F.col("item")),
+                      F.pmod(F.xxhash64(F.col("row").cast("long"),
+                                        F.col("item")),
                              F.lit(w)).alias("bucket")))
     return (probes.join(cms, ["row", "bucket"], "left")
             .groupBy("item")

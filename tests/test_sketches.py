@@ -158,3 +158,26 @@ def test_bloom_false_positive_rate_near_theory(spark, sf_dir):
     fp = got.filter("maybe_present").count() / 10_000
     theory = sketches.bloom_fpp(n, m=M, k=K)
     assert fp <= max(3 * theory, 0.01), (fp, theory)
+
+
+def test_cms_cells_match_python_twin(spark, sf_dir):
+    """r8: the CMS salt hashes as LONG (matching bloom_table), so every
+    cell is recomputable pure-python via the chained xxh64 twin — the
+    property that makes the sketch hash-gate-checkable. Full table
+    bit-for-bit."""
+    from amazon_kinesis_replay_spark.functions.xxh import (
+        xxh64_long, xxh64_string)
+    ev = load(spark, sf_dir, "events").select("event_type")
+    W, D = 512, 5
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in
+           sketches.cms_table(ev, "event_type", w=W, d=D).collect()}
+    mask = (1 << 64) - 1
+    seeds = [xxh64_long(i) & mask for i in range(D)]
+    want: dict = {}
+    for (v,) in ev.collect():
+        if v is None:
+            continue
+        for i, s in enumerate(seeds):
+            cell = (i, xxh64_string(str(v), seed=s) % W)
+            want[cell] = want.get(cell, 0) + 1
+    assert got == want
