@@ -24,6 +24,12 @@ Methodology notes:
   canary_sec) — the one-division round-over-round comparison. CANARY_REF_SEC
   is pinned to the quiet-box r8 measurement; a later round divides its own
   canary by it to convert wall seconds into quiet-box-equivalent seconds.
+  `canary_mp_sec` (16 forked workers, slowest-finisher wall) is the
+  BARRIER meter: a burst that widens 32-way stages can leave the
+  single-threaded min untouched (observed once in r8: 38 s total,
+  canary at reference, steal 6.4%) but cannot hide from the mp canary.
+  Triage rule: value inflated + canary_sec ~ref + canary_mp_sec >>
+  mp_ref => co-tenant burst, not a regression.
 """
 
 from __future__ import annotations
@@ -40,16 +46,42 @@ import time
 CANARY_REF_SEC = 0.227
 
 
+#: Pinned quiet-box BARRIER canary (r8, load1 0.20, idle box): min-of-6
+#: of _canary_mp_once() measured 0.12 s. The single-threaded canary's
+#: min can dodge a burst that still hits every 32-way Spark stage
+#: (observed once in r8: a 38 s bench window with canary_sec AT
+#: reference but all queries ~2x and steal 6.4%); the mp canary runs 16
+#: forked workers concurrently and times the SLOWEST — a Spark stage's
+#: sensitivity. (An earlier 0.55 pin was itself taken under load.)
+CANARY_MP_REF_SEC = 0.12
+
+
+def _canary_kernel(iters: int) -> int:
+    acc = 0
+    for i in range(iters):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+    return acc
+
+
 def _canary_once() -> float:
     """Pinned single-threaded pure-Python workload (~0.23 s quiet): a
     2M-iteration integer LCG. GIL-bound, allocation-free — its wall time
-    scales with exactly the CPU contention that inflates Spark's 32-way
-    barrier stages, which makes it a per-run noise meter."""
+    scales with single-core CPU contention."""
     t0 = time.monotonic()
-    acc = 0
-    for i in range(2_000_000):
-        acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+    acc = _canary_kernel(2_000_000)
     assert acc == 129402725096896, "canary kernel drifted"
+    return time.monotonic() - t0
+
+
+def _canary_mp_once(n_procs: int = 16) -> float:
+    """Barrier-style canary: n_procs forked workers run the LCG
+    concurrently, wall time = the slowest finisher (exactly how a
+    co-tenant burst hits a 32-task Spark stage). Pool startup is
+    included — it is constant across runs and the min-of-N absorbs it."""
+    import multiprocessing as mp
+    t0 = time.monotonic()
+    with mp.get_context("fork").Pool(n_procs) as pool:
+        pool.map(_canary_kernel, [500_000] * n_procs)
     return time.monotonic() - t0
 
 
@@ -94,6 +126,7 @@ def main():
     # /proc/stat deltas cover the WHOLE bench window so a mid-bench
     # co-tenant burst shows up even if the canary's min dodges it.
     canary_samples = [_canary_once()]
+    canary_mp_samples = [_canary_mp_once()]
     try:
         cpu0 = _proc_cpu_times()
     except OSError:
@@ -122,6 +155,7 @@ def main():
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
         canary_samples.append(_canary_once())
+        canary_mp_samples.append(_canary_mp_once())
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     # Streaming-engine throughput: pace-free replay of the events table
@@ -209,10 +243,15 @@ def main():
 
     # close the noise meters (one final canary + the whole-window steal)
     canary_samples.append(_canary_once())
+    canary_mp_samples.append(_canary_mp_once())
     canary_sec = round(min(canary_samples), 4)
     noise = {"canary_sec": canary_sec,
              "canary_ref_sec": CANARY_REF_SEC,
-             "canary_samples": [round(c, 4) for c in canary_samples]}
+             "canary_samples": [round(c, 4) for c in canary_samples],
+             "canary_mp_sec": round(min(canary_mp_samples), 4),
+             "canary_mp_ref_sec": CANARY_MP_REF_SEC,
+             "canary_mp_samples": [round(c, 4)
+                                   for c in canary_mp_samples]}
     try:
         cpu1 = _proc_cpu_times()
         if cpu0 is not None:
