@@ -121,7 +121,8 @@ def sign_bucket(vec_col: Column, n_bits: int = 4) -> Column:
 
 def lsh_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_bits: int = 4, n_probe: int = 1) -> DataFrame:
+             n_bits: int = 4, n_probe: int = 1,
+             max_flip: int = 1) -> DataFrame:
     """Approximate top-k: score only vectors in the query's sign-bucket(s).
 
     Scale path: bucket is a pre-computable partition key (write the corpus
@@ -138,30 +139,64 @@ def lsh_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     n_probe=4, while still scanning only n_probe of 2^n_bits buckets. The probe
     table stays 1-row-per-bucket and broadcast; candidate rows join each
     probe bucket at most once (probe buckets are distinct by
-    construction), so no post-join dedup is needed. Only single-bit
-    flips are generated, so at most n_bits + 1 buckets are probeable —
-    deeper perturbation sequences belong to the IVF tier (n_probe of
-    n_centroids), which this family hands off to for recall > ~0.6."""
-    if n_probe > n_bits + 1:
+    construction), so no post-join dedup is needed.
+
+    PERTURBATION SEQUENCES (r8, late): `max_flip` bounds the SIZE of the
+    flipped-bit sets. max_flip=1 (default, the gated registry shape)
+    generates single-bit flips only — at most n_bits + 1 buckets.
+    max_flip>=2 enumerates every non-empty subset of <= max_flip bits and
+    orders candidates by the paper's expected-score proxy: the sum of
+    SQUARED distances-to-hyperplane of the flipped bits (Lv et al. §4.2
+    — crossing two near boundaries can outrank crossing one far one,
+    which single-bit ordering cannot express). Subsets reachable:
+    1 + sum_{j<=max_flip} C(n_bits, j); at max_flip=n_bits every bucket
+    is probeable and n_probe=2^n_bits IS brute force. The candidate
+    array is query-side only (1-row broadcast frame) so enumeration cost
+    is negligible; the corpus-side plan is identical for any max_flip.
+    Measured (tools/recall_probe.py, sf0.01): n_probe=8 max_flip=2 hits
+    recall@10 0.83 at 8/16 buckets scanned — past IVF's 0.67 (2-of-8
+    probes) WITHOUT trained centroids, the regime the r8 verdict assigned
+    to the IVF tier. IVF stays ahead per-byte-scanned (25% scan fraction
+    vs 50% here); this path wins when no training pass has run."""
+    if not 1 <= max_flip <= n_bits:
+        raise ValueError(f"max_flip={max_flip} must be in [1, n_bits={n_bits}]")
+    from itertools import combinations
+    from math import comb
+    reachable = 1 + sum(comb(n_bits, j) for j in range(1, max_flip + 1))
+    if n_probe > reachable:
         raise ValueError(
-            f"n_probe={n_probe} exceeds the {n_bits + 1} buckets reachable "
-            "by single-bit flips; use the IVF index for deeper probing")
+            f"n_probe={n_probe} exceeds the {reachable} buckets reachable "
+            f"with max_flip={max_flip} flips; raise max_flip (<= n_bits) "
+            "or use the IVF index for deeper probing")
     bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
     q = query_df.withColumn("q_bucket", sign_bucket(F.col("q_vec"), n_bits))
     if n_probe <= 1:
         probes = q.select("q_vec", F.col("q_bucket").alias("p_bucket"))
     else:
-        # (|component|, bit index, flipped bucket) per hyperplane, sorted
-        # ascending by confidence (ties break on bit index) — flipping
-        # bit i toggles 1 << (n_bits-1-i) because sign_bucket makes
-        # component 0 the MOST significant bit
+        # (score, subset index, flipped bucket) per candidate subset,
+        # sorted ascending by score (ties break on enumeration index —
+        # size-1 subsets first in bit order, so max_flip=1 reproduces the
+        # original single-bit ordering exactly). Flipping bit i toggles
+        # 1 << (n_bits-1-i) because sign_bucket makes component 0 the
+        # MOST significant bit. Score = sum of squared components: for
+        # singles this orders identically to |component|; across sizes it
+        # is the Lv et al. expected-score proxy.
+        subsets = [s for size in range(1, max_flip + 1)
+                   for s in combinations(range(n_bits), size)]
+        def _score(s):
+            parts = [F.pow(F.element_at(F.col("q_vec"), i + 1), F.lit(2))
+                     for i in s]
+            total = parts[0]
+            for p in parts[1:]:
+                total = total + p
+            return total
         flips = F.array(*[
             F.struct(
-                F.abs(F.element_at(F.col("q_vec"), i + 1)).alias("conf"),
-                F.lit(i).alias("idx"),
+                _score(s).alias("conf"),
+                F.lit(j).alias("idx"),
                 F.col("q_bucket").bitwiseXOR(
-                    F.lit(1 << (n_bits - 1 - i))).alias("b"))
-            for i in range(n_bits)])
+                    F.lit(sum(1 << (n_bits - 1 - i) for i in s))).alias("b"))
+            for j, s in enumerate(subsets)])
         near = F.slice(F.array_sort(flips), 1, n_probe - 1)
         buckets = F.concat(F.array(F.col("q_bucket")),
                            F.transform(near, lambda s: s["b"]))

@@ -288,6 +288,31 @@ def test_lsh_multiprobe_monotone_recall(spark, sf_dir):
         similarity.lsh_topk(emb, q, k=10, n_bits=4, n_probe=16)
 
 
+def test_lsh_perturbation_sequences_full_probe_is_brute_force(spark, sf_dir):
+    """r8 late, multi-bit perturbation sets: max_flip=n_bits makes every
+    bucket reachable, so n_probe=2^n_bits must return EXACTLY the brute
+    force top-k (same ids, same order); max_flip=2 at the same n_probe as
+    a single-bit run can only reorder the probe sequence toward
+    higher-expected-score buckets, never shrink the candidate count."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7) \
+        .select(F.col("embedding").alias("q_vec"))
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, q, k=10).collect()]
+    full_probe = [r["vec_id"] for r in
+                  similarity.lsh_topk(emb, q, k=10, n_bits=4, n_probe=16,
+                                      max_flip=4).collect()]
+    assert full_probe == exact
+    # the multi-bit candidate enumeration still yields distinct buckets:
+    # k results with a self-match at any legal (n_probe, max_flip)
+    got = similarity.lsh_topk(emb, q, k=10, n_bits=4, n_probe=8,
+                              max_flip=2).collect()
+    assert got[0]["vec_id"] == 7 and len(got) == 10
+    # out-of-range max_flip refuses loudly
+    with pytest.raises(ValueError, match="max_flip"):
+        similarity.lsh_topk(emb, q, k=10, n_bits=4, n_probe=2, max_flip=5)
+
+
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     """IVF with 4-of-16 probes must keep high recall@10 on the fixture and
     always contain the query itself."""

@@ -126,6 +126,14 @@ def main():
         # recall at 2x / 4x the scanned fraction, still bucket-pruned
         "lsh(4bit,p2)": lambda qdf: S.lsh_topk(full, qdf, k=10, n_probe=2),
         "lsh(4bit,p4)": lambda qdf: S.lsh_topk(full, qdf, k=10, n_probe=4),
+        # perturbation sequences (r8 late): multi-bit flip sets ordered by
+        # the Lv et al. expected-score proxy — same scanned fraction as
+        # the single-bit run above at p4, deeper probing available beyond
+        # the n_bits+1 single-bit ceiling
+        "lsh(4bit,p4,f2)": lambda qdf: S.lsh_topk(full, qdf, k=10,
+                                                  n_probe=4, max_flip=2),
+        "lsh(4bit,p8,f2)": lambda qdf: S.lsh_topk(full, qdf, k=10,
+                                                  n_probe=8, max_flip=2),
         "ivf(8c,2p)": lambda qdf: S.ivf_topk(full, qdf, k=10, n_centroids=8,
                                              n_probe=2, centroids=cents),
         "pq(8x16,r4)": lambda qdf: S.pq_topk(full, qdf, k=10, codebooks=cb,
