@@ -16,10 +16,16 @@ daily sketch = weekly sketch, no re-scan of history):
 - Count-Min (Cormode & Muthukrishnan 2005): d×w counter table from d
   salted hashes; point lookups take the min over rows; `cms_merge` is
   a cell-wise sum.
+- Bloom (1970): sparse set-bit table; idempotent OR merge; exact
+  negative side.
+- Quantile histogram (HdrHistogram-style log buckets): (bucket, cnt)
+  with bounded relative value error; cell-wise-sum merge; see the
+  section comment for why KLL/t-digest were rejected here.
 
-Both are DETERMINISTIC (hash-derived, no RNG) — sketches of the same
-data are bit-identical across runs and engines that share the hash,
-the property that makes them safe to reconcile across pipelines.
+All are DETERMINISTIC (hash-derived or pure integer arithmetic, no
+RNG) — sketches of the same data are bit-identical across runs,
+partitionings, and engines that share the hash, the property that
+makes them safe to reconcile across pipelines.
 """
 
 from __future__ import annotations
@@ -287,3 +293,151 @@ def bloom_contains(bloom: DataFrame, items: DataFrame, col: str,
 def bloom_fpp(n_items: int, m: int = 1 << 20, k: int = 4) -> float:
     """Textbook false-positive probability after n insertions."""
     return (1.0 - math.exp(-k * n_items / float(m))) ** k
+
+
+# --------------------------------------------------------------------------
+# Quantile histogram (HdrHistogram-style log-bucketed counts)
+# --------------------------------------------------------------------------
+#
+# The fourth mergeable sketch (HLL = cardinality, CMS = frequency, Bloom =
+# membership, this = quantiles/distribution). The classic rank-sketch
+# candidates violate this module's determinism contract: KLL compacts via
+# coin flips (randomized), and a t-digest's centroids depend on the MERGE
+# ORDER, so a distributed build changes with partitioning. A log-bucketed
+# histogram (the HdrHistogram idea) is deterministic pure-integer
+# arithmetic — bit-identical across runs, partitionings, and engines —
+# fully mergeable by cell-wise sum, and bounds RELATIVE value error at
+# 2^-(sig_bits+1) per quantile (values below 2^sig_bits are EXACT: each
+# gets its own bucket). The trade vs KLL is a value-space (not rank-space)
+# guarantee and a non-negative-integer domain — the right artifact for
+# the latency/size/count rollups a pipeline actually stores. Scale shape
+# matches the other sketches: one map-side-combinable groupBy; at most
+# ~64 * 2^sig_bits buckets survive regardless of input size.
+
+
+def _qhist_bucket(sig_bits: int) -> Column:
+    """Bucket id for a non-negative long column __v. 0 -> bucket 0; else
+    with exp = floor(log2(v)) (computed EXACTLY as bit_length - 1 via a
+    base-2 string conv — floating log2 misbuckets near powers of two
+    once v > 2^53), slot = the top sig_bits of the mantissa:
+    bucket = exp * 2^sig_bits + slot + 1. Pure integer ops — the python
+    twin is ((v.bit_length()-1) << S) + ((v - 2^exp) >> max(exp-S, 0)) + 1."""
+    S = sig_bits
+    exp = F.length(F.conv(F.format_string("%d", F.col("__v")), 10, 2)) - 1
+    slot = F.expr(
+        f"shiftrightunsigned(__v - shiftleft(cast(1 as bigint), "
+        f"length(conv(format_string('%d', __v), 10, 2)) - 1), "
+        f"greatest(length(conv(format_string('%d', __v), 10, 2)) - 1 - {S},"
+        f" 0))")
+    return (F.when(F.col("__v") < 0,
+                   F.raise_error(F.format_string(
+                       "qhist: negative value %d (domain is non-negative "
+                       "longs; pre-scale or offset signed data)",
+                       F.col("__v"))).cast("long"))
+            .when(F.col("__v") == 0, F.lit(0).cast("long"))
+            .otherwise((exp.cast("long") * F.lit(1 << S)
+                        + slot + F.lit(1)).cast("long")))
+
+
+def qhist_table(df: DataFrame, col: str, sig_bits: int = 7) -> DataFrame:
+    """Quantile-histogram table (bucket, cnt) of a non-negative integer
+    column. One projection + one map-side-combinable groupBy; at most
+    64 * 2^sig_bits rows survive. Deterministic (no hashing, no RNG):
+    rebuilds and re-partitionings are bit-identical — the property that
+    makes per-day tables safe to reconcile across pipelines."""
+    if not 1 <= sig_bits <= 16:
+        raise ValueError(f"sig_bits must be in [1, 16], got {sig_bits}")
+    return (df.select(F.col(col).cast("long").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .select(_qhist_bucket(sig_bits).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+def qhist_table_grouped(df: DataFrame, group_col: str, col: str,
+                        sig_bits: int = 7) -> DataFrame:
+    """Per-group quantile histograms: (group, bucket, cnt) — the
+    latency-percentiles-per-endpoint shape. Same single groupBy; at most
+    64 * 2^sig_bits rows per group."""
+    if not 1 <= sig_bits <= 16:
+        raise ValueError(f"sig_bits must be in [1, 16], got {sig_bits}")
+    return (df.select(F.col(group_col),
+                      F.col(col).cast("long").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .select(F.col(group_col), _qhist_bucket(sig_bits).alias("bucket"))
+            .groupBy(group_col, "bucket").agg(F.count("*").alias("cnt")))
+
+
+def qhist_merge(*tables: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Cell-wise sum (associative/commutative, NOT idempotent — like CMS,
+    self-merge double-counts; dedupe batches upstream for replay safety).
+    Pass group_col to merge grouped tables."""
+    if not tables:
+        raise ValueError("qhist_merge needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def _qhist_value(sig_bits: int) -> Column:
+    """Representative (midpoint) value of a bucket column as double:
+    bucket 0 -> 0; else decode (exp, slot), lo = 2^exp + slot * 2^shift,
+    midpoint = lo + (2^shift - 1) / 2. |midpoint - any value in the
+    bucket| <= (width-1)/2, so relative error <= 2^-(sig_bits+1)."""
+    S = sig_bits
+    return F.expr(
+        f"CASE WHEN bucket = 0 THEN cast(0 as double) ELSE "
+        f"cast(shiftleft(cast(1 as bigint), cast((bucket - 1) div {1 << S}"
+        f" as int)) + shiftleft(pmod(bucket - 1, {1 << S}), "
+        f"greatest(cast((bucket - 1) div {1 << S} as int) - {S}, 0)) "
+        f"as double) + "
+        f"cast(shiftleft(cast(1 as bigint), "
+        f"greatest(cast((bucket - 1) div {1 << S} as int) - {S}, 0)) - 1 "
+        f"as double) / 2.0 END")
+
+
+def qhist_quantiles(qh: DataFrame, probs: list[float],
+                    sig_bits: int = 7) -> DataFrame:
+    """Quantile estimates from the table: DataFrame (prob, value_est),
+    value_est = midpoint of the bucket holding rank ceil(prob * n)
+    (1-based, clamped to >= 1). The cumulative walk is a window over the
+    at-most-8k-row sketch table — never over the source data; the probs
+    and total-count frames are broadcast 1-row/tiny joins."""
+    from pyspark.sql import Window
+    spark = qh.sparkSession
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    cum = qh.withColumn("__cum", F.sum("cnt").over(w))
+    tot = qh.agg(F.sum("cnt").alias("__n"))
+    pdf = spark.createDataFrame([(float(p),) for p in probs],
+                                "prob double")
+    target = F.greatest(F.ceil(F.col("prob") * F.col("__n")), F.lit(1))
+    return (cum.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(pdf),
+                  (F.col("__cum") >= target)
+                  & (F.col("__cum") - F.col("cnt") < target))
+            .select("prob", _qhist_value(sig_bits).alias("value_est")))
+
+
+def qhist_quantiles_grouped(qh: DataFrame, group_col: str,
+                            probs: list[float],
+                            sig_bits: int = 7) -> DataFrame:
+    """Per-group quantiles as a DataFrame (group, prob, value_est) — the
+    window partitions by group and per-group totals join back, so a
+    million groups never collect to the driver."""
+    from pyspark.sql import Window
+    spark = qh.sparkSession
+    w = (Window.partitionBy(group_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = qh.withColumn("__cum", F.sum("cnt").over(w))
+    tot = qh.groupBy(group_col).agg(F.sum("cnt").alias("__n"))
+    pdf = spark.createDataFrame([(float(p),) for p in probs],
+                                "prob double")
+    target = F.greatest(F.ceil(F.col("prob") * F.col("__n")), F.lit(1))
+    return (cum.join(tot, group_col)
+            .join(F.broadcast(pdf),
+                  (F.col("__cum") >= target)
+                  & (F.col("__cum") - F.col("cnt") < target))
+            .select(group_col, "prob",
+                    _qhist_value(sig_bits).alias("value_est")))

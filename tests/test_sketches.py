@@ -160,6 +160,106 @@ def test_bloom_false_positive_rate_near_theory(spark, sf_dir):
     assert fp <= max(3 * theory, 0.01), (fp, theory)
 
 
+def _py_qhist_bucket(v, S):
+    if v == 0:
+        return 0
+    e = v.bit_length() - 1
+    return (e << S) + ((v - (1 << e)) >> max(e - S, 0)) + 1
+
+
+def test_qhist_buckets_match_python_twin(spark, sf_dir):
+    """r8 late: the quantile histogram is pure integer arithmetic (no
+    hash, no RNG), so the WHOLE table is recomputable pure-python —
+    bit-for-bit, including values past 2^53 where a floating log2 would
+    misbucket. Also pins determinism under repartitioning (the property
+    KLL/t-digest lack that justified this design)."""
+    S = 7
+    ev = load(spark, sf_dir, "events").select("user_id")
+    got = {r["bucket"]: r["cnt"] for r in
+           sketches.qhist_table(ev, "user_id", sig_bits=S).collect()}
+    want: dict = {}
+    for (v,) in ev.collect():
+        b = _py_qhist_bucket(int(v), S)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    # big-value boundary hazard: bit-exact past 2^53
+    big = spark.createDataFrame(
+        [((1 << 60) - 1,), ((1 << 60),), ((1 << 62) + 12345,),
+         (2**63 - 1,)], "v long")
+    got_big = {r["bucket"]: r["cnt"] for r in
+               sketches.qhist_table(big, "v", sig_bits=S).collect()}
+    assert got_big == {_py_qhist_bucket(v, S): 1
+                       for v in [(1 << 60) - 1, 1 << 60,
+                                 (1 << 62) + 12345, 2**63 - 1]}
+    # deterministic under repartition: bit-identical rebuild
+    re = {r["bucket"]: r["cnt"] for r in
+          sketches.qhist_table(ev.repartition(7), "user_id",
+                               sig_bits=S).collect()}
+    assert re == got
+
+
+def test_qhist_quantiles_accuracy_merge_and_grouped(spark, sf_dir):
+    """Quantile estimates vs exact order statistics: relative error must
+    be <= 2^-(sig_bits+1) (values < 2^sig_bits are exact); batch merge ==
+    full build cell-for-cell; the grouped variant equals per-group full
+    builds; negative input raises."""
+    import pytest
+    S = 7
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    qh = sketches.qhist_table(ev, "user_id", sig_bits=S)
+    vals = sorted(int(r["user_id"]) for r in ev.collect())
+    n = len(vals)
+    probs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {r["prob"]: r["value_est"] for r in
+           sketches.qhist_quantiles(qh, probs, sig_bits=S).collect()}
+    import math as _m
+    for p in probs:
+        # the rank exactly as the operator defines it: ceil(p*n), >= 1
+        true = vals[max(_m.ceil(p * n), 1) - 1]
+        if true == 0:
+            assert got[p] == 0.0
+        else:
+            assert abs(got[p] - true) / true <= 2 ** -(S + 1), (p, got[p], true)
+    # additive merge: batch tables sum to the full table cell-for-cell
+    b1 = ev.filter(F.col("user_id") % 2 == 0)
+    b2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = sketches.qhist_merge(
+        sketches.qhist_table(b1, "user_id", sig_bits=S),
+        sketches.qhist_table(b2, "user_id", sig_bits=S))
+    full = {(r["bucket"], r["cnt"]) for r in qh.collect()}
+    assert {(r["bucket"], r["cnt"]) for r in merged.collect()} == full
+    # grouped == per-group full builds; grouped quantiles track exact
+    grouped = sketches.qhist_table_grouped(ev, "event_type", "user_id",
+                                           sig_bits=S)
+    groups = [r["event_type"] for r in
+              ev.select("event_type").distinct().collect()]
+    g = sorted(groups)[0]
+    solo = {(r["bucket"], r["cnt"]) for r in
+            sketches.qhist_table(ev.filter(F.col("event_type") == g),
+                                 "user_id", sig_bits=S).collect()}
+    sub = {(r["bucket"], r["cnt"]) for r in
+           grouped.filter(F.col("event_type") == g)
+           .select("bucket", "cnt").collect()}
+    assert sub == solo
+    gq = {(r["event_type"], r["prob"]): r["value_est"] for r in
+          sketches.qhist_quantiles_grouped(grouped, "event_type", [0.5],
+                                           sig_bits=S).collect()}
+    import math as _m
+    for grp in groups:
+        gv = sorted(int(r["user_id"]) for r in
+                    ev.filter(F.col("event_type") == grp).collect())
+        true = gv[max(_m.ceil(0.5 * len(gv)), 1) - 1]
+        est = gq[(grp, 0.5)]
+        if true == 0:
+            assert est == 0.0
+        else:
+            assert abs(est - true) / true <= 2 ** -(S + 1), (grp, est, true)
+    # negative values refuse loudly (domain contract)
+    neg = spark.createDataFrame([(-1,)], "v long")
+    with pytest.raises(Exception, match="negative"):
+        sketches.qhist_table(neg, "v", sig_bits=S).collect()
+
+
 def test_cms_cells_match_python_twin(spark, sf_dir):
     """r8: the CMS salt hashes as LONG (matching bloom_table), so every
     cell is recomputable pure-python via the chained xxh64 twin — the
