@@ -644,7 +644,8 @@ def kmeans_centroids_two_level(
         emb: DataFrame, n_coarse: int = 8, n_fine: int = 8,
         n_iters: int = 2, id_col: str = "vec_id",
         vec_col: str = "embedding",
-        train_mod: int | None = None) -> tuple[DataFrame, DataFrame]:
+        train_mod: int | None = None,
+        exact: bool = False) -> tuple[DataFrame, DataFrame]:
     """Hierarchical (two-level) k-means: n_coarse top-level centroids,
     then n_fine centroids per coarse cell — n_coarse*n_fine leaf cells
     total, trained at O(n*(n_coarse + n_fine)) assignment cost instead
@@ -671,17 +672,25 @@ def kmeans_centroids_two_level(
     cell that captured no training members (possible under train_mod)
     falls back to the coarse centroid itself as its single fine
     centroid, so full-corpus assignment can never drop a vector.
+
+    exact=True mirrors kmeans_centroids(exact=True) at BOTH levels
+    (decimal-exact cosine assignment; per-dimension decimal sums cast
+    to double, no division; double element type end-to-end), so a SQL
+    engine unrolling the same chain computes bit-identical leaf cells —
+    the pairwise_topk_per_label kind='semdedup2' oracle relies on it.
     """
     from pyspark.sql import Window
     spark = emb.sparkSession
+    scorer = cosine if exact else _fast_cosine
+    elem = "double" if exact else "float"
     train = emb
     if train_mod is not None and train_mod > 1:
         train = emb.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
     coarse = kmeans_centroids(train, n_centroids=n_coarse,
                               n_iters=n_iters, id_col=id_col,
-                              vec_col=vec_col)
+                              vec_col=vec_col, exact=exact)
     asg1 = ivf_assign(train, id_col=id_col, vec_col=vec_col,
-                      centroids=coarse) \
+                      centroids=coarse, exact=exact) \
         .select("id", "vec", F.col("centroid_id").alias("coarse_id"))
     # training scans the sample 2*n_iters+1 times — cut the lineage once
     asg1 = asg1.localCheckpoint()
@@ -690,26 +699,33 @@ def kmeans_centroids_two_level(
     fine = (asg1.withColumn("rn", F.row_number().over(wseed))
             .filter(F.col("rn") <= n_fine)
             .select("coarse_id", (F.col("rn") - 1).alias("fine_id"),
-                    F.col("vec").alias("c_vec")))
+                    F.transform("vec", lambda x: x.cast(elem))
+                    .alias("c_vec")))
     for _ in range(n_iters):
         scored = (asg1.join(F.broadcast(fine), "coarse_id")
                   .select("coarse_id", "id", "vec", "fine_id",
-                          _fast_cosine(F.col("vec"),
-                                       F.col("c_vec")).alias("sim")))
+                          scorer(F.col("vec"),
+                                 F.col("c_vec")).alias("sim")))
         w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
                                              F.col("fine_id").asc())
         assigned = (scored.withColumn("rn", F.row_number().over(w))
                     .filter(F.col("rn") == 1))
         dims = assigned.select(
             "coarse_id", "fine_id", F.posexplode("vec").alias("pos", "x"))
-        means = dims.groupBy("coarse_id", "fine_id", "pos") \
-            .agg(F.avg("x").alias("m"))
+        if exact:
+            # mirrored double->decimal of unit-scale components (the
+            # sanctioned CLAUDE.md exception, same as flat exact Lloyd)
+            m = F.sum(F.col("x").cast("double").cast(_PROD_DEC)) \
+                .cast("double").alias("m")
+        else:
+            m = F.avg("x").alias("m")
+        means = dims.groupBy("coarse_id", "fine_id", "pos").agg(m)
         new_fine = (means.groupBy("coarse_id", "fine_id")
                     .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                          .alias("pm"))
                     .select("coarse_id", "fine_id",
                             F.transform("pm", lambda s: s["m"]
-                                        .cast("float")).alias("c_vec")))
+                                        .cast(elem)).alias("c_vec")))
         # materialize the (k-sized) table per iteration — same contract
         # as flat kmeans_centroids (lazy chaining re-executes history)
         fine = spark.createDataFrame(new_fine.collect(), new_fine.schema)
@@ -721,7 +737,7 @@ def kmeans_centroids_two_level(
     fallback = missing.select(
         F.col("centroid_id").alias("coarse_id"),
         F.lit(0).alias("fine_id"),
-        F.transform("c_vec", lambda x: x.cast("float")).alias("c_vec"))
+        F.transform("c_vec", lambda x: x.cast(elem)).alias("c_vec"))
     fine = fine.unionByName(fallback)
     return (fine.withColumn(
         "centroid_id",
@@ -731,21 +747,24 @@ def kmeans_centroids_two_level(
 
 def ivf_assign_two_level(emb: DataFrame, coarse: DataFrame,
                          fine: DataFrame, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         exact: bool = False) -> DataFrame:
     """Assign every vector to its leaf cell through the hierarchy:
     nearest coarse centroid (broadcast scan over n_coarse), then nearest
     fine centroid WITHIN that cell (broadcast join on coarse_id over
     n_fine candidates). Output: (id, vec, centroid_id) — the same
     contract as flat ivf_assign, at O(n_coarse + n_fine) comparisons
-    per vector."""
+    per vector. exact=True scores with the decimal-exact cosine at both
+    levels (cross-engine gates)."""
     from pyspark.sql import Window
+    scorer = cosine if exact else _fast_cosine
     asg1 = ivf_assign(emb, id_col=id_col, vec_col=vec_col,
-                      centroids=coarse) \
+                      centroids=coarse, exact=exact) \
         .select("id", "vec", F.col("centroid_id").alias("coarse_id"))
     scored = (asg1.join(F.broadcast(fine), "coarse_id")
               .select("id", "vec", "centroid_id",
-                      _fast_cosine(F.col("vec"),
-                                   F.col("c_vec")).alias("sim")))
+                      scorer(F.col("vec"),
+                             F.col("c_vec")).alias("sim")))
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
                                          F.col("centroid_id").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -756,21 +775,25 @@ def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.4,
                              n_coarse: int = 8, n_fine: int = 8,
                              n_iters: int = 2, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             train_mod: int | None = None) -> DataFrame:
+                             train_mod: int | None = None,
+                             exact: bool = False) -> DataFrame:
     """SemDeDup over hierarchical leaf cells — the 100 TB variant: same
     min-id-wins duplicate semantics as `semantic_dedup`, but clustering
     cost is O(n·√k) instead of O(n·k) when k grows ∝ corpus (flat
     training measured O(n²) in the r8 scale probe; the two-level probe
-    family measures this fix). Not oracle-gated (the flat exact-mode
-    entry carries the hash gate); behavior is pinned by tests: full
-    assignment coverage, within-cell confinement, and pure-python
-    recomputation of the dup set from the produced assignment."""
+    family measures this fix). HASH-GATED since late r8: exact=True
+    (decimal-exact arithmetic end-to-end, incl. the sampled-training
+    path) is unrolled as the kind='semdedup2' rows of the
+    pairwise_topk_per_label oracle; behavior additionally pinned by
+    tests (full assignment coverage, within-cell confinement,
+    pure-python dup-set recomputation)."""
     fine, coarse = kmeans_centroids_two_level(
         emb, n_coarse=n_coarse, n_fine=n_fine, n_iters=n_iters,
-        id_col=id_col, vec_col=vec_col, train_mod=train_mod)
+        id_col=id_col, vec_col=vec_col, train_mod=train_mod, exact=exact)
     asg = ivf_assign_two_level(emb, coarse, fine, id_col=id_col,
-                               vec_col=vec_col)
-    return _mark_semantic_dups(asg, threshold, _fast_cosine)
+                               vec_col=vec_col, exact=exact)
+    return _mark_semantic_dups(asg, threshold,
+                               cosine if exact else _fast_cosine)
 
 
 # --------------------------------------------------------------------------

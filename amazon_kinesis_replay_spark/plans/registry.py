@@ -1954,6 +1954,15 @@ def q_pairwise_topk_per_label(spark, sf_dir):
       label carries centroid_id, id_a the vector, is_dup the verdict;
       the cluster equi-join confines the quadratic exactly as the label
       join does for kind='pair'.
+    - kind='semdedup2' (late r8): the TWO-LEVEL (hierarchical) SemDeDup
+      scale shape, hash-gated end-to-end — coarse exact Lloyd (4 cells,
+      2 iters) trained on the deterministic half-corpus sample
+      (train_mod=2), per-cell fine exact Lloyd (4 fine each, tie on
+      fine_id), empty-cell fallback, hierarchical full-corpus leaf
+      assignment, min-id-wins marking within LEAF cells. label carries
+      the leaf centroid_id (coarse*4+fine). The oracle unrolls the whole
+      chain in SQL (_TL2_* helpers), so the O(n*sqrt(k)) geometry itself
+      is bit-checked, not just the flat variant.
     """
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
@@ -1974,7 +1983,18 @@ def q_pairwise_topk_per_label(spark, sf_dir):
         F.lit(None).cast("double").alias("cosine"),
         F.lit(None).cast("long").alias("rank"),
         "is_dup")
-    return pair.unionAll(sem_rows)
+    sem2 = similarity.semantic_dedup_two_level(
+        load(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_coarse=4, n_fine=4, n_iters=2, train_mod=2, exact=True)
+    sem2_rows = sem2.select(
+        F.lit("semdedup2").alias("kind"),
+        F.col("centroid_id").cast("long").alias("label"),
+        F.col("id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(None).cast("long").alias("rank"),
+        "is_dup")
+    return pair.unionAll(sem_rows).unionAll(sem2_rows)
 
 
 _SIGN_BUCKET_SQL = ("(CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END"
@@ -2036,6 +2056,111 @@ _IVF_ORACLE = f"""
     ORDER BY cosine DESC, af.vec_id ASC
     LIMIT 10
 """
+
+
+# --- two-level SemDeDup oracle helpers (kind='semdedup2') ------------------
+# Unrolled twin of semantic_dedup_two_level(exact=True): every step uses
+# the audited cross-engine-exact patterns (decimal dot products, decimal
+# per-dimension sums routed through VARCHAR to double), mirroring
+# kmeans_centroids_two_level / ivf_assign_two_level bit for bit.
+
+
+def _tl2_assign_sql(src: str, cents: str) -> str:
+    """(id, vec, coarse_id): argmax-cosine assignment of (id, vec) rows
+    against a (centroid_id, c_vec) table — ivf_assign(exact=True)."""
+    return f"""
+        SELECT id, vec, coarse_id FROM (
+            SELECT s.id, s.vec, c.centroid_id AS coarse_id,
+                   row_number() OVER (PARTITION BY s.id ORDER BY
+                       {_cosine_sql('s.vec', 'c.c_vec')} DESC,
+                       c.centroid_id ASC) AS rn
+            FROM {src} s CROSS JOIN {cents} c) WHERE rn = 1"""
+
+
+def _tl2_coarse_update_sql(asg: str) -> str:
+    """Coarse-centroid update: per-dimension decimal sums cast to double
+    (order-independent, no division) — kmeans_centroids(exact=True)."""
+    return f"""
+        SELECT coarse_id AS centroid_id, list(s ORDER BY pos) AS c_vec
+        FROM (
+            SELECT coarse_id, pos,
+                   CAST(CAST(sum(CAST(CAST(vec[pos] AS DOUBLE)
+                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
+            FROM {asg}, (SELECT unnest(range(1, 65)) AS pos) p
+            GROUP BY coarse_id, pos) GROUP BY coarse_id"""
+
+
+def _tl2_fine_assign_sql(src: str, fine: str) -> str:
+    """(id, vec, coarse_id, fine_id): argmax within the row's own coarse
+    cell, tie on fine_id — the two-level trainer's fine iteration."""
+    return f"""
+        SELECT id, vec, coarse_id, fine_id FROM (
+            SELECT a.id, a.vec, a.coarse_id, f.fine_id,
+                   row_number() OVER (PARTITION BY a.id ORDER BY
+                       {_cosine_sql('a.vec', 'f.c_vec')} DESC,
+                       f.fine_id ASC) AS rn
+            FROM {src} a JOIN {fine} f ON a.coarse_id = f.coarse_id)
+        WHERE rn = 1"""
+
+
+def _tl2_fine_update_sql(asg: str) -> str:
+    return f"""
+        SELECT coarse_id, fine_id, list(s ORDER BY pos) AS c_vec FROM (
+            SELECT coarse_id, fine_id, pos,
+                   CAST(CAST(sum(CAST(CAST(vec[pos] AS DOUBLE)
+                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
+            FROM {asg}, (SELECT unnest(range(1, 65)) AS pos) p
+            GROUP BY coarse_id, fine_id, pos) GROUP BY coarse_id, fine_id"""
+
+
+#: CTE chain for the kind='semdedup2' leg: train on vec_id%2=0 (the
+#: train_mod=2 deterministic sample), 2 coarse Lloyd iterations (4 cells),
+#: fine seeds = first 4 members per cell by id, 2 fine iterations,
+#: empty-cell fallback, then full-corpus hierarchical leaf assignment and
+#: min-id-wins duplicate marking at cosine >= 0.4 within leaf cells.
+_TL2_CTES = f"""
+        t2t AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+                WHERE vec_id % 2 = 0),
+        t2c0 AS (SELECT id AS centroid_id,
+                        list_transform(vec, x -> CAST(x AS DOUBLE)) AS c_vec
+                 FROM t2t ORDER BY id LIMIT 4),
+        t2a1 AS ({_tl2_assign_sql('t2t', 't2c0')}),
+        t2c1 AS ({_tl2_coarse_update_sql('t2a1')}),
+        t2a2 AS ({_tl2_assign_sql('t2t', 't2c1')}),
+        t2c2 AS ({_tl2_coarse_update_sql('t2a2')}),
+        t2a3 AS ({_tl2_assign_sql('t2t', 't2c2')}),
+        t2fs AS (
+            SELECT coarse_id, CAST(rn - 1 AS INT) AS fine_id,
+                   list_transform(vec, x -> CAST(x AS DOUBLE)) AS c_vec
+            FROM (SELECT coarse_id, vec,
+                         row_number() OVER (PARTITION BY coarse_id
+                             ORDER BY id ASC) AS rn
+                  FROM t2a3) WHERE rn <= 4),
+        t2fa1 AS ({_tl2_fine_assign_sql('t2a3', 't2fs')}),
+        t2f1 AS ({_tl2_fine_update_sql('t2fa1')}),
+        t2fa2 AS ({_tl2_fine_assign_sql('t2a3', 't2f1')}),
+        t2f2 AS ({_tl2_fine_update_sql('t2fa2')}),
+        t2fine AS (
+            SELECT coarse_id, fine_id, c_vec FROM t2f2
+            UNION ALL
+            SELECT c.centroid_id AS coarse_id, 0 AS fine_id, c.c_vec
+            FROM t2c2 c
+            WHERE c.centroid_id NOT IN (SELECT coarse_id FROM t2f2)),
+        t2full AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        t2fa AS ({_tl2_assign_sql('t2full', 't2c2')}),
+        t2asg AS (
+            SELECT id, vec, centroid_id FROM (
+                SELECT a.id, a.vec,
+                       f.coarse_id * 4 + f.fine_id AS centroid_id,
+                       row_number() OVER (PARTITION BY a.id ORDER BY
+                           {_cosine_sql('a.vec', 'f.c_vec')} DESC,
+                           f.coarse_id * 4 + f.fine_id ASC) AS rn
+                FROM t2fa a JOIN t2fine f ON a.coarse_id = f.coarse_id)
+            WHERE rn = 1),
+        t2dups AS (
+            SELECT DISTINCT a.id FROM t2asg a JOIN t2asg b
+              ON a.centroid_id = b.centroid_id AND b.id < a.id
+            WHERE {_cosine_sql('a.vec', 'b.vec')} >= 0.4)"""
 
 
 _ORACLES_SIM = {
@@ -2135,7 +2260,8 @@ _ORACLES_SIM = {
             SELECT DISTINCT a.vec_id
             FROM sd_af a JOIN sd_af b
               ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
-            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4)
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4),
+        {_TL2_CTES.lstrip()}
         SELECT 'pair' AS kind, CAST(label AS BIGINT) AS label, id_a, id_b,
                cosine, CAST(rank AS BIGINT) AS rank,
                CAST(NULL AS BOOLEAN) AS is_dup
@@ -2146,6 +2272,12 @@ _ORACLES_SIM = {
                CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BIGINT) AS rank,
                coalesce(d.vec_id IS NOT NULL, FALSE) AS is_dup
         FROM sd_af af LEFT JOIN sd_dups d ON af.vec_id = d.vec_id
+        UNION ALL
+        SELECT 'semdedup2' AS kind, CAST(asg.centroid_id AS BIGINT) AS label,
+               asg.id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BIGINT) AS rank,
+               coalesce(d2.id IS NOT NULL, FALSE) AS is_dup
+        FROM t2asg asg LEFT JOIN t2dups d2 ON asg.id = d2.id
     """,
 }
 
