@@ -51,12 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "count (it collect()s for exact global pacing); "
                         "partitioned mode has no such bound")
     p.add_argument("--reorder-across-batches", action="store_true",
-                   help="driver mode only: repair event-time disorder "
-                        "ACROSS micro-batches with a row-count-bounded "
-                        "buffer of -readerBufferSize rows (the "
-                        "reference's always-on 100k-event priority "
+                   help="repair event-time disorder ACROSS micro-batches "
+                        "with a bounded buffer of -readerBufferSize rows "
+                        "(the reference's always-on 100k-event priority "
                         "queue); beyond-window stragglers emit late, "
-                        "never drop")
+                        "never drop. Partitioned mode also needs "
+                        "--reorder-state-path")
+    p.add_argument("--reorder-state-path", default=None,
+                   help="durable held-state dir for the partitioned-mode "
+                        "reorder gate (parquet epochs + applied marker)")
     p.add_argument("--codec", choices=["text", "sniff"], default="text",
                    help="'text' = extension-dispatched Hadoop codecs (fast "
                         "JVM path, .gz/.bz2); 'sniff' = content-sniffed "
@@ -88,6 +91,7 @@ def config_from_args(args: argparse.Namespace) -> ReplayConfig:
         sender_threads=args.kinesisSenderThreads,
         driver_mode_max_rows=args.driver_mode_max_rows,
         reorder_across_batches=args.reorder_across_batches,
+        reorder_state_path=args.reorder_state_path,
     )
 
 

@@ -47,6 +47,16 @@ class ReplayConfig:
     #: sorting (the Structured-Streaming-idiomatic shape) emits every
     #: batch eagerly and needs no drain step.
     reorder_across_batches: bool = False
+    #: late r8: durable held-state directory that carries the reorder
+    #: buffer into PARTITIONED mode (the scale path). Driver mode keeps
+    #: its in-memory pandas buffer and ignores this; partitioned mode
+    #: REQUIRES it when reorder_across_batches is set — the held tail
+    #: (at least reader_buffer_size rows) lives as parquet under
+    #: held/epoch=<batch_id> with an applied-batch marker, the same
+    #: overwrite-by-batch-id idempotency as the near-dup pair sink, so
+    #: a redelivered micro-batch cannot corrupt the buffer (emission to
+    #: the sink stays at-least-once, like every replay sink path).
+    reorder_state_path: str | None = None
 
     # -- sink (OP-SINK-*) -----------------------------------------------------
     stream_arn: str | None = None              # required in reference CLI

@@ -88,15 +88,18 @@ class ReplayEngine:
                  clock=time.monotonic, sleep=time.sleep):
         if mode not in ("driver", "partitioned"):
             raise ValueError(f"unknown replay mode {mode!r}")
-        if cfg.reorder_across_batches and mode != "driver":
+        if (cfg.reorder_across_batches and mode != "driver"
+                and not cfg.reorder_state_path):
             # silently ignoring the flag would let a user believe
             # cross-batch disorder is being repaired while partitioned
-            # mode only sorts within partitions (r8 review finding)
+            # mode only sorts within partitions (r8 review finding).
+            # Late r8: partitioned mode CAN reorder — via the durable
+            # distributed gate — but it needs a state directory.
             raise ValueError(
-                "reorder_across_batches is a driver-mode feature: "
-                "partitioned mode sorts within partitions only (see "
-                "docs/DEVIATIONS.md item 3); run mode='driver' or drop "
-                "the flag")
+                "reorder_across_batches in partitioned mode needs "
+                "reorder_state_path= (a durable held-state directory "
+                "for the distributed gate); set it, or run "
+                "mode='driver' (in-memory buffer), or drop the flag")
         self.cfg = cfg
         self.sink = sink
         self.mode = mode
@@ -142,6 +145,8 @@ class ReplayEngine:
     def process_batch(self, batch_df: DataFrame, batch_id: int):
         if self.mode == "driver":
             self._process_driver(batch_df)
+        elif self.cfg.reorder_across_batches:
+            self._process_partitioned_reordered(batch_df, batch_id)
         else:
             self._process_partitioned(batch_df)
         self.stats.batches += 1
@@ -210,11 +215,104 @@ class ReplayEngine:
     def finalize(self):
         """Drain the cross-batch reorder buffer — the reference drains
         its priority queue when the S3 iterator is exhausted; a finite
-        (availableNow) stream calls this after awaitTermination."""
+        (availableNow) stream calls this after awaitTermination.
+        Partitioned mode drains the durable held state and then deletes
+        the state directory (the stream is over); a crash between the
+        drain emit and the delete redelivers on the next finalize —
+        at-least-once, like every sink path here."""
+        if self.mode == "partitioned":
+            self._finalize_partitioned()
+            return
         held, self._held = self._held, None
         if held is None or held.empty:
             return
         self._emit_pdf(held)
+
+    # -- partitioned-mode distributed reorder gate (late r8) ----------------
+
+    def _reorder_root(self) -> str:
+        return self.cfg.reorder_state_path.rstrip("/")
+
+    def _process_partitioned_reordered(self, batch_df: DataFrame,
+                                       batch_id: int):
+        """Distributed twin of `_reorder_gate` — the reference's bounded
+        priority queue (JsonEventBufferedReader.java:39) carried into the
+        scale path: hold back the ts-LARGEST `reader_buffer_size` rows of
+        (held ∪ batch) as durable parquet and hand only the older prefix
+        to the per-sender pacing stage. A row is emitted only once at
+        least `reader_buffer_size` later-or-equal rows exist — the
+        poll-when-full rule — so disorder within the window is repaired
+        across micro-batches and disorder beyond it emits late, never
+        drops. Held rows whose targets are still in the future lose
+        nothing: pacing, not arrival, schedules their emission.
+
+        Differences from the driver-mode gate, by design:
+        - the split is by ts VALUE (cutoff = the bound-th largest ts),
+          not row count: a row-count split of a distributed frame is
+          nondeterministic under ties, a ts cutoff is not. Ties at the
+          cutoff ride the buffer (window >= bound rows, never < bound).
+        - state is parquet under held/epoch=<batch_id> with the
+          applied-batch marker written AFTER the emit: a redelivered
+          batch either skips entirely (marker present — state and emit
+          already done) or recomputes bit-identically from the previous
+          epoch and overwrites its own output. Sink emission stays
+          at-least-once (crash between emit and marker re-emits), the
+          same contract as send_with_retry.
+        """
+        from .. import fsutil
+        spark = batch_df.sparkSession
+        root = self._reorder_root()
+        applied = fsutil.read_applied_batch(spark, root)
+        if applied >= batch_id:
+            return                      # redelivery of an applied batch
+        batch = batch_df.select("payload", "ts") \
+            .filter(F.col("ts").isNotNull())
+        prev = f"{root}/held/epoch={applied}"
+        if applied >= 0 and fsutil.has_committed_output(spark, prev):
+            combined = (spark.read.parquet(prev)
+                        .select("payload", "ts").unionByName(batch))
+        else:
+            combined = batch
+        # four downstream actions (cutoff, emit, state write, anchor agg)
+        # over one frame: materialize once; ContextCleaner reclaims the
+        # blocks when the frame goes out of scope (CLAUDE.md rule)
+        combined = combined.localCheckpoint()
+        bound = max(1, self.cfg.reader_buffer_size)
+        head = (combined.select("ts").orderBy(F.col("ts").desc())
+                .limit(bound)
+                .agg(F.min("ts").alias("cutoff"),
+                     F.count("*").alias("k")).toPandas().iloc[0])
+        if int(head["k"] or 0) < bound:
+            emit, held = None, combined   # window not yet full: hold all
+        else:
+            cutoff = head["cutoff"]
+            emit = combined.filter(F.col("ts") < F.lit(cutoff))
+            held = combined.filter(F.col("ts") >= F.lit(cutoff))
+        held.write.mode("overwrite").parquet(f"{root}/held/epoch={batch_id}")
+        if emit is not None:
+            self._process_partitioned(emit)
+        spark.createDataFrame([(batch_id,)], "batch_id long") \
+            .write.mode("overwrite").parquet(root + "/applied")
+        if applied >= 0:
+            fsutil.delete(spark, prev)    # best-effort old-epoch cleanup
+
+    def _finalize_partitioned(self):
+        if not (self.cfg.reorder_across_batches
+                and self.cfg.reorder_state_path):
+            return
+        from pyspark.sql import SparkSession
+
+        from .. import fsutil
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        root = self._reorder_root()
+        applied = fsutil.read_applied_batch(spark, root)
+        tail = f"{root}/held/epoch={applied}"
+        if applied >= 0 and fsutil.has_committed_output(spark, tail):
+            self._process_partitioned(spark.read.parquet(tail)
+                                      .select("payload", "ts"))
+        fsutil.delete(spark, root)        # stream over: clear the state
 
     def _emit_pdf(self, pdf):
         import numpy as np

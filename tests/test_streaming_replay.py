@@ -383,12 +383,108 @@ def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
     assert p99 <= 1.2, f"steady-state p99 lateness {p99:.3f}s"
 
 
-def test_reorder_flag_rejected_in_partitioned_mode():
-    """r8 review finding: partitioned mode sorts within partitions only —
-    silently ignoring reorder_across_batches would let a user believe
-    cross-batch disorder is being repaired. The engine must refuse."""
+def test_reorder_flag_rejected_in_partitioned_mode_without_state():
+    """r8 review finding: silently ignoring reorder_across_batches would
+    let a user believe cross-batch disorder is being repaired. Since the
+    late-r8 distributed gate, partitioned mode accepts the flag WITH a
+    durable state dir and refuses without one."""
     cfg = ReplayConfig(speedup_factor=1e12, reorder_across_batches=True)
-    with pytest.raises(ValueError, match="driver-mode"):
+    with pytest.raises(ValueError, match="reorder_state_path"):
         ReplayEngine(cfg, lambda: InMemorySink(), mode="partitioned")
-    # driver mode accepts it
+    # driver mode accepts it (in-memory buffer, no state dir needed)
     ReplayEngine(cfg, InMemorySink(), mode="driver")
+    # partitioned mode accepts it with a state dir
+    cfg2 = ReplayConfig(speedup_factor=1e12, reorder_across_batches=True,
+                        reorder_state_path="/tmp/x")
+    ReplayEngine(cfg2, lambda: InMemorySink(), mode="partitioned")
+
+
+def test_reorder_distributed_gate_partitioned(spark, sf_dir, tmp_path):
+    """late r8: the reorder buffer carried into PARTITIONED mode — held
+    state as parquet epochs + applied-batch marker. Pins, against a
+    pure-python twin of the ts-cutoff poll-when-full rule:
+    per-batch emit multisets, redelivery idempotence (marker skip),
+    finalize drain (nothing dropped) and state-dir cleanup."""
+    import glob
+    import json as js
+    import os
+
+    events = (load(spark, sf_dir, "events")
+              .select(F.col("props").alias("payload"), "ts")
+              .orderBy("ts").limit(300))
+    rows = events.collect()
+    # same cross-boundary disorder shape as the driver-mode test: each
+    # batch leaks its 10 earliest events into the next batch
+    b = [rows[0:100], rows[100:200], rows[200:300]]
+    leak0, b[0] = b[0][:10], b[0][10:]
+    leak1, b[1] = b[1][:10], b[1][10:] + leak0
+    b[2] = b[2] + leak1
+
+    BOUND = 150
+    rec_dir = str(tmp_path / "reorder-rec")
+    os.makedirs(rec_dir, exist_ok=True)
+
+    class JournalSink:
+        def __init__(self):
+            self.f = open(os.path.join(
+                rec_dir, f"{os.getpid()}-{id(self)}.jsonl"), "a")
+
+        def put_records(self, records):
+            for r in records:
+                self.f.write(js.dumps({"ts": r["ts"]}) + "\n")
+            self.f.flush()
+            return []
+
+    def emitted():
+        out = []
+        for fp in glob.glob(rec_dir + "/*.jsonl"):
+            out.extend(js.loads(line)["ts"] for line in open(fp))
+        return sorted(out)
+
+    # pure-python twin of the gate: cutoff = the BOUND-th largest ts,
+    # emit ts < cutoff, hold ts >= cutoff (ties ride the buffer)
+    def twin(batches):
+        held, per_batch = [], []
+        for batch in batches:
+            comb = sorted(held + [r["ts"].isoformat() for r in batch])
+            if len(comb) < BOUND:
+                held, emit = comb, []
+            else:
+                cutoff = comb[len(comb) - BOUND]
+                emit = [t for t in comb if t < cutoff]
+                held = [t for t in comb if t >= cutoff]
+            per_batch.append(emit)
+        return per_batch, held
+
+    want_batches, want_tail = twin(b)
+    assert want_batches[0] == [] and want_batches[1], "fixture sanity"
+
+    cfg = ReplayConfig(speedup_factor=1e12, sender_threads=2,
+                       reader_buffer_size=BOUND,
+                       reorder_across_batches=True,
+                       reorder_state_path=str(tmp_path / "reorder-state"))
+    engine = ReplayEngine(cfg, JournalSink, mode="partitioned")
+    seen: list = []
+    for i, batch in enumerate(b):
+        engine.process_batch(
+            spark.createDataFrame(batch, events.schema), i)
+        now = emitted()
+        # this batch's emissions = difference vs what was seen before
+        import collections
+        diff = collections.Counter(now) - collections.Counter(seen)
+        assert sorted(diff.elements()) == sorted(want_batches[i]), i
+        seen = now
+    # redelivery of an already-applied batch: marker skips, nothing new
+    engine.process_batch(spark.createDataFrame(b[1], events.schema), 1)
+    assert emitted() == seen
+    # finalize drains the held tail and clears the state dir
+    engine.finalize()
+    final = emitted()
+    assert len(final) == 300                      # nothing dropped
+    import collections
+    tail = collections.Counter(final) - collections.Counter(seen)
+    assert sorted(tail.elements()) == sorted(want_tail)
+    assert not os.path.exists(str(tmp_path / "reorder-state"))
+    # a second finalize is a no-op
+    engine.finalize()
+    assert len(emitted()) == 300
