@@ -249,6 +249,119 @@ def dsir_log_weights(df: DataFrame, id_col: str, text_col: str,
                     "log_w"))
 
 
+def _hashed_gram_buckets(text_col: Column, n_buckets: int,
+                         ns: tuple = (1, 2)) -> Column:
+    """array<long> of hashed word-n-gram bucket ids — the DSIR paper's
+    feature map (Xie et al. 2023, §2.2: hashed unigram+bigram counts
+    into m buckets). Gram string = the n words space-joined; bucket =
+    pmod(xxhash64(gram), m). Pure column expression (whole-stage
+    codegen); the python twin is the SIGNED interpretation of
+    xxh64_string(gram) taken % m (python % is already a positive mod),
+    which is what makes the bucket geometry hash-gateable."""
+    from . import text as _text
+    arrs = []
+    for n in ns:
+        grams = _text._word_ngrams(text_col, n)
+        if n == 1:
+            # branch on n, NOT on context == '': an n>1 gram whose first
+            # word is the empty token also has an empty context, and
+            # collapsing it to the bare token would alias it with the
+            # unigram (caught by the twin test on whitespace-edge docs)
+            arrs.append(F.transform(grams, lambda g: g["token"]))
+        else:
+            arrs.append(F.transform(
+                grams,
+                lambda g: F.concat(g["context"], F.lit(" "), g["token"])))
+    allg = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    return F.transform(allg,
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(n_buckets)))
+
+
+def dsir_hashed_counts(df: DataFrame, text_col: str,
+                       n_buckets: int = 10_000, ns: tuple = (1, 2),
+                       id_col: str | None = None) -> DataFrame:
+    """Hashed-n-gram bucket counts: (bucket, cnt) over a corpus, or
+    (id, bucket, cnt) per document when id_col is given. The CORPUS form
+    IS the DSIR bag-of-hashed-ngrams model — train the target and raw
+    models by calling this on each corpus. Mergeable by cell-wise sum
+    (like CMS: additive, not idempotent), so daily crawls fold without
+    re-scanning history. One explode + one map-side-combinable groupBy;
+    the corpus model is at most n_buckets rows regardless of input."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(_hashed_gram_buckets(F.col(text_col), n_buckets, ns))
+        .alias("bucket")]
+    keys = ([id_col] if id_col else []) + ["bucket"]
+    return (df.select(*cols).groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def dsir_hashed_stats(df: DataFrame, id_col: str, text_col: str,
+                      target_counts: DataFrame, raw_counts: DataFrame,
+                      n_buckets: int = 10_000,
+                      ns: tuple = (1, 2)) -> DataFrame:
+    """EXACT-INTEGER sufficient statistics of each document against two
+    hashed-bucket models: (id, hb_grams, hb_t_sum, hb_r_sum) — total
+    hashed grams, and the doc-count-weighted sums of the target/raw
+    model bucket counts (sum_b c_b(doc) * model_cnt(b)). The float
+    log-ratio in dsir_hashed_log_weights is built from exactly these
+    joins, so gating the integers pins the whole bucket geometry + hash
+    while keeping libm logs out of the gate (the dsir_stats pattern)."""
+    per = dsir_hashed_counts(df, text_col, n_buckets, ns, id_col=id_col)
+    t = target_counts.select("bucket", F.col("cnt").alias("__tc"))
+    r = raw_counts.select("bucket", F.col("cnt").alias("__rc"))
+    agg = (per.join(t, "bucket", "left").join(r, "bucket", "left")
+           .groupBy(id_col)
+           .agg(F.sum("cnt").cast("long").alias("hb_grams"),
+                F.coalesce(F.sum(F.col("cnt") * F.col("__tc")), F.lit(0))
+                .cast("long").alias("hb_t_sum"),
+                F.coalesce(F.sum(F.col("cnt") * F.col("__rc")), F.lit(0))
+                .cast("long").alias("hb_r_sum")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    *[F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                      for c in ("hb_grams", "hb_t_sum", "hb_r_sum")]))
+
+
+def dsir_hashed_log_weights(df: DataFrame, id_col: str, text_col: str,
+                            target_counts: DataFrame,
+                            raw_counts: DataFrame,
+                            n_buckets: int = 10_000, ns: tuple = (1, 2),
+                            k: float = 0.5) -> DataFrame:
+    """Per-document DSIR importance log-weight in the paper's hashed
+    formulation: log w(x) = sum_b c_b(x) * (log p_t[b] - log p_r[b])
+    with add-k smoothed bucket probabilities p[b] = (cnt_b + k) /
+    (total + k*m). Documents with zero grams get NULL log_w (no silent
+    drop). Output: (id, hb_grams, log_w) — feed dsir_sample for the
+    deterministic Gumbel-top-k draw.
+
+    Plan: per-doc bucket counts -> two LEFT joins against the at-most-m-
+    row models (AQE broadcasts them) -> one per-doc aggregate. Only the
+    two scalar totals touch the driver."""
+    import math
+    m = n_buckets
+    t_tot = int(target_counts.agg(F.sum("cnt")).head()[0] or 0)
+    r_tot = int(raw_counts.agg(F.sum("cnt")).head()[0] or 0)
+    per = dsir_hashed_counts(df, text_col, n_buckets, ns, id_col=id_col)
+    t = target_counts.select("bucket", F.col("cnt").alias("__tc"))
+    r = raw_counts.select("bucket", F.col("cnt").alias("__rc"))
+    kf = float(k)
+    lp = (F.log(F.coalesce("__tc", F.lit(0)) + F.lit(kf))
+          - F.lit(math.log(t_tot + kf * m))
+          - F.log(F.coalesce("__rc", F.lit(0)) + F.lit(kf))
+          + F.lit(math.log(r_tot + kf * m)))
+    agg = (per.join(t, "bucket", "left").join(r, "bucket", "left")
+           .groupBy(id_col)
+           .agg(F.sum("cnt").cast("long").alias("hb_grams"),
+                F.sum(F.col("cnt") * lp).alias("log_w")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("hb_grams", F.lit(0)).cast("long")
+                    .alias("hb_grams"),
+                    "log_w"))
+
+
 def dsir_sample(weights: DataFrame, id_col: str, k: int,
                 log_w_col: str = "log_w") -> DataFrame:
     """Gumbel-top-k importance sample over DSIR log-weights: key =

@@ -1167,10 +1167,24 @@ def q_doc_pii_redact(spark, sf_dir):
                 F.count("rcnt").cast("long").alias("__rns"),
                 F.coalesce(F.sum("rcnt"), F.lit(0)).cast("long")
                 .alias("__rsc")))
+    # late r8: the HASHED-bucket DSIR formulation (the paper's §2.2
+    # feature map — xxhash64'd uni+bigrams into 10k buckets) rides the
+    # same entry with its own exact-integer sufficient statistics
+    # (doc-count-weighted sums of the target/raw bucket counts): the
+    # oracle recomputes every bucket pure-python via the xxh64 twin
+    # (signed-pmod semantics) and embeds per-doc literals, so the hash
+    # function + bucket geometry are gate-checked while libm logs stay
+    # out (dsir_hashed_log_weights builds on exactly these joins).
+    hb_t = sampling.dsir_hashed_counts(
+        d.filter(F.col("doc_id") % 2 == 0), "text", n_buckets=10_000)
+    hb_r = sampling.dsir_hashed_counts(d, "text", n_buckets=10_000)
+    hb = sampling.dsir_hashed_stats(d, "doc_id", "text", hb_t, hb_r,
+                                    n_buckets=10_000)
     return (text.pii_redact(d, "doc_id", "text")
             .join(enc.select("doc_id", F.col("bpe_tokens_count")
                              .alias("bpe_token_count")), "doc_id")
             .join(per, "doc_id", "left")
+            .join(hb, "doc_id")
             .withColumns({
                 "lm_n_grams": F.coalesce("__ng", F.lit(0)).cast("long"),
                 "lm_n_seen": F.coalesce("__ns", F.lit(0)).cast("long"),
@@ -1312,8 +1326,49 @@ def _pii_bpe_oracle() -> str:
         f"(CAST({did} AS BIGINT), "
         f"CAST({len(_bpe.encode_text(t, ranks, cache))} AS BIGINT))"
         for did, t in rows)
+
+    # late r8: hashed-bucket DSIR stats (dsir_hashed_stats twin). The
+    # bucket is Spark's pmod(xxhash64(gram), m) — SIGNED 64-bit
+    # interpretation of the unsigned python xxh64, then python's
+    # positive %. Tokenization mirrors text.tokens() EXACTLY:
+    # trim() strips SPACES only (both engines), so .strip(' ') — a
+    # bare .strip() would also eat \\n/\\t and silently diverge.
+    import re as _re
+
+    from ..functions.xxh import xxh64_string as _xxh
+    _M = 10_000
+
+    def _hb_buckets(t: str) -> list:
+        ws = _re.split(r"\s+", t.lower().strip(" "))
+        grams = list(ws) + [ws[i] + " " + ws[i + 1]
+                            for i in range(len(ws) - 1)]
+        out = []
+        for g in grams:
+            v = _xxh(g) & ((1 << 64) - 1)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out.append(v % _M)
+        return out
+
+    from collections import Counter as _C
+    tmod: dict = {}
+    rmod: dict = {}
+    per_doc = {}
+    for did, t in rows:
+        bs = _hb_buckets(t)
+        per_doc[did] = _C(bs)
+        for bkt in bs:
+            rmod[bkt] = rmod.get(bkt, 0) + 1
+            if did % 2 == 0:
+                tmod[bkt] = tmod.get(bkt, 0) + 1
+    hb_values = ",".join(
+        f"(CAST({did} AS BIGINT), CAST({sum(c.values())} AS BIGINT), "
+        f"CAST({sum(n * tmod.get(b, 0) for b, n in c.items())} AS BIGINT), "
+        f"CAST({sum(n * rmod.get(b, 0) for b, n in c.items())} AS BIGINT))"
+        for did, c in per_doc.items())
     return (_PII_ORACLE_BASE + f""",
         bpe(doc_id, bpe_token_count) AS (VALUES {values}),
+        hb(doc_id, hb_grams, hb_t_sum, hb_r_sum) AS (VALUES {hb_values}),
         toks AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -1346,6 +1401,7 @@ def _pii_bpe_oracle() -> str:
         SELECT s3.doc_id, clean_text, n_emails, n_ips, n_phones,
                n_emails + n_ips + n_phones AS n_redactions,
                bpe_token_count,
+               hb.hb_grams, hb.hb_t_sum, hb.hb_r_sum,
                CAST(coalesce(perdoc.lm_n_grams, 0) AS BIGINT) AS lm_n_grams,
                CAST(coalesce(perdoc.lm_n_seen, 0) AS BIGINT) AS lm_n_seen,
                CAST(coalesce(perdoc.lm_sum_cnt, 0) AS BIGINT) AS lm_sum_cnt,
@@ -1354,6 +1410,7 @@ def _pii_bpe_oracle() -> str:
                CAST(coalesce(perdoc.dsir_raw_sum_cnt, 0) AS BIGINT)
                    AS dsir_raw_sum_cnt
         FROM s3 JOIN bpe ON s3.doc_id = bpe.doc_id
+        JOIN hb ON s3.doc_id = hb.doc_id
         LEFT JOIN perdoc ON s3.doc_id = perdoc.doc_id
     """)
 

@@ -225,3 +225,95 @@ def test_cms_salt_rows_are_independent(spark):
                            w=1 << 20, d=13),
         df.filter(F.col("v") == "x"), "v", w=1 << 20, d=13)
     assert probe.head()["est_count"] == 0       # no cross-contamination
+
+
+def _py_hb_buckets(t, m):
+    """Twin of sampling._hashed_gram_buckets: tokens = split(trim(lower)),
+    trim strips SPACES only (both engines); bucket = signed pmod."""
+    import re
+    from amazon_kinesis_replay_spark.functions.xxh import xxh64_string
+    ws = re.split(r"\s+", t.lower().strip(" "))
+    grams = list(ws) + [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+    out = []
+    for g in grams:
+        v = xxh64_string(g) & ((1 << 64) - 1)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        out.append(v % m)
+    return out
+
+
+def test_dsir_hashed_buckets_match_python(spark):
+    """late r8: the paper's hashed uni+bigram feature map — every
+    (id, bucket, cnt) cell recomputed pure-python via the xxh64 twin
+    with SIGNED-pmod semantics (m deliberately non-power-of-2 so an
+    unsigned % would diverge); whitespace edge cases included. Model
+    merge is cell-wise additive (batch build == full build)."""
+    M = 97
+    docs = [(0, "the cat sat on the mat"), (1, "a dog  ran"),
+            (2, "single"), (3, "\tleading and trailing\n"),
+            (4, "the cat ran fast today")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["bucket"]): r["cnt"] for r in
+           sampling.dsir_hashed_counts(df, "text", n_buckets=M,
+                                       id_col="doc_id").collect()}
+    want = {}
+    for did, t in docs:
+        for b in _py_hb_buckets(t, M):
+            want[(did, b)] = want.get((did, b), 0) + 1
+    assert got == want
+    # corpus model: batch merge == full build cell-for-cell
+    full = {(r["bucket"], r["cnt"]) for r in
+            sampling.dsir_hashed_counts(df, "text", n_buckets=M).collect()}
+    b1 = sampling.dsir_hashed_counts(
+        df.filter(F.col("doc_id") < 2), "text", n_buckets=M)
+    b2 = sampling.dsir_hashed_counts(
+        df.filter(F.col("doc_id") >= 2), "text", n_buckets=M)
+    merged = (b1.unionByName(b2).groupBy("bucket")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    assert {(r["bucket"], r["cnt"]) for r in merged.collect()} == full
+
+
+def test_dsir_hashed_stats_and_log_weights_match_python(spark):
+    """The exact-integer sufficient statistics (the doc_pii_redact gate
+    columns) and the smoothed log-weights both match an independent
+    python recompute; short/empty-gram docs surface as zeros/NULL."""
+    M = 211
+    docs = [(i, t) for i, t in enumerate(
+        ["the cat sat on the mat", "a dog ran", "single token run",
+         "the mat sat", "cat and dog and cat", "zz yy xx"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    target = sampling.dsir_hashed_counts(
+        df.filter(F.col("doc_id") % 2 == 0), "text", n_buckets=M)
+    raw = sampling.dsir_hashed_counts(df, "text", n_buckets=M)
+    tmod, rmod = {}, {}
+    for did, t in docs:
+        for b in _py_hb_buckets(t, M):
+            rmod[b] = rmod.get(b, 0) + 1
+            if did % 2 == 0:
+                tmod[b] = tmod.get(b, 0) + 1
+    st = {r["doc_id"]: (r["hb_grams"], r["hb_t_sum"], r["hb_r_sum"])
+          for r in sampling.dsir_hashed_stats(
+              df, "doc_id", "text", target, raw, n_buckets=M).collect()}
+    for did, t in docs:
+        c = Counter(_py_hb_buckets(t, M))
+        assert st[did] == (
+            sum(c.values()),
+            sum(n * tmod.get(b, 0) for b, n in c.items()),
+            sum(n * rmod.get(b, 0) for b, n in c.items())), did
+    lw = {r["doc_id"]: r["log_w"] for r in
+          sampling.dsir_hashed_log_weights(
+              df, "doc_id", "text", target, raw, n_buckets=M).collect()}
+    T, R, k = sum(tmod.values()), sum(rmod.values()), 0.5
+    for did, t in docs:
+        c = Counter(_py_hb_buckets(t, M))
+        w = sum(n * (math.log(tmod.get(b, 0) + k) - math.log(T + k * M)
+                     - math.log(rmod.get(b, 0) + k) + math.log(R + k * M))
+                for b, n in c.items())
+        assert abs(lw[did] - w) < 1e-9, did
+    # a doc whose target-likeness is higher ranks higher in the sample
+    sampled = sampling.dsir_sample(
+        sampling.dsir_hashed_log_weights(df, "doc_id", "text", target,
+                                         raw, n_buckets=M),
+        "doc_id", k=3, log_w_col="log_w")
+    assert sampled.count() == 3
