@@ -147,6 +147,54 @@ def logreg_score(df: DataFrame, id_col: str, text_col: str,
                     .alias("prob")))
 
 
+def threshold_keep_frac(scores: DataFrame, keep_frac: float,
+                        prob_col: str = "prob",
+                        sig_bits: int = 16) -> float:
+    """Calibrated score threshold keeping ~keep_frac of the corpus:
+    keep rows with prob >= the returned value. Computed through the
+    deterministic quantile histogram (operators/sketches.qhist_table)
+    over ppm-scaled scores — one map-side-combinable groupBy, never a
+    corpus sort or a large TakeOrdered — taking the LOWER bound of the
+    bucket at rank ceil((1-keep_frac)*n), so the kept set is AT LEAST
+    the target fraction (bucket granularity only ever keeps more).
+    At sig_bits=16, ppm values below 65536 are exact and larger ones
+    carry <= 2^-17 relative slack. Deterministic across runs and
+    partitionings (the property approx_percentile lacks)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from . import sketches
+    ppm = scores.select(
+        (F.col(prob_col) * F.lit(1_000_000)).cast("long").alias("__ppm"))
+    qh = sketches.qhist_table(ppm, "__ppm", sig_bits=sig_bits)
+    row = sketches.qhist_quantiles(
+        qh, [1.0 - keep_frac], sig_bits=sig_bits, point="lower").head()
+    return float(row["value_est"]) / 1_000_000.0
+
+
+def threshold_for_precision(scored: DataFrame, label_col: str,
+                            min_precision: float,
+                            prob_col: str = "prob") -> float | None:
+    """Smallest score threshold whose keep-set precision (mean positive
+    label among rows with prob >= t) reaches min_precision, computed on
+    a LABELED validation frame: cumulative precision over the
+    descending-prob prefix, t = the lowest prob of any qualifying
+    prefix. Returns None when no prefix qualifies. The unpartitioned
+    window is sanctioned here because validation sets are bounded by
+    construction (labels are hand- or heuristic-assigned, not
+    corpus-scale) — do NOT call this on the full corpus."""
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.col(prob_col).desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = scored.select(
+        F.col(prob_col).alias("__p"),
+        F.sum(F.col(label_col).cast("double")).over(w).alias("__pos"),
+        F.count("*").over(w).alias("__n"))
+    row = (cum.filter(F.col("__pos") / F.col("__n")
+                      >= F.lit(float(min_precision)))
+           .agg(F.min("__p").alias("t")).head())
+    return None if row is None or row["t"] is None else float(row["t"])
+
+
 def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
                        lr: float | None = None,
                        l2: float = 0.0) -> list[float]:

@@ -380,30 +380,39 @@ def qhist_merge(*tables: DataFrame, group_col: str | None = None) -> DataFrame:
     return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
-def _qhist_value(sig_bits: int) -> Column:
-    """Representative (midpoint) value of a bucket column as double:
-    bucket 0 -> 0; else decode (exp, slot), lo = 2^exp + slot * 2^shift,
-    midpoint = lo + (2^shift - 1) / 2. |midpoint - any value in the
-    bucket| <= (width-1)/2, so relative error <= 2^-(sig_bits+1)."""
+def _qhist_value(sig_bits: int, point: str = "mid") -> Column:
+    """Representative value of a bucket column as double: bucket 0 -> 0;
+    else decode (exp, slot), lo = 2^exp + slot * 2^shift. point='mid'
+    (default) returns lo + (2^shift - 1)/2 — |midpoint - any value in
+    the bucket| <= (width-1)/2, relative error <= 2^-(sig_bits+1).
+    point='lower' returns lo — the bucket's smallest member, the
+    conservative choice for thresholds (value >= lower keeps every
+    member of the bucket and above)."""
+    if point not in ("mid", "lower"):
+        raise ValueError(f"point must be 'mid' or 'lower', got {point!r}")
     S = sig_bits
-    return F.expr(
-        f"CASE WHEN bucket = 0 THEN cast(0 as double) ELSE "
+    lo = (
         f"cast(shiftleft(cast(1 as bigint), cast((bucket - 1) div {1 << S}"
         f" as int)) + shiftleft(pmod(bucket - 1, {1 << S}), "
         f"greatest(cast((bucket - 1) div {1 << S} as int) - {S}, 0)) "
-        f"as double) + "
-        f"cast(shiftleft(cast(1 as bigint), "
+        f"as double)")
+    half = (
+        f" + cast(shiftleft(cast(1 as bigint), "
         f"greatest(cast((bucket - 1) div {1 << S} as int) - {S}, 0)) - 1 "
-        f"as double) / 2.0 END")
+        f"as double) / 2.0")
+    return F.expr(
+        f"CASE WHEN bucket = 0 THEN cast(0 as double) ELSE "
+        f"{lo}{half if point == 'mid' else ''} END")
 
 
 def qhist_quantiles(qh: DataFrame, probs: list[float],
-                    sig_bits: int = 7) -> DataFrame:
+                    sig_bits: int = 7, point: str = "mid") -> DataFrame:
     """Quantile estimates from the table: DataFrame (prob, value_est),
-    value_est = midpoint of the bucket holding rank ceil(prob * n)
-    (1-based, clamped to >= 1). The cumulative walk is a window over the
-    at-most-8k-row sketch table — never over the source data; the probs
-    and total-count frames are broadcast 1-row/tiny joins."""
+    value_est = the `point` ('mid'/'lower') of the bucket holding rank
+    ceil(prob * n) (1-based, clamped to >= 1). The cumulative walk is a
+    window over the at-most-8k-row sketch table — never over the source
+    data; the probs and total-count frames are broadcast 1-row/tiny
+    joins."""
     from pyspark.sql import Window
     spark = qh.sparkSession
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
@@ -417,7 +426,8 @@ def qhist_quantiles(qh: DataFrame, probs: list[float],
             .join(F.broadcast(pdf),
                   (F.col("__cum") >= target)
                   & (F.col("__cum") - F.col("cnt") < target))
-            .select("prob", _qhist_value(sig_bits).alias("value_est")))
+            .select("prob",
+                    _qhist_value(sig_bits, point).alias("value_est")))
 
 
 def qhist_quantiles_grouped(qh: DataFrame, group_col: str,

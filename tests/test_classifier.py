@@ -2,6 +2,7 @@
 logistic GD) vs the driver-only reference twin."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from amazon_kinesis_replay_spark.operators import classifier
 
@@ -73,3 +74,47 @@ def test_hashed_features_match_python_hash(spark):
         for tok in set(t.strip().lower().split()):
             expect.add((i, xxh64_string(tok) % dim))
     assert got == expect
+
+
+def test_threshold_keep_frac_calibration(spark):
+    """late r8: the calibrated keep-fraction threshold — keep set is AT
+    LEAST the target fraction (bucket lower bound only ever keeps more),
+    exact on sub-65536-ppm scores, deterministic under repartitioning."""
+    from amazon_kinesis_replay_spark.operators import classifier
+    n = 1000
+    df = spark.range(n).select(
+        (F.col("id").cast("double") / n).alias("prob"))
+    for frac in (0.5, 0.9, 0.97, 1.0):
+        t = classifier.threshold_keep_frac(df, frac)
+        kept = df.filter(F.col("prob") >= t).count()
+        assert kept >= int(frac * n), (frac, t, kept)
+        assert kept <= int(frac * n) + n // 50, (frac, t, kept)  # not lax
+    t1 = classifier.threshold_keep_frac(df.repartition(7), 0.9)
+    assert t1 == classifier.threshold_keep_frac(df, 0.9)
+    import pytest
+    with pytest.raises(ValueError, match="keep_frac"):
+        classifier.threshold_keep_frac(df, 0.0)
+
+
+def test_threshold_for_precision_calibration(spark):
+    """The precision-calibrated threshold equals a pure-python sweep of
+    descending-prob prefixes; unreachable targets return None."""
+    from amazon_kinesis_replay_spark.operators import classifier
+    rows = [(0.95, 1), (0.9, 1), (0.85, 0), (0.8, 1), (0.7, 1),
+            (0.6, 0), (0.5, 0), (0.4, 1), (0.3, 0), (0.2, 0)]
+    df = spark.createDataFrame(rows, "prob double, label int")
+
+    def py_threshold(target):
+        best = None
+        pos = 0
+        for i, (p, y) in enumerate(sorted(rows, reverse=True), 1):
+            pos += y
+            if pos / i >= target:
+                best = p
+        return best
+
+    for target in (0.6, 0.75, 0.9, 1.0):
+        got = classifier.threshold_for_precision(df, "label", target)
+        assert got == py_threshold(target), target
+    assert classifier.threshold_for_precision(
+        df.filter("label = 0"), "label", 0.5) is None

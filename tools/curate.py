@@ -91,7 +91,13 @@ def main():
              .filter((F.col("prob") >= 0.5) == (F.col("label") == 1))
              .count())
     summary["clf_agreement"] = round(agree / summary["docs_in"], 3)
-    gated = probs.filter(F.col("prob") >= 0.05).select("doc_id")
+    # calibrated junk gate (late r8, replacing the fixed 0.05): drop at
+    # most ~3% of the corpus (threshold_keep_frac via the deterministic
+    # quantile histogram) and never a doc scoring >= 0.05 — the
+    # near-certain-junk intent of the old constant, now data-calibrated
+    thr = min(0.05, classifier.threshold_keep_frac(probs, keep_frac=0.97))
+    summary["junk_gate_threshold"] = round(thr, 6)
+    gated = probs.filter(F.col("prob") >= thr).select("doc_id")
     # localCheckpoint: truncate the lineage at the composition joint —
     # every downstream stage otherwise embeds the scoring plan in ITS
     # plan, and by the mixture stage the duplicated mega-lineage OOMs
