@@ -34,6 +34,13 @@ near-linear curve is the evidence the plans have no quadratic term:
 - sketches       : grouped-HLL register build + Count-Min counters —
                    map-side-combinable groupBys whose outputs are
                    SKETCH-sized, not data-sized
+- hashed_dsir    : the paper-form hashed-bucket DSIR — explode ->
+                   bucket groupBy -> two broadcast model joins ->
+                   per-doc agg + Gumbel top-k (vs any per-doc model
+                   lookup loop or corpus-scale weight sort)
+- qhist          : quantile-histogram build (global + grouped) +
+                   grouped quantile extraction — one scan, sketch-sized
+                   outputs, window only over the tiny bucket table
 
 Usage: python tools/scale_probe.py [sf_dir]
 
@@ -247,7 +254,47 @@ def main():
         cells = sketches.cms_table(corpus, "user_id").count()
         return f"{n} events -> {regs} HLL registers, {cells} CMS cells"
 
+    def run_hashed_dsir(mult):
+        # late r8: the hashed-bucket DSIR formulation — explode grams
+        # -> pmod(xxhash64) buckets -> <=m-row models -> two broadcast
+        # joins + per-doc agg; any super-linear bend would mean the
+        # model join stopped broadcasting or the explode re-evaluated
+        corpus = _expand_docs(docs, mult)
+        n = corpus.count()
+        target = sampling.dsir_hashed_counts(
+            corpus.filter(F.col("doc_id") % 8 == 0), "text")
+        raw = sampling.dsir_hashed_counts(corpus, "text")
+        w = sampling.dsir_hashed_log_weights(
+            corpus, "doc_id", "text", target, raw)
+        sampled = sampling.dsir_sample(w, "doc_id",
+                                       k=max(50, n // 10)).count()
+        return f"{n} docs -> {sampled} hashed-DSIR-sampled"
+
+    def run_qhist(mult):
+        # late r8: quantile-histogram build + grouped build + quantile
+        # extraction; output is SKETCH-sized so the curve must track the
+        # one corpus scan
+        parts = [events]
+        for i in range(1, mult):
+            parts.append(events.select(
+                "event_type",
+                (F.col("user_id") + 1_000_000_000 * i).alias("user_id")))
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        corpus = corpus.filter(F.col("user_id").isNotNull())
+        n = corpus.count()
+        qh = sketches.qhist_table(corpus, "user_id")
+        buckets = qh.count()
+        grouped = sketches.qhist_table_grouped(
+            corpus, "event_type", "user_id")
+        g_quant = sketches.qhist_quantiles_grouped(
+            grouped, "event_type", [0.5, 0.99]).count()
+        return f"{n} events -> {buckets} buckets, {g_quant} group-quantiles"
+
     _probe("minhash", run_minhash, families)
+    _probe("hashed_dsir", run_hashed_dsir, families)
+    _probe("qhist", run_qhist, families)
     _probe("substring", run_substring, families)
     _probe("semdedup", run_semdedup, families)
     _probe("semdedup_2l", run_semdedup_2l, families)
