@@ -181,15 +181,24 @@ def threshold_for_precision(scored: DataFrame, label_col: str,
     prefix. Returns None when no prefix qualifies. The unpartitioned
     window is sanctioned here because validation sets are bounded by
     construction (labels are hand- or heuristic-assigned, not
-    corpus-scale) — do NOT call this on the full corpus."""
+    corpus-scale) — do NOT call this on the full corpus.
+
+    Ties are aggregated BEFORE the cumulative walk (self-review fix): a
+    keep set prob >= t always contains whole tie groups, so a per-row
+    prefix that split a tie group would report a precision the
+    threshold cannot realize — and make the result depend on intra-tie
+    row order. Grouping first is both deterministic and exact."""
     from pyspark.sql import Window
-    w = (Window.orderBy(F.col(prob_col).desc())
+    by_p = (scored.groupBy(F.col(prob_col).alias("__p"))
+            .agg(F.sum(F.col(label_col).cast("double")).alias("__pos"),
+                 F.count("*").alias("__cnt")))
+    w = (Window.orderBy(F.col("__p").desc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = scored.select(
-        F.col(prob_col).alias("__p"),
-        F.sum(F.col(label_col).cast("double")).over(w).alias("__pos"),
-        F.count("*").over(w).alias("__n"))
-    row = (cum.filter(F.col("__pos") / F.col("__n")
+    cum = by_p.select(
+        "__p",
+        F.sum("__pos").over(w).alias("__cpos"),
+        F.sum("__cnt").over(w).alias("__cn"))
+    row = (cum.filter(F.col("__cpos") / F.col("__cn")
                       >= F.lit(float(min_precision)))
            .agg(F.min("__p").alias("t")).head())
     return None if row is None or row["t"] is None else float(row["t"])

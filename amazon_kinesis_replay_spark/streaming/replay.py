@@ -293,8 +293,13 @@ class ReplayEngine:
             self._process_partitioned(emit)
         spark.createDataFrame([(batch_id,)], "batch_id long") \
             .write.mode("overwrite").parquet(root + "/applied")
-        if applied >= 0:
-            fsutil.delete(spark, prev)    # best-effort old-epoch cleanup
+        # best-effort old-epoch sweep: delete EVERY non-current epoch,
+        # not just prev — a crash between a past marker write and its
+        # cleanup leaves an orphan no later batch would otherwise touch
+        # (self-review finding)
+        for name in fsutil.listdir(spark, root + "/held"):
+            if name.startswith("epoch=") and name != f"epoch={batch_id}":
+                fsutil.delete(spark, f"{root}/held/{name}")
 
     def _finalize_partitioned(self):
         if not (self.cfg.reorder_across_batches

@@ -98,18 +98,26 @@ def test_threshold_keep_frac_calibration(spark):
 
 def test_threshold_for_precision_calibration(spark):
     """The precision-calibrated threshold equals a pure-python sweep of
-    descending-prob prefixes; unreachable targets return None."""
+    descending-prob TIE-GROUP prefixes (a keep set prob >= t always
+    contains whole tie groups — a per-row prefix could report a
+    precision the threshold cannot realize); unreachable targets return
+    None. Includes tied probs with mixed labels."""
     from amazon_kinesis_replay_spark.operators import classifier
-    rows = [(0.95, 1), (0.9, 1), (0.85, 0), (0.8, 1), (0.7, 1),
-            (0.6, 0), (0.5, 0), (0.4, 1), (0.3, 0), (0.2, 0)]
+    rows = [(0.95, 1), (0.9, 1), (0.85, 0), (0.8, 1), (0.8, 0),
+            (0.8, 1), (0.7, 1), (0.6, 0), (0.5, 0), (0.4, 1),
+            (0.3, 0), (0.2, 0)]
     df = spark.createDataFrame(rows, "prob double, label int")
 
     def py_threshold(target):
-        best = None
-        pos = 0
-        for i, (p, y) in enumerate(sorted(rows, reverse=True), 1):
-            pos += y
-            if pos / i >= target:
+        groups: dict = {}
+        for p, y in rows:
+            pos, n = groups.get(p, (0, 0))
+            groups[p] = (pos + y, n + 1)
+        best, cpos, cn = None, 0, 0
+        for p in sorted(groups, reverse=True):
+            pos, n = groups[p]
+            cpos, cn = cpos + pos, cn + n
+            if cpos / cn >= target:
                 best = p
         return best
 
@@ -118,3 +126,7 @@ def test_threshold_for_precision_calibration(spark):
         assert got == py_threshold(target), target
     assert classifier.threshold_for_precision(
         df.filter("label = 0"), "label", 0.5) is None
+    # determinism under repartitioning (intra-tie row order must not
+    # matter once ties are grouped)
+    t1 = classifier.threshold_for_precision(df.repartition(5), "label", 0.75)
+    assert t1 == classifier.threshold_for_precision(df, "label", 0.75)

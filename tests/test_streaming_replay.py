@@ -464,10 +464,20 @@ def test_reorder_distributed_gate_partitioned(spark, sf_dir, tmp_path):
                        reorder_across_batches=True,
                        reorder_state_path=str(tmp_path / "reorder-state"))
     engine = ReplayEngine(cfg, JournalSink, mode="partitioned")
+    state_root = str(tmp_path / "reorder-state")
     seen: list = []
     for i, batch in enumerate(b):
+        if i == 2:
+            # orphan epoch from a simulated crashed cleanup: the next
+            # batch's sweep must remove every non-current epoch
+            os.makedirs(state_root + "/held/epoch=0", exist_ok=True)
+            open(state_root + "/held/epoch=0/junk", "w").write("x")
         engine.process_batch(
             spark.createDataFrame(batch, events.schema), i)
+        if i == 2:
+            held_dirs = [d for d in os.listdir(state_root + "/held")
+                         if d.startswith("epoch=")]
+            assert held_dirs == ["epoch=2"], held_dirs
         now = emitted()
         # this batch's emissions = difference vs what was seen before
         import collections
