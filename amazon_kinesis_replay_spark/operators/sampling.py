@@ -363,7 +363,8 @@ def dsir_hashed_log_weights(df: DataFrame, id_col: str, text_col: str,
 
 
 def dsir_sample(weights: DataFrame, id_col: str, k: int,
-                log_w_col: str = "log_w") -> DataFrame:
+                log_w_col: str = "log_w",
+                clip_log_w: float | None = None) -> DataFrame:
     """Gumbel-top-k importance sample over DSIR log-weights: key =
     log_w + Gumbel noise, take the k largest — equivalent to sampling k
     items without replacement with probability proportional to w (the
@@ -371,11 +372,19 @@ def dsir_sample(weights: DataFrame, id_col: str, k: int,
     (u = (hash_ppm + 0.5) / 1e6, g = -ln(-ln u)) so the sample is
     deterministic and rerun-stable; NULL-weight rows (short docs) are
     excluded. The global top-k is a TakeOrdered — no full sort.
-    """
+
+    clip_log_w caps the log-weight at a ceiling BEFORE the Gumbel draw
+    (importance-weight clipping, the standard variance bound: a few
+    extreme-ratio documents would otherwise be sampled almost surely
+    and dominate the draw; clipped docs still rank above unclipped ones
+    of lower weight, but compete on noise among themselves)."""
     u = (hash_ppm(F.col(id_col)).cast("double") + F.lit(0.5)) \
         / F.lit(float(_PPM))
     gumbel = -F.log(-F.log(u))
+    w = F.col(log_w_col)
+    if clip_log_w is not None:
+        w = F.least(w, F.lit(float(clip_log_w)))
     return (weights.filter(F.col(log_w_col).isNotNull())
-            .withColumn("gumbel_key", F.col(log_w_col) + gumbel)
+            .withColumn("gumbel_key", w + gumbel)
             .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
             .limit(k))

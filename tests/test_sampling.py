@@ -317,3 +317,38 @@ def test_dsir_hashed_stats_and_log_weights_match_python(spark):
                                          raw, n_buckets=M),
         "doc_id", k=3, log_w_col="log_w")
     assert sampled.count() == 3
+
+
+def test_dsir_sample_clip_log_w(spark):
+    """Importance-weight clipping: an extreme-weight outlier dominates
+    the unclipped draw; with the cap it competes on Gumbel noise like
+    everything at the ceiling — python twin of the clipped keys."""
+    rows = [(i, float(w)) for i, w in
+            enumerate([100.0, 0.5, 0.4, 0.3, 0.2, 0.1, 0.0, -0.1])]
+    df = spark.createDataFrame(rows, "doc_id long, log_w double")
+    top_unclipped = [r["doc_id"] for r in
+                     sampling.dsir_sample(df, "doc_id", k=3).collect()]
+    assert top_unclipped[0] == 0                     # outlier dominates
+
+    # twin recomputes hash_ppm via the same double-pmod identity
+    from amazon_kinesis_replay_spark.operators.sampling import _PPM
+    def py_hash_ppm(i):
+        return (i % _PPM) * 2246822519 % _PPM
+    def py_top(clip):
+        keyed = []
+        for i, w in rows:
+            u = (py_hash_ppm(i) + 0.5) / _PPM
+            g = -math.log(-math.log(u))
+            keyed.append((min(w, clip), g, i))
+        keyed.sort(key=lambda t: (-(t[0] + t[1]), t[2]))
+        return [i for _w, _g, i in keyed[:3]]
+
+    got = [r["doc_id"] for r in
+           sampling.dsir_sample(df, "doc_id", k=3,
+                                clip_log_w=0.45).collect()]
+    assert got == py_top(0.45)
+    # clip=None is byte-identical to the original behavior
+    again = [r["doc_id"] for r in
+             sampling.dsir_sample(df, "doc_id", k=3,
+                                  clip_log_w=None).collect()]
+    assert again == top_unclipped
