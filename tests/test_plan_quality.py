@@ -357,3 +357,37 @@ def test_hll_grouped_aggregate_is_partial(spark):
                                                "user_id", 10)
     p = regs._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in p
+
+
+def test_qhist_build_is_partial_single_scan(spark):
+    """late r8: the quantile-histogram build must map-side combine
+    (partial_count before the exchange — the shuffle carries at most
+    ~64*2^sig_bits rows per map task) over ONE scan of the source."""
+    from amazon_kinesis_replay_spark.operators import sketches
+    from amazon_kinesis_replay_spark.tables import load
+    ev = load(spark, SF, "events").select("user_id")
+    qh = sketches.qhist_table(ev, "user_id")
+    p = qh._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in p
+    assert p.count("FileScan") == 1, p[:800]
+
+
+def test_hashed_dsir_models_broadcast_no_row_shuffle(spark):
+    """late r8: the <=m-row bucket models must broadcast into the
+    per-doc scoring joins — a sort-merge shuffle of the exploded gram
+    rows against a 10k-row model would be the 100 TB incident."""
+    from amazon_kinesis_replay_spark.operators import sampling
+    from amazon_kinesis_replay_spark.tables import load
+    d = load(spark, SF, "documents").select("doc_id", "text")
+    target = sampling.dsir_hashed_counts(
+        d.filter("doc_id % 2 = 0"), "text")
+    raw = sampling.dsir_hashed_counts(d, "text")
+    w = sampling.dsir_hashed_log_weights(d, "doc_id", "text", target, raw)
+    p = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    # the model joins specifically must not sort-merge the gram rows:
+    # AQE may choose SMJ for the final id re-join of two doc-sized
+    # sides, so pin the model-side joins by their bucket key
+    import re as _re
+    for m in _re.finditer(r"SortMergeJoin \[([^\]]*)\]", p):
+        assert "bucket" not in m.group(1), m.group(0)
