@@ -362,6 +362,70 @@ def dsir_hashed_log_weights(df: DataFrame, id_col: str, text_col: str,
                     "log_w"))
 
 
+def perplexity_buckets(scores: DataFrame, id_col: str,
+                       bits_col: str = "bits_per_token",
+                       cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+                       sig_bits: int = 16) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): split
+    the corpus into perplexity terciles under a target-domain LM —
+    'head' = most fluent/in-domain, 'tail' = noise. Input is the
+    (id, bits_per_token) frame `text.ngram_lm_score` produces.
+
+    The cut points come from the deterministic quantile histogram over
+    truncated milli-bits (bits * 1000 as long): bits-per-token lives
+    well under 65.536, so every scaled value is in the sketch's EXACT
+    range at sig_bits=16 and the lower-bound decode returns an exact
+    data value — the bucketing is rerun- and partition-stable where an
+    approxQuantile cut would not be. One sketch build + one tiny
+    quantile walk; the corpus is scanned, never sorted.
+
+    Output: (id, bits, ppl_bucket) with ppl_bucket in
+    'head'/'middle'/'tail' (NULL-score docs keep a NULL bucket — no
+    silent drop)."""
+    from . import sketches
+    mb = (F.col(bits_col) * F.lit(1000.0)).cast("long")
+    qh = sketches.qhist_table(
+        scores.select(mb.alias("__mb")), "__mb", sig_bits=sig_bits)
+    qrows = sketches.qhist_quantiles(
+        qh, [float(c) for c in cuts], sig_bits=sig_bits,
+        point="lower").collect()
+    t = {round(r["prob"], 9): int(r["value_est"]) for r in qrows}
+    t1, t2 = t[round(float(cuts[0]), 9)], t[round(float(cuts[1]), 9)]
+    bucket = (F.when(F.col(bits_col).isNull(), F.lit(None).cast("string"))
+              .when(mb < F.lit(t1), "head")
+              .when(mb < F.lit(t2), "middle")
+              .otherwise("tail"))
+    return scores.select(F.col(id_col),
+                         F.col(bits_col).alias("bits"),
+                         bucket.alias("ppl_bucket"))
+
+
+def perplexity_bucket_sample(scores: DataFrame, id_col: str,
+                             keep: dict | None = None,
+                             bits_col: str = "bits_per_token",
+                             cuts: tuple = (1.0 / 3.0, 2.0 / 3.0)) -> DataFrame:
+    """The CCNet sampling step over the buckets: keep each bucket at its
+    own rate (default: all of head, half of middle, a tenth of tail —
+    the classic downweight-the-noisy-tail mixture). Membership is the
+    deterministic hash_ppm verdict, so the sample is rerun-stable and
+    needs no RNG state. NULL-bucket docs (short texts) are dropped with
+    rate 0 unless `keep` maps None explicitly. Output adds
+    (ppl_bucket, ppl_rate_ppm, ppl_kept)."""
+    keep = keep if keep is not None else {"head": 1.0, "middle": 0.5,
+                                          "tail": 0.1}
+    b = perplexity_buckets(scores, id_col, bits_col=bits_col, cuts=cuts)
+    rate = F.lit(0)
+    for name, frac in keep.items():
+        ppm = int(float(frac) * _PPM)
+        if name is None:
+            rate = F.when(F.col("ppl_bucket").isNull(), ppm).otherwise(rate)
+        else:
+            rate = F.when(F.col("ppl_bucket") == name, ppm).otherwise(rate)
+    return (b.withColumn("ppl_rate_ppm", rate.cast("long"))
+            .withColumn("ppl_kept",
+                        hash_ppm(F.col(id_col)) < F.col("ppl_rate_ppm")))
+
+
 def dsir_sample(weights: DataFrame, id_col: str, k: int,
                 log_w_col: str = "log_w",
                 clip_log_w: float | None = None) -> DataFrame:

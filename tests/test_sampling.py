@@ -352,3 +352,45 @@ def test_dsir_sample_clip_log_w(spark):
              sampling.dsir_sample(df, "doc_id", k=3,
                                   clip_log_w=None).collect()]
     assert again == top_unclipped
+
+
+def test_perplexity_buckets_and_sample(spark, sf_dir):
+    """late r8, CCNet head/middle/tail: cut points equal the exact
+    order-statistic values (milli-bits < 65536 are in the sketch's
+    exact range), every scored doc lands in the right tercile, NULL
+    scores keep a NULL bucket, and the sampling verdict is the
+    deterministic hash_ppm twin."""
+    from amazon_kinesis_replay_spark.operators import text as _text
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = _text.ngram_lm_counts(docs.filter("doc_id % 2 = 0"), "text", n=2)
+    scores = _text.ngram_lm_score(docs, "doc_id", "text", lm, n=2)
+    out = {r["doc_id"]: (r["bits"], r["ppl_bucket"]) for r in
+           sampling.perplexity_buckets(scores, "doc_id").collect()}
+    vals = sorted(int(b * 1000) for b, _ in out.values() if b is not None)
+    n = len(vals)
+    t1 = vals[max(math.ceil(n / 3.0), 1) - 1]
+    t2 = vals[max(math.ceil(2.0 * n / 3.0), 1) - 1]
+    for did, (bits, bucket) in out.items():
+        if bits is None:
+            assert bucket is None
+            continue
+        mb = int(bits * 1000)
+        want = "head" if mb < t1 else "middle" if mb < t2 else "tail"
+        assert bucket == want, (did, mb, t1, t2, bucket)
+    assert {b for _, b in out.values() if b} == {"head", "middle", "tail"}
+    # sampling: per-bucket rates + deterministic verdicts
+    samp = {r["doc_id"]: (r["ppl_bucket"], r["ppl_rate_ppm"], r["ppl_kept"])
+            for r in sampling.perplexity_bucket_sample(
+                scores, "doc_id").collect()}
+    rates = {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+    for did, (bucket, ppm, kept) in samp.items():
+        assert ppm == (rates[bucket] if bucket else 0)
+        py_kept = ((did % 1_000_000) * 2246822519 % 1_000_000) < ppm
+        assert kept == py_kept, did
+    # the head survives whole; the tail is thinned
+    n_head = sum(1 for b, _, _ in samp.values() if b == "head")
+    kept_head = sum(1 for b, _, k in samp.values() if b == "head" and k)
+    kept_tail = sum(1 for b, _, k in samp.values() if b == "tail" and k)
+    n_tail = sum(1 for b, _, _ in samp.values() if b == "tail")
+    assert kept_head == n_head
+    assert kept_tail < n_tail * 0.3
