@@ -13,7 +13,10 @@ combinable groupBy over a domain column (metadata-scale result,
 broadcast back), membership tests are pure column arithmetic on a
 multiplicative hash of the id, and DSIR scoring reuses the distributed
 n-gram LM join shape (operators/text.py). Nothing collects corpus-sized
-data on the driver.
+data on the driver — the only driver-side collect is
+perplexity_buckets' len(cuts)-row quantile frame, read off the
+bounded (<=8k-row) quantile-histogram sketch, never the corpus
+(hygiene allowlist justification).
 
 Cross-engine exactness (the oracle-gate discipline of this repo): at
 temperature=2.0 the whole rate computation uses only correctly-rounded
@@ -382,6 +385,9 @@ def perplexity_buckets(scores: DataFrame, id_col: str,
     Output: (id, bits, ppl_bucket) with ppl_bucket in
     'head'/'middle'/'tail' (NULL-score docs keep a NULL bucket — no
     silent drop)."""
+    if len(cuts) != 2 or not 0.0 < cuts[0] < cuts[1] < 1.0:
+        raise ValueError(f"cuts must be two quantiles in (0,1), "
+                         f"ascending; got {cuts!r}")
     from . import sketches
     mb = (F.col(bits_col) * F.lit(1000.0)).cast("long")
     qh = sketches.qhist_table(
@@ -389,6 +395,11 @@ def perplexity_buckets(scores: DataFrame, id_col: str,
     qrows = sketches.qhist_quantiles(
         qh, [float(c) for c in cuts], sig_bits=sig_bits,
         point="lower").collect()
+    if not qrows:
+        raise ValueError(
+            "perplexity_buckets: no scored documents (every "
+            f"{bits_col} is NULL or the frame is empty) — nothing to "
+            "bucket; score the corpus with text.ngram_lm_score first")
     t = {round(r["prob"], 9): int(r["value_est"]) for r in qrows}
     t1, t2 = t[round(float(cuts[0]), 9)], t[round(float(cuts[1]), 9)]
     bucket = (F.when(F.col(bits_col).isNull(), F.lit(None).cast("string"))

@@ -26,6 +26,8 @@ COLLECT_ALLOWED = {
     "operators/classifier.py",   # dim-sized gradient vector per iteration
     "operators/similarity.py",   # centroid / codebook / k-means tables
     "operators/text.py",         # vocab-capped BPE merge aggregate
+    "operators/sampling.py",     # len(cuts)-row quantile cut points off
+                                 # the <=8k-row sketch (perplexity_buckets)
 }
 TOPANDAS_ALLOWED = {
     "streaming/replay.py",       # 1-row anchor / per-partition stat frames

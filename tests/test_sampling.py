@@ -394,3 +394,10 @@ def test_perplexity_buckets_and_sample(spark, sf_dir):
     n_tail = sum(1 for b, _, _ in samp.values() if b == "tail")
     assert kept_head == n_head
     assert kept_tail < n_tail * 0.3
+    # degenerate inputs refuse loudly: no scored docs / bad cuts
+    empty = spark.createDataFrame(
+        [(1, None)], "doc_id long, bits_per_token double")
+    with pytest.raises(ValueError, match="no scored"):
+        sampling.perplexity_buckets(empty, "doc_id")
+    with pytest.raises(ValueError, match="cuts"):
+        sampling.perplexity_buckets(scores, "doc_id", cuts=(0.7, 0.3))
