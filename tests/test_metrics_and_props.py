@@ -330,3 +330,80 @@ def test_resize_and_resample_identity():
     for w, h, c in ((5, 3, 3), (1, 1, 1), (8, 2, 4)):
         px = rng.randint(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
         assert _resize_nn(px, w, h, c, w, h) == px
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=40),
+       st.lists(st.integers(min_value=1, max_value=30),
+                min_size=1, max_size=8))
+def test_reorder_gate_matches_stable_model(ts_values, bound, batch_sizes):
+    """late r8 property pin (pure pandas — no Spark per example): the
+    driver-mode reorder gate equals a stable hold-last-`bound` model
+    for ANY ts sequence (heavy ties included), any buffer size, and any
+    micro-batch split: per-batch emissions match element-for-element
+    (identity tracked through a payload id, so stability under ties is
+    checked too), and emissions + held tail conserve the input."""
+    import pandas as pd
+
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.streaming.replay import ReplayEngine
+
+    rows = [(ts, i) for i, ts in enumerate(ts_values)]
+    batches, k = [], 0
+    for s in batch_sizes:
+        if k >= len(rows):
+            break
+        batches.append(rows[k:k + s])
+        k += s
+    if k < len(rows):
+        batches.append(rows[k:])
+
+    eng = ReplayEngine(ReplayConfig(reader_buffer_size=bound,
+                                    reorder_across_batches=True),
+                       sink=None, mode="driver")
+    model_held: list = []
+    for batch in batches:
+        got = eng._reorder_gate(pd.DataFrame(
+            batch, columns=["ts", "payload"]))
+        merged = sorted(model_held + batch, key=lambda t: t[0])
+        if len(merged) <= bound:
+            model_held, want = merged, []
+        else:
+            split = len(merged) - bound
+            want, model_held = merged[:split], merged[split:]
+        assert list(zip(got["ts"], got["payload"])) == want
+    held = eng._held
+    tail = [] if held is None else list(zip(held["ts"], held["payload"]))
+    assert tail == model_held
+    # conservation (nothing dropped or duplicated) is implied: every
+    # batch's emissions matched the model exactly and the tail does too
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=60))
+def test_qhist_buckets_property_match_twin(values):
+    """late r8 property pin: the quantile-histogram bucket id equals the
+    pure-integer python twin for ARBITRARY longs — hypothesis hammers
+    the power-of-two boundaries and the >2^53 range where a floating
+    log2 implementation would misbucket."""
+    from amazon_kinesis_replay_spark.operators import sketches
+    from amazon_kinesis_replay_spark.session import build_spark
+    spark = build_spark("engine-tests", shuffle_partitions=8)
+    S = 7
+    df = spark.createDataFrame([(v,) for v in values], "v LONG")
+    got = {r["bucket"]: r["cnt"] for r in
+           sketches.qhist_table(df, "v", sig_bits=S).collect()}
+    want: dict = {}
+    for v in values:
+        if v == 0:
+            b = 0
+        else:
+            e = v.bit_length() - 1
+            b = (e << S) + ((v - (1 << e)) >> max(e - S, 0)) + 1
+        want[b] = want.get(b, 0) + 1
+    assert got == want
