@@ -1612,6 +1612,14 @@ def q_dedup_exact(spark, sf_dir):
       hash/salt/pmod drift flips the gate; the oracle recomputes every
       bit pure-python via the chained xxh64 twin (the bloom salt is
       hashed as LONG precisely so that chain is twin-computable).
+    - kind='qhist' (late r8): the same summary treatment for the
+      quantile-histogram sketch over document text lengths (sig_bits=7)
+      — keep_id = occupied buckets, dup_count = Σ bucket·cnt,
+      span_start/span_end = min/max bucket. Unlike bloom, the oracle is
+      FULLY INDEPENDENT SQL (no literals): DuckDB derives the exact
+      bit_length via printf('%b') and mirrors the integer shift
+      arithmetic, so the gate cross-checks the bucket function itself
+      across engines.
     """
     from ..operators import sketches
     ensure_engine_conf(spark)
@@ -1637,7 +1645,18 @@ def q_dedup_exact(spark, sf_dir):
         F.lit("bloom").alias("kind"), F.col("keep_id"),
         F.col("dup_count").cast("long").alias("dup_count"),
         "span_start", "span_end")
-    return ex_rows.unionAll(sp_rows).unionAll(bl_rows)
+    qh = sketches.qhist_table(
+        d.select(F.length("text").cast("long").alias("L")), "L",
+        sig_bits=7)
+    qh_rows = qh.agg(
+        F.count("*").alias("keep_id"),
+        F.sum(F.col("bucket") * F.col("cnt")).alias("dup_count"),
+        F.min("bucket").alias("span_start"),
+        F.max("bucket").alias("span_end")).select(
+        F.lit("qhist").alias("kind"), F.col("keep_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+        "span_start", "span_end")
+    return ex_rows.unionAll(sp_rows).unionAll(bl_rows).unionAll(qh_rows)
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -1840,6 +1859,32 @@ def _dedup_exact_oracle() -> str:
                CAST({sum(bits)} AS BIGINT) AS dup_count,
                CAST({min(bits)} AS BIGINT) AS span_start,
                CAST({max(bits)} AS BIGINT) AS span_end
+    """ + _QHIST_SUMMARY_SQL
+
+
+#: kind='qhist' summary — FULLY INDEPENDENT SQL (no literals, unlike
+#: bloom): DuckDB derives the exact bit_length via printf('%b') and
+#: mirrors sketches._qhist_bucket's integer shift arithmetic at
+#: sig_bits=7, so the gate cross-checks the bucket function itself.
+_QHIST_SUMMARY_SQL = r"""
+        UNION ALL
+        SELECT 'qhist' AS kind,
+               CAST(count(*) AS BIGINT) AS keep_id,
+               CAST(sum(bucket * cnt) AS BIGINT) AS dup_count,
+               CAST(min(bucket) AS BIGINT) AS span_start,
+               CAST(max(bucket) AS BIGINT) AS span_end
+        FROM (
+            SELECT bucket, count(*) AS cnt FROM (
+                SELECT CASE WHEN L = 0 THEN 0
+                       ELSE (length(printf('%b', L)) - 1) * 128
+                            + ((L - (CAST(1 AS BIGINT)
+                                     << (length(printf('%b', L)) - 1)))
+                               >> greatest(length(printf('%b', L)) - 1 - 7,
+                                           0)) + 1
+                       END AS bucket
+                FROM (SELECT CAST(length(text) AS BIGINT) AS L
+                      FROM documents WHERE text IS NOT NULL))
+            GROUP BY bucket)
     """
 
 
