@@ -130,3 +130,51 @@ def test_threshold_for_precision_calibration(spark):
     # matter once ties are grouped)
     t1 = classifier.threshold_for_precision(df.repartition(5), "label", 0.75)
     assert t1 == classifier.threshold_for_precision(df, "label", 0.75)
+
+
+def test_logreg_lbfgs_matches_twin_and_beats_gd(spark):
+    """late r8, the ROADMAP L-BFGS upgrade: (a) the distributed trainer
+    matches the driver-only twin (looser tolerance than GD — the
+    history recursion amplifies Spark's float-sum-order jitter);
+    (b) the efficiency claim is MEASURED, not assumed: 10 L-BFGS
+    iterations reach a lower training loss than 30 full-batch GD
+    passes on the same corpus; (c) rerun-deterministic."""
+    import math
+
+    rows, df = _corpus(spark)
+    dim, iters = 64, 10
+    w_l = classifier.logreg_train_lbfgs(df, "doc_id", "text", "label",
+                                        dim=dim, n_iters=iters)
+    w_py = classifier.py_reference_lbfgs(
+        [(t, y) for _i, t, y in rows], dim=dim, n_iters=iters)
+    assert len(w_l) == dim + 1
+    for a, b in zip(w_l, w_py):
+        assert a == pytest.approx(b, abs=1e-6)
+
+    def py_loss(wv):
+        import re
+        from amazon_kinesis_replay_spark.functions.xxh import xxh64_string
+        tot = 0.0
+        for _i, t, y in rows:
+            idxs = {xxh64_string(tok) % dim
+                    for tok in re.split(r"\s+", t.strip().lower())}
+            mg = sum(wv[j] for j in idxs) + wv[dim]
+            sp = mg + math.log1p(math.exp(-mg)) if mg > 0 \
+                else math.log1p(math.exp(mg))
+            tot += sp - y * mg
+        return tot / len(rows)
+
+    w_gd = classifier.logreg_train(df, "doc_id", "text", "label",
+                                   dim=dim, n_iters=30)
+    assert py_loss(w_l) < py_loss(w_gd), (py_loss(w_l), py_loss(w_gd))
+    # rerun-deterministic up to float-sum ordering
+    w_l2 = classifier.logreg_train_lbfgs(df, "doc_id", "text", "label",
+                                         dim=dim, n_iters=iters)
+    for a, b in zip(w_l, w_l2):
+        assert a == pytest.approx(b, abs=1e-6)
+    # the model still separates the classes
+    scored = {r["id"]: r["prob"] for r in classifier.logreg_score(
+        df, "doc_id", "text", w_l).collect()}
+    spam_min = min(scored[i] for i, _t, y in rows if y == 1)
+    ham_max = max(scored[i] for i, _t, y in rows if y == 0)
+    assert spam_min > 0.5 > ham_max
