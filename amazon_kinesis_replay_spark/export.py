@@ -24,7 +24,8 @@ def write_training_shards(df: DataFrame, path: str,
                           split_col: str = "split",
                           order_col: str | None = "pack_id",
                           rows_per_shard: int = 100_000,
-                          n_tasks: int | None = None) -> None:
+                          n_tasks: int | None = None,
+                          shuffle_seed: int | None = None) -> None:
     """Write `df` as parquet shards under split=<v>/__shard=<k>/
     hive directories (readers partition-prune on both levels; a loader
     streams one split directory recursively).
@@ -41,6 +42,18 @@ def write_training_shards(df: DataFrame, path: str,
     kernel, never a single-partition window, so assignment scales with
     the number of packs.
 
+    shuffle_seed (late r8): training loaders want RANDOMIZED example
+    order, and at 100 TB the right place to randomize is the export —
+    shuffle once, stream shards sequentially forever. When set, packs
+    are laid out in xxhash64(seed, order_col) order instead of
+    order_col order: a deterministic, seed-reproducible global
+    permutation OF WHOLE PACKS (rows within a pack stay contiguous —
+    the pack-alignment contract is orthogonal to the order packs
+    appear in), computed by the same distributed cumsum — no extra
+    shuffle, no RNG state, different seeds give independent
+    permutations and a rerun with the same seed is byte-identical.
+    order_col itself tie-breaks hash collisions deterministically.
+
     Pass order_col=None for don't-care placement: plain hash
     repartition, flat split=<v>/ layout, maxRecordsPerFile as the hard
     per-file cap (no grouping contract to preserve)."""
@@ -48,18 +61,26 @@ def write_training_shards(df: DataFrame, path: str,
     tasks = n_tasks or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if order_col is not None:
         from .operators.replay_ops import with_global_cumsum
+        if shuffle_seed is not None:
+            okey = F.xxhash64(F.lit(int(shuffle_seed)).cast("long"),
+                              F.col(order_col)).alias("__ord")
+            order_keys = [split_col, "__ord", order_col]
+        else:
+            okey = F.col(order_col).alias("__ord")
+            order_keys = [split_col, order_col]
         sizes = (df.groupBy(split_col, order_col)
-                 .agg(F.count("*").alias("__n")))
-        csum = with_global_cumsum(sizes, [split_col, order_col], "__n",
-                                  "__cum")
+                 .agg(F.count("*").alias("__n"))
+                 .select(split_col, order_col, okey, "__n"))
+        csum = with_global_cumsum(sizes, order_keys, "__n", "__cum")
         starts = csum.groupBy(split_col).agg(F.min("__cum").alias("__start"))
         assign = (csum.join(F.broadcast(starts), split_col)
-                  .select(split_col, order_col,
+                  .select(split_col, order_col, "__ord",
                           F.expr(f"(__cum - __start) div "
                                  f"{int(rows_per_shard)}").alias("__shard")))
         staged = (df.join(assign, [split_col, order_col])
                   .repartition(tasks, F.col(split_col), F.col("__shard"))
-                  .sortWithinPartitions(split_col, order_col))
+                  .sortWithinPartitions(split_col, "__ord", order_col)
+                  .drop("__ord"))
         (staged.write.mode("overwrite")
          .partitionBy(split_col, "__shard")
          .parquet(path))

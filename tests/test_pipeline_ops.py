@@ -1314,6 +1314,76 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
     assert len(files) < n_packs
 
 
+def test_write_training_shards_deterministic_shuffle(spark, sf_dir,
+                                                     tmp_path):
+    """late r8, seeded export shuffle: pack order is a deterministic
+    hash permutation — same seed reproduces the exact shard assignment,
+    a different seed produces a different one, pack-alignment and the
+    row multiset are preserved, and the layout is genuinely shuffled
+    (shard 0 no longer holds the lowest pack ids). Twin: the expected
+    shard of every pack recomputed from the xxh64 chain + cumsum rule."""
+    import glob
+
+    from amazon_kinesis_replay_spark import export as X
+    from amazon_kinesis_replay_spark.functions.xxh import xxh64_long
+    from amazon_kinesis_replay_spark.operators import text as T
+    d = load(spark, sf_dir, "documents")
+    packed = T.pack_sequences(
+        d.withColumn("__n_tok", T.token_count(F.col("text"))),
+        "doc_id", "__n_tok", seq_len=256)
+    df = (packed.withColumn("split", F.lit("train"))
+          .select("doc_id", "pack_id", "split"))
+    CAP = 100
+
+    def shard_map(out):
+        back = (spark.read.parquet(out)
+                .select("pack_id", "__shard").distinct().collect())
+        m: dict = {}
+        for r in back:
+            assert r["pack_id"] not in m        # pack-alignment held
+            m[r["pack_id"]] = r["__shard"]
+        return m
+
+    out1 = str(tmp_path / "s1")
+    X.write_training_shards(df, out1, rows_per_shard=CAP, n_tasks=4,
+                            shuffle_seed=7)
+    m1 = shard_map(out1)
+    # python twin: packs ordered by (xxh64 chain, pack_id), exclusive
+    # cumsum of pack sizes, shard = cum div CAP
+    sizes = {r["pack_id"]: r["n"] for r in
+             df.groupBy("pack_id").agg(F.count("*").alias("n")).collect()}
+    mask = (1 << 64) - 1
+    seed = xxh64_long(7) & mask
+
+    def skey(p):
+        v = xxh64_long(p, seed=seed) & mask
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    order = sorted(sizes, key=lambda p: (skey(p), p))
+    cum, want = 0, {}
+    for p in order:
+        want[p] = cum // CAP
+        cum += sizes[p]
+    assert m1 == want
+    # same seed -> identical; different seed -> different permutation
+    out2 = str(tmp_path / "s2")
+    X.write_training_shards(df, out2, rows_per_shard=CAP, n_tasks=4,
+                            shuffle_seed=7)
+    assert shard_map(out2) == m1
+    out3 = str(tmp_path / "s3")
+    X.write_training_shards(df, out3, rows_per_shard=CAP, n_tasks=4,
+                            shuffle_seed=8)
+    assert shard_map(out3) != m1
+    # genuinely shuffled: shard 0 is not the lowest-pack-id prefix
+    first = sorted(p for p, s in m1.items() if s == 0)
+    assert first != sorted(sizes)[:len(first)]
+    # row multiset preserved
+    back = spark.read.parquet(out1)
+    assert back.count() == df.count()
+    assert back.select("doc_id", "pack_id", "split") \
+        .exceptAll(df).count() == 0
+
+
 def test_minhash_incremental_matches_batch(spark, sf_dir, tmp_path):
     """Incremental MinHash dedup must emit EXACTLY the batch pipeline's
     pairs that touch the new documents — across two consecutive batches
