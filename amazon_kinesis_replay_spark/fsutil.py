@@ -104,3 +104,107 @@ def listdir(spark, path: str) -> list[str]:
     if not fs.exists(d):
         return []
     return [st.getPath().getName() for st in fs.listStatus(d)]
+
+
+# ---------------------------------------------------------------------------
+# Generation-pointer index layout (r8)
+# ---------------------------------------------------------------------------
+#
+# Persisted-index rebuilds (IVF/semantic re-train, substring compaction)
+# previously published a new index generation by a rename-ASIDE swap of each
+# data subdirectory plus a heal routine per layout to disambiguate its crash
+# windows — correct, but the most subtle code in the repo, and rename-based,
+# so unsafe on object stores where rename is copy+delete. The generation
+# layout replaces every swap with one commit primitive:
+#
+#   <index>/gen=0000000001/<subs...>/_GEN_COMMITTED
+#   <index>/gen=0000000002/<subs...>          <- crashed build: no marker
+#
+# A rebuild writes a COMPLETE new generation directory, then publishes it by
+# creating the (empty) marker file LAST — a single atomic file create on
+# every Hadoop filesystem (and a single PUT on object stores; no rename
+# anywhere on the commit path). Readers resolve to the highest-numbered
+# COMMITTED generation; a crash anywhere before the marker leaves the
+# previous generation untouched and the partial build garbage-collected by
+# the next writer. Cross-generation state (the `applied/` batch marker,
+# result staging) stays at the index ROOT — only the rebuilt data subs live
+# inside generations. An index with no committed generation resolves to the
+# root itself: the pre-gen ("legacy") single-generation layout keeps
+# working, and the first rebuild migrates it in place.
+
+#: Marker file whose presence makes a generation directory visible to
+#: readers. Written last; never listed by Spark (leading underscore).
+GEN_MARKER = "_GEN_COMMITTED"
+
+_GEN_PREFIX = "gen="
+
+
+def gen_list(spark, path: str) -> list[tuple[int, str, bool]]:
+    """(number, child name, committed?) for every generation directory
+    under `path`, ascending by number. Tolerates unpadded names."""
+    out = []
+    for name in listdir(spark, path):
+        if not name.startswith(_GEN_PREFIX):
+            continue
+        tail = name[len(_GEN_PREFIX):]
+        if tail.isdigit():
+            out.append((int(tail), name,
+                        exists(spark, f"{path}/{name}/{GEN_MARKER}")))
+    return sorted(out)
+
+
+def gen_current(spark, path: str):
+    """Directory of the latest COMMITTED generation, or None (no pointer
+    layout yet — callers fall back to the legacy root)."""
+    for n, name, committed in reversed(gen_list(spark, path)):
+        if committed:
+            return f"{path}/{name}"
+    return None
+
+
+def gen_resolve(spark, path: str) -> str:
+    """The directory index READS should use: the latest committed
+    generation when present, else `path` itself (legacy layout)."""
+    cur = gen_current(spark, path)
+    return cur if cur is not None else path
+
+
+def gen_begin(spark, path: str) -> str:
+    """A fresh, guaranteed-empty build directory for the next generation.
+    Uncommitted generations (crashed builds — recomputable by contract)
+    are deleted first, so numbering never collides with a husk. Builds
+    are single-writer, like the staging directory they replace."""
+    gens = gen_list(spark, path)
+    for n, name, committed in gens:
+        if not committed:
+            delete(spark, f"{path}/{name}")
+    nxt = (max(n for n, _, _ in gens) + 1) if gens else 1
+    return f"{path}/{_GEN_PREFIX}{nxt:010d}"
+
+
+def gen_commit(spark, build_dir: str) -> None:
+    """Publish a completed generation: one marker-file create. This is
+    the ENTIRE critical section — there is no multi-step window for a
+    heal routine to disambiguate."""
+    write_text(spark, f"{build_dir}/{GEN_MARKER}", "committed\n")
+
+
+def gen_gc(spark, path: str, legacy_subs=()) -> None:
+    """Drop superseded state: every generation older than the latest
+    committed one, plus the legacy-root copies of `legacy_subs` once a
+    committed generation shadows them (in-place migration of a pre-gen
+    index). Idempotent and metadata-only; called from write paths after
+    `gen_commit` — a crash between commit and GC just leaves the
+    superseded generation for the next writer to collect."""
+    gens = gen_list(spark, path)
+    latest = None
+    for n, name, committed in gens:
+        if committed:
+            latest = n
+    if latest is None:
+        return
+    for n, name, committed in gens:
+        if n < latest:
+            delete(spark, f"{path}/{name}")
+    for sub in legacy_subs:
+        delete(spark, f"{path}/{sub}")

@@ -1378,8 +1378,8 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
     rows = window_occurrences(new_df, id_col, text_col, window)
     rows = rows.withColumn("__h", F.xxhash64("win"))
     rows = rows.persist()            # generate-feeds-join barrier
-    _heal_wins(spark, path)          # recover a crashed compaction first
-    idx_raw = spark.read.parquet(path + "/wins")
+    base = _wins_dir(spark, path)    # resolve gen layout / heal legacy
+    idx_raw = spark.read.parquet(base + "/wins")
     if delta_name is not None:
         # SELF-EXCLUSION: drop this batch's own delta partition from
         # the sum-on-read, then always add the batch's counts once —
@@ -1403,7 +1403,7 @@ def duplicate_spans_incremental(spark, new_df: DataFrame, path: str,
         import uuid
         name = delta_name if delta_name is not None else uuid.uuid4().hex
         (bc.select("win", F.col("bcnt").alias("cnt"), "__h")
-         .write.mode("overwrite").parquet(f"{path}/wins/part={name}"))
+         .write.mode("overwrite").parquet(f"{base}/wins/part={name}"))
     rows.unpersist()
     return out
 
@@ -1461,41 +1461,99 @@ def _heal_wins(spark, path: str) -> None:
     fsutil.delete(spark, old)
 
 
+def _wins_dir(spark, path: str) -> str:
+    """Resolved directory holding the window index's wins/ data: the
+    latest committed generation when the pointer layout is present
+    (`fsutil.gen_*` — every compaction since r8 publishes one), else the
+    legacy root, healed first (`_heal_wins` — only the pre-gen
+    rename-aside compaction could have left a crashed swap there).
+    Resolving a generation also finishes a superseded generation's
+    carry-over (`_wins_finish_gc`), so it runs before every read."""
+    from .. import fsutil
+    cur = fsutil.gen_current(spark, path)
+    if cur is None:
+        _heal_wins(spark, path)
+        return path
+    _wins_finish_gc(spark, path)
+    return cur
+
+
+def _wins_finish_gc(spark, path: str) -> None:
+    """Post-commit half of the generation-pointer compaction: carry into
+    the CURRENT generation every wins/ child of superseded state (an
+    older generation, or the legacy root being migrated) that the
+    compaction did not fold — in-flight deltas and deltas that landed
+    after its snapshot, identified as 'absent from the current
+    generation's folded manifest' — then drop the superseded state.
+    Idempotent and metadata-only (listings + renames); a crash at any
+    point re-runs cleanly, which is why this can live on the read path
+    where the old three-state wins/wins.old/staging disambiguation
+    (`_heal_wins`) needed a per-generation manifest AND a refusal case.
+    """
+    from .. import fsutil
+    cur = fsutil.gen_current(spark, path)
+    if cur is None:
+        return
+    manifest = fsutil.read_text(spark, f"{cur}/wins/{_FOLDED_MANIFEST}")
+    if manifest is None:
+        # a generation without a manifest was not written by the
+        # compaction — nothing to finish, and deleting superseded state
+        # without knowing the folded set could double-count; leave it
+        return
+    folded = set(manifest.split())
+    cur_n = int(cur.rsplit("=", 1)[1])
+    prevs = [f"{path}/{name}"
+             for n, name, _ in fsutil.gen_list(spark, path) if n < cur_n]
+    if fsutil.exists(spark, path + "/wins"):
+        prevs.append(path)                    # legacy root, mid-migration
+    for prev in prevs:
+        for name in fsutil.listdir(spark, f"{prev}/wins"):
+            if name.startswith(("_", ".")):
+                continue
+            if (name not in folded
+                    and not fsutil.exists(spark, f"{cur}/wins/{name}")):
+                fsutil.rename(spark, f"{prev}/wins/{name}",
+                              f"{cur}/wins/{name}")
+    fsutil.gen_gc(spark, path, legacy_subs=("wins",))
+
+
 def substring_index_compact(spark, path: str) -> None:
     """Compact the sum-on-read window index: fold the committed
-    partitions into one summed part=base and drop the folded deltas.
-    Run it when delta directories accumulate (each adds a read-side
-    union + re-aggregation); cost is one scan of the index, never the
-    corpus.
+    partitions into one summed part=base inside the NEXT GENERATION
+    directory (`fsutil.gen_*`), publish it with one atomic marker-file
+    create, and let `_wins_finish_gc` carry the unfolded remainder over
+    and drop the superseded generation. Run it when delta directories
+    accumulate (each adds a read-side union + re-aggregation); cost is
+    one scan of the index, never the corpus.
 
-    Streaming-safety (second-review findings):
+    Streaming-safety:
     - IN-FLIGHT deltas are NEVER folded: with an `applied/` marker
       present, any part=bN with N > the recorded batch_id is in the
       crash window between its delta write and the marker — folding it
       into base would defeat that batch's self-exclusion on redelivery
       (unique windows flagged duplicated AND double-counted forever).
-      Such deltas are carried over verbatim.
-    - Deltas that land BETWEEN the compaction's snapshot and its swap
-      are recovered from wins.old before it is deleted (any child not
-      in the snapshot is renamed into the new generation), so a
-      concurrent writer loses nothing.
-    - The swap itself is the audited checked rename-ASIDE (IVF
-      pattern); the RESTORE rename in the failure path is checked too
-      — claiming "restored" after an ignored failed rename would leave
-      no live index while reporting success.
+      They are carried over by the finish-gc sweep (they are absent
+      from the folded manifest), as is anything a concurrent writer
+      lands after the snapshot.
+    - Crash anywhere before `gen_commit`: the old generation is still
+      the one readers resolve; the partial build is collected by the
+      next `gen_begin`. Crash after commit: the sweep is idempotent and
+      re-runs at every subsequent resolve. There is no rename on the
+      commit path and no unrecoverable window — the legacy compaction's
+      wins.old machinery survives only to heal indexes crashed under
+      the pre-gen code.
     """
     from .. import fsutil
-    _heal_wins(spark, path)     # a prior crashed compact must be resolved
+    base = _wins_dir(spark, path)   # heal legacy / sweep superseded gens
     if fsutil.exists(spark, path + "/wins.old"):
         # _heal_wins deliberately preserved it (pre-manifest crash, split
-        # unknowable) — compacting now would DELETE it below and lose any
-        # unfolded delta forever (r8 review finding). Refuse instead.
+        # unknowable) — compacting now would strand any unfolded delta
+        # forever (r8 review finding). Refuse instead.
         raise RuntimeError(
             f"compact: unresolved {path}/wins.old from a pre-manifest "
             "crash — fold or remove it manually before compacting")
-    snapshot = set(fsutil.listdir(spark, path + "/wins"))
+    snapshot = set(fsutil.listdir(spark, base + "/wins"))
     last = fsutil.read_applied_batch(spark, path)
-    keep: set[str] = set()
     fold: list[str] = []
     for name in snapshot:
         if name.startswith(("_", ".")):
@@ -1503,42 +1561,21 @@ def substring_index_compact(spark, path: str) -> None:
         val = name.split("=", 1)[1] if "=" in name else name
         if (val.startswith("b") and val[1:].isdigit()
                 and int(val[1:]) > last):
-            keep.add(name)                      # in-flight: carry over
+            pass                                # in-flight: sweep carries
         else:
             fold.append(name)
     if not fold:
         return
     summed = (spark.read.parquet(
-                  *[f"{path}/wins/{n}" for n in fold])
+                  *[f"{base}/wins/{n}" for n in fold])
               .drop("part")
               .groupBy("__h", "win").agg(F.sum("cnt").alias("cnt"))
               .select("win", "cnt", "__h"))
-    staging = path + "/wins.compact"
-    fsutil.delete(spark, staging)                 # stale leftovers
-    summed.write.parquet(staging + "/part=base")
-    # per-generation folded manifest: the fact _heal_wins needs to finish
-    # a crashed carry-over without double-counting a folded delta
-    fsutil.write_text(spark, f"{staging}/{_FOLDED_MANIFEST}",
+    build = fsutil.gen_begin(spark, path)
+    summed.write.parquet(build + "/wins/part=base")
+    # folded manifest: the fact the finish-gc sweep needs to carry the
+    # remainder over without double-counting a folded delta
+    fsutil.write_text(spark, f"{build}/wins/{_FOLDED_MANIFEST}",
                       "\n".join(sorted(fold)))
-    fsutil.delete(spark, path + "/wins.old")
-    if not fsutil.rename(spark, path + "/wins", path + "/wins.old"):
-        raise RuntimeError(
-            f"compact: could not move {path}/wins aside; live index "
-            "left untouched, staged compact retained at wins.compact")
-    if not fsutil.rename(spark, staging, path + "/wins"):
-        restored = fsutil.rename(spark, path + "/wins.old",
-                                 path + "/wins")
-        raise RuntimeError(
-            "compact: staging rename failed; original index "
-            + ("restored from" if restored else
-               "NOT restored — recover manually from")
-            + f" {path}/wins.old")
-    # carry over in-flight deltas and anything written since the
-    # snapshot, then drop the old generation
-    for name in fsutil.listdir(spark, path + "/wins.old"):
-        if name.startswith(("_", ".")):
-            continue
-        if name in keep or name not in snapshot:
-            fsutil.rename(spark, f"{path}/wins.old/{name}",
-                          f"{path}/wins/{name}")
-    fsutil.delete(spark, path + "/wins.old")
+    fsutil.gen_commit(spark, build)
+    _wins_finish_gc(spark, path)

@@ -463,6 +463,20 @@ def _heal_index_swap(spark, path: str, subs) -> None:
     fsutil.delete(spark, staging)
 
 
+def _index_dir(spark, path: str, subs) -> str:
+    """Resolved DATA directory of a persisted index: the latest committed
+    generation when the pointer layout is present (`fsutil.gen_*` — every
+    rebuild since r8 publishes one), else the legacy root — healed first,
+    since only the pre-gen rename-aside swap could have left a crashed
+    state there. Every read/append/retrain site routes through this."""
+    from .. import fsutil
+    cur = fsutil.gen_current(spark, path)
+    if cur is not None:
+        return cur
+    _heal_index_swap(spark, path, subs)
+    return path
+
+
 def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
                             train_iters: int = 2,
                             max_list_share: float | None = None) -> bool:
@@ -486,19 +500,21 @@ def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
       meaningful; None (default) keeps the r6 growth-only behavior.
 
     An index without a meta table (pre-policy layout) is treated as due.
-    On trigger: re-train k-means on the full corpus, rebuild into a
-    staging directory, then swap via filesystem rename — readers see the
-    old index until the swap (on object stores without atomic rename,
-    version the index path instead; the staging/swap here matches
-    HDFS/local semantics).
+    On trigger: re-train k-means on the full corpus, rebuild into the
+    NEXT GENERATION directory, and publish it with one atomic marker-file
+    create (`fsutil.gen_commit`) — readers see the old generation until
+    the marker exists, a crash before it leaves the old generation
+    untouched, and there is no rename anywhere on the commit path (safe
+    on object stores, where the old rename-aside swap was copy+delete).
 
     Returns True iff a re-train ran.
     """
-    _heal_index_swap(spark, path, ("vectors", "centroids", "meta"))
-    vecs = spark.read.parquet(path + "/vectors")
+    from .. import fsutil
+    base = _index_dir(spark, path, ("vectors", "centroids", "meta"))
+    vecs = spark.read.parquet(base + "/vectors")
     n_now = vecs.count()
     try:
-        meta = spark.read.parquet(path + "/meta").head()
+        meta = spark.read.parquet(base + "/meta").head()
         n_at_train, n_cent = meta["n_at_train"], meta["n_centroids"]
     except Exception:
         n_at_train, n_cent = None, None
@@ -513,14 +529,15 @@ def ivf_index_maybe_retrain(spark, path: str, growth_threshold: float = 0.5,
     if not due:
         return False
     if n_cent is None:
-        n_cent = spark.read.parquet(path + "/centroids").count()
+        n_cent = spark.read.parquet(base + "/centroids").count()
 
     emb = vecs.select(F.col("id").alias("vec_id"),
                       F.col("vec").alias("embedding"))
-    staging = path + _RETRAIN_STAGING
-    ivf_index_write(emb, staging, n_centroids=int(n_cent),
+    build = fsutil.gen_begin(spark, path)
+    ivf_index_write(emb, build, n_centroids=int(n_cent),
                     train_iters=train_iters)
-    _audited_swap(spark, path, staging, ("vectors", "centroids", "meta"))
+    fsutil.gen_commit(spark, build)
+    fsutil.gen_gc(spark, path, legacy_subs=("vectors", "centroids", "meta"))
     return True
 
 
@@ -535,13 +552,14 @@ def ivf_index_append(spark, emb_new: DataFrame, path: str,
     plus a partitioned append — the existing index is never read or
     rewritten. Re-train + full rewrite (ivf_index_write with train_iters)
     remains the periodic compaction path when drift accumulates."""
-    saved = spark.read.parquet(path + "/centroids")
+    base = _index_dir(spark, path, ("vectors", "centroids", "meta"))
+    saved = spark.read.parquet(base + "/centroids")
     rows = saved.collect()                       # tiny; pin as a literal
     cents = spark.createDataFrame(rows, saved.schema)
     assigned = ivf_assign(emb_new, len(rows), id_col, vec_col,
                           centroids=cents)
     (assigned.write.mode("append")
-     .partitionBy("centroid_id").parquet(path + "/vectors"))
+     .partitionBy("centroid_id").parquet(base + "/vectors"))
 
 
 def ivf_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
@@ -551,14 +569,15 @@ def ivf_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
     not data — and scan ONLY those partitions of the vectors table via a
     static centroid_id IN (...) filter, which Spark turns into partition
     pruning at file-listing time. Exact cosine within the probed lists."""
-    cents = spark.read.parquet(path + "/centroids")
+    base = _index_dir(spark, path, ("vectors", "centroids", "meta"))
+    cents = spark.read.parquet(base + "/centroids")
     probe = (cents.crossJoin(F.broadcast(query_df))
              .select("centroid_id",
                      cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))
              .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
              .limit(n_probe))
     lists = [r["centroid_id"] for r in probe.collect()]
-    vecs = (spark.read.parquet(path + "/vectors")
+    vecs = (spark.read.parquet(base + "/vectors")
             .filter(F.col("centroid_id").isin(lists)))
     scored = (vecs.crossJoin(F.broadcast(query_df))
               .select(F.col("id").alias(id_col),
@@ -881,33 +900,34 @@ def semantic_index_maybe_retrain(spark, path: str,
     batch's append and its marker; folding it would break that batch's
     self-exclusion on redelivery (the substring-compact rule). In-flight
     deltas are RE-ASSIGNED under the new centroids (keeping their names,
-    so redelivery overwrite-by-name still works) INTO THE STAGING
-    generation, before the swap — the swap is then the only critical
-    section and `_heal_index_swap` (called at entry here, at every
-    incremental read, and before the stream processor's bootstrap probe)
-    fully recovers any crash inside it (r8 review finding: without the
-    heal, a swap crash left no meta/ and the streaming processor
-    silently RE-BOOTSTRAPPED, discarding the whole index history).
+    so redelivery overwrite-by-name still works) INTO THE BUILD
+    generation before it is committed — the new generation is COMPLETE
+    before the single marker-file create publishes it
+    (`fsutil.gen_commit`), so there is no multi-step critical section
+    left: a crash anywhere before the marker leaves the old generation
+    live, and the partial build is collected by the next writer.
+    (`_heal_index_swap` still runs when resolving a LEGACY-layout index
+    — only the pre-gen code could have left a crashed rename-aside swap.)
 
     Returns True iff a re-train ran."""
     from .. import fsutil
     subs = ("members", "centroids", "meta")
-    _heal_index_swap(spark, path, subs)
+    base = _index_dir(spark, path, subs)
     last = fsutil.read_applied_batch(spark, path)
 
     def _in_flight(p: str) -> bool:
         return p.startswith("b") and p[1:].isdigit() and int(p[1:]) > last
 
     part_names = [n.split("=", 1)[1]
-                  for n in fsutil.listdir(spark, path + "/members")
+                  for n in fsutil.listdir(spark, base + "/members")
                   if n.startswith("part=")]
     keep = sorted(p for p in part_names if _in_flight(p))
-    members = spark.read.parquet(path + "/members")
+    members = spark.read.parquet(base + "/members")
     committed = (members.filter(~F.col("part").isin(keep))
                  if keep else members)
     n_now = committed.count()
     try:
-        meta = spark.read.parquet(path + "/meta").head()
+        meta = spark.read.parquet(base + "/meta").head()
         n_cent = int(meta["n_centroids"])
         n_at_train = (int(meta["n_at_train"])
                       if "n_at_train" in meta.__fields__ else None)
@@ -924,28 +944,28 @@ def semantic_index_maybe_retrain(spark, path: str,
     if not due:
         return False
     if n_cent is None:
-        n_cent = spark.read.parquet(path + "/centroids").count()
+        n_cent = spark.read.parquet(base + "/centroids").count()
 
     emb = committed.select(F.col("id").alias("vec_id"),
                            F.col("vec").alias("embedding"))
-    staging = path + _RETRAIN_STAGING
-    fsutil.delete(spark, staging)
-    semantic_index_write(emb, staging, n_centroids=int(n_cent),
+    build = fsutil.gen_begin(spark, path)
+    semantic_index_write(emb, build, n_centroids=int(n_cent),
                          n_iters=n_iters)
-    # in-flight deltas re-assign into STAGING (pre-swap): the staged
-    # generation is complete before the critical section begins
+    # in-flight deltas re-assign into the BUILD generation (pre-commit):
+    # the published generation is complete the instant the marker exists
     if keep:
-        cents = spark.read.parquet(staging + "/centroids")
+        cents = spark.read.parquet(build + "/centroids")
         for p in keep:
-            old_delta = spark.read.parquet(f"{path}/members/part={p}")
+            old_delta = spark.read.parquet(f"{base}/members/part={p}")
             reasg = ivf_assign(
                 old_delta.select(F.col("id").alias("vec_id"),
                                  F.col("vec").alias("embedding")),
                 centroids=cents)
             (reasg.select("id", "vec", "centroid_id")
              .write.partitionBy("centroid_id").mode("overwrite")
-             .parquet(f"{staging}/members/part={p}"))
-    _audited_swap(spark, path, staging, subs)
+             .parquet(f"{build}/members/part={p}"))
+    fsutil.gen_commit(spark, build)
+    fsutil.gen_gc(spark, path, legacy_subs=subs)
     return True
 
 
@@ -969,14 +989,14 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
     at all (the substring-index delta pattern, simplified: cells have
     no counts to sum, so exclusion alone is sufficient)."""
     import uuid
-    _heal_index_swap(spark, path, ("members", "centroids", "meta"))
-    cents = spark.read.parquet(path + "/centroids")
+    base = _index_dir(spark, path, ("members", "centroids", "meta"))
+    cents = spark.read.parquet(base + "/centroids")
     name = delta_name if delta_name is not None else uuid.uuid4().hex
     asg_new = ivf_assign(new_emb, id_col=id_col, vec_col=vec_col,
                          centroids=cents)
     # feeds three pair joins + the append write — cut the lineage once
     asg_new = asg_new.localCheckpoint()
-    members = (spark.read.parquet(path + "/members")
+    members = (spark.read.parquet(base + "/members")
                .filter(F.col("part") != name))       # self-exclusion
     old_side = members.select("centroid_id", "id", "vec")
     new_side = asg_new.select("centroid_id", "id", "vec")
@@ -988,7 +1008,7 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
     if append:
         (asg_new.select("id", "vec", "centroid_id")
             .write.partitionBy("centroid_id").mode("overwrite")
-            .parquet(f"{path}/members/part={name}"))
+            .parquet(f"{base}/members/part={name}"))
     return out
 
 

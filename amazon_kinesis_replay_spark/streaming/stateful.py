@@ -271,8 +271,14 @@ def _indexed_stream_processor(index_path: str, sink, bootstrap, incremental,
         spark = batch_df.sparkSession
         if heal is not None:
             heal(spark)
+        # probe inside the RESOLVED data directory: after a retrain has
+        # published a generation (fsutil.gen_*), the data subs live in
+        # gen=N/, and probing the root would silently re-bootstrap over
+        # the whole index history (the same failure class the r8 heal
+        # review found for the crashed swap)
+        base = fsutil.gen_resolve(spark, index_path)
         if not fsutil.has_committed_output(spark,
-                                           f"{index_path}/{probe_subdir}"):
+                                           f"{base}/{probe_subdir}"):
             # Bootstrap. The marker is written FIRST so a crash after the
             # (mode=overwrite, hence idempotent) index write replays as
             # batch_id <= recorded; a crash before the index write leaves
@@ -565,8 +571,11 @@ def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
             append=append, delta_name=f"b{int(batch_id)}")
 
     def heal(spark):
-        similarity._heal_index_swap(spark, index_path,
-                                    ("members", "centroids", "meta"))
+        # resolve once: heals a crashed LEGACY rename-aside swap (pre-gen
+        # code); a generation-pointer index needs no heal — the bootstrap
+        # probe resolves to the committed generation instead
+        similarity._index_dir(spark, index_path,
+                              ("members", "centroids", "meta"))
 
     return _indexed_stream_processor(index_path, sink, bootstrap,
                                      incremental, heal=heal)

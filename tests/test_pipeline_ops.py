@@ -1014,14 +1014,20 @@ def test_ivf_index_retrain_policy(spark, sf_dir, tmp_path):
     n_total = spark.read.parquet(index + "/vectors").count()
     assert similarity.ivf_index_maybe_retrain(
         spark, index, growth_threshold=0.5) is True
-    meta1 = spark.read.parquet(index + "/meta").head()
+    # the retrain published a GENERATION (r8 pointer layout): reads
+    # resolve to it, and GC removed the legacy root copies
+    from amazon_kinesis_replay_spark import fsutil
+    gen = similarity._index_dir(spark, index,
+                                ("vectors", "centroids", "meta"))
+    assert gen != index
+    assert fsutil.exists(spark, f"{gen}/{fsutil.GEN_MARKER}")
+    meta1 = spark.read.parquet(gen + "/meta").head()
     assert meta1["n_at_train"] == n_total            # watermark refreshed
     assert meta1["n_centroids"] == 8
-    assert spark.read.parquet(index + "/vectors").count() == n_total
+    assert spark.read.parquet(gen + "/vectors").count() == n_total
     import os
-    assert not os.path.exists(index + "/.retrain-staging")
-    # rename-aside swap cleaned up every previous-generation copy
     for sub in ("vectors", "centroids", "meta"):
+        assert not os.path.exists(f"{index}/{sub}")
         assert not os.path.exists(f"{index}/{sub}.old")
 
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -2106,11 +2112,17 @@ def test_substring_index_compact(spark, sf_dir, tmp_path):
               .groupBy("__h", "win")
               .agg(F.sum("cnt").alias("cnt")).collect()}
     dedup.substring_index_compact(spark, path)
-    after_parts = spark.read.parquet(path + "/wins") \
+    # the compaction published a GENERATION (r8 pointer layout): reads
+    # resolve into it, and the legacy root wins/ is gone
+    from amazon_kinesis_replay_spark import fsutil
+    gen = dedup._wins_dir(spark, path)
+    assert gen != path
+    assert not fsutil.exists(spark, path + "/wins")
+    after_parts = spark.read.parquet(gen + "/wins") \
         .select("part").distinct().collect()
     assert [r["part"] for r in after_parts] == ["base"]
     after = {(r["__h"], r["win"]): r["cnt"] for r in
-             spark.read.parquet(path + "/wins").collect()}
+             spark.read.parquet(gen + "/wins").collect()}
     assert after == before
     inc = dedup.duplicate_spans_incremental(spark, b3, path, window=W)
     got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
@@ -2142,7 +2154,8 @@ def test_substring_compact_preserves_inflight_deltas(spark, sf_dir,
     want = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
             for r in inc.collect()}
     dedup.substring_index_compact(spark, path)
-    parts = {r["part"] for r in spark.read.parquet(path + "/wins")
+    gen = dedup._wins_dir(spark, path)
+    parts = {r["part"] for r in spark.read.parquet(gen + "/wins")
              .select("part").distinct().collect()}
     assert parts == {"base", "b7"}       # in-flight delta carried over
     # crash-window redelivery: append again under the same name —
@@ -2283,29 +2296,35 @@ def test_semantic_index_retrain_growth_and_inflight(spark, sf_dir,
     assert similarity.semantic_index_maybe_retrain(
         spark, path, growth_threshold=0.5)
 
+    # the retrain published a GENERATION (r8 pointer layout); legacy
+    # root copies are gone and reads resolve into it
+    gen = similarity._index_dir(spark, path,
+                                ("members", "centroids", "meta"))
+    assert gen != path
     parts = {n.split("=", 1)[1]
-             for n in fsutil.listdir(spark, path + "/members")
+             for n in fsutil.listdir(spark, gen + "/members")
              if n.startswith("part=")}
     assert parts == {"base", "b2"}       # committed folded, in-flight kept
-    base = spark.read.parquet(path + "/members/part=base")
+    base = spark.read.parquet(gen + "/members/part=base")
     assert base.count() == 350
-    delta = spark.read.parquet(path + "/members/part=b2")
+    delta = spark.read.parquet(gen + "/members/part=b2")
     assert delta.count() == emb.count() - 350
-    meta = spark.read.parquet(path + "/meta").head()
+    meta = spark.read.parquet(gen + "/meta").head()
     assert meta["n_at_train"] == 350
     # every member's cell matches an assignment under the NEW centroids
-    cents = spark.read.parquet(path + "/centroids")
+    cents = spark.read.parquet(gen + "/centroids")
     fresh = similarity.ivf_assign(
-        spark.read.parquet(path + "/members")
+        spark.read.parquet(gen + "/members")
         .select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding")),
         centroids=cents)
     stored = {(r["id"], r["centroid_id"]) for r in
-              spark.read.parquet(path + "/members")
+              spark.read.parquet(gen + "/members")
               .select("id", "centroid_id").collect()}
     assert {(r["id"], r["centroid_id"]) for r in fresh.collect()} == stored
     # immediately after a re-train nothing is due
     assert not similarity.semantic_index_maybe_retrain(
         spark, path, growth_threshold=0.5)
+    assert not fsutil.exists(spark, path + "/members")
     assert not fsutil.exists(spark, path + "/members.old")
 
 
