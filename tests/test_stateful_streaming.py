@@ -664,3 +664,129 @@ def test_near_dup_semantic_processor_stream_and_replay(spark, sf_dir,
     w = stateful.near_dup_stream_semantic(
         stream, str(tmp_path / "sem-stream2"), sink)
     assert w is not None
+
+
+# -- streaming reorder gate (applyInPandasWithState, late r8) --------------
+
+@pytest.fixture(scope="module")
+def disorder_fixture(spark, sf_dir, tmp_path_factory):
+    """Three NDJSON files with cross-boundary disorder: each batch leaks
+    its 10 earliest events into the next (the same shape as the engine-
+    loop gate tests), so per-batch sorting alone cannot repair it."""
+    import os
+    root = tmp_path_factory.mktemp("disorder")
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts")
+            .orderBy("ts", "event_id").limit(300).collect())
+    b = [rows[0:100], rows[100:200], rows[200:300]]
+    leak0, b[0] = b[0][:10], b[0][10:]
+    leak1, b[1] = b[1][:10], b[1][10:] + leak0
+    b[2] = b[2] + leak1
+    for fi, chunk in enumerate(b):
+        fp = root / f"part-{fi:03d}.json"
+        with open(fp, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({
+                    "event_id": r["event_id"],
+                    "dropoff_datetime": r["ts"].isoformat()}) + "\n")
+        # file-stream batch order = modification-time order; pin it
+        os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+    return str(root), b
+
+
+def test_reorder_gate_stream_matches_poll_when_full(
+        spark, disorder_fixture, tmp_path):
+    """The applyInPandasWithState gate must emit EXACTLY what the
+    poll-when-full rule (the reference's bounded priority queue,
+    JsonEventBufferedReader.java:39) dictates: a pure-python twin
+    replays held+batch stable-sorted by (ts, arrival), emits the
+    len-BOUND prefix per batch. emit_seq orders the memory-sink rows."""
+    path, batches = disorder_fixture
+    BOUND = 150
+    cfg = ReplayConfig(source_path=path)
+    ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    out = stateful.reorder_gate_stream(ev, BOUND)
+    got = _run_to_memory(spark, out, "reorder_gate", tmp_path)
+    emitted = [r["ts"] for r in got.orderBy("emit_seq").collect()]
+
+    held, want, arr = [], [], 0
+    for batch in batches:
+        for r in batch:
+            held.append((r["ts"], arr))
+            arr += 1
+        held.sort(key=lambda x: (x[0], x[1]))
+        n_emit = max(0, len(held) - BOUND)
+        want.extend(t for t, _ in held[:n_emit])
+        held = held[n_emit:]
+
+    assert len(emitted) == len(want) == 300 - BOUND
+    assert [t.isoformat() for t in emitted] == [t.isoformat() for t in want]
+    # the repair invariant: globally nondecreasing in emission order,
+    # which the raw (disordered) stream is NOT
+    assert all(a <= b for a, b in zip(emitted, emitted[1:]))
+    # emit_seq is dense from 0 (persisted per-key counter)
+    seqs = sorted(r["emit_seq"] for r in got.collect())
+    assert seqs == list(range(len(want)))
+
+
+def test_reorder_gate_stream_drains_on_timeout(spark, sf_dir, tmp_path):
+    """drain_after_ms: an idle key's held tail emits in full on a later
+    micro-batch after the processing-time timeout — the streaming
+    analogue of ReplayEngine.finalize(). Poll-when-full alone can emit
+    only 10 of these 60 rows (BOUND=50), so reaching 60 PROVES the
+    hasTimedOut drain branch ran; whether it fires inside the first
+    availableNow run (its follow-up batch crossed the 1.5 s expiry) or
+    on the restarted query is box-timing, which this test tolerates."""
+    import os
+    import time
+    src = tmp_path / "drain-src"
+    src.mkdir()
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts")
+            .orderBy("ts", "event_id").limit(60).collect())
+    fp = src / "part-000.json"
+    with open(fp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps({
+                "event_id": r["event_id"], "shard": "a",
+                "dropoff_datetime": r["ts"].isoformat()}) + "\n")
+    os.utime(fp, (1_700_000_000, 1_700_000_000))
+
+    BOUND = 50
+    ck = str(tmp_path / "ck-drain")
+    cfg = ReplayConfig(source_path=str(src))
+
+    def run(name):
+        ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+        ev = ev.withColumn(
+            "shard", F.get_json_object("payload", "$.shard"))
+        out = stateful.reorder_gate_stream(ev, BOUND, key_col="shard",
+                                           drain_after_ms=1500)
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.table(name).collect()
+
+    got = [r for r in run("drain_run1") if r["key"] == "a"]
+    assert len(got) >= 60 - BOUND            # at least the prefix emitted
+
+    if len(got) < 60:
+        time.sleep(2.5)                      # let the timeout expire
+        # a sentinel row on ANOTHER key triggers the next micro-batch;
+        # the idle key 'a' then fires hasTimedOut and drains its tail
+        fp2 = src / "part-001.json"
+        with open(fp2, "w") as fh:
+            fh.write(json.dumps({
+                "event_id": -1, "shard": "b",
+                "dropoff_datetime": rows[-1]["ts"].isoformat()}) + "\n")
+        os.utime(fp2, (1_700_000_100, 1_700_000_100))
+        got = got + [r for r in run("drain_run2") if r["key"] == "a"]
+
+    all_a = sorted(got, key=lambda r: r["emit_seq"])
+    assert len(all_a) == 60                  # full drain, nothing dropped
+    assert sorted(r["emit_seq"] for r in all_a) == list(range(60))
+    ts_seq = [r["ts"] for r in all_a]
+    assert ts_seq == sorted(ts_seq)          # drain preserves the order
+    assert [t.isoformat() for t in ts_seq] == \
+        [r["ts"].isoformat() for r in rows]  # exactly the input multiset
