@@ -254,12 +254,10 @@ def py_reference_lbfgs(rows, dim: int = 256, n_iters: int = 10,
     tuples — same features, same loss/gradient, same two-loop and
     backtracking rules; tests pin the distributed trainer against it
     (tolerance-level: Spark's float-sum ordering differs per run)."""
-    import re
-
-    from ..functions.xxh import xxh64_string
+    from ..functions.xxh import tokens_spark, xxh64_string
     docs = []
     for t, yv in rows:
-        toks = re.split(r"\s+", t.strip().lower())
+        toks = tokens_spark(t)             # exact Spark-tokenizer twin
         idxs = sorted({xxh64_string(tok) % dim for tok in toks})
         docs.append((idxs, float(yv)))
     n = len(docs)
@@ -399,15 +397,15 @@ def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
     tuples — same features (via the pure-Python xxh64 that matches
     Spark's xxhash64), same update rule and auto step size; used by
     tests to pin the distributed trainer's arithmetic."""
-    import re
-
-    from ..functions.xxh import xxh64_string
+    from ..functions.xxh import tokens_spark, xxh64_string
     docs = []
     for t, y in rows:
-        # EXACT twin of the Spark tokenization: split(trim(lower), \s+)
-        # yields [''] for empty/whitespace-only text (str.split() would
-        # yield [] and diverge on blank docs — review finding)
-        toks = re.split(r"\s+", t.strip().lower())
+        # tokens_spark is the EXACT twin of split(trim(lower), \s+):
+        # space-only trim (F.trim never strips \t/\n) and Java's
+        # ASCII-only \s — an ad-hoc t.strip() + python \s re-split
+        # silently diverges on tab/newline-edged docs (the same class
+        # the DSIR twin review caught)
+        toks = tokens_spark(t)
         idxs = {xxh64_string(tok) % dim for tok in toks}
         docs.append((sorted(idxs), float(y)))
     n = len(docs)
@@ -425,4 +423,109 @@ def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
         for j in range(dim):
             w[j] -= lr * ((g[j] / n) + l2 * w[j])
         w[dim] -= lr * (g[dim] / n)
+    return w
+
+
+def logreg_train_minibatch(df: DataFrame, id_col: str, text_col: str,
+                           label_col: str, dim: int = 256,
+                           n_iters: int = 24, n_buckets: int = 4,
+                           lr: float | None = None, l2: float = 0.0,
+                           seed: int = 0) -> list[float]:
+    """Mini-batch logistic GD with DETERMINISTIC hash-assigned batches
+    (the ROADMAP mini-batch carry): document -> bucket =
+    pmod(xxhash64(seed, id), n_buckets); iteration t trains on bucket
+    t % n_buckets only. Cycling disjoint buckets is epoch-based
+    mini-batching with zero RNG state — reruns give bit-comparable
+    models (same contract as the other trainers), and the bucket
+    geometry is twin-computable (xxh64_long chain, signed pmod), so
+    tests can pin the arithmetic exactly.
+
+    Why this exists next to full-batch GD and L-BFGS: those two pay
+    n_iters FULL corpus passes; here each iteration's join/aggregate
+    mass is ~1/n_buckets of the corpus, so an epoch (n_buckets
+    iterations) costs ONE full pass of shuffle work while taking
+    n_buckets gradient steps. At 100 TB, persist the feature table
+    hive-partitioned by this same bucket column
+    (df.write.partitionBy("bucket")) and each iteration's scan prunes
+    at FILE LISTING — the scan, not just the shuffle, is ∝ 1/n_buckets.
+    lr defaults to the same Lipschitz-bound step as `logreg_train`
+    (global max||x||^2 — a per-batch bound would make the step depend
+    on batch composition)."""
+    bucket = F.pmod(F.xxhash64(F.lit(int(seed)).cast("long"),
+                               F.col(id_col)),
+                    F.lit(int(n_buckets))).cast("int").alias("bucket")
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(label_col).cast("double").alias("y"),
+                       bucket).persist()
+    feats = _with_bias(hashed_features(df, id_col, text_col, dim),
+                       df, id_col, dim) \
+        .join(labels.select("id", "bucket"), "id").persist()
+    counts = {int(r["bucket"]): int(r["count"])
+              for r in labels.groupBy("bucket").count().collect()}
+    if lr is None:
+        max_nnz = int(feats.groupBy("id").count()
+                      .agg(F.max("count")).head()[0] or 1)
+        lr = 4.0 / max_nnz
+    w = [0.0] * (dim + 1)
+    for t in range(n_iters):
+        b = t % n_buckets
+        n_b = counts.get(b, 0)
+        if n_b == 0:
+            continue            # empty bucket: skip, don't div-by-zero
+        f_t = feats.filter(F.col("bucket") == b)
+        m = _margin(f_t, w)
+        resid = (labels.filter(F.col("bucket") == b).join(m, "id")
+                 .select("id",
+                         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+                          - F.col("y")).alias("r")))
+        g_rows = (f_t.join(resid, "id")
+                  .groupBy("idx").agg(F.sum("r").alias("g"))
+                  .collect())
+        g = {int(r["idx"]): float(r["g"]) for r in g_rows}
+        for j in range(dim):
+            w[j] -= lr * ((g.get(j, 0.0) / n_b) + l2 * w[j])
+        w[dim] -= lr * (g.get(dim, 0.0) / n_b)
+    feats.unpersist()
+    labels.unpersist()
+    return w
+
+
+def py_reference_minibatch(rows, dim: int = 256, n_iters: int = 24,
+                           n_buckets: int = 4, lr: float | None = None,
+                           l2: float = 0.0, seed: int = 0) -> list[float]:
+    """Driver-only twin of logreg_train_minibatch over (id, text, label)
+    tuples: bucket = signed(xxh64_long(id, seed=xxh64_long(seed))) %
+    n_buckets (python % = positive mod = Spark pmod), same cycling
+    schedule, same update arithmetic."""
+    from ..functions.xxh import tokens_spark, xxh64_long, xxh64_string
+    mask = (1 << 64) - 1
+    seed_h = xxh64_long(int(seed)) & mask
+    docs = []
+    for i, t, yv in rows:
+        b = xxh64_long(int(i), seed=seed_h) % n_buckets
+        idxs = sorted({xxh64_string(tok) % dim for tok in tokens_spark(t)})
+        docs.append((b, idxs, float(yv)))
+    counts: dict = {}
+    for b, _i, _y in docs:
+        counts[b] = counts.get(b, 0) + 1
+    if lr is None:
+        lr = 4.0 / (max(len(i) for _b, i, _y in docs) + 1)   # +1 = bias
+    w = [0.0] * (dim + 1)
+    for t in range(n_iters):
+        b = t % n_buckets
+        n_b = counts.get(b, 0)
+        if n_b == 0:
+            continue
+        g = [0.0] * (dim + 1)
+        for db, idxs, yv in docs:
+            if db != b:
+                continue
+            mg = sum(w[j] for j in idxs) + w[dim]
+            r = 1.0 / (1.0 + math.exp(-mg)) - yv
+            for j in idxs:
+                g[j] += r
+            g[dim] += r
+        for j in range(dim):
+            w[j] -= lr * ((g[j] / n_b) + l2 * w[j])
+        w[dim] -= lr * (g[dim] / n_b)
     return w

@@ -178,3 +178,65 @@ def test_logreg_lbfgs_matches_twin_and_beats_gd(spark):
     spam_min = min(scored[i] for i, _t, y in rows if y == 1)
     ham_max = max(scored[i] for i, _t, y in rows if y == 0)
     assert spam_min > 0.5 > ham_max
+
+
+def test_logreg_minibatch_matches_twin(spark):
+    """Hash-bucketed mini-batch GD == the driver-only twin (same xxh64
+    bucket assignment via the signed-pmod chain, same cycling schedule,
+    same arithmetic) to float-sum tolerance; rerun-deterministic."""
+    rows, df = _corpus(spark)
+    dim, iters, nb = 64, 12, 3
+    w_spark = classifier.logreg_train_minibatch(
+        df, "doc_id", "text", "label", dim=dim, n_iters=iters,
+        n_buckets=nb, seed=7)
+    w_py = classifier.py_reference_minibatch(
+        rows, dim=dim, n_iters=iters, n_buckets=nb, seed=7)
+    assert len(w_spark) == dim + 1
+    for a, b in zip(w_spark, w_py):
+        assert a == pytest.approx(b, abs=1e-9)
+    w2 = classifier.logreg_train_minibatch(
+        df, "doc_id", "text", "label", dim=dim, n_iters=iters,
+        n_buckets=nb, seed=7)
+    for a, b in zip(w_spark, w2):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_logreg_minibatch_epoch_tracks_full_batch(spark):
+    """One epoch of cycling buckets (n_buckets steps, each ~1/n_buckets
+    of the shuffle mass) must actually LEARN: after two epochs the
+    model separates the fixture like full-batch GD does."""
+    rows, df = _corpus(spark)
+    w = classifier.logreg_train_minibatch(
+        df, "doc_id", "text", "label", dim=64, n_iters=16, n_buckets=4)
+    scored = {r["id"]: r["prob"] for r in classifier.logreg_score(
+        df, "doc_id", "text", w).collect()}
+    spam_min = min(scored[i] for i, _t, y in rows if y == 1)
+    ham_max = max(scored[i] for i, _t, y in rows if y == 0)
+    assert spam_min > ham_max            # separation after 4 epochs
+
+
+def test_twin_tokenizer_whitespace_edges(spark):
+    """The trainer twins must use the EXACT Spark tokenizer twin
+    (tokens_spark): F.trim strips SPACES only, so a tab/newline-edged
+    document keeps a leading empty token that an ad-hoc str.strip()
+    twin silently drops (the DSIR-twin review class). Pin GD and
+    mini-batch twins on such docs."""
+    rows = [(0, "\tbuy cheap pills now\n", 1),
+            (1, "click here for the best offer ", 1),
+            (2, " the committee\tdiscussed the budget", 0),
+            (3, "rainfall shifted across\nthe valley", 0),
+            (4, "students presented coastal research", 0),
+            (5, "cheap pills click buy now", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w_spark = classifier.logreg_train(df, "doc_id", "text", "label",
+                                      dim=32, n_iters=5)
+    w_py = classifier.py_reference_train(
+        [(t, y) for _i, t, y in rows], dim=32, n_iters=5)
+    for a, b in zip(w_spark, w_py):
+        assert a == pytest.approx(b, abs=1e-9)
+    w_mb = classifier.logreg_train_minibatch(
+        df, "doc_id", "text", "label", dim=32, n_iters=6, n_buckets=2)
+    w_mb_py = classifier.py_reference_minibatch(
+        rows, dim=32, n_iters=6, n_buckets=2)
+    for a, b in zip(w_mb, w_mb_py):
+        assert a == pytest.approx(b, abs=1e-9)
