@@ -1,0 +1,134 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+At 100 TB the cheapest query is the one that never reads the data:
+parquet row-group / file min-max statistics prune scans, but they only
+help along the SORT order — a table laid out by `ts` answers time-range
+predicates from footers alone while a `user_id` predicate still reads
+every file. Z-ordering interleaves the bits of several quantized
+columns into one sort key, so a range predicate on ANY prefix-quantized
+dimension maps to a bounded set of z-ranges and min-max pruning works
+on all of them at once (the technique behind ClickHouse/Delta/Iceberg
+`ZORDER BY`; public literature: Morton 1966, "z-order curve").
+
+Everything here is a pure column expression (whole-stage codegen, no
+UDF, no shuffle beyond the final repartitionByRange):
+
+- `quantize(col, lo, hi, bits)` — affine map of a numeric column onto
+  the integer grid [0, 2^bits), clamped at the bounds (out-of-range
+  rows land in the edge cells rather than corrupting the interleave).
+- `zvalue(cols, bits)` — interleave the low `bits` bits of up to 8
+  already-quantized long columns (bit b of column i lands at position
+  b*k + i). Deterministic integer arithmetic, so the exact same shift
+  expression runs in DuckDB — the registry hash-gates it cross-engine
+  (kind='zorder' summary row in dedup_exact).
+- `layout_zorder(df, cols, ...)` — add the z-key and cluster the frame
+  by it: repartitionByRange (range-partitions by z-key, one shuffle,
+  AQE-coalescible) + sortWithinPartitions, so every written file/row
+  group covers a tight z-range and carries tight min-max stats for
+  EVERY participating dimension.
+
+The companion test writes the same frame linearly-sorted and z-ordered
+and counts, from the parquet footers alone, how many files a 2-D box
+predicate must read under each layout — the pruning win is measured,
+not asserted from theory.
+
+Reference scope note: the reference engine (S3→Kinesis replay, 817-line
+Java) has no layout story at all — this module exists for the 100 TB
+training-data-pipeline surface (SURVEY §6 extensions), same tier as the
+dedup/ANN/sketch families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Maximum dimensions per z-key: 8 dims × 8 bits = 64-bit key ceiling.
+_MAX_DIMS = 8
+
+
+def quantize(col: Column, lo: float, hi: float, bits: int = 8) -> Column:
+    """Affine-map a numeric column onto [0, 2^bits) as a long, clamping
+    to the edge cells outside [lo, hi]. lo/hi are fixed, caller-chosen
+    bounds (corpus-stable constants, NOT data-dependent aggregates —
+    the layout must not change meaning when the data grows)."""
+    if not hi > lo:
+        raise ValueError(f"quantize needs hi > lo, got [{lo}, {hi}]")
+    n_cells = 1 << bits
+    scaled = (col.cast("double") - F.lit(float(lo))) \
+        * F.lit(n_cells / (hi - lo))
+    cell = F.floor(scaled).cast("long")
+    return F.greatest(F.lit(0).cast("long"),
+                      F.least(F.lit(n_cells - 1).cast("long"), cell))
+
+
+def zvalue(cols: list[Column], bits: int = 8) -> Column:
+    """Morton interleave of already-quantized long columns (each in
+    [0, 2^bits)): bit b of cols[i] lands at position b*len(cols) + i.
+    Plain shift/mask/or arithmetic — codegen'd in Spark, and the
+    identical expression is emitted for DuckDB by `zvalue_sql` so the
+    registry gate cross-checks the curve itself."""
+    k = len(cols)
+    if not 1 <= k <= _MAX_DIMS:
+        raise ValueError(f"zvalue supports 1..{_MAX_DIMS} columns, got {k}")
+    if bits * k > 63:
+        raise ValueError(
+            f"{k} cols x {bits} bits = {bits * k} key bits > 63; "
+            "lower bits or drop a dimension")
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cl = c.cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(cl, b).bitwiseAND(F.lit(1)), b * k + i))
+    return z
+
+
+def zvalue_sql(exprs: list[str], bits: int = 8) -> str:
+    """The DuckDB/ANSI twin of `zvalue`: the same interleave as a SQL
+    expression string over already-quantized integer SQL expressions.
+    Emitted programmatically so Spark and SQL can never drift on the
+    bit placement (single source of truth for b*k+i)."""
+    k = len(exprs)
+    terms = []
+    for i, e in enumerate(exprs):
+        for b in range(bits):
+            # every term FULLY parenthesized: DuckDB parses all bitwise
+            # operators at one precedence level left-to-right, so a bare
+            # `x << 0 | y << 2` chains into ((x << 0 | y) << 2) and
+            # overflows — measured, not theoretical
+            terms.append(f"(((({e}) >> {b}) & 1) << {b * k + i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zvalue_py(vals: list[int], bits: int = 8) -> int:
+    """Driver-side twin for tests: interleave quantized ints."""
+    k = len(vals)
+    z = 0
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((int(v) >> b) & 1) << (b * k + i)
+    return z
+
+
+def layout_zorder(df: DataFrame, cols: list[Column], bits: int = 8,
+                  n_partitions: int | None = None,
+                  key_col: str = "zkey") -> DataFrame:
+    """Cluster a frame along the z-curve of the given quantized columns:
+    one range shuffle on the z-key + an in-partition sort, so a
+    subsequent `.write.parquet` produces files/row groups whose min-max
+    footer stats are tight in EVERY participating dimension. Keep
+    `key_col` in the written table — it costs one long column and lets
+    readers push an explicit z-range predicate when they know the box.
+
+    At 100 TB: repartitionByRange samples the key (no global sort
+    barrier beyond the range exchange), AQE coalesces skewed ranges,
+    and the written layout is what turns O(corpus) scans into
+    O(matching z-ranges) scans for multi-predicate workloads — the same
+    contract as Delta/Iceberg ZORDER, expressed with nothing but
+    DataFrame ops."""
+    keyed = df.withColumn(key_col, zvalue(cols, bits))
+    parts = [key_col] if n_partitions is None \
+        else [n_partitions, key_col]
+    return keyed.repartitionByRange(*parts) \
+        .sortWithinPartitions(key_col)

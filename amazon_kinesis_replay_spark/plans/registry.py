@@ -1620,8 +1620,17 @@ def q_dedup_exact(spark, sf_dir):
       bit_length via printf('%b') and mirrors the integer shift
       arithmetic, so the gate cross-checks the bucket function itself
       across engines.
+    - kind='zorder' (late r8): ONE summary row pinning the Z-order
+      layout key (`operators.layout.zvalue` — the Morton interleave
+      behind `layout_zorder`'s multi-dimension file-skipping) over the
+      events table: z = interleave(pmod(user_id,256),
+      pmod(unix_millis(ts),256)) at 8 bits; keep_id = row count,
+      dup_count = Σz, span_start/span_end = min/max z. The oracle runs
+      the IDENTICAL shift arithmetic in DuckDB, emitted by
+      `layout.zvalue_sql` — one bit-placement source of truth, qhist's
+      independent-SQL gate class.
     """
-    from ..operators import sketches
+    from ..operators import layout, sketches
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -1656,7 +1665,21 @@ def q_dedup_exact(spark, sf_dir):
         F.lit("qhist").alias("kind"), F.col("keep_id"),
         F.col("dup_count").cast("long").alias("dup_count"),
         "span_start", "span_end")
-    return ex_rows.unionAll(sp_rows).unionAll(bl_rows).unionAll(qh_rows)
+    evq = (load(spark, sf_dir, "events")
+           .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+           .select(F.pmod(F.col("user_id"), F.lit(256)).alias("u"),
+                   F.pmod(F.unix_millis("ts"), F.lit(256)).alias("m")))
+    zo_rows = evq.select(
+        layout.zvalue([F.col("u"), F.col("m")], bits=8).alias("z")).agg(
+        F.count("*").alias("keep_id"),
+        F.sum("z").alias("dup_count"),
+        F.min("z").alias("span_start"),
+        F.max("z").alias("span_end")).select(
+        F.lit("zorder").alias("kind"), F.col("keep_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+        "span_start", "span_end")
+    return (ex_rows.unionAll(sp_rows).unionAll(bl_rows)
+            .unionAll(qh_rows).unionAll(zo_rows))
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -1859,7 +1882,7 @@ def _dedup_exact_oracle() -> str:
                CAST({sum(bits)} AS BIGINT) AS dup_count,
                CAST({min(bits)} AS BIGINT) AS span_start,
                CAST({max(bits)} AS BIGINT) AS span_end
-    """ + _QHIST_SUMMARY_SQL
+    """ + _QHIST_SUMMARY_SQL + _zorder_summary_sql()
 
 
 #: kind='qhist' summary — FULLY INDEPENDENT SQL (no literals, unlike
@@ -1885,6 +1908,30 @@ _QHIST_SUMMARY_SQL = r"""
                 FROM (SELECT CAST(length(text) AS BIGINT) AS L
                       FROM documents WHERE text IS NOT NULL))
             GROUP BY bucket)
+    """
+
+
+def _zorder_summary_sql() -> str:
+    """kind='zorder' summary — independent SQL in the qhist gate class:
+    the Morton-interleave shift arithmetic is EMITTED by the same
+    `layout.zvalue_sql` the Spark expression derives from (single
+    source of truth for bit placement), over inputs DuckDB rederives
+    itself (double-mod = Spark pmod for any sign; epoch_ms = the
+    established unix_millis twin). No literals."""
+    from ..operators.layout import zvalue_sql
+    z = zvalue_sql(["u", "m"], bits=8)
+    return f"""
+        UNION ALL
+        SELECT 'zorder' AS kind,
+               CAST(count(*) AS BIGINT) AS keep_id,
+               CAST(sum(z) AS BIGINT) AS dup_count,
+               CAST(min(z) AS BIGINT) AS span_start,
+               CAST(max(z) AS BIGINT) AS span_end
+        FROM (SELECT {z} AS z FROM (
+            SELECT ((user_id % 256) + 256) % 256 AS u,
+                   ((CAST(epoch_ms(ts) AS BIGINT) % 256) + 256) % 256 AS m
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL))
     """
 
 
