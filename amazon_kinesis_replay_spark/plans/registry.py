@@ -1629,8 +1629,17 @@ def q_dedup_exact(spark, sf_dir):
       the IDENTICAL shift arithmetic in DuckDB, emitted by
       `layout.zvalue_sql` — one bit-placement source of truth, qhist's
       independent-SQL gate class.
+    - kind='bm25' (late r8): the retrieval family's sufficient
+      statistics — the inverted index (`operators.retrieval.postings`)
+      folded by term: keep_id = Σdf (postings rows), dup_count = Σtf
+      (total tokens), span_start = |vocabulary|, span_end = max df.
+      Exact integers; the oracle REBUILDS the postings table in DuckDB
+      from the same trim(lower)/\\s+ tokenization the span CTE uses
+      (fully independent SQL, qhist gate class). Float BM25 scoring is
+      twin-pinned in tests instead — hashing ln() outputs cross-engine
+      would gate libm, not the plan.
     """
-    from ..operators import layout, sketches
+    from ..operators import layout, retrieval, sketches
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -1678,8 +1687,22 @@ def q_dedup_exact(spark, sf_dir):
         F.lit("zorder").alias("kind"), F.col("keep_id"),
         F.col("dup_count").cast("long").alias("dup_count"),
         "span_start", "span_end")
+    # kind='bm25': single-scan two-level tree over the inverted index —
+    # groupBy(term) folds postings into (df, ttf), then one global agg
+    bm_rows = (retrieval.postings(d, "doc_id", "text")
+               .groupBy("term")
+               .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+               .agg(F.sum("df").alias("keep_id"),
+                    F.sum("ttf").alias("dup_count"),
+                    F.count("*").alias("span_start"),
+                    F.max("df").alias("span_end"))
+               .select(F.lit("bm25").alias("kind"),
+                       F.col("keep_id").cast("long").alias("keep_id"),
+                       F.col("dup_count").cast("long").alias("dup_count"),
+                       F.col("span_start").cast("long").alias("span_start"),
+                       F.col("span_end").cast("long").alias("span_end")))
     return (ex_rows.unionAll(sp_rows).unionAll(bl_rows)
-            .unionAll(qh_rows).unionAll(zo_rows))
+            .unionAll(qh_rows).unionAll(zo_rows).unionAll(bm_rows))
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -1932,6 +1955,28 @@ def _zorder_summary_sql() -> str:
                    ((CAST(epoch_ms(ts) AS BIGINT) % 256) + 256) % 256 AS m
             FROM events
             WHERE ts IS NOT NULL AND user_id IS NOT NULL))
+    """ + _BM25_SUMMARY_SQL
+
+
+#: kind='bm25' summary — independent SQL: DuckDB rebuilds the postings
+#: table (doc, term, tf) with the same trim(lower)/\s+ tokenization the
+#: span CTE uses, folds by term, and summarizes exact integers.
+_BM25_SUMMARY_SQL = r"""
+        UNION ALL
+        SELECT 'bm25' AS kind,
+               CAST(sum(df) AS BIGINT) AS keep_id,
+               CAST(sum(ttf) AS BIGINT) AS dup_count,
+               CAST(count(*) AS BIGINT) AS span_start,
+               CAST(max(df) AS BIGINT) AS span_end
+        FROM (
+            SELECT term, count(*) AS df, sum(tf) AS ttf FROM (
+                SELECT doc_id, term, count(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(
+                               trim(lower(text)), '\s+')) AS term
+                    FROM documents)
+                GROUP BY doc_id, term)
+            GROUP BY term)
     """
 
 
