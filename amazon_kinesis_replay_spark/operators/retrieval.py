@@ -205,3 +205,108 @@ def py_reference_rrf(leg_ids: list[list], k0: int = RRF_K0) -> list[tuple]:
     out = [(i, s, c) for i, (s, c) in acc.items()]
     out.sort(key=lambda x: (-x[1], x[0]))
     return out
+
+
+# -- persisted retrieval index (the 100 TB query path) ----------------------
+
+def retrieval_index_write(docs: DataFrame, path: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_term_buckets: int = 64) -> None:
+    """Build the persisted inverted index: postings hive-partitioned by
+    tb = pmod(xxhash64(term), n_term_buckets), so a query's scan prunes
+    to its terms' buckets at FILE LISTING (the IVF-index pattern,
+    similarity.ivf_index_write). Postings are DENORMALIZED with the
+    doc length (one extra long per row) — the classic search-engine
+    trade that removes the corpus-scale doclen join from every query.
+
+    Layout (all writes idempotent mode=overwrite):
+      postings/delta=0/tb=<b>/...   (term, id, tf, dl)
+      stats/delta=0/                ONE row (n_docs, sum_dl)
+      meta/                         ONE row (n_term_buckets)
+
+    `delta=` is the incremental axis: `retrieval_index_append` adds
+    delta=<batch_id> slices; a query reads the whole tree (partition
+    discovery exposes delta+tb) and sums the per-delta stats rows
+    (#deltas rows — metadata scale). Appends require DISJOINT doc ids
+    vs the existing index (the same contract as every incremental
+    family here); replayed appends OVERWRITE their own delta dir, so
+    redelivery is idempotent with no marker machinery."""
+    _write_index_delta(docs, path, 0, id_col, text_col, n_term_buckets)
+    spark = docs.sparkSession
+    spark.createDataFrame([(int(n_term_buckets),)],
+                          "n_term_buckets long") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def retrieval_index_append(docs_batch: DataFrame, path: str,
+                           batch_id: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> None:
+    """Fold a new batch into the persisted index under its OWN
+    delta=<batch_id> slice (cost ∝ batch, never corpus; idempotent on
+    redelivery because the slice is overwritten by name). Doc ids must
+    be disjoint from every other delta — df/tf additivity depends on
+    it."""
+    if batch_id <= 0:
+        raise ValueError("batch_id must be > 0 (0 is the base build)")
+    spark = docs_batch.sparkSession
+    n_tb = int(spark.read.parquet(path + "/meta")
+               .head()["n_term_buckets"])
+    _write_index_delta(docs_batch, path, int(batch_id),
+                       id_col, text_col, n_tb)
+
+
+def _write_index_delta(docs, path, delta, id_col, text_col, n_tb):
+    post = postings(docs, id_col, text_col) \
+        .join(doc_lengths(docs, id_col, text_col), "id") \
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(int(n_tb))))
+    post.write.mode("overwrite").partitionBy("tb") \
+        .parquet(f"{path}/postings/delta={delta}")
+    dl = doc_lengths(docs, id_col, text_col)
+    dl.agg(F.count("*").cast("long").alias("n_docs"),
+           F.sum("dl").cast("long").alias("sum_dl")) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{path}/stats/delta={delta}")
+
+
+def bm25_topk_indexed(spark, path: str, query: str, k: int = 10,
+                      k1: float = K1, b: float = B) -> DataFrame:
+    """Query the persisted index: the postings scan carries
+    PartitionFilters on tb (only the query terms' buckets are listed,
+    ~len(query)/n_term_buckets of the index at most), df is exact from
+    the pruned read itself (a bucket holds EVERY posting of its terms,
+    across all deltas), and N/avgdl come from the per-delta stats rows.
+    Same scores as `bm25_topk` on the same corpus (pinned by test)."""
+    from ..functions.xxh import tokens_spark, xxh64_string
+    terms = tokens_spark(query)
+    if not any(terms):
+        raise ValueError("empty query")
+    weights: dict[str, int] = {}
+    for t in terms:
+        weights[t] = weights.get(t, 0) + 1
+    n_tb = int(spark.read.parquet(path + "/meta")
+               .head()["n_term_buckets"])
+    buckets = sorted({xxh64_string(t) % n_tb for t in weights})
+    st = spark.read.parquet(path + "/stats") \
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+             F.sum("sum_dl").cast("long").alias("sum_dl")).head()
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    q_df = spark.createDataFrame(sorted(weights.items()),
+                                 "term string, qw long")
+    post = (spark.read.parquet(path + "/postings")
+            .filter(F.col("tb").isin([int(x) for x in buckets]))
+            .join(F.broadcast(q_df), "term"))
+    dfreq = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    matched = post.join(F.broadcast(dfreq), "term")
+    avgdl = sum_dl / n_docs
+    idf = F.log(F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b)
+                              * F.col("dl") / F.lit(avgdl))
+    contrib = F.col("qw") * idf * tf * F.lit(k1 + 1.0) / denom
+    return (matched.groupBy("id")
+            .agg(F.sum(contrib).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k))

@@ -109,3 +109,56 @@ def test_hybrid_bm25_plus_cosine_leg(spark, docs, doc_rows):
     want = retrieval.py_reference_rrf(
         [ids, [i for i, _ in sorted(cos_rows, key=lambda x: (-x[1], x[0]))]])
     assert [r["id"] for r in fused] == [i for i, _s, _c in want[:3]]
+
+
+# -- persisted index -------------------------------------------------------
+
+def test_indexed_bm25_matches_direct_and_prunes(spark, docs, doc_rows,
+                                                tmp_path):
+    """bm25_topk_indexed over the persisted index == bm25_topk over the
+    corpus (ids and scores), and the postings scan carries
+    PartitionFilters on tb — the query lists only its terms' buckets."""
+    from amazon_kinesis_replay_spark.functions.xxh import xxh64_string
+    idx = str(tmp_path / "ridx")
+    retrieval.retrieval_index_write(docs, idx, n_term_buckets=16)
+    words = doc_rows[2][1].split()[:3]
+    query = " ".join(words)
+    direct = retrieval.bm25_topk(docs, query, k=10).collect()
+    indexed = retrieval.bm25_topk_indexed(spark, idx, query, k=10)
+    # file-listing pruning: the scan carries PartitionFilters on tb
+    # (the IVF-index plan-assertion pattern; DataFrame.inputFiles would
+    # list the UNpruned FileIndex and prove nothing)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "tb" in plan.split("PartitionFilters: [", 1)[1][:200]
+    # and the filter names exactly the query terms' buckets
+    want_tb = {xxh64_string(t.lower()) % 16 for t in words}
+    pf = plan.split("PartitionFilters: [", 1)[1][:200]
+    for b in want_tb:
+        assert str(b) in pf
+    got = indexed.collect()
+    assert [r["id"] for r in got] == [r["id"] for r in direct]
+    for a, b in zip(got, direct):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_indexed_append_folds_batches(spark, docs, tmp_path):
+    """Incremental contract: base + appended delta == one index built
+    over the union (scores from the indexed query are identical), and a
+    REPLAYED append (same batch_id) is idempotent."""
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    retrieval.retrieval_index_write(a, inc, n_term_buckets=8)
+    retrieval.retrieval_index_append(b, inc, batch_id=1)
+    retrieval.retrieval_index_append(b, inc, batch_id=1)   # replay
+    retrieval.retrieval_index_write(docs, full, n_term_buckets=8)
+    q = "the and of"
+    got = retrieval.bm25_topk_indexed(spark, inc, q, k=10).collect()
+    want = retrieval.bm25_topk_indexed(spark, full, q, k=10).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in want]
+    for x, y in zip(got, want):
+        assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+    with pytest.raises(ValueError, match="batch_id"):
+        retrieval.retrieval_index_append(b, inc, batch_id=0)

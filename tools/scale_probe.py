@@ -41,6 +41,11 @@ near-linear curve is the evidence the plans have no quadratic term:
 - qhist          : quantile-histogram build (global + grouped) +
                    grouped quantile extraction — one scan, sketch-sized
                    outputs, window only over the tiny bucket table
+- bm25           : inverted-index build (explode -> combinable groupBy)
+                   + one query whose work is ~ matched postings (vs any
+                   corpus-rescan per query)
+- zorder         : z-order layout write — one range shuffle + sorted
+                   write, cost tracks rows (vs a global sort barrier)
 
 Usage: python tools/scale_probe.py [sf_dir]
 
@@ -119,7 +124,8 @@ def main():
 
     from amazon_kinesis_replay_spark import export
     from amazon_kinesis_replay_spark.operators import (
-        classifier, dedup, sampling, similarity, sketches, text)
+        classifier, dedup, layout, retrieval, sampling, similarity,
+        sketches, text)
     from amazon_kinesis_replay_spark.session import build_spark
     from amazon_kinesis_replay_spark.tables import load
 
@@ -292,7 +298,38 @@ def main():
             grouped, "event_type", [0.5, 0.99]).count()
         return f"{n} events -> {buckets} buckets, {g_quant} group-quantiles"
 
+    def run_bm25(mult):
+        # late r8: inverted-index build (the retrieval family's corpus-
+        # scale pass: explode -> combinable groupBy) + a query. The
+        # query leg must stay FLAT (work ~ matched postings, and this
+        # query's match count is constant under id-shifted expansion of
+        # the df denominator only); the index build tracks the scan.
+        corpus = _expand_docs(docs, mult)
+        n = corpus.count()
+        post = retrieval.postings(corpus, "doc_id", "text")
+        n_post = post.count()
+        hits = retrieval.bm25_topk(corpus, "the model data", k=10).count()
+        return f"{n} docs -> {n_post} postings, {hits} hits"
+
+    def run_zorder(mult):
+        # late r8: z-order layout write — one range shuffle + sorted
+        # write; cost must track rows (no global sort barrier)
+        import os
+        corpus = _expand_docs(docs, mult).select(
+            "doc_id", F.length("text").alias("L"))
+        n = corpus.count()
+        out = os.path.join(tempfile.mkdtemp(prefix="zorder-probe-"), "t")
+        q = [layout.quantize(F.col("doc_id"), 0, 11_000_000, bits=8),
+             layout.quantize(F.col("L"), 0, 4096, bits=8)]
+        layout.layout_zorder(corpus, q, bits=8,
+                             n_partitions=16).write.parquet(out)
+        wrote = spark.read.parquet(out).count()
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        return f"{n} rows -> {wrote} written z-ordered"
+
     _probe("minhash", run_minhash, families)
+    _probe("bm25", run_bm25, families)
+    _probe("zorder", run_zorder, families)
     _probe("hashed_dsir", run_hashed_dsir, families)
     _probe("qhist", run_qhist, families)
     _probe("substring", run_substring, families)
