@@ -310,3 +310,62 @@ def bm25_topk_indexed(spark, path: str, query: str, k: int = 10,
             .agg(F.sum(contrib).alias("score"))
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k))
+
+
+def bm25_topk_batch(spark, path: str, queries: dict[str, str],
+                    k: int = 10, k1: float = K1, b: float = B) -> DataFrame:
+    """Score MANY queries in ONE pass over the persisted index — the
+    shape that amortizes at 100 TB (a contamination audit runs
+    thousands of eval phrases; per-query scans would re-list the index
+    thousands of times). All queries' terms union into one broadcast
+    (query_id, term, qw) table; the postings scan prunes to the UNION
+    of their buckets; one join scores every (query, doc) pair; ranks
+    come from a window partitioned BY QUERY (parallel in query count,
+    never a global sort). Returns (query_id, id, score, rank) rows,
+    rank <= k, same per-query results as bm25_topk_indexed (pinned by
+    test)."""
+    from pyspark.sql import Window
+
+    from ..functions.xxh import tokens_spark, xxh64_string
+    if not queries:
+        raise ValueError("no queries")
+    rows = []
+    for qid, q in sorted(queries.items()):
+        weights: dict[str, int] = {}
+        for t in tokens_spark(q):
+            weights[t] = weights.get(t, 0) + 1
+        if not any(weights):
+            raise ValueError(f"empty query: {qid!r}")
+        rows.extend((qid, t, w) for t, w in sorted(weights.items()))
+    n_tb = int(spark.read.parquet(path + "/meta")
+               .head()["n_term_buckets"])
+    buckets = sorted({xxh64_string(t) % n_tb for _q, t, _w in rows})
+    st = spark.read.parquet(path + "/stats") \
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+             F.sum("sum_dl").cast("long").alias("sum_dl")).head()
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    q_df = spark.createDataFrame(rows, "query_id string, term string, "
+                                       "qw long")
+    post = (spark.read.parquet(path + "/postings")
+            .filter(F.col("tb").isin([int(x) for x in buckets])))
+    # df per term, exact from the pruned read (bucket-complete), shared
+    # across every query that uses the term
+    dfreq = (post.join(F.broadcast(q_df.select("term").distinct()),
+                       "term")
+             .groupBy("term").agg(F.count("*").cast("long").alias("df")))
+    matched = (post.join(F.broadcast(q_df), "term")
+               .join(F.broadcast(dfreq), "term"))
+    avgdl = sum_dl / n_docs
+    idf = F.log(F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b)
+                              * F.col("dl") / F.lit(avgdl))
+    contrib = F.col("qw") * idf * tf * F.lit(k1 + 1.0) / denom
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    return (matched.groupBy("query_id", "id")
+            .agg(F.sum(contrib).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -162,3 +162,33 @@ def test_indexed_append_folds_batches(spark, docs, tmp_path):
         assert x["score"] == pytest.approx(y["score"], abs=1e-9)
     with pytest.raises(ValueError, match="batch_id"):
         retrieval.retrieval_index_append(b, inc, batch_id=0)
+
+
+def test_bm25_batch_matches_per_query(spark, docs, doc_rows, tmp_path):
+    """One-pass multi-query scoring == per-query indexed results for
+    every query (ids, scores, ranks), via a window partitioned by
+    query — never a global sort."""
+    idx = str(tmp_path / "bidx")
+    retrieval.retrieval_index_write(docs, idx, n_term_buckets=16)
+    queries = {
+        "q0": " ".join(doc_rows[0][1].split()[:3]),
+        "q1": " ".join(doc_rows[5][1].split()[:4]),
+        "q2": " ".join(doc_rows[9][1].split()[:2]),
+    }
+    batch = retrieval.bm25_topk_batch(spark, idx, queries, k=7)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"]))
+    for qid, q in queries.items():
+        want = retrieval.bm25_topk_indexed(spark, idx, q, k=7).collect()
+        mine = sorted(got.get(qid, []))
+        assert [i for _r, i, _s in mine] == [r["id"] for r in want]
+        for (_r, _i, s), w in zip(mine, want):
+            assert s == pytest.approx(w["score"], abs=1e-9)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan     # still prunes the union
+    with pytest.raises(ValueError, match="empty query"):
+        retrieval.bm25_topk_batch(spark, idx, {"bad": "  "})
+    with pytest.raises(ValueError, match="no queries"):
+        retrieval.bm25_topk_batch(spark, idx, {})

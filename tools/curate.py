@@ -18,11 +18,17 @@
   5c. temperature mixture sampling     (sampling.mixture_sample over
       the source domain)
   6. deterministic split + decontam    (hash split + cross_split_contamination)
+  6b. retrieval audit                  (retrieval_index_write over the
+      train split + bm25_topk_indexed eval-phrase spot-check — the
+      keyword twin of the n-gram decontamination gate)
   7. BPE tokenize to ids               (text.bpe_train/bpe_vocab/bpe_encode)
   8. sequence packing                  (text.pack_sequences)
   9. sharded export                    (export.write_training_shards)
   10. corpus audit sketch              (sketches.hll_register_table —
       distinct-token estimate, a mergeable artifact)
+  10b. z-ordered audit table           (layout.layout_zorder over
+      (quality prob, doc length) — the analytic multi-predicate
+      layout beside the sequential training shards)
 
 Usage: python tools/curate.py [sf_dir] [out_dir]
 
@@ -170,6 +176,31 @@ def main():
     print(f"[6] decontamination dropped "
           f"{summary['eval_contaminated_dropped']} eval docs", flush=True)
 
+    # 6b: retrieval audit — persist the BM25 index over the TRAIN split
+    # (term-hash-partitioned; queries prune at file listing) and spot-
+    # check an eval phrase against it: the keyword twin of the n-gram
+    # decontamination gate, and the index artifact later contamination
+    # audits query without rescanning the corpus
+    from amazon_kinesis_replay_spark.operators import retrieval
+    ridx = out_dir + "/retrieval-index"
+    retrieval.retrieval_index_write(clean.filter("split = 'train'"),
+                                    ridx, n_term_buckets=32)
+    probe = clean.filter("split = 'valid'").orderBy("doc_id") \
+        .select("text").head()
+    if probe is None:
+        # small-SF edge: decontamination can drop EVERY valid doc (the
+        # fixture plants heavy train/eval overlap); spot-check with a
+        # train phrase instead — the index composition is the witness
+        probe = clean.filter("split = 'train'").orderBy("doc_id") \
+            .select("text").head()
+    query = " ".join(probe["text"].split()[:5])
+    top = retrieval.bm25_topk_indexed(spark, ridx, query, k=5).collect()
+    summary["retrieval_spotcheck_hits"] = len(top)
+    summary["retrieval_spotcheck_top_score"] = (
+        round(top[0]["score"], 4) if top else None)
+    print(f"[6b] retrieval index built; eval-phrase spot-check: "
+          f"{summary['retrieval_spotcheck_hits']} train hits", flush=True)
+
     # 7: BPE tokenize to ids (trained on the SURVIVING train split)
     merges = text.bpe_train(clean.filter("split = 'train'"), "text",
                             n_merges=64)
@@ -216,6 +247,39 @@ def main():
         bloom, clean.select("doc_id"), "doc_id", m=1 << 18, k=4)
     summary["bloom_membership_ok"] = bool(
         probed.filter("NOT maybe_present").count() == 0)
+
+    # 10b: z-ordered audit table — per-doc curation metrics laid out for
+    # MULTI-predicate inspection ("low-probability AND long docs"): the
+    # analytic consumption layout, beside the sequential training shards
+    from amazon_kinesis_replay_spark.operators import layout
+    audit = (clean.join(probs, "doc_id")
+             .select("doc_id", "split", "prob",
+                     text.token_count(F.col("text")).alias("dl")))
+    qcols = [layout.quantize(F.col("prob"), 0.0, 1.0, bits=8),
+             layout.quantize(F.col("dl"), 0, 4096, bits=8)]
+    layout.layout_zorder(audit, qcols, bits=8, n_partitions=8) \
+        .write.mode("overwrite").parquet(out_dir + "/audit")
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    a_files = _glob.glob(out_dir + "/audit/*.parquet")
+    hit = 0
+    for fp in a_files:
+        md = _pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ok = True
+        for col, lo, hi in (("prob", 0.0, 0.3), ("dl", 512, 1 << 60)):
+            i = idx[col]
+            st = [md.row_group(g).column(i).statistics
+                  for g in range(md.num_row_groups)]
+            if max(s.max for s in st) < lo or min(s.min for s in st) > hi:
+                ok = False
+                break
+        hit += ok
+    summary["audit_files"] = len(a_files)
+    summary["audit_files_for_lowq_long_box"] = hit
+    print(f"[10b] z-ordered audit: {hit}/{len(a_files)} files overlap "
+          "the low-quality+long box", flush=True)
     summary["wall_s"] = round(time.monotonic() - t0, 2)
     print(json.dumps(summary), flush=True)
     if len(sys.argv) <= 2:
