@@ -132,3 +132,67 @@ def layout_zorder(df: DataFrame, cols: list[Column], bits: int = 8,
         else [n_partitions, key_col]
     return keyed.repartitionByRange(*parts) \
         .sortWithinPartitions(key_col)
+
+
+# -- Hilbert curve option (2-D) ---------------------------------------------
+
+def hilbert_py(x: int, y: int, bits: int) -> int:
+    """Hilbert curve distance of grid cell (x, y) on a 2^bits square —
+    the standard xy2d bit walk (public domain formulation, e.g.
+    Wikipedia "Hilbert curve"). Driver-side: used to build the lookup
+    table and by tests."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_lookup(spark, bits: int = 8):
+    """(zkey -> hkey) mapping for every cell of the 2^bits × 2^bits
+    grid, as a broadcastable DataFrame (4^bits rows; bits=8 → 65,536 —
+    metadata scale). Why a LOOKUP TABLE and not a column expression:
+    the xy2d bit walk carries rotation state, so unrolling it into
+    when/otherwise wraps the running x/y expressions once per bit —
+    multiplicative expression growth, the same per-run analysis/codegen
+    cost class that made the 127-node balanced-tree dot LOSE its whole
+    query (docs/ROADMAP.md, dedup_embedding_cosine). A 65k-row
+    broadcast join is the Spark-first shape for small finite functions."""
+    if bits > 10:
+        raise ValueError(
+            f"hilbert lookup is 4^bits rows; bits={bits} > 10 would "
+            "broadcast >1M rows — lower bits (8 covers 65k cells)")
+    rows = []
+    for x in range(1 << bits):
+        for y in range(1 << bits):
+            rows.append((zvalue_py([x, y], bits), hilbert_py(x, y, bits)))
+    return spark.createDataFrame(rows, "zkey long, hkey long")
+
+
+def layout_hilbert(df: DataFrame, cols: list[Column], bits: int = 8,
+                   n_partitions: int | None = None) -> DataFrame:
+    """`layout_zorder`'s Hilbert-curve sibling (2-D only): interleave
+    the two quantized columns into zkey, broadcast-join the
+    zkey→hkey lookup, range-cluster on hkey. Hilbert preserves
+    adjacency (consecutive curve positions are always grid neighbors —
+    property-tested), so file boxes are typically squarer than
+    Morton's; whether that buys pruning ON YOUR DATA is measured by the
+    witness test, not assumed."""
+    if len(cols) != 2:
+        raise ValueError("layout_hilbert supports exactly 2 dimensions "
+                         "(use layout_zorder for 1 or 3+)")
+    spark = df.sparkSession
+    lut = hilbert_lookup(spark, bits)
+    keyed = df.withColumn("zkey", zvalue(cols, bits)) \
+        .join(F.broadcast(lut), "zkey")
+    parts = ["hkey"] if n_partitions is None else [n_partitions, "hkey"]
+    return keyed.repartitionByRange(*parts).sortWithinPartitions("hkey")

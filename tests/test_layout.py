@@ -147,3 +147,67 @@ def test_zorder_layout_prunes_files(spark, sf_dir, tmp_path):
            .select("event_id"))
     assert (sorted(r["event_id"] for r in want.collect())
             == sorted(r["event_id"] for r in got.collect()))
+
+
+# -- Hilbert option ---------------------------------------------------------
+
+def test_hilbert_is_a_continuous_bijection() -> None:
+    """The defining Hilbert properties at bits=4 (256 cells): every
+    curve position hit exactly once (bijection), and consecutive
+    positions are GRID NEIGHBORS (|dx|+|dy| == 1) — the adjacency
+    z-order famously lacks."""
+    bits = 4
+    n = 1 << bits
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            d = layout.hilbert_py(x, y, bits)
+            assert d not in pos
+            pos[d] = (x, y)
+    assert sorted(pos) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_layout_hilbert_prunes_and_is_lossless(spark, sf_dir, tmp_path):
+    """The Hilbert layout must beat the linear layout on the 1-D user
+    band (same witness as z-order) and read back losslessly. Its
+    pruning vs z-order is RECORDED, not asserted — fixture-dependent."""
+    ev = load(spark, sf_dir, "events") \
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ms"))
+    lo_ms, hi_ms, lo_u, hi_u = ev.agg(
+        F.min("ms"), F.max("ms"), F.min("user_id"), F.max("user_id")) \
+        .head()
+    qcols = [layout.quantize(F.col("user_id"), lo_u, hi_u + 1, bits=6),
+             layout.quantize(F.col("ms"), lo_ms, hi_ms + 1, bits=6)]
+    h_dir = str(tmp_path / "hilbert")
+    layout.layout_hilbert(ev, qcols, bits=6, n_partitions=16) \
+        .write.parquet(h_dir)
+    u_a = lo_u + (hi_u - lo_u) * 2 // 10
+    u_b = lo_u + (hi_u - lo_u) * 4 // 10
+
+    import glob as g
+
+    import pyarrow.parquet as pq
+    total, hit = 0, 0
+    for fp in g.glob(h_dir + "/*.parquet"):
+        md = pq.ParquetFile(fp).metadata
+        i = {md.schema.column(j).name: j
+             for j in range(md.num_columns)}["user_id"]
+        f_lo = min(md.row_group(r).column(i).statistics.min
+                   for r in range(md.num_row_groups))
+        f_hi = max(md.row_group(r).column(i).statistics.max
+                   for r in range(md.num_row_groups))
+        total += 1
+        hit += (f_hi >= u_a and f_lo <= u_b)
+    assert total >= 8
+    assert hit < total                     # prunes where linear cannot
+    got = spark.read.parquet(h_dir).select("event_id")
+    assert got.count() == ev.count()
+    assert got.distinct().count() == ev.count()
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        layout.layout_hilbert(ev, [F.col("user_id")], bits=6)
+    with pytest.raises(ValueError, match="4\\^bits"):
+        layout.hilbert_lookup(spark, bits=11)
