@@ -230,9 +230,18 @@ def retrieval_index_write(docs: DataFrame, path: str,
     (#deltas rows — metadata scale). Appends require DISJOINT doc ids
     vs the existing index (the same contract as every incremental
     family here); replayed appends OVERWRITE their own delta dir, so
-    redelivery is idempotent with no marker machinery."""
-    _write_index_delta(docs, path, 0, id_col, text_col, n_term_buckets)
+    redelivery is idempotent with no marker machinery.
+    `retrieval_index_compact` folds accumulated deltas into one base
+    slice under a generation-pointer publish (fsutil.gen_*); readers
+    resolve the latest committed generation, so this write is the
+    LEGACY-root layout that the first compaction migrates in place."""
+    from .. import fsutil
     spark = docs.sparkSession
+    # a full rebuild supersedes ANY committed generation — readers
+    # prefer generations over the root, so stale gens must go first
+    for _n, name, _c in fsutil.gen_list(spark, path):
+        fsutil.delete(spark, f"{path}/{name}")
+    _write_index_delta(docs, path, 0, id_col, text_col, n_term_buckets)
     spark.createDataFrame([(int(n_term_buckets),)],
                           "n_term_buckets long") \
         .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
@@ -246,13 +255,21 @@ def retrieval_index_append(docs_batch: DataFrame, path: str,
     delta=<batch_id> slice (cost ∝ batch, never corpus; idempotent on
     redelivery because the slice is overwritten by name). Doc ids must
     be disjoint from every other delta — df/tf additivity depends on
-    it."""
+    it. Single-writer, like every index family here. A batch_id at or
+    below the current generation's folded watermark is a REPLAY of a
+    compacted batch: its rows are already in the base slice, so the
+    append no-ops (re-writing the slice would double-count)."""
+    from .. import fsutil
     if batch_id <= 0:
         raise ValueError("batch_id must be > 0 (0 is the base build)")
     spark = docs_batch.sparkSession
+    base = fsutil.gen_resolve(spark, path)
+    folded = fsutil.read_text(spark, base + "/folded_max.txt")
+    if folded is not None and int(batch_id) <= int(folded.strip()):
+        return
     n_tb = int(spark.read.parquet(path + "/meta")
                .head()["n_term_buckets"])
-    _write_index_delta(docs_batch, path, int(batch_id),
+    _write_index_delta(docs_batch, base, int(batch_id),
                        id_col, text_col, n_tb)
 
 
@@ -277,6 +294,7 @@ def bm25_topk_indexed(spark, path: str, query: str, k: int = 10,
     the pruned read itself (a bucket holds EVERY posting of its terms,
     across all deltas), and N/avgdl come from the per-delta stats rows.
     Same scores as `bm25_topk` on the same corpus (pinned by test)."""
+    from .. import fsutil
     from ..functions.xxh import tokens_spark, xxh64_string
     terms = tokens_spark(query)
     if not any(terms):
@@ -284,16 +302,17 @@ def bm25_topk_indexed(spark, path: str, query: str, k: int = 10,
     weights: dict[str, int] = {}
     for t in terms:
         weights[t] = weights.get(t, 0) + 1
+    base = fsutil.gen_resolve(spark, path)
     n_tb = int(spark.read.parquet(path + "/meta")
                .head()["n_term_buckets"])
     buckets = sorted({xxh64_string(t) % n_tb for t in weights})
-    st = spark.read.parquet(path + "/stats") \
+    st = spark.read.parquet(base + "/stats") \
         .agg(F.sum("n_docs").cast("long").alias("n_docs"),
              F.sum("sum_dl").cast("long").alias("sum_dl")).head()
     n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
     q_df = spark.createDataFrame(sorted(weights.items()),
                                  "term string, qw long")
-    post = (spark.read.parquet(path + "/postings")
+    post = (spark.read.parquet(base + "/postings")
             .filter(F.col("tb").isin([int(x) for x in buckets]))
             .join(F.broadcast(q_df), "term"))
     dfreq = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
@@ -326,6 +345,7 @@ def bm25_topk_batch(spark, path: str, queries: dict[str, str],
     test)."""
     from pyspark.sql import Window
 
+    from .. import fsutil
     from ..functions.xxh import tokens_spark, xxh64_string
     if not queries:
         raise ValueError("no queries")
@@ -337,16 +357,17 @@ def bm25_topk_batch(spark, path: str, queries: dict[str, str],
         if not any(weights):
             raise ValueError(f"empty query: {qid!r}")
         rows.extend((qid, t, w) for t, w in sorted(weights.items()))
+    base = fsutil.gen_resolve(spark, path)
     n_tb = int(spark.read.parquet(path + "/meta")
                .head()["n_term_buckets"])
     buckets = sorted({xxh64_string(t) % n_tb for _q, t, _w in rows})
-    st = spark.read.parquet(path + "/stats") \
+    st = spark.read.parquet(base + "/stats") \
         .agg(F.sum("n_docs").cast("long").alias("n_docs"),
              F.sum("sum_dl").cast("long").alias("sum_dl")).head()
     n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
     q_df = spark.createDataFrame(rows, "query_id string, term string, "
                                        "qw long")
-    post = (spark.read.parquet(path + "/postings")
+    post = (spark.read.parquet(base + "/postings")
             .filter(F.col("tb").isin([int(x) for x in buckets])))
     # df per term, exact from the pruned read (bucket-complete), shared
     # across every query that uses the term
@@ -369,3 +390,44 @@ def bm25_topk_batch(spark, path: str, queries: dict[str, str],
             .agg(F.sum(contrib).alias("score"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def retrieval_index_compact(spark, path: str) -> int:
+    """Fold every accumulated delta slice into ONE base slice under a
+    new generation (fsutil.gen_begin → write → one-marker gen_commit →
+    gen_gc): delta dirs grow one per append forever otherwise, and at
+    100 TB the per-query file listing — not the data — becomes the tax.
+    Postings rows are DISJOINT across deltas (the append contract), so
+    compaction is a pure re-partitioned rewrite: no count summing, no
+    manifest arithmetic — simpler than the substring index's
+    sum-on-read compaction. The folded watermark (max delta id) rides
+    the new generation so a replayed append of a compacted batch
+    no-ops instead of double-counting. Crash anywhere before the
+    marker: readers stay on the old generation and the husk is swept
+    by the next gen_begin — no heal routine exists because no window
+    needs one. Single-writer, like every index family here. Returns
+    the number of delta slices folded."""
+    from .. import fsutil
+    base = fsutil.gen_resolve(spark, path)
+    deltas = sorted(int(n.split("=", 1)[1])
+                    for n in fsutil.listdir(spark, base + "/postings")
+                    if n.startswith("delta="))
+    if len(deltas) <= 1:
+        return 0                      # nothing to fold
+    build = fsutil.gen_begin(spark, path)
+    (spark.read.parquet(base + "/postings")
+     .select("term", "id", "tf", "dl", "tb")
+     .write.partitionBy("tb").parquet(build + "/postings/delta=0"))
+    (spark.read.parquet(base + "/stats")
+     .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+          F.sum("sum_dl").cast("long").alias("sum_dl"))
+     .coalesce(1).write.parquet(build + "/stats/delta=0"))
+    # the watermark carries FORWARD: a pre-compaction watermark means
+    # those batch ids were folded by an EARLIER compaction and must
+    # stay no-ops after this one too
+    prev = fsutil.read_text(spark, base + "/folded_max.txt")
+    hi = max(deltas + ([int(prev.strip())] if prev is not None else []))
+    fsutil.write_text(spark, build + "/folded_max.txt", f"{hi}\n")
+    fsutil.gen_commit(spark, build)
+    fsutil.gen_gc(spark, path, legacy_subs=("postings", "stats"))
+    return len(deltas)

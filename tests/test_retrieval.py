@@ -192,3 +192,59 @@ def test_bm25_batch_matches_per_query(spark, docs, doc_rows, tmp_path):
         retrieval.bm25_topk_batch(spark, idx, {"bad": "  "})
     with pytest.raises(ValueError, match="no queries"):
         retrieval.bm25_topk_batch(spark, idx, {})
+
+
+def test_index_compact_generation_publish(spark, docs, tmp_path):
+    """Compaction folds delta slices into one base under a committed
+    generation: queries identical before/after, legacy root slices
+    swept, a REPLAYED append of a folded batch_id no-ops (the folded
+    watermark), a NEW append lands in the generation, a crashed-build
+    husk (uncommitted gen) is invisible to readers and swept by the
+    next compact, and a second compact carries the watermark forward."""
+    from amazon_kinesis_replay_spark import fsutil
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "cidx")
+    retrieval.retrieval_index_write(a, idx, n_term_buckets=8)
+    retrieval.retrieval_index_append(b, idx, batch_id=1)
+    q = "the of and"
+    before = retrieval.bm25_topk_indexed(spark, idx, q, k=10).collect()
+
+    # plant a crashed-build husk: an uncommitted generation directory
+    fsutil.write_text(spark, idx + "/gen=0000000042/partial.txt", "x\n")
+    husk = retrieval.bm25_topk_indexed(spark, idx, q, k=10).collect()
+    assert [(r["id"], r["score"]) for r in husk] == \
+        [(r["id"], r["score"]) for r in before]   # readers ignore husks
+
+    folded = retrieval.retrieval_index_compact(spark, idx)
+    assert folded == 2
+    assert not fsutil.exists(spark, idx + "/gen=0000000042")  # husk swept
+    assert not fsutil.exists(spark, idx + "/postings")        # migrated
+    after = retrieval.bm25_topk_indexed(spark, idx, q, k=10).collect()
+    assert [(r["id"], r["score"]) for r in after] == \
+        [(r["id"], r["score"]) for r in before]
+
+    base = fsutil.gen_resolve(spark, idx)
+    n_post = spark.read.parquet(base + "/postings").count()
+    retrieval.retrieval_index_append(b, idx, batch_id=1)       # replay
+    assert spark.read.parquet(base + "/postings").count() == n_post
+
+    retrieval.retrieval_index_append(c, idx, batch_id=2)       # new batch
+    got = retrieval.bm25_topk_indexed(spark, idx, q, k=10).collect()
+    full = str(tmp_path / "cfull")
+    retrieval.retrieval_index_write(docs, full, n_term_buckets=8)
+    want = retrieval.bm25_topk_indexed(spark, full, q, k=10).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in want]
+    for x, y in zip(got, want):
+        assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+
+    assert retrieval.retrieval_index_compact(spark, idx) == 2  # 0 + 2
+    wm = fsutil.read_text(
+        spark, fsutil.gen_resolve(spark, idx) + "/folded_max.txt")
+    assert int(wm.strip()) == 2                  # watermark carried
+    retrieval.retrieval_index_append(c, idx, batch_id=2)       # replay
+    got2 = retrieval.bm25_topk_indexed(spark, idx, q, k=10).collect()
+    assert [(r["id"], r["score"]) for r in got2] == \
+        [(r["id"], r["score"]) for r in got]
+    assert retrieval.retrieval_index_compact(spark, idx) == 0  # no deltas
