@@ -258,7 +258,14 @@ def retrieval_index_append(docs_batch: DataFrame, path: str,
     it. Single-writer, like every index family here. A batch_id at or
     below the current generation's folded watermark is a REPLAY of a
     compacted batch: its rows are already in the base slice, so the
-    append no-ops (re-writing the slice would double-count)."""
+    append no-ops (re-writing the slice would double-count).
+
+    Crash window: the postings slice and its stats slice are two
+    writes; a crash between them leaves the delta's postings visible
+    with its N/avgdl contribution missing (scores skew slightly until
+    redelivery overwrites BOTH slices by name and heals it). Bounded,
+    self-healing, and the same at-least-once class as the pair-sink
+    modalities — called out here rather than hidden."""
     from .. import fsutil
     if batch_id <= 0:
         raise ValueError("batch_id must be > 0 (0 is the base build)")
