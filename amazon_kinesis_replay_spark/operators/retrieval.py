@@ -438,3 +438,29 @@ def retrieval_index_compact(spark, path: str) -> int:
     fsutil.gen_commit(spark, build)
     fsutil.gen_gc(spark, path, legacy_subs=("postings", "stats"))
     return len(deltas)
+
+
+def hybrid_topk(docs: DataFrame, emb: DataFrame, query_text: str,
+                query_vec: list[float], k: int = 10,
+                doc_id_col: str = "doc_id", text_col: str = "text",
+                vec_id_col: str = "vec_id", vec_col: str = "embedding",
+                k0: int = RRF_K0) -> DataFrame:
+    """Hybrid retrieval in one call: a BM25 keyword leg over `docs` and
+    an exact cosine leg over `emb` (similarity.brute_force_topk — swap
+    in lsh/ivf/ivfpq for the approximate tiers, their output shape is
+    identical), fused by reciprocal rank. Both legs retrieve 2k
+    candidates (the standard fusion over-fetch: an id ranked k+1 on
+    both legs can outrank an id ranked 1 on one and absent on the
+    other); the fused list is cut to k. Ids must be the same space
+    (doc_id == vec_id for a 1:1 corpus). Returns (id, rrf, n_legs)."""
+    from .similarity import brute_force_topk
+    spark = docs.sparkSession
+    bm = bm25_topk(docs, query_text, k=2 * k,
+                   id_col=doc_id_col, text_col=text_col)
+    q_df = spark.createDataFrame(
+        [([float(x) for x in query_vec],)], "q_vec array<double>")
+    ann = (brute_force_topk(emb, q_df, k=2 * k,
+                            id_col=vec_id_col, vec_col=vec_col)
+           .select(F.col(vec_id_col).alias("id"),
+                   F.col("cosine").alias("score")))
+    return rrf_fuse([bm, ann], k0=k0, k=k)

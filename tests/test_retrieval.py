@@ -248,3 +248,31 @@ def test_index_compact_generation_publish(spark, docs, tmp_path):
     assert [(r["id"], r["score"]) for r in got2] == \
         [(r["id"], r["score"]) for r in got]
     assert retrieval.retrieval_index_compact(spark, idx) == 0  # no deltas
+
+
+def test_hybrid_topk_end_to_end(spark, docs, doc_rows, sf_dir):
+    """hybrid_topk == manual RRF of its two legs (BM25 over documents +
+    exact cosine over embeddings, same id space), pinned against the
+    python fusion twin."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.orderBy("vec_id").head()["embedding"]
+    words = doc_rows[3][1].split()[:3]
+    qtext = " ".join(words)
+    got = retrieval.hybrid_topk(docs, emb, qtext, qvec, k=5).collect()
+
+    bm_ids = [r["id"] for r in
+              retrieval.bm25_topk(docs, qtext, k=10).collect()]
+    from amazon_kinesis_replay_spark.operators.similarity import (
+        brute_force_topk)
+    q_df = spark.createDataFrame([([float(x) for x in qvec],)],
+                                 "q_vec array<double>")
+    ann_ids = [r["vec_id"] for r in
+               brute_force_topk(emb, q_df, k=10).collect()]
+    want = retrieval.py_reference_rrf([bm_ids, ann_ids])[:5]
+    assert [r["id"] for r in got] == [i for i, _s, _c in want]
+    for r, (_i, s, c) in zip(got, want):
+        assert r["rrf"] == pytest.approx(s, abs=1e-12)
+        assert r["n_legs"] == c
+    # the top fused id should sit on BOTH legs on this fixture if any
+    # id overlaps; otherwise fusion falls back to leg order — either
+    # way the twin equality above is the contract
