@@ -219,12 +219,17 @@ def reorder_gate_stream(events: DataFrame, bound: int,
     (poll-when-full), so disorder within the window is repaired across
     micro-batches and disorder beyond it emits late, never drops.
 
-    Semantics match the engine-loop gates exactly (pinned by the twin
-    test): stable merge — equal-ts rows keep ARRIVAL order via a
-    persisted arrival counter (the reference's insertion-ordered tie
-    behavior; a bare sort inside the state function would not survive
-    batch boundaries) — and a row-count split, deterministic here
-    because the state function sees one ordered pandas stream per key.
+    Semantics match the engine-loop gates (pinned by the twin test):
+    a stable (ts, arrival-counter) merge and a row-count split. The
+    persisted arrival counter keeps equal-ts ties stable ACROSS
+    micro-batches (held rows always outrank later arrivals — a bare
+    sort inside the state function would lose that); WITHIN one
+    micro-batch, rows reach the state function in post-shuffle order,
+    so intra-batch tie order is engine-arbitrary — unlike the
+    engine-loop gates, which see the source serially. Emitted ts
+    VALUES are unaffected (ties are equal by definition); callers
+    needing byte-stable intra-batch tie order should carry their own
+    source sequence column as part of ts.
 
     `key_col=None` is the reference-faithful GLOBAL buffer (one state
     row — same single-queue bottleneck as the reference's JVM). The
