@@ -1,0 +1,112 @@
+"""WARC ingestion: parse round-trips, malformed-record policy, HTTP
+body split, baseline HTML text extraction, streaming twin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.sources import warc
+
+_HTML = (b"<html><head><style>body{color:red}</style>"
+         b"<script>var x=1;</script></head>"
+         b"<body><h1>Hello &amp; welcome</h1>\n"
+         b"<p>plain  text&nbsp;here</p></body></html>")
+_HTTP = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+         b"Server: x\r\n\r\n" + _HTML)
+
+
+def _records():
+    return [
+        {"warc_type": "warcinfo", "record_id": "<urn:uuid:1>",
+         "target_uri": None, "warc_date": "2024-01-01T00:00:00Z",
+         "content_type": "application/warc-fields",
+         "content": b"software: test\r\n"},
+        {"warc_type": "request", "record_id": "<urn:uuid:2>",
+         "target_uri": "http://example.com/", "warc_date":
+         "2024-01-01T00:00:01Z", "content_type":
+         "application/http;msgtype=request",
+         "content": b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"},
+        {"warc_type": "response", "record_id": "<urn:uuid:3>",
+         "target_uri": "http://example.com/", "warc_date":
+         "2024-01-01T00:00:02Z", "content_type":
+         "application/http;msgtype=response", "content": _HTTP},
+    ]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_parse_round_trip(gz):
+    blob = warc.write_warc(_records(), gzip_per_record=gz)
+    recs, err = warc.parse_warc(blob)
+    assert err is None
+    assert [r["warc_type"] for r in recs] == \
+        ["warcinfo", "request", "response"]
+    assert recs[2]["target_uri"] == "http://example.com/"
+    assert recs[2]["content"] == _HTTP
+    assert recs[2]["content_length"] == len(_HTTP)
+
+
+def test_parse_malformed_keeps_prefix():
+    """Skip-bad-records policy (OP-SRC-SKIPBAD class): a structurally
+    broken record ends that file's parse; prior records survive and the
+    error is reported, not raised."""
+    good = warc.write_warc(_records()[:2], gzip_per_record=False)
+    recs, err = warc.parse_warc(good + b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort")
+    assert len(recs) == 2 and "overruns" in err
+    recs2, err2 = warc.parse_warc(good + b"NOT A RECORD\r\n")
+    assert len(recs2) == 2 and "version" in err2
+    recs3, err3 = warc.parse_warc(b"\x1f\x8bgarbage")
+    assert recs3 == [] and err3.startswith("gzip")
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    """read_warc over a directory of per-record-gzip WARCs: one row per
+    record, parse_error NULL, content bytes intact; the malformed file
+    surfaces its error alongside its parsed prefix."""
+    (tmp_path / "a.warc.gz").write_bytes(warc.write_warc(_records()))
+    bad = warc.write_warc(_records()[:1], gzip_per_record=False) \
+        + b"WARC/1.0\r\nContent-Length: 99\r\n\r\nx"
+    (tmp_path / "b.warc").write_bytes(bad)
+    got = warc.read_warc(spark, str(tmp_path)).collect()
+    a = [r for r in got if r["path"].endswith("a.warc.gz")]
+    b = [r for r in got if r["path"].endswith("b.warc")]
+    assert len(a) == 3 and all(r["parse_error"] is None for r in a)
+    assert bytes([r for r in a if r["warc_type"] == "response"][0]
+                 ["content"]) == _HTTP
+    assert len(b) == 1 and "overruns" in b[0]["parse_error"]
+    assert b[0]["warc_type"] == "warcinfo"
+
+
+def test_http_body_and_strip_html(spark):
+    df = spark.createDataFrame([(1, bytearray(_HTTP)),
+                                (2, bytearray(b"no header block"))],
+                               "id long, content binary")
+    out = df.select(
+        "id", warc.http_body(F.col("content")).alias("body")).collect()
+    body = {r["id"]: r["body"] for r in out}
+    assert body[1] == _HTML.decode()
+    assert body[2] == "no header block"
+    txt = spark.createDataFrame([(h,) for h in
+                                 [_HTML.decode(), "a &lt;b&gt; c", ""]],
+                                "t string") \
+        .select(warc.strip_html_tags(F.col("t")).alias("s")).collect()
+    want = [warc.py_strip_html(h)
+            for h in [_HTML.decode(), "a &lt;b&gt; c", ""]]
+    assert [r["s"] for r in txt] == want
+    assert want[0] == "Hello & welcome plain text here"   # script/style gone
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(warc.write_warc(_records()))
+    out = warc.read_warc_stream(spark, str(src)) \
+        .select("warc_type", "record_id", "content_length")
+    q = (out.writeStream.format("memory").queryName("warc_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["warc_type"], r["record_id"], r["content_length"])
+           for r in spark.table("warc_stream").collect()}
+    want = {(r["warc_type"], r["record_id"], len(r["content"]))
+            for r in warc.read_warc(spark, str(src)).collect()}
+    assert got == want and len(got) == 3
