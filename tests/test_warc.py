@@ -110,3 +110,19 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     want = {(r["warc_type"], r["record_id"], len(r["content"]))
             for r in warc.read_warc(spark, str(src)).collect()}
     assert got == want and len(got) == 3
+
+
+def test_warc_feeds_documents_pipeline(spark, tmp_path):
+    """Composition witness: crawl records flow straight into the
+    documents surface — response → http_body → strip_html_tags →
+    text.quality_features, no adapters."""
+    from amazon_kinesis_replay_spark.operators import text
+    (tmp_path / "c.warc.gz").write_bytes(warc.write_warc(_records()))
+    docs = (warc.read_warc(spark, str(tmp_path))
+            .filter(F.col("warc_type") == "response")
+            .select(F.col("record_id").alias("doc_id"),
+                    warc.strip_html_tags(
+                        warc.http_body(F.col("content"))).alias("text")))
+    qf = text.quality_features(docs, "doc_id", "text").collect()
+    assert len(qf) == 1
+    assert qf[0]["n_tokens"] > 0
