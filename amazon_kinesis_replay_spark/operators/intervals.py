@@ -11,7 +11,7 @@ proportional to (#points + #interval-bucket entries + #true matches), not
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,6 +43,111 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     joined = p.join(iv, "__bucket").filter(
         (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi)))
     return joined.drop("__bucket")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: str | list[str] = "user_id",
+              value_cols: list[str] | None = None,
+              direction: str = "backward",
+              tolerance_s: int | float | None = None,
+              tiebreak: str | None = None,
+              prefix: str = "asof_") -> DataFrame:
+    """Point-in-time (as-of) join: for each left row, the single right row
+    with the greatest `on` <= left.`on` (direction='backward', inclusive —
+    pandas merge_asof / DuckDB ASOF JOIN semantics) or the smallest
+    `on` >= left.`on` (direction='forward'), matching on the `by` key(s).
+    LEFT-join semantics: unmatched left rows keep NULL right columns.
+
+    Plan shape (the 100 TB contract): a naive `r.ts <= l.ts` theta-join
+    plans as a per-key nested loop (quadratic in events-per-key); instead
+    both sides are UNIONED with a side tag and ONE keyed window
+    (partitionBy(by), orderBy(on, side, tiebreak)) carries the most recent
+    right values to each left row via last(ignorenulls) over a cumulative
+    frame — one hash shuffle on the key, one sort, zero joins, linear in
+    rows. This is the same single-window shape as q_user_event_windows
+    (registry), generalized to two tables and arbitrary carried columns.
+
+    Args:
+      value_cols: right columns to carry (default: all except `on`/`by`).
+        Each is emitted as `{prefix}{col}`; the matched right `on` is
+        always emitted as `{prefix}{on}`.
+      tolerance_s: if set, a match farther than this many seconds from the
+        left row (in the join direction) is nulled out — applied to every
+        carried column, so out-of-tolerance lefts look unmatched.
+      tiebreak: optional right column making the window order total when
+        several right rows share (by, on) — `last` then picks the row with
+        the MAX tiebreak value. Without it the matched `{prefix}{on}` is
+        still deterministic (equal by definition of the tie), but other
+        carried value columns are pinned to an arbitrary tie member.
+      direction: 'backward' (default) or 'forward'.
+
+    Requires a real `by` key: a global (keyless) as-of would need an
+    unpartitioned window — the known scale anti-pattern. Pre-bucket a
+    keyless stream (e.g. by coarse time range) and pass that as `by`.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    by_keys = [by] if isinstance(by, str) else list(by)
+    if not by_keys:
+        raise ValueError("asof_join requires a non-empty `by` key; a "
+                         "keyless as-of needs an unpartitioned window "
+                         "(does not scale) — pre-bucket and pass the "
+                         "bucket as `by`.")
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c != on and c not in by_keys]
+    carried = [on] + [c for c in value_cols if c != on]
+
+    l_side = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
+          for c in carried],
+        F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("__tb")
+        if tiebreak else F.lit(0).alias("__tb"),
+        F.col(on).alias("__ord"))
+    r_side = right.select(
+        *[F.col(c) if c in by_keys else
+          F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        F.col(on).alias("__ord"))
+
+    if direction == "backward":
+        order = [F.col("__ord").asc(), F.col("__side").asc(),
+                 F.col("__tb").asc()]
+    else:
+        order = [F.col("__ord").desc(), F.col("__side").asc(),
+                 F.col("__tb").asc()]
+    w = (Window.partitionBy(*by_keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    u = l_side.unionByName(r_side)
+    matched = u.select(
+        *[F.col(c) for c in left.columns], "__side", "__ord",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w)
+          .alias(f"{prefix}{c}") for c in carried])
+    out = matched.filter(F.col("__side") == 1)
+
+    if tolerance_s is not None:
+        is_ts = dict(left.dtypes)[on].startswith("timestamp")
+        def _num(col):
+            return F.unix_micros(col) if is_ts else col.cast("double")
+        tol = tolerance_s * 1_000_000 if is_ts else tolerance_s
+        gap = (_num(F.col("__ord")) - _num(F.col(f"{prefix}{on}"))
+               if direction == "backward"
+               else _num(F.col(f"{prefix}{on}")) - _num(F.col("__ord")))
+        ok = gap <= F.lit(tol)
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.when(ok, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+              for c in carried])
+    else:
+        out = out.select(*[F.col(c) for c in left.columns],
+                         *[F.col(f"{prefix}{c}") for c in carried])
+    return out
 
 
 def multi_resolution_rollup(events: DataFrame, ts_col: str = "ts",

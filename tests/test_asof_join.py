@@ -1,0 +1,122 @@
+"""As-of (point-in-time) join — `intervals.asof_join`.
+
+Twin: a pure-python reimplementation of the backward/forward inclusive
+match rule (greatest right.on <= left.on / smallest right.on >= left.on
+per key, max-tiebreak among exact ties). The operator's contract mirrors
+pandas merge_asof / DuckDB ASOF JOIN; the registry's kind='asof' rows in
+interval_join_counts gate it cross-engine against DuckDB's NATIVE
+ASOF LEFT JOIN at the oracle sweep.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_replay_spark.operators import intervals as iv
+
+
+LEFT = [
+    # (lid, key, ts)
+    (1, "a", 100), (2, "a", 205), (3, "a", 205), (4, "a", 50),
+    (5, "b", 100), (6, "b", 400),
+    (7, "c", 10),                       # key with no right rows
+]
+RIGHT = [
+    # (rid, key, ts, val)
+    (11, "a", 100, 1.0),                # tie with left ts=100 (inclusive)
+    (12, "a", 200, 2.0),
+    (13, "a", 205, 3.0), (14, "a", 205, 4.0),   # intra-right tie
+    (15, "b", 90, 5.0),
+    (16, "b", 600, 6.0),
+]
+
+
+def _twin(direction, tolerance=None):
+    out = {}
+    for lid, k, lts in LEFT:
+        if direction == "backward":
+            cands = [r for r in RIGHT if r[1] == k and r[2] <= lts]
+            best_ts = max((r[2] for r in cands), default=None)
+        else:
+            cands = [r for r in RIGHT if r[1] == k and r[2] >= lts]
+            best_ts = min((r[2] for r in cands), default=None)
+        if best_ts is None:
+            out[lid] = (None, None)
+            continue
+        if tolerance is not None and abs(lts - best_ts) > tolerance:
+            out[lid] = (None, None)
+            continue
+        best = max((r for r in cands if r[2] == best_ts), key=lambda r: r[0])
+        out[lid] = (best_ts, best[3])
+    return out
+
+
+def _frames(spark):
+    left = spark.createDataFrame(LEFT, "lid int, key string, ts long")
+    right = spark.createDataFrame(
+        RIGHT, "rid int, key string, ts long, val double")
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_python_twin(spark, direction):
+    left, right = _frames(spark)
+    got = iv.asof_join(left, right, on="ts", by="key",
+                       value_cols=["val"], direction=direction,
+                       tiebreak="rid")
+    rows = {r["lid"]: (r["asof_ts"], r["asof_val"]) for r in got.collect()}
+    assert rows == _twin(direction)
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    left, right = _frames(spark)
+    got = iv.asof_join(left, right, on="ts", by="key",
+                       value_cols=["val"], tolerance_s=10, tiebreak="rid")
+    rows = {r["lid"]: (r["asof_ts"], r["asof_val"]) for r in got.collect()}
+    assert rows == _twin("backward", tolerance=10)
+    # every out-of-tolerance left row is fully unmatched, not half-nulled
+    for ts_v, val_v in rows.values():
+        assert (ts_v is None) == (val_v is None)
+
+
+def test_asof_join_left_rows_all_kept(spark):
+    left, right = _frames(spark)
+    got = iv.asof_join(left, right, on="ts", by="key", value_cols=["val"])
+    assert got.count() == len(LEFT)
+    assert set(got.columns) == {"lid", "key", "ts", "asof_ts", "asof_val"}
+
+
+def test_asof_join_requires_by_key(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        iv.asof_join(left, right, on="ts", by=[])
+    with pytest.raises(ValueError, match="direction"):
+        iv.asof_join(left, right, on="ts", by="key", direction="nearest")
+
+
+def test_asof_join_plan_single_shuffle_no_join(spark):
+    """The 100 TB contract: one hash shuffle on the key, a window, and NO
+    join operator (the naive theta-join would plan nested-loop)."""
+    left, right = _frames(spark)
+    got = iv.asof_join(left, right, on="ts", by="key", value_cols=["val"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(key") >= 1
+    assert "Window" in plan
+
+
+def test_asof_join_timestamp_tolerance(spark):
+    """Timestamp `on` column: tolerance interpreted in seconds."""
+    left = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:10:00")], "lid int, key string, s string"
+    ).select("lid", "key", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(21, "a", "2024-01-01 00:00:00", 1.0),
+         (22, "a", "2024-01-01 00:09:30", 2.0)],
+        "rid int, key string, s string, val double"
+    ).select("rid", "key", F.to_timestamp("s").alias("ts"), "val")
+    near = iv.asof_join(left, right, on="ts", by="key", value_cols=["val"],
+                        tolerance_s=60).collect()[0]
+    assert near["asof_val"] == 2.0
+    far = iv.asof_join(left, right, on="ts", by="key", value_cols=["val"],
+                       tolerance_s=10).collect()[0]
+    assert far["asof_val"] is None and far["asof_ts"] is None
