@@ -1273,3 +1273,77 @@ def ivf_pq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
            .select(F.col("id").alias(id_col),
                    cosine(F.col("vec"), F.col("q_vec")).alias("cosine")))
     return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ===========================================================================
+# Scalar quantization (SQ8) — int8-range codes, asymmetric scoring + rescore
+# ===========================================================================
+
+def sq8_encode(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantize float vectors to int8-range codes:
+    code_i = floor(((x_i * 127) / max|x|) + 0.5), per-vector scale
+    = max|x| / 127 reconstructs x_i ~= code_i * scale.
+
+    Scale rationale: at 100 TB the ANN scan cost is BYTES READ — int8
+    codes are 1/4 of float32 (1/8 of the double the scorer would widen
+    to), so a codes-only hot table cuts the scan by 4x while the exact
+    rescore touches only the top candidates' float rows (same
+    codes-hot/floats-cold split as the PQ index, but with a
+    training-free, per-vector-exact codec; PQ compresses harder, SQ8
+    reconstructs tighter and needs no codebook maintenance).
+
+    Cross-engine determinism (the kind='sq8' gate row in dedup_exact):
+    every operation is IEEE double arithmetic with a pinned expression
+    tree — abs/max in float (exactly widened), one multiply, one divide,
+    one add, floor — so DuckDB rederives bit-identical integer codes
+    from the same parquet with NO shared literals. floor(v + 0.5) is
+    round-half-away-from-zero for v >= 0 and half-toward-+inf for v < 0,
+    identically in both engines (python twin: math.floor).
+    All-zero vectors quantize to all-zero codes (guarded division).
+    """
+    maxabs = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x))).cast("double")
+    enc = emb.withColumn("__maxabs", maxabs)
+    code = lambda x: (
+        F.when(F.col("__maxabs") == 0.0, F.lit(0).cast("long"))
+        .otherwise(F.floor(
+            ((x.cast("double") * F.lit(127.0)) / F.col("__maxabs"))
+            + F.lit(0.5)))).cast("int")
+    return enc.select(
+        F.col(id_col).alias("id"),
+        (F.col("__maxabs") / F.lit(127.0)).alias("scale"),
+        F.transform(F.col(vec_col), code).alias("codes"))
+
+
+def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             rerank_factor: int = 4) -> DataFrame:
+    """ANN top-k via SQ8: ASYMMETRIC scoring (the query stays float —
+    quantizing it too would double the error for zero byte savings):
+
+        approx = scale_doc * sum_i q_i * code_i  ~=  dot(q, x_doc)
+
+    computed with the codegen'd `_fast_dot` over the codes array; the
+    top k*rerank_factor candidates are rescored with the exact decimal
+    cosine and deterministically re-ranked. Candidate selection is a
+    TakeOrderedAndProject (no global sort); the rescore join touches
+    only the candidate ids' float vectors.
+
+    Unlike LSH/IVF this scans EVERY code row (no pruning) — the win is
+    bytes-per-row, not rows; compose with the IVF list layout when both
+    levers are needed (prune lists, scan codes).
+    """
+    enc = sq8_encode(emb, id_col, vec_col)
+    qcodes = F.broadcast(query_df.select(
+        F.col("q_vec").cast("array<double>").alias("qd")))
+    approx = (enc.crossJoin(qcodes)
+              .select("id", (F.col("scale") * _fast_dot(
+                  F.col("qd"), F.col("codes"))).alias("approx")))
+    cand = (approx.orderBy(F.col("approx").desc(), F.col("id").asc())
+            .limit(k * rerank_factor))
+    rer = (cand.join(emb.select(F.col(id_col).alias("id"), vec_col), "id")
+           .crossJoin(F.broadcast(query_df))
+           .select(F.col("id").alias(id_col),
+                   cosine(F.col(vec_col), F.col("q_vec")).alias("cosine")))
+    return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

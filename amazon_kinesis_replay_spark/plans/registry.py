@@ -881,10 +881,19 @@ def q_user_value_trend(spark, sf_dir):
 
 
 def q_interval_join_counts(spark, sf_dir):
-    """Range/interval join via bucketed equi-join (operators/intervals.py):
-    1-hour intervals anchored at every 97th event; output = events per
-    interval. The oracle runs the naive BETWEEN join — same result, but
-    the engine's plan is a hash join on bucket ids, not a nested loop."""
+    """Range/interval join + as-of join (operators/intervals.py), with a
+    kind discriminator:
+
+    - kind='interval': 1-hour intervals anchored at every 97th event;
+      n_events = events per interval. Engine plan: bucketed equi-join
+      (hash join on bucket ids); oracle: the naive BETWEEN join.
+    - kind='asof': point-in-time join — for each purchase, the latest
+      same-user click at-or-before it; n_events = epoch-millis of the
+      matched click ts (-1 unmatched). Engine plan: union + ONE keyed
+      window (no join operator); oracle: DuckDB's NATIVE ASOF LEFT JOIN —
+      a fully independent second implementation of the match rule.
+    - kind='asof_tol': same with a 1-hour tolerance (out-of-tolerance
+      matches nulled); oracle post-filters the ASOF match."""
     ensure_engine_conf(spark)
     from ..operators import intervals as iv
     e = _events(spark, sf_dir)
@@ -894,8 +903,26 @@ def q_interval_join_counts(spark, sf_dir):
                      (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi")))
     joined = iv.interval_join(e.select("event_id", "ts"), spans,
                               bucket_width_s=3600)
-    return (joined.groupBy("interval_id")
-            .agg(F.count("*").alias("n_events")))
+    base = (joined.groupBy("interval_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.lit("interval").alias("kind"), "interval_id",
+                    "n_events"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+
+    def _asof_rows(kind, tolerance_s):
+        aj = iv.asof_join(purchases, clicks, on="ts", by="user_id",
+                          value_cols=[], tolerance_s=tolerance_s)
+        return aj.select(
+            F.lit(kind).alias("kind"),
+            F.col("event_id").alias("interval_id"),
+            F.coalesce(F.unix_millis("asof_ts"),
+                       F.lit(-1).cast("long")).alias("n_events"))
+
+    return (base.unionByName(_asof_rows("asof", None))
+            .unionByName(_asof_rows("asof_tol", 3600)))
 
 
 def q_multi_resolution_rollup(spark, sf_dir):
@@ -1015,11 +1042,26 @@ _ORACLES_SQL_SURFACE = {
         WITH spans AS (
             SELECT event_id AS interval_id, ts AS lo,
                    ts + INTERVAL 1 HOUR AS hi
-            FROM events WHERE event_id % 97 = 0)
-        SELECT s.interval_id, count(*) AS n_events
+            FROM events WHERE event_id % 97 = 0),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT 'interval' AS kind, s.interval_id, count(*) AS n_events
         FROM events e JOIN spans s
           ON e.ts >= s.lo AND e.ts < s.hi
         GROUP BY s.interval_id
+        UNION ALL
+        SELECT 'asof', p.event_id,
+               coalesce(epoch_ms(c.ts), CAST(-1 AS BIGINT))
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        UNION ALL
+        SELECT 'asof_tol', p.event_id,
+               coalesce(CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                             THEN epoch_ms(c.ts) END,
+                        CAST(-1 AS BIGINT))
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "multi_resolution_rollup": """
         SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60000 AS bucket_start_ms,
@@ -1638,8 +1680,16 @@ def q_dedup_exact(spark, sf_dir):
       (fully independent SQL, qhist gate class). Float BM25 scoring is
       twin-pinned in tests instead — hashing ln() outputs cross-engine
       would gate libm, not the plan.
+    - kind='sq8' (r8, third continuation): the scalar-quantization codec
+      behind `similarity.sq8_topk` — every embedding's int8-range codes
+      (floor((x*127/max|x|)+0.5), all IEEE double ops) summarized as
+      exact integers: keep_id = total code count, dup_count = Σ codes,
+      span_start/span_end = min/max code. The oracle REDERIVES the codes
+      in DuckDB from the same parquet with list lambdas — qhist gate
+      class (no literals), pinning the quantizer cross-engine.
     """
     from ..operators import layout, retrieval, sketches
+    from ..operators import similarity as sim
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -1701,8 +1751,21 @@ def q_dedup_exact(spark, sf_dir):
                        F.col("dup_count").cast("long").alias("dup_count"),
                        F.col("span_start").cast("long").alias("span_start"),
                        F.col("span_end").cast("long").alias("span_end")))
+    sq_rows = (sim.sq8_encode(load(spark, sf_dir, "embeddings")
+                              .filter(F.col("embedding").isNotNull()))
+               .select(F.explode("codes").alias("c"))
+               .agg(F.count("*").alias("keep_id"),
+                    F.sum("c").alias("dup_count"),
+                    F.min("c").alias("span_start"),
+                    F.max("c").alias("span_end"))
+               .select(F.lit("sq8").alias("kind"),
+                       F.col("keep_id").cast("long").alias("keep_id"),
+                       F.col("dup_count").cast("long").alias("dup_count"),
+                       F.col("span_start").cast("long").alias("span_start"),
+                       F.col("span_end").cast("long").alias("span_end")))
     return (ex_rows.unionAll(sp_rows).unionAll(bl_rows)
-            .unionAll(qh_rows).unionAll(zo_rows).unionAll(bm_rows))
+            .unionAll(qh_rows).unionAll(zo_rows).unionAll(bm_rows)
+            .unionAll(sq_rows))
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -1955,7 +2018,7 @@ def _zorder_summary_sql() -> str:
                    ((CAST(epoch_ms(ts) AS BIGINT) % 256) + 256) % 256 AS m
             FROM events
             WHERE ts IS NOT NULL AND user_id IS NOT NULL))
-    """ + _BM25_SUMMARY_SQL
+    """ + _BM25_SUMMARY_SQL + _SQ8_SUMMARY_SQL
 
 
 #: kind='bm25' summary — independent SQL: DuckDB rebuilds the postings
@@ -1977,6 +2040,31 @@ _BM25_SUMMARY_SQL = r"""
                     FROM documents)
                 GROUP BY doc_id, term)
             GROUP BY term)
+    """
+
+#: kind='sq8' summary — independent SQL (qhist gate class): DuckDB
+#: rederives every embedding's scalar-quantized codes with the IDENTICAL
+#: IEEE double expression tree (abs/max exactly widened from float; one
+#: multiply, one divide, one add, floor) and summarizes exact integers.
+_SQ8_SUMMARY_SQL = r"""
+        UNION ALL
+        SELECT 'sq8' AS kind,
+               CAST(count(*) AS BIGINT) AS keep_id,
+               CAST(sum(c) AS BIGINT) AS dup_count,
+               CAST(min(c) AS BIGINT) AS span_start,
+               CAST(max(c) AS BIGINT) AS span_end
+        FROM (
+            SELECT unnest(list_transform(embedding, x ->
+                CASE WHEN maxabs = 0 THEN 0
+                     ELSE CAST(floor(((CAST(x AS DOUBLE) * 127.0) / maxabs)
+                                     + 0.5) AS BIGINT)
+                END)) AS c
+            FROM (SELECT embedding,
+                         CAST(list_max(list_transform(embedding,
+                                                      y -> abs(y)))
+                              AS DOUBLE) AS maxabs
+                  FROM embeddings
+                  WHERE embedding IS NOT NULL))
     """
 
 
