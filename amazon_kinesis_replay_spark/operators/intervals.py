@@ -150,6 +150,90 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     return out
 
 
+def gap_fill(buckets: DataFrame, bucket_col: str, value_col: str,
+             step: int, mode: str = "zero",
+             group_cols: list[str] | None = None) -> DataFrame:
+    """Hypertable-style gap filling (the time_bucket_gapfill surface):
+    densify a sparse per-bucket series to EVERY step between each
+    group's min and max bucket, filling missing values by
+
+      - 'zero':   0 (the natural fill for counts/sums),
+      - 'locf':   last observation carried forward (NULL before the
+                  first observation),
+      - 'interp': linear interpolation between the neighboring
+                  observations (NULL outside the observed range).
+
+    Emits (group_cols..., bucket_col, value_col, filled) where filled=1
+    marks inserted rows.
+
+    Plan shape at 100 TB: the spine is built per group from that group's
+    (min, max) aggregate — sequence/explode generates rows ∝ buckets,
+    distributed, never a driver loop — and joined back on the bucket
+    key (one hash shuffle of bucket-grain rows, which are already the
+    AGGREGATED table, orders of magnitude smaller than raw events).
+    locf/interp add one keyed window sort; interp's backward and
+    forward frames share the same (group, bucket) sort, so it costs the
+    same single sort as locf.
+
+    Without group_cols, locf/interp use a GLOBAL window — acceptable
+    only because the input is bucket-grain (rows = time-range/step, e.g.
+    ~5M for a decade of minutes), never raw events; pass group_cols for
+    per-key series so the sort distributes.
+    """
+    if mode not in ("zero", "locf", "interp"):
+        raise ValueError(f"mode must be zero|locf|interp: {mode}")
+    gcols = list(group_cols or [])
+    spine = (buckets.groupBy(*[F.col(c) for c in gcols])
+             .agg(F.min(bucket_col).alias("__lo"),
+                  F.max(bucket_col).alias("__hi"))
+             .select(*gcols,
+                     F.explode(F.sequence(
+                         F.col("__lo"), F.col("__hi"),
+                         F.lit(step))).alias(bucket_col)))
+    joined = spine.join(
+        buckets.select(*gcols, bucket_col,
+                       F.col(value_col).alias("__obs")),
+        on=gcols + [bucket_col], how="left")
+    filled_flag = F.when(F.col("__obs").isNull(), F.lit(1)) \
+        .otherwise(F.lit(0)).cast("long").alias("filled")
+
+    if mode == "zero":
+        out = joined.select(
+            *gcols, bucket_col,
+            F.coalesce(F.col("__obs"), F.lit(0).cast(
+                dict(buckets.dtypes)[value_col])).alias(value_col),
+            filled_flag)
+        return out
+
+    w = Window.partitionBy(*[F.col(c) for c in gcols]) \
+        .orderBy(F.col(bucket_col).asc()) if gcols else \
+        Window.orderBy(F.col(bucket_col).asc())
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if mode == "locf":
+        out = joined.select(
+            *gcols, bucket_col,
+            F.last("__obs", ignorenulls=True).over(back).alias(value_col),
+            filled_flag)
+        return out
+
+    # interp: carry (bucket, value) of the nearest observation in each
+    # direction over ONE sort, then linear-blend where both exist.
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_pt = F.when(F.col("__obs").isNotNull(),
+                    F.struct(F.col(bucket_col).alias("b"),
+                             F.col("__obs").cast("double").alias("v")))
+    prev = F.last(obs_pt, ignorenulls=True).over(back)
+    nxt = F.first(obs_pt, ignorenulls=True).over(fwd)
+    frac = ((F.col(bucket_col) - prev["b"]).cast("double")
+            / (nxt["b"] - prev["b"]).cast("double"))
+    interp = F.when(F.col("__obs").isNotNull(),
+                    F.col("__obs").cast("double")) \
+        .when(prev.isNotNull() & nxt.isNotNull(),
+              prev["v"] + (nxt["v"] - prev["v"]) * frac)
+    return joined.select(*gcols, bucket_col, interp.alias(value_col),
+                         filled_flag)
+
+
 def multi_resolution_rollup(events: DataFrame, ts_col: str = "ts",
                             resolutions_s: tuple[int, ...] = (60, 3600, 86400),
                             group_col: str | None = None,

@@ -926,10 +926,28 @@ def q_interval_join_counts(spark, sf_dir):
 
 
 def q_multi_resolution_rollup(spark, sf_dir):
-    """Hypertable-style continuous aggregate at 1min/1h/1day resolutions."""
+    """Hypertable-style continuous aggregate at 1min/1h/1day resolutions
+    (series='raw'), plus the gap-filled DENSE minute series
+    (series='filled', `intervals.gap_fill` mode='zero' — the
+    time_bucket_gapfill surface): every minute between the observed
+    extremes, zero-filled where no events landed, filled=1 marking
+    inserted rows. The oracle rebuilds the spine with DuckDB
+    range()+LEFT JOIN — an independent densification."""
     ensure_engine_conf(spark)
     from ..operators import intervals as iv
-    return iv.multi_resolution_rollup(_events(spark, sf_dir))
+    roll = iv.multi_resolution_rollup(_events(spark, sf_dir))
+    raw = roll.select(F.lit("raw").alias("series"), "bucket_start_ms",
+                      "n_events", "resolution_s",
+                      F.lit(0).cast("long").alias("filled"))
+    minute = (roll.filter(F.col("resolution_s") == 60)
+              .select("bucket_start_ms", "n_events"))
+    dense = iv.gap_fill(minute, "bucket_start_ms", "n_events",
+                        step=60000, mode="zero")
+    filled = dense.select(
+        F.lit("filled").alias("series"), "bucket_start_ms",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(60).cast("long").alias("resolution_s"), "filled")
+    return raw.unionByName(filled)
 
 
 def q_event_value_quantiles(spark, sf_dir):
@@ -1064,17 +1082,36 @@ _ORACLES_SQL_SURFACE = {
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "multi_resolution_rollup": """
-        SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60000 AS bucket_start_ms,
-               count(*) AS n_events, CAST(60 AS BIGINT) AS resolution_s
-        FROM events GROUP BY 1
+        WITH m AS (
+            SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60000 AS b,
+                   count(*) AS n
+            FROM events GROUP BY 1),
+        h AS (
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000 AS b,
+                   count(*) AS n
+            FROM events GROUP BY 1),
+        d AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400000 AS b,
+                   count(*) AS n
+            FROM events GROUP BY 1),
+        ext AS (SELECT min(b) AS lo, max(b) AS hi FROM m),
+        spine AS (
+            SELECT unnest(range(lo, hi + 60000,
+                                CAST(60000 AS BIGINT))) AS b
+            FROM ext)
+        SELECT 'raw' AS series, b AS bucket_start_ms, n AS n_events,
+               CAST(60 AS BIGINT) AS resolution_s,
+               CAST(0 AS BIGINT) AS filled
+        FROM m
         UNION ALL
-        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000, count(*),
-               CAST(3600 AS BIGINT)
-        FROM events GROUP BY 1
+        SELECT 'raw', b, n, CAST(3600 AS BIGINT), CAST(0 AS BIGINT) FROM h
         UNION ALL
-        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400000, count(*),
-               CAST(86400 AS BIGINT)
-        FROM events GROUP BY 1
+        SELECT 'raw', b, n, CAST(86400 AS BIGINT), CAST(0 AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'filled', s.b, coalesce(m.n, 0), CAST(60 AS BIGINT),
+               CASE WHEN m.n IS NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
+        FROM spine s LEFT JOIN m USING (b)
     """,
     "event_value_quantiles": """
         SELECT event_type,
