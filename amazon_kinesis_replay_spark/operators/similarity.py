@@ -1335,9 +1335,8 @@ def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     levers are needed (prune lists, scan codes).
     """
     enc = sq8_encode(emb, id_col, vec_col)
-    qcodes = F.broadcast(query_df.select(
-        F.col("q_vec").cast("array<double>").alias("qd")))
-    approx = (enc.crossJoin(qcodes)
+    qd = query_df.select(F.col("q_vec").cast("array<double>").alias("qd"))
+    approx = (enc.crossJoin(F.broadcast(qd))
               .select("id", (F.col("scale") * _fast_dot(
                   F.col("qd"), F.col("codes"))).alias("approx")))
     cand = (approx.orderBy(F.col("approx").desc(), F.col("id").asc())
