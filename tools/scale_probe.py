@@ -47,7 +47,7 @@ near-linear curve is the evidence the plans have no quadratic term:
 - zorder         : z-order layout write — one range shuffle + sorted
                    write, cost tracks rows (vs a global sort barrier)
 
-Usage: python tools/scale_probe.py [sf_dir]
+Usage: python tools/scale_probe.py [sf_dir] [family ...]
 
 Prints per-family progress lines plus ONE final JSON line:
 {"sf_dir": ..., "families": {name: {"x1_s": .., "x4_s": .., "x10_s": ..,
@@ -120,12 +120,13 @@ def _probe(name, fn, out):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])  # optional family-name filter
     from pyspark.sql import functions as F
 
     from amazon_kinesis_replay_spark import export
     from amazon_kinesis_replay_spark.operators import (
-        classifier, dedup, layout, retrieval, sampling, similarity,
-        sketches, text)
+        classifier, dedup, intervals, layout, retrieval, sampling,
+        similarity, sketches, text)
     from amazon_kinesis_replay_spark.session import build_spark
     from amazon_kinesis_replay_spark.tables import load
 
@@ -327,21 +328,85 @@ def main():
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         return f"{n} rows -> {wrote} written z-ordered"
 
-    _probe("minhash", run_minhash, families)
-    _probe("bm25", run_bm25, families)
-    _probe("zorder", run_zorder, families)
-    _probe("hashed_dsir", run_hashed_dsir, families)
-    _probe("qhist", run_qhist, families)
-    _probe("substring", run_substring, families)
-    _probe("semdedup", run_semdedup, families)
-    _probe("semdedup_2l", run_semdedup_2l, families)
-    _probe("mixture_dsir", run_mixture_dsir, families)
-    _probe("classifier", run_classifier, families)
-    _probe("sketches", run_sketches, families)
-    _probe("contamination", run_contamination, families)
-    _probe("embedding_dedup", run_embedding, families)
-    _probe("packing", run_packing, families)
-    _probe("export", run_export, families)
+    def _expand_events_full(mult, shift_interval=None):
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type")
+        parts = [ev]
+        for i in range(1, mult):
+            shifted = (F.col("ts") + F.expr(shift_interval.format(i=i))
+                       if shift_interval else F.col("ts"))
+            parts.append(ev.select(
+                (F.col("event_id") + 10_000_000 * i).alias("event_id"),
+                "user_id", shifted.alias("ts"), "event_type"))
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionAll(p)
+        return corpus.filter(F.col("ts").isNotNull()
+                             & F.col("user_id").isNotNull())
+
+    def run_asof(mult):
+        # 3rd continuation: as-of join — union + ONE keyed window; keys
+        # stay fixed so per-key row counts grow ∝ mult (the harder
+        # case: the per-key sort is the only superlinear term, n log n)
+        corpus = _expand_events_full(mult, "INTERVAL {i} SECOND")
+        n = corpus.count()
+        purchases = (corpus.filter(F.col("event_type") == "purchase")
+                     .select("event_id", "user_id", "ts"))
+        clicks = (corpus.filter(F.col("event_type") == "click")
+                  .select("user_id", "ts"))
+        matched = (intervals.asof_join(purchases, clicks, on="ts",
+                                       by="user_id", value_cols=[])
+                   .filter(F.col("asof_ts").isNotNull()).count())
+        return f"{n} events -> {matched} matched purchases"
+
+    def run_sq8(mult):
+        # 3rd continuation: SQ8 encode + asymmetric-score + rescore —
+        # one codes scan + TakeOrderedAndProject; must track rows
+        corpus = _expand_emb(emb, mult)
+        n = corpus.count()
+        q = (emb.orderBy("vec_id").limit(1)
+             .select(F.col("embedding").alias("q_vec")))
+        top = similarity.sq8_topk(corpus, q, k=10).count()
+        return f"{n} vecs -> top-{top}"
+
+    def run_gapfill(mult):
+        # 3rd continuation: copies shift by ~the fixture's time span so
+        # the DENSE minute spine grows ∝ mult too (both the aggregate
+        # and the densify leg must scale)
+        corpus = _expand_events_full(mult, "INTERVAL {i}0 DAY")
+        minute = (corpus.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 60) * 60000)
+            .cast("long").alias("bucket"))
+            .agg(F.count("*").alias("n")))
+        dense = intervals.gap_fill(minute, "bucket", "n", step=60000,
+                                   mode="zero")
+        n_dense = dense.count()
+        return f"x{mult} -> {n_dense} dense minute buckets"
+
+    all_families = [
+        ("minhash", run_minhash),
+        ("bm25", run_bm25),
+        ("zorder", run_zorder),
+        ("hashed_dsir", run_hashed_dsir),
+        ("qhist", run_qhist),
+        ("substring", run_substring),
+        ("semdedup", run_semdedup),
+        ("semdedup_2l", run_semdedup_2l),
+        ("mixture_dsir", run_mixture_dsir),
+        ("classifier", run_classifier),
+        ("sketches", run_sketches),
+        ("contamination", run_contamination),
+        ("embedding_dedup", run_embedding),
+        ("packing", run_packing),
+        ("export", run_export),
+        ("asof", run_asof),
+        ("sq8", run_sq8),
+        ("gapfill", run_gapfill),
+    ]
+    for name, fn in all_families:
+        if only and name not in only:
+            continue
+        _probe(name, fn, families)
 
     print(json.dumps({"sf_dir": sf_dir, "families": families}), flush=True)
 
