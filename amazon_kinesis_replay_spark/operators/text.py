@@ -410,6 +410,53 @@ def assemble_sequences(df: DataFrame, id_col: str, ids_col: str,
                     "n_tokens", "n_docs"))
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 256,
+                    overlap: int = 32) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-pipeline
+    primitive: split each document into token windows of `chunk_tokens`
+    whitespace tokens, consecutive windows sharing `overlap` tokens.
+    Emits (id, chunk_id, start_token, n_tokens, chunk_text); the final
+    window may be short (never empty — every doc emits >= 1 chunk, so a
+    downstream embed/index join cannot silently drop short docs).
+
+    Tokenization is the canonical split(trim(text), \\s+) family
+    (case-PRESERVED — chunks are payload, not features; `tokens()` keeps
+    lower() for feature paths). Everything is codegen'd array arithmetic
+    (split/sequence/explode/slice/array_join) — no UDF, no shuffle: the
+    operator is a pure per-row projection that parallelizes with the
+    scan at any scale. The geometry (chunk_id/start/n_tokens +
+    chunk-text length) is ORACLE-GATED cross-engine via dedup_exact
+    kind='chunk' rows (DuckDB rebuilds the windows with range() + list
+    slicing); exact chunk-text content is twin-pinned in
+    tests/test_chunking.py.
+
+    Note CollapseProject re-inlines the token array into each consumer
+    (~3 split() evaluations per row — a constant factor on a projection,
+    accepted; the explode-to-rows alternative would shuffle the corpus).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must satisfy 0 <= overlap < "
+            f"chunk_tokens={chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    ex = (df.filter(F.col(text_col).isNotNull())
+          .select(F.col(id_col), toks.alias("__toks"),
+                  F.explode(starts).alias("__start")))
+    return ex.select(
+        F.col(id_col),
+        (F.col("__start") / step).cast("long").alias("chunk_id"),
+        F.col("__start").cast("long").alias("start_token"),
+        F.least(F.lit(chunk_tokens),
+                F.size("__toks") - F.col("__start"))
+        .cast("long").alias("n_tokens"),
+        F.array_join(F.slice("__toks", F.col("__start") + 1,
+                             chunk_tokens), " ").alias("chunk_text"))
+
+
 def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
     (Content-defined rolling-hash chunking reduces to the same normalize+

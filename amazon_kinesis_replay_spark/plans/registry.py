@@ -1724,9 +1724,18 @@ def q_dedup_exact(spark, sf_dir):
       span_start/span_end = min/max code. The oracle REDERIVES the codes
       in DuckDB from the same parquet with list lambdas — qhist gate
       class (no literals), pinning the quantizer cross-engine.
+    - kind='chunk' (r8, third continuation): the sliding-window chunker
+      behind `text.chunk_documents` (chunk_tokens=64, overlap=16) — one
+      row PER CHUNK: keep_id = doc_id, dup_count = chunk_id,
+      span_start = n_tokens, span_end = length(chunk_text). The oracle
+      rebuilds every window in DuckDB with range() + 1-based list
+      slicing over the same split(trim, \\s+) tokens — full geometry +
+      text-length gate, qhist class; exact chunk text is twin-pinned in
+      tests/test_chunking.py.
     """
     from ..operators import layout, retrieval, sketches
     from ..operators import similarity as sim
+    from ..operators import text as text_ops
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -1800,9 +1809,17 @@ def q_dedup_exact(spark, sf_dir):
                        F.col("dup_count").cast("long").alias("dup_count"),
                        F.col("span_start").cast("long").alias("span_start"),
                        F.col("span_end").cast("long").alias("span_end")))
+    ch_rows = (text_ops.chunk_documents(d, "doc_id", "text",
+                                        chunk_tokens=64, overlap=16)
+               .select(F.lit("chunk").alias("kind"),
+                       F.col("doc_id").alias("keep_id"),
+                       F.col("chunk_id").alias("dup_count"),
+                       F.col("n_tokens").alias("span_start"),
+                       F.length("chunk_text").cast("long")
+                       .alias("span_end")))
     return (ex_rows.unionAll(sp_rows).unionAll(bl_rows)
             .unionAll(qh_rows).unionAll(zo_rows).unionAll(bm_rows)
-            .unionAll(sq_rows))
+            .unionAll(sq_rows).unionAll(ch_rows))
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -2055,7 +2072,7 @@ def _zorder_summary_sql() -> str:
                    ((CAST(epoch_ms(ts) AS BIGINT) % 256) + 256) % 256 AS m
             FROM events
             WHERE ts IS NOT NULL AND user_id IS NOT NULL))
-    """ + _BM25_SUMMARY_SQL + _SQ8_SUMMARY_SQL
+    """ + _BM25_SUMMARY_SQL + _SQ8_SUMMARY_SQL + _CHUNK_SUMMARY_SQL
 
 
 #: kind='bm25' summary — independent SQL: DuckDB rebuilds the postings
@@ -2102,6 +2119,29 @@ _SQ8_SUMMARY_SQL = r"""
                               AS DOUBLE) AS maxabs
                   FROM embeddings
                   WHERE embedding IS NOT NULL))
+    """
+
+#: kind='chunk' rows — independent SQL (qhist gate class): DuckDB
+#: rebuilds every sliding window (chunk_tokens=64, overlap=16 -> step
+#: 48) with range() + 1-based inclusive list slicing over the same
+#: split(trim, \s+) tokens (trim strips SPACES only in both engines;
+#: DuckDB range() stop is exclusive where Spark sequence() is inclusive,
+#: hence the +1).
+_CHUNK_SUMMARY_SQL = r"""
+        UNION ALL
+        SELECT 'chunk' AS kind,
+               doc_id AS keep_id,
+               CAST(s / 48 AS BIGINT) AS dup_count,
+               CAST(least(64, len(t) - s) AS BIGINT) AS span_start,
+               CAST(length(array_to_string(t[s + 1:s + 64], ' '))
+                    AS BIGINT) AS span_end
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 1, 0) + 1,
+                                CAST(48 AS BIGINT))) AS s
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents WHERE text IS NOT NULL))
     """
 
 
