@@ -140,6 +140,12 @@ def main():
                                              codes=codes),
         "ivfpq(8c,4p,r8)": lambda qdf: S.ivf_pq_probe_topk(
             spark, tmp + "/ivfpq", qdf, k=10, n_probe=4, rerank_factor=8),
+        # SQ8 (r8 3rd continuation): full scan of 1/4-width codes +
+        # exact rescore — recall should sit at ~1.0 (8-bit codes rank
+        # tightly); the lever is bytes-per-row, not rows scanned
+        "sq8(r2)": lambda qdf: S.sq8_topk(full, qdf, k=10,
+                                          rerank_factor=2),
+        "sq8(r4)": lambda qdf: S.sq8_topk(full, qdf, k=10),
     }
     print(f"ANN recall@10 over queries {queries} ({sf_dir}):", flush=True)
     for name, fn in variants.items():
