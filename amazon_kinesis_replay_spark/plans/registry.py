@@ -1724,6 +1724,12 @@ def q_dedup_exact(spark, sf_dir):
       span_start/span_end = min/max code. The oracle REDERIVES the codes
       in DuckDB from the same parquet with list lambdas — qhist gate
       class (no literals), pinning the quantizer cross-engine.
+    - kind='sa' (r8, third continuation): the suffix-array EXACTNESS
+      tier (`operators/suffix.duplicated_runs`, prefix-doubling ranks —
+      Lee et al.'s actual structure, distributed) at min_len=12, which
+      is definitionally equal to kind='span': the oracle re-SELECTs the
+      same gaps-and-islands CTE, so DuckDB's window-hash SQL now checks
+      BOTH independent Spark algorithms (hash groupBy vs suffix ranks).
     - kind='chunk' (r8, third continuation): the sliding-window chunker
       behind `text.chunk_documents` (chunk_tokens=64, overlap=16) — one
       row PER CHUNK: keep_id = doc_id, dup_count = chunk_id,
@@ -1809,6 +1815,12 @@ def q_dedup_exact(spark, sf_dir):
                        F.col("dup_count").cast("long").alias("dup_count"),
                        F.col("span_start").cast("long").alias("span_start"),
                        F.col("span_end").cast("long").alias("span_end")))
+    from ..operators import suffix as sfx
+    sa_rows = (sfx.duplicated_runs(d, "doc_id", "text", min_len=12)
+               .select(F.lit("sa").alias("kind"),
+                       F.col("doc_id").alias("keep_id"),
+                       F.col("n_windows").cast("long").alias("dup_count"),
+                       "span_start", "span_end"))
     ch_rows = (text_ops.chunk_documents(d, "doc_id", "text",
                                         chunk_tokens=64, overlap=16)
                .select(F.lit("chunk").alias("kind"),
@@ -1819,7 +1831,7 @@ def q_dedup_exact(spark, sf_dir):
                        .alias("span_end")))
     return (ex_rows.unionAll(sp_rows).unionAll(bl_rows)
             .unionAll(qh_rows).unionAll(zo_rows).unionAll(bm_rows)
-            .unionAll(sq_rows).unionAll(ch_rows))
+            .unionAll(sq_rows).unionAll(sa_rows).unionAll(ch_rows))
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -1975,6 +1987,12 @@ _ORACLES_DEDUP = {
         FROM corpus GROUP BY text
         UNION ALL
         SELECT 'span' AS kind, doc_id AS keep_id,
+               CAST(count(*) AS BIGINT) AS dup_count,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 12 AS BIGINT) AS span_end
+        FROM sd_grp GROUP BY doc_id, gid
+        UNION ALL
+        SELECT 'sa' AS kind, doc_id AS keep_id,
                CAST(count(*) AS BIGINT) AS dup_count,
                CAST(min(pos) AS BIGINT) AS span_start,
                CAST(max(pos) + 12 AS BIGINT) AS span_end
