@@ -1280,7 +1280,8 @@ def ivf_pq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
 # ===========================================================================
 
 def sq8_encode(emb: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               carry: tuple[str, ...] = ()) -> DataFrame:
     """Scalar-quantize float vectors to int8-range codes:
     code_i = floor(((x_i * 127) / max|x|) + 0.5), per-vector scale
     = max|x| / 127 reconstructs x_i ~= code_i * scale.
@@ -1313,7 +1314,8 @@ def sq8_encode(emb: DataFrame, id_col: str = "vec_id",
     return enc.select(
         F.col(id_col).alias("id"),
         (F.col("__maxabs") / F.lit(127.0)).alias("scale"),
-        F.transform(F.col(vec_col), code).alias("codes"))
+        F.transform(F.col(vec_col), code).alias("codes"),
+        *[F.col(c) for c in carry])
 
 
 def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
@@ -1345,4 +1347,64 @@ def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
            .crossJoin(F.broadcast(query_df))
            .select(F.col("id").alias(id_col),
                    cosine(F.col(vec_col), F.col("q_vec")).alias("cosine")))
+    return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_sq_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
+                       train_iters: int = 0, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       centroids: DataFrame | None = None) -> None:
+    """IVF x SQ8 composed index — both 100 TB levers in one layout:
+    the HOT table carries (id, scale, int8-range codes) hive-partitioned
+    by centroid_id, so a probe (a) prunes to n_probe/n_centroids lists
+    at FILE LISTING (PartitionFilters, the ivf_index_write story) and
+    (b) scans 1/4-width code rows within them (the sq8_encode story);
+    full floats live in a separate COLD table touched only for the
+    k*rerank_factor exact rescore. PQ compresses harder (n_subs bytes);
+    SQ8 rescores tighter and needs no codebook training/maintenance —
+    the same trade as the unindexed variants, now with list pruning."""
+    cents = centroids
+    if cents is None:
+        cents = (kmeans_centroids(emb, n_centroids, train_iters,
+                                  id_col, vec_col)
+                 if train_iters > 0
+                 else _seed_centroids(emb, n_centroids, id_col, vec_col))
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col,
+                          centroids=cents)
+    codes = sq8_encode(assigned, id_col="id", vec_col="vec",
+                       carry=("centroid_id",))
+    (codes.write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(path + "/codes"))
+    assigned.select("id", "vec").write.mode("overwrite") \
+        .parquet(path + "/floats")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_sq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
+                      n_probe: int = 4, rerank_factor: int = 4,
+                      id_col: str = "vec_id") -> DataFrame:
+    """Query the IVF x SQ8 index: centroid probe (metadata-scale) ->
+    partition-pruned code scan (asymmetric float-query x int-codes
+    scoring) -> exact decimal-cosine rescore of the top
+    k*rerank_factor ids from the cold float table."""
+    base = _index_dir(spark, path, ("codes", "floats", "centroids"))
+    cents = spark.read.parquet(base + "/centroids")
+    probe = (cents.crossJoin(F.broadcast(query_df))
+             .select("centroid_id",
+                     cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))
+             .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+             .limit(n_probe))
+    lists = [r["centroid_id"] for r in probe.collect()]
+    qd = query_df.select(F.col("q_vec").cast("array<double>").alias("qd"))
+    codes = (spark.read.parquet(base + "/codes")
+             .filter(F.col("centroid_id").isin(lists)))
+    approx = (codes.crossJoin(F.broadcast(qd))
+              .select("id", (F.col("scale") * _fast_dot(
+                  F.col("qd"), F.col("codes"))).alias("approx")))
+    cand = (approx.orderBy(F.col("approx").desc(), F.col("id").asc())
+            .limit(k * rerank_factor))
+    floats = spark.read.parquet(base + "/floats")
+    rer = (cand.join(floats, "id").crossJoin(F.broadcast(query_df))
+           .select(F.col("id").alias(id_col),
+                   cosine(F.col("vec"), F.col("q_vec")).alias("cosine")))
     return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

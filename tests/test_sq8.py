@@ -71,3 +71,41 @@ def test_sq8_topk_plan_no_global_sort(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_sq_full_probe_equals_brute_force(spark, sf_dir, tmp_path):
+    """With every list probed and a corpus-sized rerank budget, the
+    IVF x SQ8 index must reproduce brute force exactly (the pruning and
+    quantization levers removed, only the plumbing remains)."""
+    from pyspark.sql import functions as F
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfsq")
+    sim.ivf_sq_index_write(emb, path, n_centroids=8)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q_vec"))
+    exact = [(r["vec_id"], r["cosine"])
+             for r in sim.brute_force_topk(emb, q, k=10).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in sim.ivf_sq_probe_topk(
+               spark, path, q, k=10, n_probe=8,
+               rerank_factor=10_000).collect()]
+    assert got == exact
+
+
+def test_ivf_sq_probe_prunes_partitions_and_recalls(spark, sf_dir,
+                                                    tmp_path):
+    from pyspark.sql import functions as F
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfsq2")
+    sim.ivf_sq_index_write(emb, path, n_centroids=8)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q_vec"))
+    # partition pruning must reach the executed plan's scan
+    lists_df = sim.ivf_sq_probe_topk(spark, path, q, k=10, n_probe=2)
+    plan = lists_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan
+    got = {r["vec_id"] for r in lists_df.collect()}
+    exact = {r["vec_id"]
+             for r in sim.brute_force_topk(emb, q, k=10).collect()}
+    # 2-of-8 lists on the fixture: same regime as the IVF tier
+    assert len(got & exact) >= 5

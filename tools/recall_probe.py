@@ -119,6 +119,7 @@ def main():
     tmp = tempfile.mkdtemp(prefix="ann-probe-")
     S.ivf_pq_index_write(full, tmp + "/ivfpq", n_centroids=8,
                          n_subs=8, n_codes=16)
+    S.ivf_sq_index_write(full, tmp + "/ivfsq", n_centroids=8)
 
     variants = {
         "lsh(4bit)": lambda qdf: S.lsh_topk(full, qdf, k=10),
@@ -146,6 +147,10 @@ def main():
         "sq8(r2)": lambda qdf: S.sq8_topk(full, qdf, k=10,
                                           rerank_factor=2),
         "sq8(r4)": lambda qdf: S.sq8_topk(full, qdf, k=10),
+        # IVF x SQ8 composed index: 2-of-8 list pruning x 1/4-width
+        # code rows + exact rescore — both byte levers at once
+        "ivfsq(8c,2p,r4)": lambda qdf: S.ivf_sq_probe_topk(
+            spark, tmp + "/ivfsq", qdf, k=10, n_probe=2),
     }
     print(f"ANN recall@10 over queries {queries} ({sf_dir}):", flush=True)
     for name, fn in variants.items():
