@@ -201,6 +201,21 @@ def main():
     print(f"[6b] retrieval index built; eval-phrase spot-check: "
           f"{summary['retrieval_spotcheck_hits']} train hits", flush=True)
 
+    # 6c: chunk the surviving train docs for embedding/RAG prep — the
+    # projection-only sliding-window operator (r8 3rd continuation);
+    # at 100 TB this table is what feeds the embed -> IVF/SQ8 index legs
+    from amazon_kinesis_replay_spark.operators.text import chunk_documents
+    chunks = chunk_documents(clean.filter("split = 'train'"),
+                             "doc_id", "text",
+                             chunk_tokens=64, overlap=16)
+    c_row = chunks.agg(F.count("*").alias("n"),
+                       F.avg("n_tokens").alias("m")).head()
+    summary["embed_chunks"] = int(c_row["n"])
+    summary["mean_chunk_tokens"] = round(float(c_row["m"]), 2)
+    print(f"[6c] chunked train docs into {summary['embed_chunks']} "
+          f"embedding windows (mean {summary['mean_chunk_tokens']} "
+          "tokens)", flush=True)
+
     # 7: BPE tokenize to ids (trained on the SURVIVING train split)
     merges = text.bpe_train(clean.filter("split = 'train'"), "text",
                             n_merges=64)
