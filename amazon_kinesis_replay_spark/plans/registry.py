@@ -941,13 +941,15 @@ def q_multi_resolution_rollup(spark, sf_dir):
                       F.lit(0).cast("long").alias("filled"))
     minute = (roll.filter(F.col("resolution_s") == 60)
               .select("bucket_start_ms", "n_events"))
-    dense = iv.gap_fill(minute, "bucket_start_ms", "n_events",
-                        step=60000, mode="zero")
-    filled = dense.select(
-        F.lit("filled").alias("series"), "bucket_start_ms",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.lit(60).cast("long").alias("resolution_s"), "filled")
-    return raw.unionByName(filled)
+    def _dense(mode, series):
+        dense = iv.gap_fill(minute, "bucket_start_ms", "n_events",
+                            step=60000, mode=mode)
+        return dense.select(
+            F.lit(series).alias("series"), "bucket_start_ms",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.lit(60).cast("long").alias("resolution_s"), "filled")
+    return (raw.unionByName(_dense("zero", "filled"))
+            .unionByName(_dense("locf", "locf")))
 
 
 def q_event_value_quantiles(spark, sf_dir):
@@ -1109,6 +1111,15 @@ _ORACLES_SQL_SURFACE = {
         SELECT 'raw', b, n, CAST(86400 AS BIGINT), CAST(0 AS BIGINT) FROM d
         UNION ALL
         SELECT 'filled', s.b, coalesce(m.n, 0), CAST(60 AS BIGINT),
+               CASE WHEN m.n IS NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
+        FROM spine s LEFT JOIN m USING (b)
+        UNION ALL
+        SELECT 'locf', s.b,
+               last_value(m.n IGNORE NULLS) OVER (
+                   ORDER BY s.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               CAST(60 AS BIGINT),
                CASE WHEN m.n IS NULL THEN CAST(1 AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END
         FROM spine s LEFT JOIN m USING (b)
