@@ -179,6 +179,12 @@ def gap_fill(buckets: DataFrame, bucket_col: str, value_col: str,
     only because the input is bucket-grain (rows = time-range/step, e.g.
     ~5M for a decade of minutes), never raw events; pass group_cols for
     per-key series so the sort distributes.
+
+    CONTRACT: `bucket_col` values must be step-ALIGNED within each group
+    (anything produced by floor(x/step)*step bucketing is) and unique
+    per (group, bucket) — an unaligned observation falls off the
+    generated spine and is silently dropped by the left join; a
+    duplicate bucket duplicates its spine row.
     """
     if mode not in ("zero", "locf", "interp"):
         raise ValueError(f"mode must be zero|locf|interp: {mode}")

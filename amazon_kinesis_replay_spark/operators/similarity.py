@@ -1408,3 +1408,28 @@ def ivf_sq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
            .select(F.col("id").alias(id_col),
                    cosine(F.col("vec"), F.col("q_vec")).alias("cosine")))
     return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_sq_index_append(spark, emb_new: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incrementally add vectors to a persisted IVF x SQ8 index: assign
+    the NEW vectors against the SAVED centroids (list geometry is
+    immutable between re-trains) and SQ8-encode them — the codec is
+    per-vector (scale = that vector's own max|x|), so unlike PQ there is
+    NO frozen codebook to respect: appended codes are exactly what a
+    full rebuild would produce, and append == rebuild is testable
+    bit-for-bit. Cost ∝ the new batch; the existing index is never read
+    or rewritten."""
+    base = _index_dir(spark, path, ("codes", "floats", "centroids"))
+    saved = spark.read.parquet(base + "/centroids")
+    rows = saved.collect()                       # tiny; pin as a literal
+    cents = spark.createDataFrame(rows, saved.schema)
+    assigned = ivf_assign(emb_new, len(rows), id_col, vec_col,
+                          centroids=cents)
+    codes = sq8_encode(assigned, id_col="id", vec_col="vec",
+                       carry=("centroid_id",))
+    (codes.write.mode("append")
+     .partitionBy("centroid_id").parquet(base + "/codes"))
+    assigned.select("id", "vec").write.mode("append") \
+        .parquet(base + "/floats")

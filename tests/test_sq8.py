@@ -109,3 +109,33 @@ def test_ivf_sq_probe_prunes_partitions_and_recalls(spark, sf_dir,
              for r in sim.brute_force_topk(emb, q, k=10).collect()}
     # 2-of-8 lists on the fixture: same regime as the IVF tier
     assert len(got & exact) >= 5
+
+
+def test_ivf_sq_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """SQ8 has no trained codebook, so an append must reproduce the
+    full-rebuild index EXACTLY (same centroids): codes bit-for-bit,
+    probes identical."""
+    from pyspark.sql import functions as F
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    sim.ivf_sq_index_write(old, inc, n_centroids=8)
+    sim.ivf_sq_index_append(spark, new, inc)
+    cents = spark.read.parquet(inc + "/centroids")
+    sim.ivf_sq_index_write(emb, full, n_centroids=8, centroids=cents)
+    a = sorted(map(tuple, spark.read.parquet(inc + "/codes")
+                   .select("id", "scale", "codes", "centroid_id")
+                   .collect()))
+    b = sorted(map(tuple, spark.read.parquet(full + "/codes")
+                   .select("id", "scale", "codes", "centroid_id")
+                   .collect()))
+    assert [(r[0], r[1], list(r[2]), r[3]) for r in a] == \
+           [(r[0], r[1], list(r[2]), r[3]) for r in b]
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q_vec"))
+    got_inc = [r["vec_id"] for r in sim.ivf_sq_probe_topk(
+        spark, inc, q, k=10, n_probe=4).collect()]
+    got_full = [r["vec_id"] for r in sim.ivf_sq_probe_topk(
+        spark, full, q, k=10, n_probe=4).collect()]
+    assert got_inc == got_full
