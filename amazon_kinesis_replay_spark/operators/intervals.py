@@ -84,6 +84,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     Requires a real `by` key: a global (keyless) as-of would need an
     unpartitioned window — the known scale anti-pattern. Pre-bucket a
     keyless stream (e.g. by coarse time range) and pass that as `by`.
+
+    NULL contract: rows with NULL `by` or `on` follow WINDOW semantics
+    (NULL keys form one partition and match each other; NULL `on` sorts
+    to one end — under direction='forward' a NULL-on left row would see
+    every right row as preceding), which DIVERGES from SQL ASOF JOIN
+    equality (NULL never matches). Filter NULL keys/timestamps out
+    first when SQL-join semantics are required — the registry gate does
+    exactly this, mirrored in its oracle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -98,11 +106,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                       if c != on and c not in by_keys]
     carried = [on] + [c for c in value_cols if c != on]
 
+    # Carry the whole matched row as ONE struct: a struct literal is
+    # non-null on every right row even when its FIELDS are null, so
+    # last(ignorenulls) always picks the nearest right ROW and all
+    # carried columns come from that same row. Carrying each column
+    # with its own last(ignorenulls) would instead skip a matched row's
+    # NULL field and leak an older row's value into the output
+    # (review finding: mixed-row stitching).
+    r_struct = F.struct(*[F.col(c).alias(c) for c in carried])
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(f"`{c}`:{dict(right.dtypes)[c]}"
+                              for c in carried) + ">")
     l_side = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
-          for c in carried],
+        null_struct.alias("__r"),
         F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("__tb")
         if tiebreak else F.lit(0).alias("__tb"),
         F.col(on).alias("__ord"))
@@ -111,7 +129,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
           F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left.columns],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        r_struct.alias("__r"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
         F.col(on).alias("__ord"))
 
@@ -125,10 +143,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     u = l_side.unionByName(r_side)
+    m = F.last("__r", ignorenulls=True).over(w)
     matched = u.select(
         *[F.col(c) for c in left.columns], "__side", "__ord",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w)
-          .alias(f"{prefix}{c}") for c in carried])
+        *[m[c].alias(f"{prefix}{c}") for c in carried])
     out = matched.filter(F.col("__side") == 1)
 
     if tolerance_s is not None:
@@ -164,7 +182,10 @@ def gap_fill(buckets: DataFrame, bucket_col: str, value_col: str,
                   observations (NULL outside the observed range).
 
     Emits (group_cols..., bucket_col, value_col, filled) where filled=1
-    marks inserted rows.
+    marks SPINE-INSERTED rows (buckets with no input row); an input row
+    whose value is NULL keeps filled=0, zero mode preserves its NULL
+    (gaps are filled, observed nulls are not rewritten), and locf/interp
+    fill ACROSS it like any other window null.
 
     Plan shape at 100 TB: the spine is built per group from that group's
     (min, max) aggregate — sequence/explode generates rows ∝ buckets,
@@ -198,16 +219,22 @@ def gap_fill(buckets: DataFrame, bucket_col: str, value_col: str,
                          F.lit(step))).alias(bucket_col)))
     joined = spine.join(
         buckets.select(*gcols, bucket_col,
-                       F.col(value_col).alias("__obs")),
+                       F.col(value_col).alias("__obs"),
+                       F.lit(1).alias("__present")),
         on=gcols + [bucket_col], how="left")
-    filled_flag = F.when(F.col("__obs").isNull(), F.lit(1)) \
+    # filled marks SPINE-INSERTED rows (no input row at this bucket) —
+    # a present row whose value is NULL keeps filled=0 (review finding:
+    # the flag must not conflate 'no data point' with 'null data point')
+    filled_flag = F.when(F.col("__present").isNull(), F.lit(1)) \
         .otherwise(F.lit(0)).cast("long").alias("filled")
 
     if mode == "zero":
         out = joined.select(
             *gcols, bucket_col,
-            F.coalesce(F.col("__obs"), F.lit(0).cast(
-                dict(buckets.dtypes)[value_col])).alias(value_col),
+            # zero-fill GAPS only; an observed NULL value stays NULL
+            F.when(F.col("__present").isNull(),
+                   F.lit(0).cast(dict(buckets.dtypes)[value_col]))
+            .otherwise(F.col("__obs")).alias(value_col),
             filled_flag)
         return out
 

@@ -60,16 +60,22 @@ def corpus_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # out_col must avoid with_global_cumsum's INTERNAL __off/__local_cum
     # names (they are dropped on return)
     offs = with_global_cumsum(lens, [id_col], "__len", out_col="__doc_off")
-    ex = t.select(
-        F.col(id_col),
+    # Join the doc-grain offsets BEFORE exploding: a generate feeding a
+    # join trips InferFiltersFromGenerate (the whole token-array
+    # expression re-evaluates inside an inferred size()>0 filter pushed
+    # below the join — CLAUDE.md trap, review finding); with the join at
+    # doc grain the explode is the LAST step and nothing is inferred
+    # from it.
+    joined = t.join(offs.select(id_col, "__doc_off"), id_col)
+    return (joined.select(
+        F.col(id_col), F.col("__doc_off"),
         F.posexplode(
             F.concat(F.col("__t"),
                      F.array(F.lit(None).cast("string"))))
         .alias("pos", "token"))
-    return (ex.join(offs.select(id_col, "__doc_off"), id_col)
-            .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
-                    (F.col("__doc_off") + F.col("pos")).alias("gpos"),
-                    "token"))
+        .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
+                (F.col("__doc_off") + F.col("pos")).alias("gpos"),
+                "token"))
 
 
 def _dense_rank_of(df: DataFrame, key_cols: list[str],

@@ -441,8 +441,16 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             f"chunk_tokens={chunk_tokens}")
     step = chunk_tokens - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # A start s > 0 contributes new tokens iff s <= n - overlap - 1
+    # (otherwise its chunk is fully contained in the previous one —
+    # review finding: an unbounded sequence emitted a redundant tail
+    # chunk for every doc whose size lands in the final stride's
+    # overlap zone, duplicating content in downstream embed/RAG
+    # tables). greatest(..., 0) keeps the every-doc-emits guarantee.
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(overlap) - 1, F.lit(0)),
+        F.lit(step))
     ex = (df.filter(F.col(text_col).isNotNull())
           .select(F.col(id_col), toks.alias("__toks"),
                   F.explode(starts).alias("__start")))

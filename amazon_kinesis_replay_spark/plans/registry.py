@@ -907,9 +907,14 @@ def q_interval_join_counts(spark, sf_dir):
             .agg(F.count("*").alias("n_events"))
             .select(F.lit("interval").alias("kind"), "interval_id",
                     "n_events"))
-    purchases = (e.filter(F.col("event_type") == "purchase")
+    # NULL keys/timestamps follow window semantics in asof_join (NULLs
+    # group) but never match in the SQL oracle's ASOF equality — filter
+    # them on BOTH sides so a future fixture regen with NULLs cannot
+    # diverge the gate (review finding; see asof_join's NULL contract)
+    nn = F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    purchases = (e.filter((F.col("event_type") == "purchase") & nn)
                  .select("event_id", "user_id", "ts"))
-    clicks = (e.filter(F.col("event_type") == "click")
+    clicks = (e.filter((F.col("event_type") == "click") & nn)
               .select("user_id", "ts"))
 
     def _asof_rows(kind, tolerance_s):
@@ -939,8 +944,11 @@ def q_multi_resolution_rollup(spark, sf_dir):
     raw = roll.select(F.lit("raw").alias("series"), "bucket_start_ms",
                       "n_events", "resolution_s",
                       F.lit(0).cast("long").alias("filled"))
+    # minute feeds FOUR plan branches (spine-agg + join side of both
+    # gap_fill legs): localCheckpoint cuts the duplicated lineage
+    # (CLAUDE.md multi-branch rule); bucket-grain, bounded rows
     minute = (roll.filter(F.col("resolution_s") == 60)
-              .select("bucket_start_ms", "n_events"))
+              .select("bucket_start_ms", "n_events").localCheckpoint())
     def _dense(mode, series):
         dense = iv.gap_fill(minute, "bucket_start_ms", "n_events",
                             step=60000, mode=mode)
@@ -1064,8 +1072,10 @@ _ORACLES_SQL_SURFACE = {
                    ts + INTERVAL 1 HOUR AS hi
             FROM events WHERE event_id % 97 = 0),
         p AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'purchase'),
-        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'
+                AND user_id IS NOT NULL AND ts IS NOT NULL)
         SELECT 'interval' AS kind, s.interval_id, count(*) AS n_events
         FROM events e JOIN spans s
           ON e.ts >= s.lo AND e.ts < s.hi
@@ -2166,7 +2176,7 @@ _CHUNK_SUMMARY_SQL = r"""
                     AS BIGINT) AS span_end
         FROM (
             SELECT doc_id, t,
-                   unnest(range(0, greatest(len(t) - 1, 0) + 1,
+                   unnest(range(0, greatest(len(t) - 16 - 1, 0) + 1,
                                 CAST(48 AS BIGINT))) AS s
             FROM (SELECT doc_id,
                          regexp_split_to_array(trim(text), '\s+') AS t

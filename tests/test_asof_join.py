@@ -120,3 +120,18 @@ def test_asof_join_timestamp_tolerance(spark):
     far = iv.asof_join(left, right, on="ts", by="key", value_cols=["val"],
                        tolerance_s=10).collect()[0]
     assert far["asof_val"] is None and far["asof_ts"] is None
+
+
+def test_asof_join_carries_all_columns_from_one_matched_row(spark):
+    """Review finding: carried columns must come from the SAME matched
+    right row — a matched row's NULL field must NOT be replaced by an
+    older row's non-null value (per-column last(ignorenulls) stitching)."""
+    left = spark.createDataFrame([(1, "a", 250)],
+                                 "lid int, key string, ts long")
+    right = spark.createDataFrame(
+        [(11, "a", 100, 5.0), (12, "a", 200, None)],
+        "rid int, key string, ts long, val double")
+    r = iv.asof_join(left, right, on="ts", by="key",
+                     value_cols=["val"], tiebreak="rid").collect()[0]
+    assert r["asof_ts"] == 200
+    assert r["asof_val"] is None  # the ts=200 row's val, not ts=100's 5.0

@@ -17,7 +17,7 @@ def _py_chunks(s, chunk_tokens, overlap):
     toks = re.split(r"\s+", s.strip(" "))
     step = chunk_tokens - overlap
     out = []
-    starts = list(range(0, max(len(toks) - 1, 0) + 1, step))
+    starts = list(range(0, max(len(toks) - overlap - 1, 0) + 1, step))
     for st in starts:
         win = toks[st:st + chunk_tokens]
         out.append((st // step, st, len(win), " ".join(win)))

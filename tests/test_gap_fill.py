@@ -91,3 +91,15 @@ def test_gap_fill_interp_plan_single_sort(spark):
     # (next-observation) frames — they share the (key, bucket) sort
     assert plan.count("Window [") == 1
     assert "windowspecdefinition(key" in plan  # keyed, not global
+
+
+def test_gap_fill_filled_flag_marks_inserted_rows_only(spark):
+    """Review finding: filled=1 means the SPINE inserted the row; a
+    present row with a NULL value keeps filled=0, and zero mode must
+    not rewrite the observed NULL to 0."""
+    df = spark.createDataFrame(
+        [("k", 0, None), ("k", 20, 7.0)], "key string, bucket long, v double")
+    got = {r["bucket"]: (r["v"], r["filled"])
+           for r in iv.gap_fill(df, "bucket", "v", 10, mode="zero",
+                                group_cols=["key"]).collect()}
+    assert got == {0: (None, 0), 10: (0.0, 1), 20: (7.0, 0)}
