@@ -532,3 +532,38 @@ def test_sniffed_ingest_replaces_bad_utf8_instead_of_dropping(spark,
     got = ndjson.read_events_sniffed(spark, cfg).collect()
     # all three rows survive: the bad byte became U+FFFD, still valid JSON
     assert len(got) == 3
+
+
+def test_shard_manifest_write_and_verify(spark, sf_dir, tmp_path):
+    """Export integrity manifest: footer-derived counts match the data,
+    verify_shards passes on the intact tree, and flags a deleted shard
+    file as missing (the loader-preflight contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_replay_spark import export
+    from amazon_kinesis_replay_spark.tables import load
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.size(F.split("text", r"\s+")).alias("token_count"))
+            .withColumn("split", F.when(F.col("doc_id") % 10 < 8, "train")
+                        .otherwise("test"))
+            .withColumn("pack_id", (F.col("doc_id") / 50).cast("long")))
+    out = str(tmp_path / "shards")
+    export.write_training_shards(docs, out, rows_per_shard=200)
+    export.write_manifest(spark, out)
+
+    man = export.shard_manifest(spark, out)
+    assert man.agg(F.sum("n_rows")).head()[0] == docs.count()
+    assert man.filter("split = ''").count() == 0  # hive parse worked
+
+    ok = export.verify_shards(spark, out)
+    assert ok == {"ok": True, "missing": [], "extra": [], "changed": []}
+
+    victim = man.orderBy("file").head()["file"]
+    os.remove(victim[len("file:"):] if victim.startswith("file:")
+              else victim)
+    bad = export.verify_shards(spark, out)
+    assert not bad["ok"] and bad["missing"] == [victim]
