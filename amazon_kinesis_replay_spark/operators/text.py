@@ -279,6 +279,57 @@ def lang_id_ngram(text_col: Column, threshold: float = 0.05,
     return F.when(score >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+#: TextCat-style high-frequency character-trigram profiles for the
+#: multi-language argmax ('_' = space). Small by design: profile
+#: coverage needs ~30 grams to separate these languages on sentence-
+#: scale text; real pipelines extend the dict or swap in fastText via
+#: a Pandas UDF — the plan (narrow projection) is identical.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": EN_TRIGRAMS,
+    "de": ("_de", "der", "ie_", "_di", "die", "sch", "ein", "ich",
+           "nde", "_un", "und", "cht", "ung", "das", "_da", "ten",
+           "_ge", "ver", "gen", "ine", "ber", "_zu", "den", "ist",
+           "_ei", "ers", "ach", "sta", "ren", "eit"),
+    "fr": ("_de", "de_", "_le", "le_", "ent", "la_", "_la", "es_",
+           "que", "ue_", "_qu", "les", "our", "ant", "ion", "ait",
+           "ais", "men", "_pa", "par", "ous", "eur", "_pr", "des",
+           "ont", "tio", "une", "_un", "eux", "dan"),
+    "es": ("_de", "de_", "la_", "_la", "el_", "_el", "que", "ue_",
+           "_qu", "ent", "_co", "con", "los", "_lo", "del", "ado",
+           "est", "_es", "par", "_pa", "ion", "cio", "nte", "ara",
+           "por", "_po", "una", "ien", "cia", "res"),
+}
+
+
+def lang_id_multi(text_col: Column,
+                  profiles: dict[str, tuple[str, ...]] | None = None,
+                  min_score: float = 0.05) -> Column:
+    """Multi-language n-gram language ID: the argmax of per-language
+    profile coverage (|doc ∩ profile| / |profile|, the `lang_id_ngram`
+    score) over `profiles` (default: built-in en/de/fr/es). Returns the
+    winning language code, or 'unknown' when the best coverage is below
+    `min_score`. Deterministic tie-break: the earliest profile in dict
+    order wins (greatest() over (score, -index, lang) structs — struct
+    comparison is lexicographic, so equal scores fall to the index).
+    Pure codegen'd scalar expressions like the single-profile form:
+    O(Σ|profiles|) contains-probes per row, no shuffle, no UDF."""
+    profiles = profiles or LANG_TRIGRAMS
+    t = F.regexp_replace(F.lower(text_col), r"\s+", " ")
+    cands = []
+    for i, (lang, grams) in enumerate(profiles.items()):
+        hits = None
+        for g in grams:
+            hit = F.when(t.contains(g.replace("_", " ")), 1).otherwise(0)
+            hits = hit if hits is None else hits + hit
+        score = hits.cast("double") / F.lit(float(len(grams)))
+        cands.append(F.struct(score.alias("s"),
+                              F.lit(-i).alias("i"),
+                              F.lit(lang).alias("l")))
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    return F.when(best["s"] >= F.lit(min_score), best["l"]) \
+        .otherwise(F.lit("unknown"))
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features + composite score.
 

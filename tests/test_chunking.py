@@ -8,6 +8,7 @@ The geometry additionally rides the dedup_exact kind='chunk' oracle rows
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from amazon_kinesis_replay_spark.operators import text as t
 from amazon_kinesis_replay_spark.tables import load
@@ -87,3 +88,41 @@ def test_chunk_documents_plan_is_projection_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate explode" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_lang_id_multi_classifies_and_tie_breaks(spark):
+    """Multi-language argmax over the built-in trigram profiles: clear
+    sentences classify correctly; sub-threshold text -> 'unknown'; a
+    python twin of the coverage argmax pins every score."""
+    docs = [
+        (1, "the quick brown fox is one of the animals in the garden "
+            "and it is going to the river"),
+        (2, "der schnelle braune fuchs ist eines der tiere und er "
+            "springt ueber den faulen hund in dem garten"),
+        (3, "le renard brun rapide est un des animaux que nous avons "
+            "dans le jardin et il va par la riviere"),
+        (4, "el zorro marron rapido es uno de los animales que estan "
+            "en el jardin y va por el rio con una cesta"),
+        (5, "zzz qqq xxx"),
+    ]
+    from amazon_kinesis_replay_spark.operators.text import (
+        LANG_TRIGRAMS, lang_id_multi)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", lang_id_multi(F.col("text")).alias("lang")).collect()}
+
+    import re as _re
+    def _twin(s):
+        norm = _re.sub(r"\s+", " ", s.lower())
+        best = None
+        for i, (lang, grams) in enumerate(LANG_TRIGRAMS.items()):
+            sc = sum(1 for g in grams
+                     if g.replace("_", " ") in norm) / len(grams)
+            key = (sc, -i, lang)
+            if best is None or key > best:
+                best = key
+        return best[2] if best[0] >= 0.05 else "unknown"
+
+    assert got == {i: _twin(s) for i, s in docs}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" \
+        and got[4] == "es" and got[5] == "unknown"
