@@ -136,7 +136,9 @@ def verify_shards(spark, path: str) -> dict:
     'changed': [...]} — a loader's preflight check that the export it is
     about to stream is exactly the export that was written (object-store
     eventual consistency, partial deletes, or a concurrent rewrite all
-    surface here, from footers alone)."""
+    surface here, from footers alone). The collects here are MANIFEST
+    rows — one per shard file, metadata-scale by construction (the
+    hygiene-test allowlist contract), never row data."""
     saved = {r["file"]: r["n_rows"]
              for r in spark.read.parquet(path + "/_manifest").collect()}
     now = {r["file"]: r["n_rows"]

@@ -28,6 +28,9 @@ COLLECT_ALLOWED = {
     "operators/text.py",         # vocab-capped BPE merge aggregate
     "operators/sampling.py",     # len(cuts)-row quantile cut points off
                                  # the <=8k-row sketch (perplexity_buckets)
+    "export.py",                 # verify_shards diffs the MANIFEST —
+                                 # one row per shard FILE (metadata-
+                                 # scale, ~10^5 at 100 TB), never data
 }
 TOPANDAS_ALLOWED = {
     "streaming/replay.py",       # 1-row anchor / per-partition stat frames
