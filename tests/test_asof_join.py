@@ -135,3 +135,45 @@ def test_asof_join_carries_all_columns_from_one_matched_row(spark):
                      value_cols=["val"], tiebreak="rid").collect()[0]
     assert r["asof_ts"] == 200
     assert r["asof_val"] is None  # the ts=200 row's val, not ts=100's 5.0
+
+
+def test_asof_join_randomized_against_twin(spark):
+    """Seeded random fixture (ties, duplicates, sparse keys) hammered
+    against the pure-python match rule in both directions with and
+    without tolerance — 500 left rows, 300 right rows, 8 keys."""
+    import random
+    rng = random.Random(8)
+    left = [(i, f"k{rng.randrange(8)}", rng.randrange(0, 400))
+            for i in range(500)]
+    right = [(1000 + i, f"k{rng.randrange(8)}", rng.randrange(0, 400),
+              float(rng.randrange(100)))
+             for i in range(300)]
+    ldf = spark.createDataFrame(left, "lid int, key string, ts long")
+    rdf = spark.createDataFrame(right,
+                                "rid int, key string, ts long, val double")
+
+    def twin(direction, tol):
+        out = {}
+        for lid, k, lts in left:
+            if direction == "backward":
+                cands = [r for r in right if r[1] == k and r[2] <= lts]
+                bts = max((r[2] for r in cands), default=None)
+            else:
+                cands = [r for r in right if r[1] == k and r[2] >= lts]
+                bts = min((r[2] for r in cands), default=None)
+            if bts is None or (tol is not None and abs(lts - bts) > tol):
+                out[lid] = (None, None)
+                continue
+            best = max((r for r in cands if r[2] == bts),
+                       key=lambda r: r[0])
+            out[lid] = (bts, best[3])
+        return out
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 25):
+            got = {r["lid"]: (r["asof_ts"], r["asof_val"])
+                   for r in iv.asof_join(
+                       ldf, rdf, on="ts", by="key", value_cols=["val"],
+                       direction=direction, tolerance_s=tol,
+                       tiebreak="rid").collect()}
+            assert got == twin(direction, tol), (direction, tol)
