@@ -369,6 +369,17 @@ def main():
         top = similarity.sq8_topk(corpus, q, k=10).count()
         return f"{n} vecs -> top-{top}"
 
+    def run_suffix_sa(mult):
+        # 3rd continuation: prefix-doubling suffix ranks — ceil(log2 L)
+        # rounds of (shifted self-join + distributed dense-rank) over
+        # token-scale rows; the curve must track the token count, with
+        # the log factor CONSTANT in corpus size (it depends on L only)
+        corpus = _expand_docs(docs, mult)
+        from amazon_kinesis_replay_spark.operators import suffix as sfx
+        spans = sfx.duplicated_runs(corpus, "doc_id", "text", min_len=12)
+        n = spans.count()
+        return f"x{mult} -> {n} duplicated spans"
+
     def run_gapfill(mult):
         # 3rd continuation: copies shift by ~the fixture's time span so
         # the DENSE minute spine grows ∝ mult too (both the aggregate
@@ -402,6 +413,7 @@ def main():
         ("asof", run_asof),
         ("sq8", run_sq8),
         ("gapfill", run_gapfill),
+        ("suffix_sa", run_suffix_sa),
     ]
     for name, fn in all_families:
         if only and name not in only:
