@@ -691,3 +691,48 @@ def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
 
     return _indexed_stream_processor(index_path, sink, bootstrap,
                                      incremental, heal=heal)
+
+
+def asof_enrich_stream(events, dim_path: str, sink,
+                       on: str = "ts", by: str = "user_id",
+                       value_cols: list | None = None,
+                       tolerance_s=None,
+                       checkpoint: str | None = None):
+    """Streaming as-of enrichment: each micro-batch of events is joined
+    to the LATEST-at-event-time row of a slowly-changing dimension table
+    (`operators.intervals.asof_join` per batch — the batch operator IS
+    the streaming kernel, the near-dup modality pattern).
+
+    The dimension is RE-READ from `dim_path` every batch, so appends to
+    it (new dimension versions) become visible at micro-batch
+    boundaries — the standard freshness contract of a stream-static
+    join, here upgraded to point-in-time semantics: an event carries the
+    dimension row that was CURRENT at the event's own timestamp, never a
+    later version (no lookahead leakage — the training-data analogue is
+    feature-store point-in-time correctness).
+
+    Determinism/replay: the join output is a pure function of (batch,
+    dimension snapshot). A replayed batch re-enriched against a GROWN
+    dimension can only change rows whose as-of version was appended
+    after the first attempt — pair the stream with an
+    overwrite-by-batch-id sink (pairs_parquet_sink pattern) for
+    idempotent output, and version the dimension (append-only rows with
+    their validity `on` timestamps) rather than updating in place.
+
+    `sink(enriched_df, batch_id)` receives the enriched batch. Returns
+    the DataStreamWriter (caller starts it)."""
+    from ..operators.intervals import asof_join
+
+    def _process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        out = asof_join(batch_df, dim, on=on, by=by,
+                        value_cols=value_cols, tolerance_s=tolerance_s)
+        sink(out, batch_id)
+
+    w = events.writeStream.foreachBatch(_process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w

@@ -790,3 +790,60 @@ def test_reorder_gate_stream_drains_on_timeout(spark, sf_dir, tmp_path):
     assert ts_seq == sorted(ts_seq)          # drain preserves the order
     assert [t.isoformat() for t in ts_seq] == \
         [r["ts"].isoformat() for r in rows]  # exactly the input multiset
+
+
+def test_asof_enrich_stream_point_in_time(spark, tmp_path):
+    """Streaming as-of enrichment: (a) each batch re-reads the dimension,
+    so versions appended between micro-batches become visible; (b) the
+    join is point-in-time — an event never sees a dimension version
+    NEWER than its own timestamp, even once that version exists."""
+    import os
+
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 0, "free"), (2, 0, "free")],
+        "user_id long, ts long, plan string").write.parquet(dim)
+
+    staged = str(tmp_path / "ev")
+    os.makedirs(staged)
+    b0 = spark.createDataFrame([(100, 1, 100)],
+                               "eid long, user_id long, ts long")
+    b1 = spark.createDataFrame([(200, 1, 100), (201, 1, 30)],
+                               "eid long, user_id long, ts long")
+    b0.coalesce(1).write.parquet(str(tmp_path / "raw0"))
+    b1.coalesce(1).write.parquet(str(tmp_path / "raw1"))
+    import pathlib
+    import shutil
+    shutil.copy(next(str(p) for p in pathlib.Path(
+        str(tmp_path / "raw0")).glob("*.parquet")), staged + "/b0.parquet")
+
+    got = {}
+
+    def sink(out, batch_id):
+        for r in out.collect():
+            got[r["eid"]] = (r["asof_ts"], r["asof_plan"])
+        if batch_id == 0:
+            # a new dimension VERSION lands between micro-batches
+            out.sparkSession.createDataFrame(
+                [(1, 50, "pro")], "user_id long, ts long, plan string"
+            ).write.mode("append").parquet(dim)
+            shutil.copy(next(str(p) for p in pathlib.Path(
+                str(tmp_path / "raw1")).glob("*.parquet")),
+                staged + "/b1.parquet")
+
+    stream = (spark.readStream.schema(b0.schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    q = (stateful.asof_enrich_stream(
+            stream, dim, sink, on="ts", by="user_id",
+            value_cols=["plan"],
+            checkpoint=str(tmp_path / "ck-asof"))
+         .trigger(processingTime="1 second").start())
+    import time
+    deadline = time.time() + 120
+    while time.time() < deadline and len(got) < 3:
+        time.sleep(1)
+    q.stop()
+
+    assert got[100] == (0, "free")     # batch 0: only v0 existed
+    assert got[200] == (50, "pro")     # batch 1: new version visible...
+    assert got[201] == (0, "free")     # ...but never ahead of event time
