@@ -301,12 +301,49 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
+def lang_scores(text_col: Column,
+                profiles: dict[str, tuple[str, ...]] | None = None
+                ) -> dict[str, Column]:
+    """Per-language profile-coverage scores (|doc ∩ profile| /
+    |profile| — the `lang_id_ngram` term, one per language). Exact
+    cross-engine: an integer hit count divided by the profile size, so
+    the DuckDB mirror (`lang_scores_sql`, emitted from the SAME profile
+    dict) produces bit-identical doubles — ORACLE-GATED as the
+    lang_en/de/fr/es columns of doc_text_profile."""
+    profiles = profiles or LANG_TRIGRAMS
+    t = F.regexp_replace(F.lower(text_col), r"\s+", " ")
+    out = {}
+    for lang, grams in profiles.items():
+        hits = None
+        for g in grams:
+            hit = F.when(t.contains(g.replace("_", " ")), 1).otherwise(0)
+            hits = hit if hits is None else hits + hit
+        out[lang] = hits.cast("double") / F.lit(float(len(grams)))
+    return out
+
+
+def lang_scores_sql(norm_col: str,
+                    profiles: dict[str, tuple[str, ...]] | None = None
+                    ) -> dict[str, str]:
+    """DuckDB SQL for `lang_scores`, emitted from the same profile dict
+    (the zvalue_sql single-source-of-truth pattern). `norm_col` must
+    already hold regexp_replace(lower(text), '\\s+', ' ', 'g')."""
+    profiles = profiles or LANG_TRIGRAMS
+    out = {}
+    for lang, grams in profiles.items():
+        terms = "\n                   + ".join(
+            f"CASE WHEN contains({norm_col}, '{g.replace('_', ' ')}') "
+            "THEN 1 ELSE 0 END"
+            for g in grams)
+        out[lang] = (f"(CAST({terms} AS DOUBLE) / {float(len(grams))})")
+    return out
+
+
 def lang_id_multi(text_col: Column,
                   profiles: dict[str, tuple[str, ...]] | None = None,
                   min_score: float = 0.05) -> Column:
-    """Multi-language n-gram language ID: the argmax of per-language
-    profile coverage (|doc ∩ profile| / |profile|, the `lang_id_ngram`
-    score) over `profiles` (default: built-in en/de/fr/es). Returns the
+    """Multi-language n-gram language ID: the argmax of `lang_scores`
+    over `profiles` (default: built-in en/de/fr/es). Returns the
     winning language code, or 'unknown' when the best coverage is below
     `min_score`. Deterministic tie-break: the earliest profile in dict
     order wins (greatest() over (score, -index, lang) structs — struct
@@ -314,14 +351,9 @@ def lang_id_multi(text_col: Column,
     Pure codegen'd scalar expressions like the single-profile form:
     O(Σ|profiles|) contains-probes per row, no shuffle, no UDF."""
     profiles = profiles or LANG_TRIGRAMS
-    t = F.regexp_replace(F.lower(text_col), r"\s+", " ")
     cands = []
-    for i, (lang, grams) in enumerate(profiles.items()):
-        hits = None
-        for g in grams:
-            hit = F.when(t.contains(g.replace("_", " ")), 1).otherwise(0)
-            hits = hit if hits is None else hits + hit
-        score = hits.cast("double") / F.lit(float(len(grams)))
+    for i, (lang, score) in enumerate(lang_scores(text_col,
+                                                  profiles).items()):
         cands.append(F.struct(score.alias("s"),
                               F.lit(-i).alias("i"),
                               F.lit(lang).alias("l")))

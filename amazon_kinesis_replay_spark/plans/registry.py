@@ -1215,7 +1215,14 @@ def q_doc_text_profile(spark, sf_dir):
         rep["dup_para_frac"].alias("dup_para_frac"),
         rep["bullet_line_frac"].alias("bullet_line_frac"),
         rep["ellipsis_line_frac"].alias("ellipsis_line_frac"),
-        rep["mean_word_len"].alias("mean_word_len"))
+        rep["mean_word_len"].alias("mean_word_len"),
+        # r8 3rd continuation: multi-language trigram-profile coverage
+        # scores + argmax (text.lang_id_multi) — exact int/|profile|
+        # doubles, so the oracle rederives them from the SAME profile
+        # dict via text.lang_scores_sql (single source of truth)
+        *[s.alias(f"lang_{lang}")
+          for lang, s in text.lang_scores(t).items()],
+        text.lang_id_multi(t).alias("lang_pred_multi"))
 
 
 def q_doc_pii_redact(spark, sf_dir):
@@ -1515,6 +1522,23 @@ def _pii_bpe_oracle() -> str:
     """)
 
 
+#: doc_text_profile lang columns — DuckDB SQL emitted from the SAME
+#: profile dict as the Spark expressions (text.LANG_TRIGRAMS via
+#: text.lang_scores_sql; the zvalue_sql single-source-of-truth class).
+#: Scores are exact int/|profile| doubles, so the argmax CASE chain
+#: (first profile wins ties, matching lang_id_multi's struct-greatest)
+#: compares identical doubles in both engines.
+_LANG_SQL = text.lang_scores_sql("nt")
+_LANG_COLS_SQL = ",\n               ".join(
+    f"{sql} AS lang_{lang}" for lang, sql in _LANG_SQL.items())
+_LANG_GREATEST_SQL = ", ".join(f"lang_{lang}" for lang in _LANG_SQL)
+_LANG_ARGMAX_CHAIN_SQL = "\n                    ".join(
+    "WHEN " + " AND ".join(
+        [f"lang_{a} >= lang_{b}" for b in list(_LANG_SQL)[i + 1:]] or
+        ["TRUE"]) + f" THEN '{a}'"
+    for i, a in enumerate(_LANG_SQL))
+
+
 _ORACLES_TEXT = {
     "doc_pii_redact": _pii_bpe_oracle,       # callable: literal VALUES
     "doc_text_profile": rf"""
@@ -1528,7 +1552,8 @@ _ORACLES_TEXT = {
                        / length(text) AS punct_ratio,
                    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                         t -> list_contains({_STOPWORD_SQL}, t))) AS DOUBLE)
-                       / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stop_ratio
+                       / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS stop_ratio,
+                   regexp_replace(lower(text), '\s+', ' ', 'g') AS nt
             FROM documents)
         SELECT doc_id, n_tokens, bpe_tokens, n_chars, punct_ratio, stop_ratio,
                CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_pred,
@@ -1562,7 +1587,12 @@ _ORACLES_TEXT = {
                    / len(regexp_split_to_array(text, '\n'))
                    AS ellipsis_line_frac,
                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-                   / n_tokens AS mean_word_len
+                   / n_tokens AS mean_word_len,
+               {_LANG_COLS_SQL},
+               CASE WHEN greatest({_LANG_GREATEST_SQL}) < 0.05
+                    THEN 'unknown'
+                    {_LANG_ARGMAX_CHAIN_SQL}
+               END AS lang_pred_multi
         FROM feat
     """,
 }
