@@ -1378,6 +1378,13 @@ def ivf_sq_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
     assigned.select("id", "vec").write.mode("overwrite") \
         .parquet(path + "/floats")
     cents.write.mode("overwrite").parquet(path + "/centroids")
+    # Trained-size watermark for the re-train policy (footer-only count)
+    spark = emb.sparkSession
+    n = spark.read.parquet(path + "/codes").count()
+    n_cent_actual = cents.count()
+    spark.createDataFrame([(n, n_cent_actual)],
+                          "n_at_train long, n_centroids int") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
 def ivf_sq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
@@ -1433,3 +1440,50 @@ def ivf_sq_index_append(spark, emb_new: DataFrame, path: str,
      .partitionBy("centroid_id").parquet(base + "/codes"))
     assigned.select("id", "vec").write.mode("append") \
         .parquet(base + "/floats")
+
+
+def ivf_sq_index_maybe_retrain(spark, path: str,
+                               growth_threshold: float = 0.5,
+                               train_iters: int = 2,
+                               max_list_share: float | None = None) -> bool:
+    """Re-train policy for the IVF x SQ8 index — `ivf_index_maybe_retrain`
+    with the SAME metadata-scale triggers (growth watermark from footers;
+    opt-in max-list-share imbalance) and the same generation-pointer
+    publish, but a strictly simpler rebuild: SQ8 has no codebook state to
+    migrate and this layout has no delta partitions to fold (appends land
+    directly in the centroid_id partitions), so the rebuild is a plain
+    `ivf_sq_index_write` from the cold float table into the next
+    generation, committed by one marker-file create. A pre-meta index
+    (built before this policy) is treated as due. Returns True iff a
+    re-train ran."""
+    from .. import fsutil
+    base = _index_dir(spark, path, ("codes", "floats", "centroids"))
+    codes = spark.read.parquet(base + "/codes")
+    n_now = codes.count()
+    try:
+        meta = spark.read.parquet(base + "/meta").head()
+        n_at_train, n_cent = meta["n_at_train"], meta["n_centroids"]
+    except Exception:
+        n_at_train, n_cent = None, None
+    due = n_at_train is None
+    if not due:
+        due = (n_now - n_at_train) > growth_threshold * max(n_at_train, 1)
+    if not due and max_list_share is not None:
+        biggest = (codes.groupBy("centroid_id")
+                   .agg(F.count("*").alias("n"))
+                   .agg(F.max("n")).head()[0]) or 0
+        due = biggest > max_list_share * max(n_now, 1)
+    if not due:
+        return False
+    if n_cent is None:
+        n_cent = spark.read.parquet(base + "/centroids").count()
+
+    emb = spark.read.parquet(base + "/floats").select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+    build = fsutil.gen_begin(spark, path)
+    ivf_sq_index_write(emb, build, n_centroids=int(n_cent),
+                       train_iters=train_iters)
+    fsutil.gen_commit(spark, build)
+    fsutil.gen_gc(spark, path,
+                  legacy_subs=("codes", "floats", "centroids", "meta"))
+    return True

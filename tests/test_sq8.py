@@ -139,3 +139,43 @@ def test_ivf_sq_append_equals_full_rebuild(spark, sf_dir, tmp_path):
     got_full = [r["vec_id"] for r in sim.ivf_sq_probe_topk(
         spark, full, q, k=10, n_probe=4).collect()]
     assert got_inc == got_full
+
+
+def test_ivf_sq_retrain_policy(spark, sf_dir, tmp_path):
+    """Growth-triggered retrain under the generation-pointer publish:
+    below threshold -> no-op; past it -> a new committed generation with
+    re-trained centroids; probes read the new generation; append keeps
+    working against it."""
+    from pyspark.sql import functions as F
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfsq-rt")
+    sim.ivf_sq_index_write(old, path, n_centroids=8)
+
+    # small append: growth below the 0.5 threshold -> not due
+    tiny = new.limit(20)
+    sim.ivf_sq_index_append(spark, tiny, path)
+    assert sim.ivf_sq_index_maybe_retrain(spark, path) is False
+
+    # big append: growth past the threshold -> retrain fires
+    sim.ivf_sq_index_append(spark, new.subtract(tiny), path)
+    assert sim.ivf_sq_index_maybe_retrain(spark, path) is True
+
+    from amazon_kinesis_replay_spark import fsutil
+    cur = fsutil.gen_current(spark, path)
+    assert cur is not None and "gen=" in cur
+    meta = spark.read.parquet(cur + "/meta").head()
+    assert meta["n_at_train"] == emb.count()
+    # immediately after retrain: not due again
+    assert sim.ivf_sq_index_maybe_retrain(spark, path) is False
+
+    # probe + append still work against the committed generation
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q_vec"))
+    got = [r["vec_id"] for r in sim.ivf_sq_probe_topk(
+        spark, path, q, k=10, n_probe=8,
+        rerank_factor=10_000).collect()]
+    exact = [r["vec_id"]
+             for r in sim.brute_force_topk(emb, q, k=10).collect()]
+    assert got == exact
