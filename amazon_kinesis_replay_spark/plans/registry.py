@@ -917,17 +917,23 @@ def q_interval_join_counts(spark, sf_dir):
     clicks = (e.filter((F.col("event_type") == "click") & nn)
               .select("user_id", "ts"))
 
-    def _asof_rows(kind, tolerance_s):
+    def _asof_rows(kind, tolerance_s, direction="backward"):
         aj = iv.asof_join(purchases, clicks, on="ts", by="user_id",
-                          value_cols=[], tolerance_s=tolerance_s)
+                          value_cols=[], tolerance_s=tolerance_s,
+                          direction=direction)
         return aj.select(
             F.lit(kind).alias("kind"),
             F.col("event_id").alias("interval_id"),
             F.coalesce(F.unix_millis("asof_ts"),
                        F.lit(-1).cast("long")).alias("n_events"))
 
+    # kind='asof_fwd': the FORWARD direction (earliest same-user click
+    # at-or-after the purchase). DuckDB's native ASOF is >= only, so the
+    # oracle gates it by NEGATING the timestamp axis: backward-on(-t)
+    # == forward-on(t), matched value recovered as -(-epoch_ms).
     return (base.unionByName(_asof_rows("asof", None))
-            .unionByName(_asof_rows("asof_tol", 3600)))
+            .unionByName(_asof_rows("asof_tol", 3600))
+            .unionByName(_asof_rows("asof_fwd", None, "forward")))
 
 
 def q_multi_resolution_rollup(spark, sf_dir):
@@ -1092,6 +1098,13 @@ _ORACLES_SQL_SURFACE = {
                         CAST(-1 AS BIGINT))
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+        UNION ALL
+        SELECT 'asof_fwd', pn.event_id,
+               coalesce(-pn_match.nms, CAST(-1 AS BIGINT))
+        FROM (SELECT event_id, user_id, -epoch_ms(ts) AS nms FROM p) pn
+        ASOF LEFT JOIN (SELECT user_id, -epoch_ms(ts) AS nms FROM c)
+             pn_match
+          ON pn.user_id = pn_match.user_id AND pn.nms >= pn_match.nms
     """,
     "multi_resolution_rollup": """
         WITH m AS (
