@@ -247,6 +247,22 @@ def main():
     print(f"[9b] semantic dedup (two-level) flagged "
           f"{summary['semantic_dups']} near-dup vectors", flush=True)
 
+    # 9c: persisted IVF x SQ8 index over the vector corpus — the
+    # retrieval artifact the embed side ships (list pruning at file
+    # listing x quarter-width code rows); probe one vector and record
+    # recall@10 vs the exact baseline as the composition witness
+    ivfsq = out_dir + "/ivfsq-index"
+    similarity.ivf_sq_index_write(emb, ivfsq, n_centroids=8)
+    q_vec = (emb.orderBy("vec_id").limit(1)
+             .select(F.col("embedding").alias("q_vec")))
+    exact_ids = {r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, q_vec, k=10).collect()}
+    got_ids = {r["vec_id"] for r in similarity.ivf_sq_probe_topk(
+        spark, ivfsq, q_vec, k=10, n_probe=2).collect()}
+    summary["ivfsq_probe_recall_at_10"] = len(got_ids & exact_ids) / 10.0
+    print(f"[9c] IVF x SQ8 index built; probe recall@10 "
+          f"{summary['ivfsq_probe_recall_at_10']}", flush=True)
+
     # 10: audit sketches — mergeable artifacts: distinct-token
     # cardinality (HLL) + corpus-membership filter (Bloom) with a
     # self-check that every exported doc probes present (the exact
