@@ -302,22 +302,35 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 
 
 def lang_scores(text_col: Column,
-                profiles: dict[str, tuple[str, ...]] | None = None
-                ) -> dict[str, Column]:
+                profiles: dict[str, tuple[str, ...]] | None = None,
+                pre_normalized: bool = False) -> dict[str, Column]:
     """Per-language profile-coverage scores (|doc ∩ profile| /
     |profile| — the `lang_id_ngram` term, one per language). Exact
     cross-engine: an integer hit count divided by the profile size, so
     the DuckDB mirror (`lang_scores_sql`, emitted from the SAME profile
     dict) produces bit-identical doubles — ORACLE-GATED as the
-    lang_en/de/fr/es columns of doc_text_profile."""
+    lang_en/de/fr/es columns of doc_text_profile.
+
+    pre_normalized=True treats `text_col` as ALREADY holding
+    regexp_replace(lower(text), \s+, ' '). When probing many profiles,
+    materialize the normalized text behind a Generate barrier
+    (explode(array(norm)) — the registry query does) and pass it here:
+    CollapseProject re-inlines a plain aliased norm into EVERY contains
+    probe, re-running the regexp |profiles|x|grams| times per row
+    (measured +2 s on the bench entry; the documented MinHash-trap
+    class)."""
     profiles = profiles or LANG_TRIGRAMS
-    t = F.regexp_replace(F.lower(text_col), r"\s+", " ")
+    t = (text_col if pre_normalized
+         else F.regexp_replace(F.lower(text_col), r"\s+", " "))
     out = {}
     for lang, grams in profiles.items():
-        hits = None
-        for g in grams:
-            hit = F.when(t.contains(g.replace("_", " ")), 1).otherwise(0)
-            hits = hit if hits is None else hits + hit
+        # ONE higher-order filter over the literal gram array per
+        # language — a CASE-WHEN chain per gram (the r8c3 first cut)
+        # put ~240 expression nodes in the projection and pushed the
+        # whole doc_text_profile entry out of healthy codegen
+        # (0.68 -> 3.3 s measured); 4 HOF nodes keep it flat.
+        lits = F.array(*[F.lit(g.replace("_", " ")) for g in grams])
+        hits = F.size(F.filter(lits, lambda g: t.contains(g)))
         out[lang] = hits.cast("double") / F.lit(float(len(grams)))
     return out
 
@@ -341,7 +354,8 @@ def lang_scores_sql(norm_col: str,
 
 def lang_id_multi(text_col: Column,
                   profiles: dict[str, tuple[str, ...]] | None = None,
-                  min_score: float = 0.05) -> Column:
+                  min_score: float = 0.05,
+                  pre_normalized: bool = False) -> Column:
     """Multi-language n-gram language ID: the argmax of `lang_scores`
     over `profiles` (default: built-in en/de/fr/es). Returns the
     winning language code, or 'unknown' when the best coverage is below
@@ -352,8 +366,9 @@ def lang_id_multi(text_col: Column,
     O(Σ|profiles|) contains-probes per row, no shuffle, no UDF."""
     profiles = profiles or LANG_TRIGRAMS
     cands = []
-    for i, (lang, score) in enumerate(lang_scores(text_col,
-                                                  profiles).items()):
+    for i, (lang, score) in enumerate(
+            lang_scores(text_col, profiles,
+                        pre_normalized=pre_normalized).items()):
         cands.append(F.struct(score.alias("s"),
                               F.lit(-i).alias("i"),
                               F.lit(lang).alias("l")))

@@ -1196,6 +1196,13 @@ def q_doc_text_profile(spark, sf_dir):
     one narrow projection, whole-stage codegen, zero Python."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
+    # Normalized text for the lang-score probes, materialized ONCE per
+    # row behind a Generate barrier (explode of a 1-element array):
+    # CollapseProject would otherwise re-inline the regexp into every
+    # one of the 120 contains probes (measured +2 s on this entry —
+    # the MinHash-trap class; see lang_scores docstring).
+    d = d.select("doc_id", "text", F.explode(F.array(
+        F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("__nt"))
     t = F.col("text")
     rep = text.repetition_features(t)
     n_tok = text.token_count(t)
@@ -1234,8 +1241,10 @@ def q_doc_text_profile(spark, sf_dir):
         # doubles, so the oracle rederives them from the SAME profile
         # dict via text.lang_scores_sql (single source of truth)
         *[s.alias(f"lang_{lang}")
-          for lang, s in text.lang_scores(t).items()],
-        text.lang_id_multi(t).alias("lang_pred_multi"))
+          for lang, s in text.lang_scores(
+              F.col("__nt"), pre_normalized=True).items()],
+        text.lang_id_multi(F.col("__nt"), pre_normalized=True)
+        .alias("lang_pred_multi"))
 
 
 def q_doc_pii_redact(spark, sf_dir):
