@@ -962,8 +962,27 @@ def q_multi_resolution_rollup(spark, sf_dir):
             F.lit(series).alias("series"), "bucket_start_ms",
             F.col("n_events").cast("long").alias("n_events"),
             F.lit(60).cast("long").alias("resolution_s"), "filled")
+    # series='bytype:<event_type>': the GROUPED gap-fill path (per-key
+    # spine from that key's (min,max), keyed join) gated cross-engine at
+    # hourly grain — bounded cardinality (#types x #hours)
+    hb = (_events(spark, sf_dir)
+          .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+          .groupBy("event_type",
+                   (F.floor(F.unix_timestamp("ts") / 3600) * 3600000)
+                   .cast("long").alias("bucket_start_ms"))
+          .agg(F.count("*").alias("n_events")))
+    bytype = (iv.gap_fill(hb, "bucket_start_ms", "n_events",
+                          step=3600000, mode="zero",
+                          group_cols=["event_type"])
+              .select(F.concat(F.lit("bytype:"),
+                               F.col("event_type")).alias("series"),
+                      "bucket_start_ms",
+                      F.col("n_events").cast("long").alias("n_events"),
+                      F.lit(3600).cast("long").alias("resolution_s"),
+                      "filled"))
     return (raw.unionByName(_dense("zero", "filled"))
-            .unionByName(_dense("locf", "locf")))
+            .unionByName(_dense("locf", "locf"))
+            .unionByName(bytype))
 
 
 def q_event_value_quantiles(spark, sf_dir):
@@ -1146,6 +1165,29 @@ _ORACLES_SQL_SURFACE = {
                CASE WHEN m.n IS NULL THEN CAST(1 AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END
         FROM spine s LEFT JOIN m USING (b)
+        UNION ALL
+        SELECT 'bytype:' || s.event_type, s.b, coalesce(th.n, 0),
+               CAST(3600 AS BIGINT),
+               CASE WHEN th.n IS NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
+        FROM (SELECT t.event_type,
+                     unnest(range(t.lo, t.hi + 3600000,
+                                  CAST(3600000 AS BIGINT))) AS b
+              FROM (SELECT event_type, min(b) AS lo, max(b) AS hi
+                    FROM (SELECT event_type,
+                                 CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                 * 3600000 AS b
+                          FROM events
+                          WHERE ts IS NOT NULL
+                            AND event_type IS NOT NULL)
+                    GROUP BY event_type) t) s
+        LEFT JOIN (SELECT event_type,
+                          CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                          * 3600000 AS b, count(*) AS n
+                   FROM events
+                   WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                   GROUP BY 1, 2) th
+          ON s.event_type = th.event_type AND s.b = th.b
     """,
     "event_value_quantiles": """
         SELECT event_type,
