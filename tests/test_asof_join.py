@@ -177,3 +177,18 @@ def test_asof_join_randomized_against_twin(spark):
                        direction=direction, tolerance_s=tol,
                        tiebreak="rid").collect()}
             assert got == twin(direction, tol), (direction, tol)
+
+
+def test_asof_join_multi_key_by(spark):
+    """Composite `by` keys: matches require BOTH key columns equal."""
+    left = spark.createDataFrame(
+        [(1, "a", "x", 100), (2, "a", "y", 100), (3, "b", "x", 100)],
+        "lid int, k1 string, k2 string, ts long")
+    right = spark.createDataFrame(
+        [(11, "a", "x", 90, 1.0), (12, "a", "y", 80, 2.0),
+         (13, "b", "y", 70, 3.0)],
+        "rid int, k1 string, k2 string, ts long, val double")
+    got = {r["lid"]: (r["asof_ts"], r["asof_val"])
+           for r in iv.asof_join(left, right, on="ts", by=["k1", "k2"],
+                                 value_cols=["val"]).collect()}
+    assert got == {1: (90, 1.0), 2: (80, 2.0), 3: (None, None)}
