@@ -109,8 +109,19 @@ def shard_manifest(spark, path: str) -> DataFrame:
     def _footers(it):
         import pyarrow.parquet as pq
         for f in it:
-            local = f[len("file:"):] if f.startswith("file:") else f
-            md = pq.read_metadata(local)
+            if f.startswith("file:"):
+                # Hadoop renders local URIs as file:/x (single slash);
+                # strip the scheme rather than round-trip through from_uri.
+                md = pq.read_metadata(f[len("file:"):])
+            elif "://" in f:
+                # object-store / HDFS URI (the 100 TB scenario): resolve
+                # the scheme to a pyarrow filesystem so the executor-side
+                # footer read works off-local-disk too (r8 advice item).
+                from pyarrow.fs import FileSystem
+                fs, rel = FileSystem.from_uri(f)
+                md = pq.read_metadata(rel, filesystem=fs)
+            else:
+                md = pq.read_metadata(f)
             yield (f, int(md.num_rows), int(md.serialized_size))
 
     sc = spark.sparkContext
@@ -139,12 +150,15 @@ def verify_shards(spark, path: str) -> dict:
     surface here, from footers alone). The collects here are MANIFEST
     rows — one per shard file, metadata-scale by construction (the
     hygiene-test allowlist contract), never row data."""
-    saved = {r["file"]: r["n_rows"]
+    saved = {r["file"]: (r["n_rows"], r["footer_bytes"])
              for r in spark.read.parquet(path + "/_manifest").collect()}
-    now = {r["file"]: r["n_rows"]
+    now = {r["file"]: (r["n_rows"], r["footer_bytes"])
            for r in shard_manifest(spark, path).collect()}
     missing = sorted(set(saved) - set(now))
     extra = sorted(set(now) - set(saved))
+    # compare (n_rows, footer_bytes): a same-row-count rewrite still
+    # perturbs the serialized footer, so 'resized'/corruption surfaces
+    # even when the count is preserved (r8 advice item)
     changed = sorted(f for f in set(saved) & set(now)
                      if saved[f] != now[f])
     return {"ok": not (missing or extra or changed),

@@ -106,6 +106,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                       if c != on and c not in by_keys]
     carried = [on] + [c for c in value_cols if c != on]
 
+    # Name-collision contract (r8 advice item): the union plan reserves
+    # __side/__ord/__tb/__r internally and emits `{prefix}{c}` outputs;
+    # a left column with one of those names would be shadowed or make
+    # the final select ambiguous — fail loudly instead.
+    reserved = {"__side", "__ord", "__tb", "__r"}
+    clash = [c for c in left.columns
+             if c in reserved or c in {f"{prefix}{k}" for k in carried}]
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with internal or "
+            f"output names (reserved {sorted(reserved)}, outputs "
+            f"{[f'{prefix}{k}' for k in carried]}); rename them or pass "
+            f"a different prefix=.")
+
     # Carry the whole matched row as ONE struct: a struct literal is
     # non-null on every right row even when its FIELDS are null, so
     # last(ignorenulls) always picks the nearest right ROW and all

@@ -1318,6 +1318,20 @@ def sq8_encode(emb: DataFrame, id_col: str = "vec_id",
         *[F.col(c) for c in carry])
 
 
+def _require_single_query(query_df: DataFrame) -> None:
+    """Guard for topk entry points whose candidate stage takes ONE
+    global limit: a multi-row query_df would mix candidates across
+    queries (r8 advice item). limit(2).count() is metadata-cheap —
+    the query frame is driver-built and broadcast-sized by contract."""
+    n = query_df.limit(2).count()
+    if n != 1:
+        raise ValueError(
+            f"query_df must contain exactly one query vector (got "
+            f"{'>=2' if n > 1 else n}): the candidate top-k is a single "
+            "global limit; run queries in a loop, or use the batched "
+            "multi-query retrieval pattern (bm25_topk_indexed).")
+
+
 def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              rerank_factor: int = 4) -> DataFrame:
@@ -1335,7 +1349,15 @@ def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     Unlike LSH/IVF this scans EVERY code row (no pruning) — the win is
     bytes-per-row, not rows; compose with the IVF list layout when both
     levers are needed (prune lists, scan codes).
+
+    SINGLE-QUERY contract (r8 advice item): query_df must hold exactly
+    one query vector — the candidate stage takes ONE global
+    top-(k*rerank_factor), so several query rows would compete for one
+    candidate pool and silently starve each other. Enforced with a
+    metadata-cheap count; loop (or use the BM25 side's batched pattern)
+    for multi-query workloads.
     """
+    _require_single_query(query_df)
     enc = sq8_encode(emb, id_col, vec_col)
     qd = query_df.select(F.col("q_vec").cast("array<double>").alias("qd"))
     approx = (enc.crossJoin(F.broadcast(qd))
@@ -1393,7 +1415,11 @@ def ivf_sq_probe_topk(spark, path: str, query_df: DataFrame, k: int = 10,
     """Query the IVF x SQ8 index: centroid probe (metadata-scale) ->
     partition-pruned code scan (asymmetric float-query x int-codes
     scoring) -> exact decimal-cosine rescore of the top
-    k*rerank_factor ids from the cold float table."""
+    k*rerank_factor ids from the cold float table.
+
+    Same SINGLE-QUERY contract as `sq8_topk` (one global candidate
+    limit); enforced below."""
+    _require_single_query(query_df)
     base = _index_dir(spark, path, ("codes", "floats", "centroids"))
     cents = spark.read.parquet(base + "/centroids")
     probe = (cents.crossJoin(F.broadcast(query_df))

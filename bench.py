@@ -17,19 +17,30 @@ Methodology notes:
   bench (r8 advice item).
 - NOISE CALIBRATION (r8): this box is shared; co-tenant load inflated r7's
   total 1.42x with zero plan changes and the acquittal took forensics. The
-  output now carries (a) `canary_sec` — min-of-N of a pinned single-threaded
+  output carries (a) `canary_sec` — min-of-N of a pinned single-threaded
   pure-Python workload interleaved across the bench, (b) `steal_pct` /
-  `idle_pct` / `load1` — /proc/stat + loadavg sampled over the whole bench
-  window, and (c) `value_normalized` = value * (CANARY_REF_SEC /
-  canary_sec) — the one-division round-over-round comparison. CANARY_REF_SEC
-  is pinned to the quiet-box r8 measurement; a later round divides its own
-  canary by it to convert wall seconds into quiet-box-equivalent seconds.
-  `canary_mp_sec` (16 forked workers, slowest-finisher wall) is the
-  BARRIER meter: a burst that widens 32-way stages can leave the
-  single-threaded min untouched (observed once in r8: 38 s total,
-  canary at reference, steal 6.4%) but cannot hide from the mp canary.
-  Triage rule: value inflated + canary_sec ~ref + canary_mp_sec >>
-  mp_ref => co-tenant burst, not a regression.
+  `idle_pct` / `load1` — /proc/stat + loadavg sampled over the bench
+  window, and (c) `value_normalized` (see below). `canary_mp_sec` (16
+  forked workers, slowest-finisher wall) is the BARRIER meter: a burst
+  that widens 32-way stages can leave the single-threaded min untouched
+  (observed once in r8: 38 s total, canary at reference, steal 6.4%) but
+  cannot hide from the mp canary. Triage rule: value inflated + canary_sec
+  ~ref + canary_mp_sec >> mp_ref => co-tenant burst, not a regression.
+- BURST-ROBUST ARTIFACT (r9, verdict item 1): BENCH_r08.json recorded a
+  co-tenant burst (30.3 s at mp-canary 2x its quiet reference) because the
+  sweep ran exactly once and published whatever it saw. Now the WHOLE
+  sweep is an attempt; while the attempt's mp canary exceeds
+  BURST_FACTOR x CANARY_MP_REF_SEC, the sweep re-runs (bounded at
+  MAX_ATTEMPTS, with a short sleep so a transient burst can pass). The
+  published figure is the QUIETEST attempt (lowest mp canary, tie-broken
+  by the single-thread canary), and `attempts` logs every attempt's
+  total + canaries so the regime of each sample is auditable.
+- `value_normalized` = value * min(1, CANARY_REF_SEC / canary_sec):
+  quiet-box-equivalent seconds. The correction only ever DEFLATES a
+  loaded run toward its quiet equivalent; on a quiet-or-faster box the
+  raw number is already the honest figure, so the factor is clamped at 1
+  (the unclamped form inflated a 17.56 s at-ref close to "20.9" in r8 —
+  over-correction the verdict called out).
 """
 
 from __future__ import annotations
@@ -54,6 +65,13 @@ CANARY_REF_SEC = 0.227
 #: forked workers concurrently and times the SLOWEST — a Spark stage's
 #: sensitivity. (An earlier 0.55 pin was itself taken under load.)
 CANARY_MP_REF_SEC = 0.12
+
+#: An attempt whose mp canary exceeds BURST_FACTOR x the quiet reference
+#: is burst-corrupted: re-sweep (bounded). 1.5 is the r8 verdict's
+#: threshold; the r8 burst measured 2.0x, quiet closes 1.0-1.4x.
+BURST_FACTOR = 1.5
+MAX_ATTEMPTS = 3
+RETRY_SLEEP_SEC = 20.0
 
 
 def _canary_kernel(iters: int) -> int:
@@ -112,19 +130,18 @@ HEADLINE = [
     "training_data_pipeline",
 ]
 
+#: min of 3 runs per query: the box is shared, and a single sample can
+#: be 40%+ noise from co-tenant load; min-of-N measures the plan, not
+#: the neighbors (the r3 verdict flagged ±50% single-shot noise).
+N_RUNS = 3
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from amazon_kinesis_replay_spark.plans import QUERIES
-    from amazon_kinesis_replay_spark.session import build_spark
 
-    spark = build_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # noise meters: canary samples interleave with the query sweeps (min
-    # sees the quietest window, same discipline as the query timings);
-    # /proc/stat deltas cover the WHOLE bench window so a mid-bench
-    # co-tenant burst shows up even if the canary's min dodges it.
+def _sweep(spark, sf_dir: str) -> dict:
+    """ONE full bench attempt: round-robin min-of-N over the headline
+    queries + the two replay-emit engines + the DuckDB oracle sweep, with
+    canary samples interleaved. Returns the attempt record (timings,
+    oracle timings, canaries, /proc steal) — the caller decides whether
+    the attempt's noise regime makes it publishable."""
     canary_samples = [_canary_once()]
     canary_mp_samples = [_canary_mp_once()]
     try:
@@ -132,19 +149,14 @@ def main():
     except OSError:
         cpu0 = None
 
-    # warm-up: JVM, codegen, parquet footer caches
-    QUERIES["replay_watermarks"].fn(spark, sf_dir).collect()
+    from amazon_kinesis_replay_spark.plans import QUERIES
 
-    # min of 3 runs per query: the box is shared, and a single sample can
-    # be 40%+ noise from co-tenant load; min-of-N measures the plan, not
-    # the neighbors (the r3 verdict flagged ±50% single-shot noise).
     # ROUND-ROBIN, not back-to-back: noise bursts are temporally
     # correlated, so three consecutive samples of one query can all land
     # inside the same burst (observed: a loaded window inflated every
     # min-of-3 ~3x in r5's driver run). Interleaving spreads each query's
     # samples across the whole bench duration so the min sees the
     # quietest window.
-    N_RUNS = 3
     timings: dict[str, float] = {}
     for _ in range(N_RUNS):
         for name in HEADLINE:
@@ -207,7 +219,8 @@ def main():
 
     # Honest self-baseline: time the DuckDB oracle for each headline query
     # that has one (single-threaded C++ columnar engine on the same data —
-    # the floor for "is Spark overhead reasonable at this tiny SF").
+    # the floor for "is Spark overhead reasonable at this tiny SF"). Run
+    # INSIDE the attempt so the Spark/oracle ratio is regime-consistent.
     oracle_timings: dict[str, float] = {}
     try:
         import duckdb
@@ -235,45 +248,92 @@ def main():
     except Exception:
         pass  # oracle timing is informational only
 
+    # close the noise meters (one final canary + the whole-window steal)
+    canary_samples.append(_canary_once())
+    canary_mp_samples.append(_canary_mp_once())
+    rec = {
+        "queries": timings,
+        "oracle_sec": oracle_timings,
+        "canary_sec": round(min(canary_samples), 4),
+        "canary_samples": [round(c, 4) for c in canary_samples],
+        "canary_mp_sec": round(min(canary_mp_samples), 4),
+        "canary_mp_samples": [round(c, 4) for c in canary_mp_samples],
+    }
+    try:
+        cpu1 = _proc_cpu_times()
+        if cpu0 is not None:
+            d = [b - a for a, b in zip(cpu0, cpu1)]
+            tot = sum(d) or 1
+            rec["steal_pct"] = round(100.0 * d[7] / tot, 2)
+            rec["idle_pct"] = round(100.0 * d[3] / tot, 2)
+        rec["load1"] = float(open("/proc/loadavg").read().split()[0])
+    except (OSError, IndexError, ValueError):
+        pass
+    rec["total"] = round(sum(timings.values()), 3)
+    return rec
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from amazon_kinesis_replay_spark.plans import QUERIES
+    from amazon_kinesis_replay_spark.session import build_spark
+
+    spark = build_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    QUERIES["replay_watermarks"].fn(spark, sf_dir).collect()
+
+    # Burst-robust attempt loop (r9): re-sweep while the barrier canary
+    # says a co-tenant burst corrupted the attempt; publish the quietest.
+    attempts: list[dict] = []
+    for i in range(MAX_ATTEMPTS):
+        rec = _sweep(spark, sf_dir)
+        attempts.append(rec)
+        if rec["canary_mp_sec"] <= BURST_FACTOR * CANARY_MP_REF_SEC:
+            break
+        if i + 1 < MAX_ATTEMPTS:
+            time.sleep(RETRY_SLEEP_SEC)  # let a transient burst pass
+
+    best = min(attempts,
+               key=lambda r: (r["canary_mp_sec"], r["canary_sec"]))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
 
-    # close the noise meters (one final canary + the whole-window steal)
-    canary_samples.append(_canary_once())
-    canary_mp_samples.append(_canary_mp_once())
-    canary_sec = round(min(canary_samples), 4)
-    noise = {"canary_sec": canary_sec,
-             "canary_ref_sec": CANARY_REF_SEC,
-             "canary_samples": [round(c, 4) for c in canary_samples],
-             "canary_mp_sec": round(min(canary_mp_samples), 4),
-             "canary_mp_ref_sec": CANARY_MP_REF_SEC,
-             "canary_mp_samples": [round(c, 4)
-                                   for c in canary_mp_samples]}
-    try:
-        cpu1 = _proc_cpu_times()
-        if cpu0 is not None:
-            d = [b - a for a, b in zip(cpu0, cpu1)]
-            tot = sum(d) or 1
-            noise["steal_pct"] = round(100.0 * d[7] / tot, 2)
-            noise["idle_pct"] = round(100.0 * d[3] / tot, 2)
-        noise["load1"] = float(open("/proc/loadavg").read().split()[0])
-    except (OSError, IndexError, ValueError):
-        pass
-
-    total = round(sum(timings.values()), 3)
+    total = best["total"]
+    # quiet-box-equivalent total: one division makes r(N) vs r(N+1)
+    # comparable without forensics. Clamped at 1 so a quiet-or-faster box
+    # publishes its raw figure (the unclamped form over-corrected, r8
+    # verdict item 1).
+    factor = min(1.0, CANARY_REF_SEC / best["canary_sec"])
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
-        # quiet-box-equivalent total: one division makes r(N) vs r(N+1)
-        # comparable without forensics (r8 verdict task 1)
-        "value_normalized": round(total * CANARY_REF_SEC / canary_sec, 3),
+        "value_normalized": round(total * factor, 3),
         "unit": "sec",
-        "queries": timings,
-        "oracle_sec": oracle_timings,
-        **noise,
+        "queries": best["queries"],
+        "oracle_sec": best["oracle_sec"],
+        "canary_sec": best["canary_sec"],
+        "canary_ref_sec": CANARY_REF_SEC,
+        "canary_samples": best["canary_samples"],
+        "canary_mp_sec": best["canary_mp_sec"],
+        "canary_mp_ref_sec": CANARY_MP_REF_SEC,
+        "canary_mp_samples": best["canary_mp_samples"],
+        **{k: best[k] for k in ("steal_pct", "idle_pct", "load1")
+           if k in best},
+        "n_attempts": len(attempts),
+        "burst_retried": len(attempts) > 1,
+        # per-attempt audit log: regime of every sample is visible
+        "attempts": [{"total": r["total"],
+                      "canary_sec": r["canary_sec"],
+                      "canary_mp_sec": r["canary_mp_sec"],
+                      **{k: r[k] for k in ("steal_pct", "load1")
+                         if k in r}}
+                     for r in attempts],
         "sf": sf_val,
     }))
 

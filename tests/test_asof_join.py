@@ -192,3 +192,18 @@ def test_asof_join_multi_key_by(spark):
            for r in iv.asof_join(left, right, on="ts", by=["k1", "k2"],
                                  value_cols=["val"]).collect()}
     assert got == {1: (90, 1.0), 2: (80, 2.0), 3: (None, None)}
+
+
+def test_asof_join_rejects_colliding_left_columns(spark):
+    """Name-collision contract (r8 advice): a left column named like an
+    internal (__side/__ord/__tb/__r) or a prefixed output (asof_ts)
+    must fail loudly, not be shadowed or made ambiguous."""
+    left, right = _frames(spark)
+    for bad in ("__side", "__ord", "asof_ts", "asof_val"):
+        with pytest.raises(ValueError, match="collide"):
+            iv.asof_join(left.withColumn(bad, F.lit(1)), right,
+                         on="ts", by="key")
+    # a different prefix clears the {prefix}{col} half of the clash
+    out = iv.asof_join(left.withColumn("asof_ts", F.lit(1)), right,
+                       on="ts", by="key", prefix="pit_")
+    assert "pit_ts" in out.columns and "asof_ts" in out.columns

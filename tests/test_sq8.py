@@ -179,3 +179,17 @@ def test_ivf_sq_retrain_policy(spark, sf_dir, tmp_path):
     exact = [r["vec_id"]
              for r in sim.brute_force_topk(emb, q, k=10).collect()]
     assert got == exact
+
+
+def test_sq8_topk_rejects_multi_row_query(spark, sf_dir):
+    """SINGLE-QUERY contract (r8 advice): the candidate stage takes one
+    global limit, so a 2-row query_df must raise, not silently mix
+    candidate pools across queries."""
+    import pytest
+
+    emb = load(spark, sf_dir, "embeddings")
+    one = emb.select(F.col("embedding").alias("q_vec")).limit(1)
+    two = emb.select(F.col("embedding").alias("q_vec")).limit(2)
+    with pytest.raises(ValueError, match="exactly one query"):
+        sim.sq8_topk(emb, two, k=3)
+    assert sim.sq8_topk(emb, one, k=3).count() == 3
