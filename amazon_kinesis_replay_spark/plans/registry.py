@@ -893,7 +893,15 @@ def q_interval_join_counts(spark, sf_dir):
       window (no join operator); oracle: DuckDB's NATIVE ASOF LEFT JOIN —
       a fully independent second implementation of the match rule.
     - kind='asof_tol': same with a 1-hour tolerance (out-of-tolerance
-      matches nulled); oracle post-filters the ASOF match."""
+      matches nulled); oracle post-filters the ASOF match.
+    - kind='asof_multi' (r9, verdict item 3): COMPOSITE by-key — the
+      latest click matching on (user_id, pmod(event_id, 3)); DuckDB ASOF
+      accepts several equality conditions, so the oracle is the same
+      native-ASOF independent implementation with two match keys. The
+      pmod bucket splits each user's clicks into three interleaved
+      streams, so a single-key match rule would pick a DIFFERENT row for
+      most purchases — the kind genuinely exercises multi-key grouping,
+      not a relabeled copy of kind='asof'."""
     ensure_engine_conf(spark)
     from ..operators import intervals as iv
     e = _events(spark, sf_dir)
@@ -927,13 +935,29 @@ def q_interval_join_counts(spark, sf_dir):
             F.coalesce(F.unix_millis("asof_ts"),
                        F.lit(-1).cast("long")).alias("n_events"))
 
+    # kind='asof_multi': composite (user_id, grp) by-key. pmod mirrors
+    # the SQL ((x % 3) + 3) % 3 for any sign of event_id.
+    grp = F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("grp")
+    purchases_m = (e.filter((F.col("event_type") == "purchase") & nn)
+                   .select("event_id", "user_id", grp, "ts"))
+    clicks_m = (e.filter((F.col("event_type") == "click") & nn)
+                .select("user_id", grp, "ts"))
+    ajm = iv.asof_join(purchases_m, clicks_m, on="ts",
+                       by=["user_id", "grp"], value_cols=[])
+    multi = ajm.select(
+        F.lit("asof_multi").alias("kind"),
+        F.col("event_id").alias("interval_id"),
+        F.coalesce(F.unix_millis("asof_ts"),
+                   F.lit(-1).cast("long")).alias("n_events"))
+
     # kind='asof_fwd': the FORWARD direction (earliest same-user click
     # at-or-after the purchase). DuckDB's native ASOF is >= only, so the
     # oracle gates it by NEGATING the timestamp axis: backward-on(-t)
     # == forward-on(t), matched value recovered as -(-epoch_ms).
     return (base.unionByName(_asof_rows("asof", None))
             .unionByName(_asof_rows("asof_tol", 3600))
-            .unionByName(_asof_rows("asof_fwd", None, "forward")))
+            .unionByName(_asof_rows("asof_fwd", None, "forward"))
+            .unionByName(multi))
 
 
 def q_multi_resolution_rollup(spark, sf_dir):
@@ -1124,6 +1148,21 @@ _ORACLES_SQL_SURFACE = {
         ASOF LEFT JOIN (SELECT user_id, -epoch_ms(ts) AS nms FROM c)
              pn_match
           ON pn.user_id = pn_match.user_id AND pn.nms >= pn_match.nms
+        UNION ALL
+        SELECT 'asof_multi', pm.event_id,
+               coalesce(epoch_ms(cm.ts), CAST(-1 AS BIGINT))
+        FROM (SELECT event_id, user_id,
+                     ((event_id % 3) + 3) % 3 AS grp, ts
+              FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL) pm
+        ASOF LEFT JOIN
+             (SELECT user_id, ((event_id % 3) + 3) % 3 AS grp, ts
+              FROM events
+              WHERE event_type = 'click'
+                AND user_id IS NOT NULL AND ts IS NOT NULL) cm
+          ON pm.user_id = cm.user_id AND pm.grp = cm.grp
+             AND pm.ts >= cm.ts
     """,
     "multi_resolution_rollup": """
         WITH m AS (
