@@ -302,6 +302,55 @@ def reorder_gate_stream(events: DataFrame, bound: int,
         outputMode="append", timeoutConf=timeout)
 
 
+def windowed_rate_counts_gated(events: DataFrame, bound: int,
+                               key_col: str | None = None,
+                               ts_col: str = "ts",
+                               payload_col: str = "payload",
+                               frequency_ms: int = 20_000,
+                               drain_after_ms: int | None = None
+                               ) -> DataFrame:
+    """`windowed_rate_counts` with the reference's emit-late-NEVER-drop
+    contract (r8 verdict item 4): the reorder gate
+    (`reorder_gate_stream` — the bounded priority queue of
+    JsonEventBufferedReader.java:39-46) runs AHEAD of the tumbling-window
+    aggregation, and the aggregation itself carries NO watermark, so
+
+    - disorder within `bound` rows is structurally repaired before the
+      aggregation ever sees it, and
+    - disorder beyond the bound emits LATE from the gate and still
+      lands in its window's count — the window row re-emits with the
+      corrected total (update semantics), exactly how the reference's
+      monitoring counters treat a late row (counted, never dropped).
+
+    The plain `windowed_rate_counts` keeps Spark's watermark semantics
+    (beyond-watermark rows DROP — bounded state, append output); this
+    gated form is the reference-parity opt-in. The costs of parity:
+    aggregation state is never watermark-evicted (bounded by the number
+    of distinct windows — monitoring-scale, a few rows per
+    frequency_ms interval of stream history), the query must run in
+    update/complete output mode (a closed window can reopen), and held
+    gate rows ride the state store (bounded rows per key).
+
+    Chaining is legal Structured Streaming: applyInPandasWithState in
+    append mode followed by an aggregation is a supported stateful
+    composition; the gate's output timestamp is a plain event-time
+    column to the downstream groupBy(window(...)).
+    """
+    gated = reorder_gate_stream(events, bound, key_col=key_col,
+                                ts_col=ts_col, payload_col=payload_col,
+                                drain_after_ms=drain_after_ms)
+    freq_s = frequency_ms // 1000
+    return (
+        gated.groupBy(F.window(F.col("ts"), f"{freq_s} seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            F.round(F.col("n_events") * 1000.0 / F.lit(float(frequency_ms)))
+            .cast("long").alias("events_per_sec"))
+    )
+
+
 def near_dup_stream(docs, index_path: str, sink,
                     id_col: str = "doc_id", text_col: str = "text",
                     threshold: float = 0.5, checkpoint: str | None = None):

@@ -847,3 +847,68 @@ def test_asof_enrich_stream_point_in_time(spark, tmp_path):
     assert got[100] == (0, "free")     # batch 0: only v0 existed
     assert got[200] == (50, "pro")     # batch 1: new version visible...
     assert got[201] == (0, "free")     # ...but never ahead of event time
+
+
+def test_gated_counts_count_beyond_watermark_row(spark, tmp_path):
+    """Reference parity (r8 verdict item 4): a straggler beyond the
+    plain path's watermark is DROPPED by windowed_rate_counts (Spark
+    watermark semantics) but COUNTED by windowed_rate_counts_gated —
+    the reorder gate emits it late and the unwatermarked window
+    aggregation still lands it in its window, the
+    emit-late-never-drop contract of the reference's buffered reader
+    (JsonEventBufferedReader.java:39-46)."""
+    import json as js
+    import os
+    src = tmp_path / "gated_disorder"
+    src.mkdir()
+    # file a: 00:00..00:59 in order; file b: 02:00.. advances the
+    # watermark; file d: 02:30 sentinel — needed because the EFFECTIVE
+    # late-row watermark lags one micro-batch (measured: a straggler in
+    # the batch right after b still passes the filter); file e:
+    # straggler at 00:30 — now beyond the plain path's 10-min watermark
+    # AND beyond the gate's bound=10 disorder window, so the gate emits
+    # it LATE, not merely reordered.
+    with open(src / "a.json", "w") as fh:
+        for i in range(60):
+            fh.write(js.dumps({"dropoff_datetime":
+                               f"2024-01-01T00:00:{i:02d}"}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        for i in range(20):
+            fh.write(js.dumps({"dropoff_datetime":
+                               f"2024-01-01T02:00:{i:02d}"}) + "\n")
+    with open(src / "d.json", "w") as fh:
+        fh.write(js.dumps({"dropoff_datetime":
+                           "2024-01-01T02:30:00"}) + "\n")
+    with open(src / "e.json", "w") as fh:
+        fh.write(js.dumps({"dropoff_datetime":
+                           "2024-01-01T00:30:00"}) + "\n")
+    for i, name in enumerate(("a.json", "b.json", "d.json", "e.json")):
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    base = 1704067200000                     # 2024-01-01T00:00:00Z
+    straggler_w = base + 30 * 60_000         # the 00:30 minute window
+
+    cfg = ReplayConfig(source_path=str(src))
+
+    # plain path: append mode + 10-min watermark -> straggler dropped
+    ev = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    plain = stateful.windowed_rate_counts(ev, frequency_ms=60_000,
+                                          watermark_delay="10 minutes")
+    got_p = _run_to_memory(spark, plain, "plain_drop", tmp_path)
+    plain_counts = {r["window_start_ms"]: r["n_events"]
+                    for r in got_p.collect()}
+    assert straggler_w not in plain_counts   # watermark dropped it
+
+    # gated path: reorder gate + unwatermarked agg -> straggler counted
+    ev2 = ndjson.read_events_stream(spark, cfg, max_files_per_trigger=1)
+    gated = stateful.windowed_rate_counts_gated(
+        ev2, bound=10, frequency_ms=60_000)
+    q = (gated.writeStream.format("memory").queryName("gated_count")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck-gated"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    gated_counts = {r["window_start_ms"]: r["n_events"]
+                    for r in spark.table("gated_count").collect()}
+    assert gated_counts.get(straggler_w) == 1   # counted, not dropped
+    # and the in-order prefix aggregated identically to the plain path
+    assert gated_counts.get(base) == plain_counts.get(base) == 60
