@@ -189,22 +189,36 @@ def gen_commit(spark, build_dir: str) -> None:
     write_text(spark, f"{build_dir}/{GEN_MARKER}", "committed\n")
 
 
-def gen_gc(spark, path: str, legacy_subs=()) -> None:
-    """Drop superseded state: every generation older than the latest
-    committed one, plus the legacy-root copies of `legacy_subs` once a
-    committed generation shadows them (in-place migration of a pre-gen
-    index). Idempotent and metadata-only; called from write paths after
+def gen_gc(spark, path: str, legacy_subs=(), keep: int = 2) -> None:
+    """Drop superseded state, RETENTION-BOUNDED (r9, verdict item 6):
+    the newest `keep` committed generations always survive, so an
+    in-flight reader that resolved gen N-1 just before a commit never
+    has files deleted under it — readers pin a generation directory at
+    `gen_resolve` time, and keep>=2 gives them a full rebuild cycle to
+    finish (the Iceberg/Delta snapshot-retention contract). The pre-gen
+    LEGACY ROOT is NOT retention-protected: it drops as soon as a
+    committed generation shadows it, because the substring-index
+    migration sweep parks in-flight deltas there and its fold rule
+    requires the legacy root gone once carried (one-time migration,
+    not a steady-state rebuild cycle). Uncommitted husks older than
+    the latest committed generation are
+    collected (a crashed build is recomputable by contract); a build
+    newer than the latest commit is in progress and untouched.
+    Idempotent and metadata-only; called from write paths after
     `gen_commit` — a crash between commit and GC just leaves the
     superseded generation for the next writer to collect."""
+    if keep < 1:
+        raise ValueError(f"gen_gc keep must be >= 1, got {keep}")
     gens = gen_list(spark, path)
-    latest = None
-    for n, name, committed in gens:
-        if committed:
-            latest = n
-    if latest is None:
+    committed = [n for n, _, c in gens if c]
+    if not committed:
         return
-    for n, name, committed in gens:
-        if n < latest:
+    latest = committed[-1]
+    kept = set(committed[-keep:])
+    for n, name, is_committed in gens:
+        if n in kept:
+            continue
+        if is_committed or n < latest:
             delete(spark, f"{path}/{name}")
     for sub in legacy_subs:
         delete(spark, f"{path}/{sub}")

@@ -42,13 +42,21 @@ def test_gen_primitives_resolve_commit_gc(spark, tmp_path):
     fsutil.gen_commit(spark, b3)
     assert fsutil.gen_resolve(spark, root) == b3
 
-    # GC drops superseded generations and shadowed legacy subs
+    # GC is RETENTION-BOUNDED (r9): the default keep=2 leaves the
+    # previous committed generation for in-flight readers; shadowed
+    # legacy subs drop immediately (the migration-sweep contract)
     fsutil.write_text(spark, root + "/data/legacy.txt", "legacy")
     fsutil.gen_gc(spark, root, legacy_subs=("data",))
-    assert not fsutil.exists(spark, b1)
+    assert fsutil.exists(spark, b1)              # N-1 retained
     assert not fsutil.exists(spark, root + "/data")
     assert fsutil.exists(spark, b3 + "/data/x.txt")
     assert fsutil.gen_resolve(spark, root) == b3
+    # keep=1 is the aggressive mode: only the latest survives
+    fsutil.gen_gc(spark, root, keep=1)
+    assert not fsutil.exists(spark, b1)
+    assert fsutil.gen_resolve(spark, root) == b3
+    with pytest.raises(ValueError, match=">= 1"):
+        fsutil.gen_gc(spark, root, keep=0)
 
     # unpadded generation names are tolerated (numeric, not lexical, max)
     fsutil.write_text(spark, root + "/gen=12/marker.txt", "x")
@@ -217,3 +225,45 @@ def test_semantic_stream_probe_survives_retrain_generation(
     assert spark.read.parquet(gen + "/members").count() \
         == n_members + 20
     assert fsutil.read_applied_batch(spark, index) == 2
+
+
+def test_gen_gc_retention_keeps_inflight_reader_alive(
+        spark, sf_dir, tmp_path):
+    """The r8-verdict retention contract: a reader that pinned gen N-1
+    via gen_resolve just before a rebuild commits must survive the
+    post-commit gen_gc (default keep=2) — its files are intact and the
+    lazy DataFrame still collects. A SECOND rebuild pushes N-1 out of
+    the retention window and only then is it collected. Exercised
+    end-to-end through a real retrain path (ivf_sq_index_maybe_retrain
+    with growth_threshold=-1 forces 'due')."""
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    path = str(tmp_path / "ivfsq-ret")
+    similarity.ivf_sq_index_write(emb, path, n_centroids=4)
+
+    # first retrain: legacy root -> gen=1
+    assert similarity.ivf_sq_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0)
+    g1 = fsutil.gen_current(spark, path)
+    assert g1 is not None and g1.endswith("0000000001")
+
+    # an in-flight reader pins gen 1 (lazy plan over its files)
+    reader = spark.read.parquet(g1 + "/codes").select("id")
+
+    # second retrain publishes gen=2; keep=2 retains gen=1
+    assert similarity.ivf_sq_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0)
+    g2 = fsutil.gen_current(spark, path)
+    assert g2.endswith("0000000002")
+    assert fsutil.exists(spark, g1 + "/codes")
+    assert reader.count() == 200              # reader survives the GC
+
+    # third retrain: gen=1 leaves the keep=2 window and is collected
+    assert similarity.ivf_sq_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0)
+    assert fsutil.gen_current(spark, path).endswith("0000000003")
+    assert not fsutil.exists(spark, g1)
+    assert fsutil.exists(spark, g2 + "/codes")
+    # probes keep answering across all generations
+    q = emb.select(F.col("embedding").alias("q_vec")).limit(1)
+    assert similarity.ivf_sq_probe_topk(
+        spark, path, q, k=3, n_probe=4).count() == 3
