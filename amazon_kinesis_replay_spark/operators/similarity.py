@@ -1372,6 +1372,103 @@ def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _sq8_batch_rank(approx: DataFrame, floats: DataFrame,
+                    query_df: DataFrame, k: int, rerank_factor: int,
+                    id_col: str) -> DataFrame:
+    """Shared tail of the batched SQ8 entry points: per-QUERY candidate
+    window (rank <= k*rerank_factor over the asymmetric score), exact
+    decimal-cosine rescore of only the candidate ids, per-query final
+    rank <= k. Windows partition by query_id — parallel in query count,
+    never a global sort (the bm25_topk_batch shape). `approx` carries
+    (query_id, id, approx); `floats` carries (id, vec)."""
+    from pyspark.sql import Window
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("id").asc())
+    cand = (approx.withColumn("__r", F.row_number().over(w1))
+            .filter(F.col("__r") <= k * rerank_factor)
+            .select("query_id", "id"))
+    rer = (cand.join(floats, "id")
+           .join(F.broadcast(query_df.select("query_id", "q_vec")),
+                 "query_id")
+           .select("query_id", F.col("id").alias(id_col),
+                   cosine(F.col("vec"), F.col("q_vec")).alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def sq8_topk_batch(emb: DataFrame, query_df: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   rerank_factor: int = 4) -> DataFrame:
+    """Score MANY query vectors in ONE pass over the SQ8 codes — the
+    shape that amortizes at 100 TB (per-query calls rescan the code
+    table once per query; a batched audit scans it once, full stop).
+    query_df carries (query_id string, q_vec array): all queries
+    broadcast together, the single code scan joins against them, and
+    candidate selection is a window PARTITIONED BY QUERY (rank <=
+    k*rerank_factor) — parallel in query count, never a global sort,
+    so queries can't starve each other's candidate pools (the failure
+    the single-query guard on `sq8_topk` exists to prevent). Returns
+    (query_id, id, cosine, rank<=k); per-query results identical to a
+    `sq8_topk` loop (pinned by test)."""
+    enc = sq8_encode(emb, id_col, vec_col)
+    qd = query_df.select(
+        "query_id", F.col("q_vec").cast("array<double>").alias("qd"))
+    approx = (enc.crossJoin(F.broadcast(qd))
+              .select("query_id", "id",
+                      (F.col("scale") * _fast_dot(
+                          F.col("qd"), F.col("codes"))).alias("approx")))
+    floats = emb.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("vec"))
+    return _sq8_batch_rank(approx, floats, query_df, k, rerank_factor,
+                           id_col)
+
+
+def ivf_sq_probe_topk_batch(spark, path: str, query_df: DataFrame,
+                            k: int = 10, n_probe: int = 4,
+                            rerank_factor: int = 4,
+                            id_col: str = "vec_id") -> DataFrame:
+    """Batched IVF x SQ8 probe: every query's n_probe nearest lists are
+    resolved in one centroid pass (window per query over the tiny
+    centroid x query cross), the codes scan prunes to the UNION of all
+    probed lists at file listing, and a broadcast (query_id,
+    centroid_id) join restricts each query to ITS lists within that
+    scan — one partition-pruned pass serves the whole batch. Same
+    output contract as `sq8_topk_batch`; per-query results identical
+    to an `ivf_sq_probe_topk` loop (pinned by test)."""
+    from pyspark.sql import Window
+    base = _index_dir(spark, path, ("codes", "floats", "centroids"))
+    cents = spark.read.parquet(base + "/centroids")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc())
+    probe = (cents.crossJoin(F.broadcast(query_df))
+             .select("query_id", "centroid_id",
+                     cosine(F.col("c_vec"), F.col("q_vec")).alias("sim"))
+             .withColumn("__r", F.row_number().over(wq))
+             .filter(F.col("__r") <= n_probe)
+             .select("query_id", "centroid_id"))
+    pairs = probe.collect()         # queries x n_probe rows — tiny
+    lists = sorted({r["centroid_id"] for r in pairs})
+    pair_df = spark.createDataFrame(
+        [(r["query_id"], r["centroid_id"]) for r in pairs],
+        "query_id string, centroid_id int")
+    qd = query_df.select(
+        "query_id", F.col("q_vec").cast("array<double>").alias("qd"))
+    codes = (spark.read.parquet(base + "/codes")
+             .filter(F.col("centroid_id").isin([int(x) for x in lists]))
+             .join(F.broadcast(pair_df), "centroid_id"))
+    approx = (codes.join(F.broadcast(qd), "query_id")
+              .select("query_id", "id",
+                      (F.col("scale") * _fast_dot(
+                          F.col("qd"), F.col("codes"))).alias("approx")))
+    floats = spark.read.parquet(base + "/floats")
+    return _sq8_batch_rank(approx, floats, query_df, k, rerank_factor,
+                           id_col)
+
+
 def ivf_sq_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
                        train_iters: int = 0, id_col: str = "vec_id",
                        vec_col: str = "embedding",

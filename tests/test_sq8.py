@@ -193,3 +193,55 @@ def test_sq8_topk_rejects_multi_row_query(spark, sf_dir):
     with pytest.raises(ValueError, match="exactly one query"):
         sim.sq8_topk(emb, two, k=3)
     assert sim.sq8_topk(emb, one, k=3).count() == 3
+
+
+def test_sq8_topk_batch_matches_per_query_loop(spark, sf_dir):
+    """The batched entry (one code scan, per-query candidate windows)
+    must return exactly what a sq8_topk loop returns for each query —
+    batching is a plan-shape optimization, never a semantics change."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(3).collect()
+    query_df = spark.createDataFrame(
+        [(f"q{r['vec_id']}", list(r["embedding"])) for r in qs],
+        "query_id string, q_vec array<float>")
+    got = {}
+    for r in sim.sq8_topk_batch(emb, query_df, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    assert set(got) == {f"q{r['vec_id']}" for r in qs}
+    for r in qs:
+        one = spark.createDataFrame([(list(r["embedding"]),)],
+                                    "q_vec array<float>")
+        want = [(i + 1, x["vec_id"], x["cosine"]) for i, x in
+                enumerate(sim.sq8_topk(emb, one, k=5).collect())]
+        assert sorted(got[f"q{r['vec_id']}"]) == want
+
+
+def test_ivf_sq_probe_topk_batch_matches_per_query_loop(
+        spark, sf_dir, tmp_path):
+    """Batched IVF x SQ8 probe == per-query ivf_sq_probe_topk loop, and
+    the single scan stays pruned to the UNION of probed lists."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfsq-batch")
+    sim.ivf_sq_index_write(emb, path, n_centroids=8)
+    qs = emb.orderBy("vec_id").limit(3).collect()
+    query_df = spark.createDataFrame(
+        [(f"q{r['vec_id']}", list(r["embedding"])) for r in qs],
+        "query_id string, q_vec array<float>")
+    out = sim.ivf_sq_probe_topk_batch(spark, path, query_df,
+                                      k=5, n_probe=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    for r in qs:
+        one = spark.createDataFrame([(list(r["embedding"]),)],
+                                    "q_vec array<float>")
+        want = [(i + 1, x["vec_id"], x["cosine"]) for i, x in
+                enumerate(sim.ivf_sq_probe_topk(
+                    spark, path, one, k=5, n_probe=2).collect())]
+        assert sorted(got[f"q{r['vec_id']}"]) == want
+    # the codes scan is partition-pruned: the executed plan carries a
+    # PartitionFilters entry on centroid_id (not an unpruned full scan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
