@@ -351,6 +351,43 @@ def windowed_rate_counts_gated(events: DataFrame, bound: int,
     )
 
 
+def session_window_counts_gated(events: DataFrame, bound: int,
+                                key_col: str,
+                                ts_col: str = "ts",
+                                payload_col: str = "payload",
+                                gap: str = "30 minutes",
+                                drain_after_ms: int | None = None
+                                ) -> DataFrame:
+    """`session_window_counts` with the emit-late-never-drop contract —
+    the session sibling of `windowed_rate_counts_gated` (r9): the
+    reorder gate runs ahead of the session aggregation and the
+    aggregation carries NO watermark, so a beyond-watermark straggler
+    still lands in (or extends, or merges) its session instead of being
+    dropped; the affected session row re-emits with the corrected
+    bounds/count (update/complete semantics — feasibility measured:
+    Spark 4 accepts session_window aggregation without a watermark
+    downstream of applyInPandasWithState in complete mode).
+
+    Costs of parity, same as the windowed form: session state is never
+    watermark-evicted (bounded by #open sessions per key — a closed
+    session can always reopen), and the query must run update/complete.
+    The gate is keyed by `key_col`, so repair state distributes."""
+    gated = reorder_gate_stream(events, bound, key_col=key_col,
+                                ts_col=ts_col, payload_col=payload_col,
+                                drain_after_ms=drain_after_ms)
+    return (
+        gated.groupBy(F.col("key").alias(key_col),
+                      F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("first_ts"),
+             F.max("ts").alias("last_ts"))
+        .select(F.col(key_col),
+                F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+                "n_events", "first_ts", "last_ts")
+    )
+
+
 def near_dup_stream(docs, index_path: str, sink,
                     id_col: str = "doc_id", text_col: str = "text",
                     threshold: float = 0.5, checkpoint: str | None = None):

@@ -912,3 +912,67 @@ def test_gated_counts_count_beyond_watermark_row(spark, tmp_path):
     assert gated_counts.get(straggler_w) == 1   # counted, not dropped
     # and the in-order prefix aggregated identically to the plain path
     assert gated_counts.get(base) == plain_counts.get(base) == 60
+
+
+def test_gated_sessions_count_beyond_watermark_row(spark, tmp_path):
+    """Session sibling of the gated-counts parity test: a straggler
+    that EXTENDS an already-closed session is dropped by the plain
+    watermark path (session emitted with its pre-straggler count) but
+    re-absorbed by session_window_counts_gated — the session row
+    carries the corrected count and extended end."""
+    import json as js
+    import os
+    src = tmp_path / "gated_sessions"
+    src.mkdir()
+    # session A: u1 at 00:00:00..05 (6 events, 30 s gap); advance +
+    # sentinel batches push the watermark past A; straggler at 00:00:20
+    # is within the gap of A's last event -> extends A to 7 events
+    with open(src / "a.json", "w") as fh:
+        for i in range(6):
+            fh.write(js.dumps({"user": "u1", "dropoff_datetime":
+                               f"2024-01-01T00:00:{i:02d}"}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        for i in range(3):
+            fh.write(js.dumps({"user": "u1", "dropoff_datetime":
+                               f"2024-01-01T02:00:{i:02d}"}) + "\n")
+    with open(src / "d.json", "w") as fh:
+        fh.write(js.dumps({"user": "u1", "dropoff_datetime":
+                           "2024-01-01T02:30:00"}) + "\n")
+    with open(src / "e.json", "w") as fh:
+        fh.write(js.dumps({"user": "u1", "dropoff_datetime":
+                           "2024-01-01T00:00:20"}) + "\n")
+    for i, name in enumerate(("a.json", "b.json", "d.json", "e.json")):
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    a_start = 1704067200000                  # 2024-01-01T00:00:00Z
+
+    cfg = ReplayConfig(source_path=str(src))
+
+    def _user(ev):
+        return ev.withColumn(
+            "user", F.get_json_object("payload", "$.user"))
+
+    # plain path: session A closes at watermark with its 6 events; the
+    # straggler is beyond-watermark and dropped
+    ev = _user(ndjson.read_events_stream(spark, cfg,
+                                         max_files_per_trigger=1))
+    plain = stateful.session_window_counts(ev, "user", gap="30 seconds",
+                                           watermark_delay="10 minutes")
+    got_p = _run_to_memory(spark, plain, "plain_sessions", tmp_path)
+    p = {r["session_start_ms"]: r["n_events"] for r in got_p.collect()}
+    assert p.get(a_start) == 6               # closed WITHOUT the straggler
+
+    # gated path: the straggler emits late from the gate and EXTENDS
+    # session A — 7 events, end pushed to 00:00:20 + gap
+    ev2 = _user(ndjson.read_events_stream(spark, cfg,
+                                          max_files_per_trigger=1))
+    gated = stateful.session_window_counts_gated(
+        ev2, bound=2, key_col="user", gap="30 seconds")
+    q = (gated.writeStream.format("memory").queryName("gated_sessions")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck-gsess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    g = {r["session_start_ms"]: (r["n_events"], r["session_end_ms"])
+         for r in spark.table("gated_sessions").collect()}
+    assert g[a_start][0] == 7                # straggler absorbed
+    assert g[a_start][1] == a_start + 50_000  # 00:00:20 + 30 s gap
