@@ -249,19 +249,34 @@ def main():
 
     # 9c: persisted IVF x SQ8 index over the vector corpus — the
     # retrieval artifact the embed side ships (list pruning at file
-    # listing x quarter-width code rows); probe one vector and record
-    # recall@10 vs the exact baseline as the composition witness
+    # listing x quarter-width code rows); probe a small BATCH of
+    # vectors in one pruned scan (ivf_sq_probe_topk_batch, r9) and
+    # record mean recall@10 vs the exact baselines — the batched path
+    # exercised end-to-end, not just the single-query form
     ivfsq = out_dir + "/ivfsq-index"
     similarity.ivf_sq_index_write(emb, ivfsq, n_centroids=8)
-    q_vec = (emb.orderBy("vec_id").limit(1)
-             .select(F.col("embedding").alias("q_vec")))
-    exact_ids = {r["vec_id"] for r in
-                 similarity.brute_force_topk(emb, q_vec, k=10).collect()}
-    got_ids = {r["vec_id"] for r in similarity.ivf_sq_probe_topk(
-        spark, ivfsq, q_vec, k=10, n_probe=2).collect()}
-    summary["ivfsq_probe_recall_at_10"] = len(got_ids & exact_ids) / 10.0
-    print(f"[9c] IVF x SQ8 index built; probe recall@10 "
-          f"{summary['ivfsq_probe_recall_at_10']}", flush=True)
+    probes = emb.orderBy("vec_id").limit(3).collect()
+    q_batch = spark.createDataFrame(
+        [(str(r["vec_id"]), list(r["embedding"])) for r in probes],
+        "query_id string, q_vec array<float>")
+    got_by_q: dict = {}
+    for r in similarity.ivf_sq_probe_topk_batch(
+            spark, ivfsq, q_batch, k=10, n_probe=2).collect():
+        got_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for r in probes:
+        one = spark.createDataFrame([(list(r["embedding"]),)],
+                                    "q_vec array<float>")
+        exact = {x["vec_id"] for x in
+                 similarity.brute_force_topk(emb, one, k=10).collect()}
+        recalls.append(
+            len(got_by_q.get(str(r["vec_id"]), set()) & exact) / 10.0)
+    summary["ivfsq_probe_recall_at_10"] = round(
+        sum(recalls) / len(recalls), 3)
+    summary["ivfsq_probe_batch_size"] = len(probes)
+    print(f"[9c] IVF x SQ8 index built; batched probe mean recall@10 "
+          f"{summary['ivfsq_probe_recall_at_10']} over {len(probes)} "
+          "queries", flush=True)
 
     # 10: audit sketches — mergeable artifacts: distinct-token
     # cardinality (HLL) + corpus-membership filter (Bloom) with a
