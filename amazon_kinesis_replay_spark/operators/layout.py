@@ -157,6 +157,47 @@ def hilbert_py(x: int, y: int, bits: int) -> int:
     return d
 
 
+def hilbert_py_skilling(x: int, y: int, bits: int) -> int:
+    """INDEPENDENT second implementation of the same 2-D Hilbert index,
+    via Skilling's transpose algorithm ("Programming the Hilbert
+    Curve", AIP Conf. Proc. 707, 2004 — public): inverse-undo walk +
+    Gray decode on the coordinate words, then MSB-first interleave of
+    the transpose. Shares NO code or formulation with `hilbert_py`'s
+    rotation walk; equality over the full grid is test-pinned, and the
+    registry's kind='hilbert' oracle builds its lookup from THIS
+    function so the cross-engine gate checks two genuinely independent
+    curve derivations against each other."""
+    X = [x, y]
+    n = 2
+    m = 1 << (bits - 1)
+    q = m
+    while q > 1:                       # inverse undo
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):              # Gray encode
+        X[i] ^= X[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = 0                              # transpose -> index (MSB-first)
+    for b in range(bits - 1, -1, -1):
+        d = (d << 1) | ((X[0] >> b) & 1)
+        d = (d << 1) | ((X[1] >> b) & 1)
+    return d
+
+
 def hilbert_lookup(spark, bits: int = 8):
     """(zkey -> hkey) mapping for every cell of the 2^bits × 2^bits
     grid, as a broadcastable DataFrame (4^bits rows; bits=8 → 65,536 —

@@ -1862,6 +1862,16 @@ def q_dedup_exact(spark, sf_dir):
       the IDENTICAL shift arithmetic in DuckDB, emitted by
       `layout.zvalue_sql` — one bit-placement source of truth, qhist's
       independent-SQL gate class.
+    - kind='hilbert' (r9): the Hilbert layout key — the REAL
+      `layout_hilbert` machinery (zvalue interleave + broadcast
+      zkey→hkey lookup from `hilbert_py`'s rotation walk) on a 64×64
+      grid over the same (user, ms) quantization; keep_id = row count,
+      dup_count = Σhkey, span_start/span_end = min/max hkey. The
+      oracle's lookup is generated from `hilbert_py_skilling` —
+      Skilling's transpose algorithm, an INDEPENDENT formulation — so
+      the gate cross-checks two curve derivations on real data
+      (simhash gate class, with DuckDB's own zvalue_sql arithmetic
+      feeding the join key).
     - kind='bm25' (late r8): the retrieval family's sufficient
       statistics — the inverted index (`operators.retrieval.postings`)
       folded by term: keep_id = Σdf (postings rows), dup_count = Σtf
@@ -1943,6 +1953,26 @@ def q_dedup_exact(spark, sf_dir):
         F.lit("zorder").alias("kind"), F.col("keep_id"),
         F.col("dup_count").cast("long").alias("dup_count"),
         "span_start", "span_end")
+    # kind='hilbert' (r9): the REAL layout_hilbert machinery (zkey
+    # interleave + broadcast zkey->hkey lookup built from hilbert_py's
+    # rotation walk) on a 64x64 grid; the oracle joins a VALUES lookup
+    # built from the INDEPENDENT Skilling transpose implementation —
+    # the gate cross-checks two curve derivations on real data.
+    ev6 = (load(spark, sf_dir, "events")
+           .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+           .select(F.pmod(F.col("user_id"), F.lit(64)).alias("u"),
+                   F.pmod(F.unix_millis("ts"), F.lit(64)).alias("m")))
+    lut6 = layout.hilbert_lookup(spark, bits=6)
+    hi_rows = (ev6.select(
+        layout.zvalue([F.col("u"), F.col("m")], bits=6).alias("zkey"))
+        .join(F.broadcast(lut6), "zkey")
+        .agg(F.count("*").alias("keep_id"),
+             F.sum("hkey").alias("dup_count"),
+             F.min("hkey").alias("span_start"),
+             F.max("hkey").alias("span_end"))
+        .select(F.lit("hilbert").alias("kind"), F.col("keep_id"),
+                F.col("dup_count").cast("long").alias("dup_count"),
+                "span_start", "span_end"))
     # kind='bm25': single-scan two-level tree over the inverted index —
     # groupBy(term) folds postings into (df, ttf), then one global agg
     bm_rows = (retrieval.postings(d, "doc_id", "text")
@@ -1984,8 +2014,9 @@ def q_dedup_exact(spark, sf_dir):
                        F.length("chunk_text").cast("long")
                        .alias("span_end")))
     return (ex_rows.unionAll(sp_rows).unionAll(bl_rows)
-            .unionAll(qh_rows).unionAll(zo_rows).unionAll(bm_rows)
-            .unionAll(sq_rows).unionAll(sa_rows).unionAll(ch_rows))
+            .unionAll(qh_rows).unionAll(zo_rows).unionAll(hi_rows)
+            .unionAll(bm_rows).unionAll(sq_rows).unionAll(sa_rows)
+            .unionAll(ch_rows))
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -2244,7 +2275,38 @@ def _zorder_summary_sql() -> str:
                    ((CAST(epoch_ms(ts) AS BIGINT) % 256) + 256) % 256 AS m
             FROM events
             WHERE ts IS NOT NULL AND user_id IS NOT NULL))
-    """ + _BM25_SUMMARY_SQL + _SQ8_SUMMARY_SQL + _CHUNK_SUMMARY_SQL
+    """ + _hilbert_summary_sql() \
+        + _BM25_SUMMARY_SQL + _SQ8_SUMMARY_SQL + _CHUNK_SUMMARY_SQL
+
+
+def _hilbert_summary_sql() -> str:
+    """kind='hilbert' summary (r9) — the simhash/bloom gate class with a
+    twist: the zkey is DuckDB's own `zvalue_sql` arithmetic, and the
+    zkey->hkey map is a 4096-row VALUES lookup generated at oracle-build
+    time from `layout.hilbert_py_skilling` — Skilling's transpose
+    algorithm, a formulation INDEPENDENT of the rotation walk
+    (`hilbert_py`) that builds the engine's broadcast lookup. Agreement
+    of the two derivations over the whole 64x64 grid is what the hash
+    checks, on real event rows."""
+    from ..operators.layout import hilbert_py_skilling, zvalue_py, zvalue_sql
+    z = zvalue_sql(["u", "m"], bits=6)
+    vals = ", ".join(
+        f"({zvalue_py([x, y], 6)},{hilbert_py_skilling(x, y, 6)})"
+        for x in range(64) for y in range(64))
+    return f"""
+        UNION ALL
+        SELECT 'hilbert' AS kind,
+               CAST(count(*) AS BIGINT) AS keep_id,
+               CAST(sum(hkey) AS BIGINT) AS dup_count,
+               CAST(min(hkey) AS BIGINT) AS span_start,
+               CAST(max(hkey) AS BIGINT) AS span_end
+        FROM (SELECT {z} AS zkey FROM (
+            SELECT ((user_id % 64) + 64) % 64 AS u,
+                   ((CAST(epoch_ms(ts) AS BIGINT) % 64) + 64) % 64 AS m
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL))
+        JOIN (VALUES {vals}) AS lut(zkey, hkey) USING (zkey)
+    """
 
 
 #: kind='bm25' summary — independent SQL: DuckDB rebuilds the postings

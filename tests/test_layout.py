@@ -268,3 +268,24 @@ def test_hilbert_vs_morton_pruning_ab(spark, sf_dir, tmp_path):
     assert th <= tz, (f"Hilbert read MORE files than Morton on the "
                       f"fixed 20-box workload: hilbert={th} zorder={tz} "
                       f"— re-run the A/B and reconsider the option")
+
+
+def test_hilbert_skilling_twin_matches_rotation_walk():
+    """The two independent Hilbert derivations — the xy2d rotation walk
+    (hilbert_py) and Skilling's transpose algorithm
+    (hilbert_py_skilling) — agree on EVERY cell of the full grid at
+    bits 1..6 (the gate's operating point is 6) and on random cells at
+    bits=8. This equality is what the registry's kind='hilbert' oracle
+    relies on."""
+    import random
+    for bits in range(1, 7):
+        n = 1 << bits
+        for x in range(n):
+            for y in range(n):
+                assert (layout.hilbert_py_skilling(x, y, bits)
+                        == layout.hilbert_py(x, y, bits)), (bits, x, y)
+    rng = random.Random(11)
+    for _ in range(500):
+        x, y = rng.randrange(256), rng.randrange(256)
+        assert (layout.hilbert_py_skilling(x, y, 8)
+                == layout.hilbert_py(x, y, 8))
