@@ -1227,7 +1227,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         # candidate agg and the occurrence join — without it,
         # InferFiltersFromGenerate pushes a size()>0 predicate
         # containing the whole window-construction expression below
-        # the join input (the r6 contamination trap, CLAUDE.md).
+        # the join input (the r6 contamination trap).
         rows = rows.persist()
     cand_h = (rows.groupBy("__h").count()
               .filter(F.col("count") > 1).select("__h"))

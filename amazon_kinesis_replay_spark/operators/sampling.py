@@ -84,7 +84,8 @@ def temperature_mixture_rates(df: DataFrame, domain_col: str,
     T=2 (the default) evaluates as sqrt(w*n) — sqrt, multiply and
     divide are correctly-rounded IEEE ops, and the cross-domain total
     is summed in decimal(24,12) (exact, order-independent; the mirrored
-    double->decimal cast is the sanctioned CLAUDE.md exception), so an
+    double->decimal cast is the sanctioned mirrored-cast exception:
+    both engines round the same double to the same decimal), so an
     oracle SQL engine computes the identical rate_ppm. Other T values
     use pow() and are NOT bit-portable across engines (libm variance);
     they remain available for production use.

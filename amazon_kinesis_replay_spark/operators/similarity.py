@@ -259,7 +259,7 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
             "centroid_id", F.posexplode("vec").alias("pos", "x"))
         if exact:
             # mirrored double->decimal of unit-scale components (the
-            # sanctioned CLAUDE.md exception): the decimal SUM is order-
+            # sanctioned mirrored-cast exception): the decimal SUM is order-
             # independent and exact, its double cast correctly rounded —
             # identical in any engine
             m = F.sum(F.col("x").cast("double").cast(_PROD_DEC)) \
@@ -733,7 +733,7 @@ def kmeans_centroids_two_level(
             "coarse_id", "fine_id", F.posexplode("vec").alias("pos", "x"))
         if exact:
             # mirrored double->decimal of unit-scale components (the
-            # sanctioned CLAUDE.md exception, same as flat exact Lloyd)
+            # sanctioned mirrored-cast exception, same as flat exact Lloyd)
             m = F.sum(F.col("x").cast("double").cast(_PROD_DEC)) \
                 .cast("double").alias("m")
         else:

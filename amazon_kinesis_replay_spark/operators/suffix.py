@@ -63,9 +63,9 @@ def corpus_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # Join the doc-grain offsets BEFORE exploding: a generate feeding a
     # join trips InferFiltersFromGenerate (the whole token-array
     # expression re-evaluates inside an inferred size()>0 filter pushed
-    # below the join — CLAUDE.md trap, review finding); with the join at
-    # doc grain the explode is the LAST step and nothing is inferred
-    # from it.
+    # below the join — the r6 contamination trap, review finding); with
+    # the join at doc grain the explode is the LAST step and nothing is
+    # inferred from it.
     joined = t.join(offs.select(id_col, "__doc_off"), id_col)
     return (joined.select(
         F.col(id_col), F.col("__doc_off"),

@@ -976,7 +976,9 @@ def q_multi_resolution_rollup(spark, sf_dir):
                       F.lit(0).cast("long").alias("filled"))
     # minute feeds FOUR plan branches (spine-agg + join side of both
     # gap_fill legs): localCheckpoint cuts the duplicated lineage
-    # (CLAUDE.md multi-branch rule); bucket-grain, bounded rows
+    # (Catalyst plans are trees — shared lineage is duplicated per
+    # branch, and deep duplicated lineage can OOM driver-side plan
+    # analysis); bucket-grain, bounded rows
     minute = (roll.filter(F.col("resolution_s") == 60)
               .select("bucket_start_ms", "n_events").localCheckpoint())
     def _dense(mode, series):
@@ -1826,7 +1828,9 @@ _CLUSTERS_ORACLE = f"""
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup, two granularities under one kind discriminator
-    (registry is pinned at 50 entries — CLAUDE.md):
+    (the driver records correctness rows for only the first 50
+    registered queries, so the registry is pinned at 50 and new
+    coverage folds into existing entries as kinds):
 
     - kind='exact': hash-groupBy row dedup over a duplicated corpus
       (documents unioned with an id-shifted copy) -> representative id +
@@ -2524,8 +2528,7 @@ def q_embedding_stats(spark, sf_dir):
     # exception to the "never cast a double product to decimal" rule —
     # same audited pattern as similarity._PROD_DEC (12 fractional digits
     # capture the product closely enough that both engines round the same
-    # double to the same decimal); mirrored in the oracle SQL. See
-    # CLAUDE.md float rules.
+    # double to the same decimal); mirrored in the oracle SQL.
     sq = (xd * xd).cast("decimal(24,12)")
     return rows.groupBy("vec_id").agg(
         F.count("*").cast("long").alias("n_dims"),
@@ -2536,7 +2539,8 @@ def q_embedding_stats(spark, sf_dir):
 
 def q_pairwise_topk_per_label(spark, sf_dir):
     """Blocked pairwise-similarity surface, two methods under one kind
-    discriminator (registry pinned at 50 — CLAUDE.md):
+    discriminator (registry pinned at 50 — the driver's correctness
+    window):
 
     - kind='pair': within-label pairwise cosine top-3 (label equi-join
       blocks the quadratic term), over a deterministic 1-in-5 sample.

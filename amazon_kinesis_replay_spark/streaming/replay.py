@@ -275,7 +275,8 @@ class ReplayEngine:
             combined = batch
         # four downstream actions (cutoff, emit, state write, anchor agg)
         # over one frame: materialize once; ContextCleaner reclaims the
-        # blocks when the frame goes out of scope (CLAUDE.md rule)
+        # blocks when the frame goes out of scope (localCheckpoint, not
+        # persist: each branch would otherwise embed the full lineage)
         combined = combined.localCheckpoint()
         bound = max(1, self.cfg.reader_buffer_size)
         head = (combined.select("ts").orderBy(F.col("ts").desc())
