@@ -165,6 +165,30 @@ def main():
               f"({hits}/{n_ret}), {dt:5.2f}s for {len(queries)} queries",
               flush=True)
 
+    # ---- Batched probe amortization (r9): one pruned scan for all
+    # queries vs one scan per query — the number that justifies
+    # ivf_sq_probe_topk_batch's existence is measured, not claimed
+    seq_t0 = time.monotonic()
+    seq = {}
+    for qid, qdf in qdfs:
+        seq[qid] = [r["vec_id"] for r in S.ivf_sq_probe_topk(
+            spark, tmp + "/ivfsq", qdf, k=10, n_probe=2).collect()]
+    seq_dt = time.monotonic() - seq_t0
+    qb = full.filter(F.col("vec_id").isin(queries)).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("q_vec"))
+    bat_t0 = time.monotonic()
+    bat: dict = {}
+    for r in S.ivf_sq_probe_topk_batch(spark, tmp + "/ivfsq", qb,
+                                       k=10, n_probe=2).collect():
+        bat.setdefault(int(r["query_id"]), []).append(r["vec_id"])
+    bat_dt = time.monotonic() - bat_t0
+    same = all(sorted(seq[q]) == sorted(bat[q]) for q in queries)
+    print(f"ivfsq batched probe: {bat_dt:5.2f}s for {len(queries)} "
+          f"queries vs {seq_dt:5.2f}s sequential "
+          f"({seq_dt / max(bat_dt, 1e-9):.2f}x); results identical: "
+          f"{same}", flush=True)
+
     # ---- SemDeDup epsilon sweep (dup mass / cluster-confinement cost) ----
     from amazon_kinesis_replay_spark.operators import similarity
     emb = load(spark, sf_dir, "embeddings")
