@@ -235,6 +235,13 @@ def main():
     summary["total_tokens"] = back.agg(
         F.sum("bpe_tokens_count")).head()[0]
     summary["n_packs"] = back.select("split", "pack_id").distinct().count()
+    # export integrity (r9): persist the footer manifest next to the
+    # shards and run the loader-preflight diff — the artifact a 100 TB
+    # consumer checks before streaming a byte; (n_rows, footer_bytes)
+    # pairs surface missing/extra/rewritten shard files
+    export.write_manifest(spark, out_dir + "/shards")
+    summary["export_manifest_ok"] = bool(
+        export.verify_shards(spark, out_dir + "/shards")["ok"])
 
     # 9b: semantic dedup on the embeddings table — the vector-modality
     # pass a multimodal corpus runs beside the text pipeline, in its
