@@ -200,10 +200,10 @@ def gen_gc(spark, path: str, legacy_subs=(), keep: int = 2) -> None:
     committed generation shadows it, because the substring-index
     migration sweep parks in-flight deltas there and its fold rule
     requires the legacy root gone once carried (one-time migration,
-    not a steady-state rebuild cycle). Uncommitted husks older than
-    the latest committed generation are
-    collected (a crashed build is recomputable by contract); a build
-    newer than the latest commit is in progress and untouched.
+    not a steady-state rebuild cycle). Uncommitted husks older than the
+    latest committed generation are collected (a crashed build is
+    recomputable by contract); a build newer than the latest commit is
+    in progress and untouched.
     Idempotent and metadata-only; called from write paths after
     `gen_commit` — a crash between commit and GC just leaves the
     superseded generation for the next writer to collect."""
