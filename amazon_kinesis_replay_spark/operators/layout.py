@@ -198,6 +198,72 @@ def hilbert_py_skilling(x: int, y: int, bits: int) -> int:
     return d
 
 
+def hilbert_py_nd(coords: list[int], bits: int) -> int:
+    """n-DIMENSIONAL Hilbert index via the same Skilling transpose
+    algorithm (`hilbert_py_skilling` is its 2-D instance — equality
+    test-pinned): inverse-undo + Gray decode over the n coordinate
+    words, then MSB-first round-robin interleave. The n-D curve keeps
+    the defining properties (bijection over the 2^(n·bits) grid;
+    consecutive indices are grid neighbors — property-tested at 3-D and
+    4-D), which is what makes file boxes compact in every dimension."""
+    X = list(coords)
+    n = len(X)
+    m = 1 << (bits - 1)
+    q = m
+    while q > 1:                       # inverse undo
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):              # Gray encode
+        X[i] ^= X[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = 0                              # transpose -> index (MSB-first)
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            d = (d << 1) | ((X[i] >> b) & 1)
+    return d
+
+
+def hilbert_lookup_nd(spark, bits: int, dims: int):
+    """(zkey -> hkey) mapping for every cell of the dims-dimensional
+    2^bits grid, from the n-D Skilling walk. Broadcast-bounded: the
+    table is 2^(dims·bits) rows, capped at 2^16 (dims·bits <= 16 —
+    e.g. 3 dims x 5 bits = 32k cells, 4 x 4 = 65k). Beyond that, lower
+    bits: curve locality matters at FILE granularity, and even 100 TB
+    is only ~10^5 files — a 2^16-cell grid already over-resolves it."""
+    if dims < 2:
+        raise ValueError("hilbert needs >= 2 dimensions")
+    if dims * bits > 16:
+        raise ValueError(
+            f"hilbert_lookup_nd is 2^(dims*bits) rows; {dims}x{bits} = "
+            f"{dims * bits} key bits > 16 would broadcast >65k rows — "
+            "lower bits (locality is file-grain, not row-grain)")
+    n = 1 << bits
+    rows = []
+    def _walk(prefix):
+        if len(prefix) == dims:
+            rows.append((zvalue_py(prefix, bits),
+                         hilbert_py_nd(prefix, bits)))
+            return
+        for v in range(n):
+            _walk(prefix + [v])
+    _walk([])
+    return spark.createDataFrame(rows, "zkey long, hkey long")
+
+
 def hilbert_lookup(spark, bits: int = 8):
     """(zkey -> hkey) mapping for every cell of the 2^bits × 2^bits
     grid, as a broadcastable DataFrame (4^bits rows; bits=8 → 65,536 —
@@ -221,18 +287,25 @@ def hilbert_lookup(spark, bits: int = 8):
 
 def layout_hilbert(df: DataFrame, cols: list[Column], bits: int = 8,
                    n_partitions: int | None = None) -> DataFrame:
-    """`layout_zorder`'s Hilbert-curve sibling (2-D only): interleave
-    the two quantized columns into zkey, broadcast-join the
-    zkey→hkey lookup, range-cluster on hkey. Hilbert preserves
-    adjacency (consecutive curve positions are always grid neighbors —
-    property-tested), so file boxes are typically squarer than
-    Morton's; whether that buys pruning ON YOUR DATA is measured by the
-    witness test, not assumed."""
-    if len(cols) != 2:
-        raise ValueError("layout_hilbert supports exactly 2 dimensions "
-                         "(use layout_zorder for 1 or 3+)")
+    """`layout_zorder`'s Hilbert-curve sibling: interleave the
+    quantized columns into zkey, broadcast-join the zkey→hkey lookup,
+    range-cluster on hkey. Hilbert preserves adjacency (consecutive
+    curve positions are always grid neighbors — property-tested in 2-4
+    dims), so file boxes are typically squarer than Morton's; measured
+    on this repo's fixtures it reads ~25-40% fewer files for random
+    2-D boxes (`test_hilbert_vs_morton_pruning_ab`).
+
+    2 dims use the rotation-walk lookup (the cross-engine-gated form,
+    dedup_exact kind='hilbert'); 3+ dims (r9) use the n-D Skilling
+    lookup, whose 2-D instance is test-pinned equal to the rotation
+    walk. The broadcast cap is dims·bits <= 16 key bits — at file
+    granularity that grid already over-resolves a 100 TB export."""
+    if len(cols) < 2:
+        raise ValueError("layout_hilbert needs >= 2 dimensions "
+                         "(use layout_zorder for 1)")
     spark = df.sparkSession
-    lut = hilbert_lookup(spark, bits)
+    lut = (hilbert_lookup(spark, bits) if len(cols) == 2
+           else hilbert_lookup_nd(spark, bits, len(cols)))
     keyed = df.withColumn("zkey", zvalue(cols, bits)) \
         .join(F.broadcast(lut), "zkey")
     parts = ["hkey"] if n_partitions is None else [n_partitions, "hkey"]

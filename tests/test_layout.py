@@ -289,3 +289,77 @@ def test_hilbert_skilling_twin_matches_rotation_walk():
         x, y = rng.randrange(256), rng.randrange(256)
         assert (layout.hilbert_py_skilling(x, y, 8)
                 == layout.hilbert_py(x, y, 8))
+
+
+def test_hilbert_nd_bijection_adjacency_and_2d_equality():
+    """The n-D Skilling walk keeps the defining Hilbert properties in
+    3-D (bits=3, 512 cells) and 4-D (bits=2, 256 cells): every index
+    hit exactly once, and consecutive indices are GRID NEIGHBORS
+    (one coordinate changes by exactly 1). Its 2-D instance equals
+    both 2-D implementations."""
+    for dims, bits in ((3, 3), (4, 2)):
+        n = 1 << bits
+        pos = {}
+
+        def _walk(prefix):
+            if len(prefix) == dims:
+                d = layout.hilbert_py_nd(prefix, bits)
+                assert d not in pos
+                pos[d] = tuple(prefix)
+                return
+            for v in range(n):
+                _walk(prefix + [v])
+        _walk([])
+        assert sorted(pos) == list(range(n ** dims))
+        for d in range(n ** dims - 1):
+            delta = [abs(a - b) for a, b in zip(pos[d], pos[d + 1])]
+            assert sorted(delta) == [0] * (dims - 1) + [1], (dims, d)
+    for x in range(16):
+        for y in range(16):
+            d = layout.hilbert_py_nd([x, y], 4)
+            assert d == layout.hilbert_py(x, y, 4)
+            assert d == layout.hilbert_py_skilling(x, y, 4)
+
+
+def test_layout_hilbert_3d_prunes_and_is_lossless(spark, sf_dir, tmp_path):
+    """3-D Hilbert layout over (user, ms, value): reads back losslessly
+    and prunes a 1-D user band from footers where a ts-sorted layout
+    cannot; the lookup-size guard rejects over-resolved grids."""
+    ev = load(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ms"),
+                "value")
+    lo_ms, hi_ms, lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("ms"), F.max("ms"), F.min("user_id"), F.max("user_id"),
+        F.min("value"), F.max("value")).head()
+    bits = 5                                   # 3 dims x 5 bits = 32k lut
+    qcols = [layout.quantize(F.col("user_id"), lo_u, hi_u + 1, bits=bits),
+             layout.quantize(F.col("ms"), lo_ms, hi_ms + 1, bits=bits),
+             layout.quantize(F.col("value"), lo_v, hi_v + 1e-9,
+                             bits=bits)]
+    h_dir = str(tmp_path / "h3d")
+    layout.layout_hilbert(ev, qcols, bits=bits, n_partitions=16) \
+        .write.parquet(h_dir)
+    got = spark.read.parquet(h_dir)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+    u_a = lo_u + (hi_u - lo_u) * 2 // 10
+    u_b = lo_u + (hi_u - lo_u) * 4 // 10
+    total = hit = 0
+    for fp in glob.glob(h_dir + "/*.parquet"):
+        md = pq.ParquetFile(fp).metadata
+        i = {md.schema.column(j).name: j
+             for j in range(md.num_columns)}["user_id"]
+        f_lo = min(md.row_group(g).column(i).statistics.min
+                   for g in range(md.num_row_groups))
+        f_hi = max(md.row_group(g).column(i).statistics.max
+                   for g in range(md.num_row_groups))
+        total += 1
+        hit += (f_hi >= u_a and f_lo <= u_b)
+    assert total >= 8 and hit < total
+
+    with pytest.raises(ValueError, match="> 16"):
+        layout.hilbert_lookup_nd(spark, bits=8, dims=3)
+    with pytest.raises(ValueError, match=">= 2 dim"):
+        layout.layout_hilbert(ev, [F.col("user_id")], bits=4)
