@@ -26,9 +26,10 @@
   9. sharded export                    (export.write_training_shards)
   10. corpus audit sketch              (sketches.hll_register_table —
       distinct-token estimate, a mergeable artifact)
-  10b. z-ordered audit table           (layout.layout_zorder over
+  10b. Hilbert-ordered audit table     (layout.layout_hilbert over
       (quality prob, doc length) — the analytic multi-predicate
-      layout beside the sequential training shards)
+      layout beside the sequential training shards; Hilbert over
+      Morton per the measured r9 pruning A/B)
 
 Usage: python tools/curate.py [sf_dir] [out_dir]
 
@@ -301,16 +302,19 @@ def main():
     summary["bloom_membership_ok"] = bool(
         probed.filter("NOT maybe_present").count() == 0)
 
-    # 10b: z-ordered audit table — per-doc curation metrics laid out for
-    # MULTI-predicate inspection ("low-probability AND long docs"): the
-    # analytic consumption layout, beside the sequential training shards
+    # 10b: curve-ordered audit table — per-doc curation metrics laid out
+    # for MULTI-predicate inspection ("low-probability AND long docs"):
+    # the analytic consumption layout, beside the sequential training
+    # shards. Hilbert, not Morton: the r9 A/B measured ~26% fewer files
+    # read for random 2-D boxes (test_hilbert_vs_morton_pruning_ab) —
+    # the pipeline ships the measured winner.
     from amazon_kinesis_replay_spark.operators import layout
     audit = (clean.join(probs, "doc_id")
              .select("doc_id", "split", "prob",
                      text.token_count(F.col("text")).alias("dl")))
     qcols = [layout.quantize(F.col("prob"), 0.0, 1.0, bits=8),
              layout.quantize(F.col("dl"), 0, 4096, bits=8)]
-    layout.layout_zorder(audit, qcols, bits=8, n_partitions=8) \
+    layout.layout_hilbert(audit, qcols, bits=8, n_partitions=8) \
         .write.mode("overwrite").parquet(out_dir + "/audit")
     import glob as _glob
 
@@ -331,7 +335,7 @@ def main():
         hit += ok
     summary["audit_files"] = len(a_files)
     summary["audit_files_for_lowq_long_box"] = hit
-    print(f"[10b] z-ordered audit: {hit}/{len(a_files)} files overlap "
+    print(f"[10b] hilbert audit: {hit}/{len(a_files)} files overlap "
           "the low-quality+long box", flush=True)
     summary["wall_s"] = round(time.monotonic() - t0, 2)
     print(json.dumps(summary), flush=True)
