@@ -363,3 +363,17 @@ def test_layout_hilbert_3d_prunes_and_is_lossless(spark, sf_dir, tmp_path):
         layout.hilbert_lookup_nd(spark, bits=8, dims=3)
     with pytest.raises(ValueError, match=">= 2 dim"):
         layout.layout_hilbert(ev, [F.col("user_id")], bits=4)
+
+
+def test_layout_hilbert_plan_broadcasts_lookup(spark, sf_dir):
+    """The zkey->hkey lookup must ride a BROADCAST join — a silent
+    regression to a shuffle join would add an exchange of the corpus
+    on zkey just to map 65k grid cells."""
+    ev = load(spark, sf_dir, "events") \
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ms"))
+    qcols = [layout.quantize(F.col("user_id"), 0, 1000, bits=6),
+             layout.quantize(F.col("ms"), 0, 2_000_000_000_000, bits=6)]
+    out = layout.layout_hilbert(ev, qcols, bits=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
