@@ -207,7 +207,7 @@ def test_layout_hilbert_prunes_and_is_lossless(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()
     assert got.distinct().count() == ev.count()
 
-    with pytest.raises(ValueError, match="exactly 2"):
+    with pytest.raises(ValueError, match=">= 2 dim"):
         layout.layout_hilbert(ev, [F.col("user_id")], bits=6)
     with pytest.raises(ValueError, match="4\\^bits"):
         layout.hilbert_lookup(spark, bits=11)
