@@ -740,14 +740,17 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
-def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes]:
-    """(sample_rate, channels, bits_per_sample, pcm_data) from a RIFF/WAVE
-    payload — chunk-walks the container, so extra chunks (LIST, fact, cue)
-    before or after fmt/data are handled."""
+def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes, int]:
+    """(sample_rate, channels, bits_per_sample, data, format_code) from a
+    RIFF/WAVE payload — chunk-walks the container, so extra chunks (LIST,
+    fact, cue) before or after fmt/data are handled. A
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt chunk resolves to the real code
+    from the SubFormat GUID's leading two bytes (the spec encodes the
+    classic code there)."""
     import struct
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    rate = channels = bits = None
+    rate = channels = bits = fmt = None
     data = b""
     i = 12
     while i + 8 <= len(raw):
@@ -755,33 +758,112 @@ def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes]:
         csz = struct.unpack_from("<I", raw, i + 4)[0]
         body = raw[i + 8:i + 8 + csz]
         if cid == b"fmt " and len(body) >= 16:
-            _fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt == 0xFFFE and len(body) >= 26:     # EXTENSIBLE
+                fmt = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
             data = body
         i += 8 + csz + (csz & 1)            # chunks are word-aligned
     if rate is None or not rate or not channels or not bits:
         raise ValueError("WAV missing or malformed fmt chunk")
-    return int(rate), int(channels), int(bits), data
+    return int(rate), int(channels), int(bits), data, int(fmt)
 
 
-def _band_energies(pcm: bytes, bits: int, channels: int,
-                   n_bands: int = 13) -> list[float]:
-    """Log band energies of the (mono-mixed) PCM16 signal via numpy rfft —
-    a real, deterministic spectral feature in the MFCC shape (true MFCCs
-    need a mel filterbank + DCT; the plumbing and dimensionality are
-    identical)."""
+def _g711_tables():
+    """(mu-law, A-law) byte->int16 decode tables from the ITU G.711
+    expansion formulas (the Sun g711.c public-domain formulation):
+    mu-law: complement, then ((mantissa<<3)+0x84)<<exponent biased back;
+    A-law: XOR 0x55, segment 0 adds the half-step, higher segments shift
+    the biased mantissa. Anchors pinned by test: mu 0x00 -> -32124,
+    0xFF -> 0; A 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256, 0xAA -> +32256."""
     import numpy as np
-    if bits != 16 or not pcm:
+    mu = np.empty(256, dtype=np.int16)
+    for c in range(256):
+        u = ~c & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        mu[c] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    al = np.empty(256, dtype=np.int16)
+    for c in range(256):
+        a = c ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[c] = t if (a & 0x80) else -t
+    return mu, al
+
+
+_G711 = None
+
+
+def _wav_mono_f64(raw: bytes, max_frames: int | None = None):
+    """Decode a RIFF/WAVE payload to (rate, channels, total_frames,
+    mono float64 signal in int16 scale). Format support — all from the
+    public specs, no codec library: integer PCM at 8 (unsigned) / 16 /
+    24 / 32 bits, IEEE float32 (format 3), A-law (6) and mu-law (7,
+    both via the G.711 tables); anything else raises loudly. channels
+    average to mono; `max_frames` truncates the RETURNED signal only
+    (total_frames stays exact for duration math)."""
+    import numpy as np
+    global _G711
+    rate, channels, bits, pcm, fmt = _parse_wav(raw)
+    if fmt == 1:
+        if bits == 16:
+            a = np.frombuffer(pcm[:len(pcm) & ~1], dtype="<i2") \
+                .astype(np.float64)
+        elif bits == 8:                     # WAV 8-bit PCM is unsigned
+            a = np.frombuffer(pcm, dtype=np.uint8) \
+                .astype(np.float64) * 256.0 - 32768.0
+        elif bits == 24:
+            b = np.frombuffer(pcm[:len(pcm) - len(pcm) % 3],
+                              dtype=np.uint8).reshape(-1, 3)
+            v = (b[:, 0].astype(np.int64) | (b[:, 1].astype(np.int64) << 8)
+                 | (b[:, 2].astype(np.int64) << 16))
+            v[v >= 1 << 23] -= 1 << 24
+            a = v.astype(np.float64) / 256.0       # back to int16 scale
+        elif bits == 32:
+            a = np.frombuffer(pcm[:len(pcm) & ~3], dtype="<i4") \
+                .astype(np.float64) / 65536.0
+        else:
+            raise NotImplementedError(
+                f"{bits}-bit integer-PCM WAV not supported (8/16/24/32)")
+    elif fmt == 3 and bits == 32:
+        a = np.frombuffer(pcm[:len(pcm) & ~3], dtype="<f4") \
+            .astype(np.float64) * 32767.0
+    elif fmt in (6, 7) and bits == 8:
+        if _G711 is None:
+            _G711 = _g711_tables()
+        table = _G711[1] if fmt == 6 else _G711[0]
+        a = table[np.frombuffer(pcm, dtype=np.uint8)].astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format code {fmt} at {bits}-bit not supported "
+            "(integer PCM 8/16/24/32, float32, A-law, mu-law)")
+    n = len(a) // channels * channels
+    total_frames = n // channels
+    frames = total_frames
+    if max_frames is not None and frames > max_frames:
+        frames = max_frames
+    trimmed = a[:frames * channels]
+    mono = (trimmed.reshape(-1, channels).mean(axis=1)
+            if channels > 1 else trimmed)
+    return rate, channels, total_frames, mono
+
+
+def _band_energies(mono, n_bands: int = 13) -> list[float]:
+    """Log band energies of a mono float64 signal (int16 scale) via
+    numpy rfft — a real, deterministic spectral feature in the MFCC
+    shape (true MFCCs need a mel filterbank + DCT; the plumbing and
+    dimensionality are identical)."""
+    import numpy as np
+    if len(mono) == 0:
         return [0.0] * n_bands
-    x = np.frombuffer(pcm[:2 * channels * 65536], dtype="<i2") \
-        .astype(np.float64)
-    if channels > 1:
-        usable = len(x) // channels * channels
-        x = x[:usable].reshape(-1, channels).mean(axis=1)
-    if len(x) == 0:
-        return [0.0] * n_bands
-    spec = np.abs(np.fft.rfft(x))
+    spec = np.abs(np.fft.rfft(mono))
     bands = np.array_split(spec, n_bands)
     return [round(float(np.log1p(b.mean())) if len(b) else 0.0, 6)
             for b in bands]
@@ -792,19 +874,23 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
 
     The real path chunk-walks RIFF/WAVE headers (sample rate, channels,
     bit depth, exact duration from the data chunk) and computes 13 log
-    band energies over the PCM via numpy FFT; compressed audio raises
-    NotImplementedError from the kernel (torchaudio/librosa not
-    installed). fake=True substitutes the digest-derived fake decoder."""
+    band energies over the decoded signal via numpy FFT. Supported WAV
+    encodings (r9 — public specs, no codec library): integer PCM
+    8/16/24/32-bit, IEEE float32, and G.711 A-law / mu-law (telephony
+    corpora ship as G.711-in-WAV); perceptual codecs (MP3/AAC/Opus/FLAC)
+    raise NotImplementedError from the kernel. fake=True substitutes the
+    digest-derived fake decoder."""
 
     def _real_one(raw: bytes):
         if raw[:4] != b"RIFF":
             raise NotImplementedError(
-                f"unsupported audio magic {raw[:4]!r}: only uncompressed "
-                "WAV decodes without a codec library; pass fake=True for "
+                f"unsupported audio magic {raw[:4]!r}: only WAV decodes "
+                "without a codec library; pass fake=True for "
                 "the deterministic test decoder")
-        rate, channels, bits, pcm = _parse_wav(raw)
-        duration = len(pcm) / (rate * channels * max(bits // 8, 1))
-        return rate, round(duration, 6), _band_energies(pcm, bits, channels)
+        rate, _ch, total_frames, mono = _wav_mono_f64(raw,
+                                                      max_frames=65536)
+        duration = total_frames / rate
+        return rate, round(duration, 6), _band_energies(mono)
 
     def _fake_one(raw: bytes):
         digest = hashlib.sha1(raw).digest()
@@ -862,21 +948,10 @@ def resample_audio(df: DataFrame, out_rate: int,
             return 8000, a.astype(np.float64)
         if raw[:4] != b"RIFF":
             raise NotImplementedError(
-                f"unsupported audio magic {raw[:4]!r}: only uncompressed "
-                "WAV resamples without a codec library; pass fake=True "
+                f"unsupported audio magic {raw[:4]!r}: only WAV "
+                "resamples without a codec library; pass fake=True "
                 "for the deterministic test path")
-        rate, channels, bits, pcm = _parse_wav(raw)
-        if bits == 16:
-            a = np.frombuffer(pcm[:len(pcm) & ~1], dtype="<i2") \
-                .astype(np.float64)
-        elif bits == 8:                        # WAV 8-bit is unsigned
-            a = np.frombuffer(pcm, dtype=np.uint8) \
-                .astype(np.float64) * 256.0 - 32768.0
-        else:
-            raise NotImplementedError(
-                f"{bits}-bit WAV not supported (8/16 only)")
-        n = (len(a) // channels) * channels
-        mono = a[:n].reshape(-1, channels).mean(axis=1)
+        rate, _ch, _frames, mono = _wav_mono_f64(raw)
         return rate, mono
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

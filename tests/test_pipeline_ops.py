@@ -2378,3 +2378,98 @@ def test_semantic_index_swap_heal_rollback_and_rollforward(spark, sf_dir,
         spark, b0.limit(10), path, 0.4, append=False)
     out.count()                                   # read succeeds post-heal
     assert fsutil.exists(spark, path + "/meta")
+
+
+def _wav_bytes_fmt(rate, channels, fmt_code, bits, body,
+                   extensible=False):
+    """RIFF/WAVE with an arbitrary format code / bit depth / raw data
+    body; extensible=True wraps the code in WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE + SubFormat GUID leading bytes)."""
+    import struct
+    if extensible:
+        sub = struct.pack("<H", fmt_code) + b"\x00" * 14
+        fmt = struct.pack("<HHIIHH", 0xFFFE, channels, rate,
+                          rate * channels * max(bits // 8, 1),
+                          channels * max(bits // 8, 1), bits) \
+            + struct.pack("<HHI", 22, bits, 0x4) + sub
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                          rate * channels * max(bits // 8, 1),
+                          channels * max(bits // 8, 1), bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_tables_match_itu_anchors():
+    """The mu-law / A-law expansion tables hit the ITU G.711 anchor
+    values (Sun g711.c formulation): mu 0x00 -> -32124, 0xFF -> 0,
+    0x7F -> 0 (negative zero); A 0x55 -> -8, 0xD5 -> +8,
+    0x2A -> -32256, 0xAA -> +32256. Both are odd-symmetric."""
+    mu, al = multimodal._g711_tables()
+    assert mu[0x00] == -32124 and mu[0x80] == 32124
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert al[0x55] == -8 and al[0xD5] == 8
+    assert al[0x2A] == -32256 and al[0xAA] == 32256
+    for c in range(128):
+        assert mu[c] == -mu[c | 0x80]
+        assert al[c ^ 0x55] == -al[(c ^ 0x55) | 0x80]
+
+
+def test_wav_format_family_decodes(spark):
+    """r9 gate-closure: float32, 24-bit PCM, G.711 mu-law/A-law, and
+    WAVE_FORMAT_EXTENSIBLE payloads all decode on the REAL path —
+    same tone, same dominant FFT band as the PCM16 baseline — and the
+    perceptual-codec gate still raises loudly."""
+    import math
+    import struct
+
+    import numpy as np
+    import pytest
+    rate, n = 8000, 4096
+    tone = [math.sin(2 * math.pi * 440 * i / rate) for i in range(n)]
+    pcm16 = _wav_bytes(rate, 1, [int(10000 * v) for v in tone])
+
+    f32 = _wav_bytes_fmt(rate, 1, 3, 32,
+                         struct.pack(f"<{n}f", *(0.3 * v for v in tone)))
+    i24 = _wav_bytes_fmt(
+        rate, 1, 1, 24,
+        b"".join(struct.pack("<i", int(2_000_000 * v))[:3] for v in tone))
+    mu_t, al_t = multimodal._g711_tables()
+
+    def _nearest_code(table, x):
+        return int(np.argmin(np.abs(table.astype(np.int64) - x)))
+    ulaw = _wav_bytes_fmt(rate, 1, 7, 8, bytes(
+        _nearest_code(mu_t, int(10000 * v)) for v in tone))
+    alaw = _wav_bytes_fmt(rate, 1, 6, 8, bytes(
+        _nearest_code(al_t, int(10000 * v)) for v in tone))
+    ext16 = _wav_bytes_fmt(
+        rate, 1, 1, 16,
+        struct.pack(f"<{n}h", *(int(10000 * v) for v in tone)),
+        extensible=True)
+
+    rows = [(i, bytearray(b)) for i, b in enumerate(
+        (pcm16, f32, i24, ulaw, alaw, ext16))]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r["media_id"]: r for r in
+           multimodal.decode_audio(media).collect()}
+    base_band = got[0]["mfcc"].index(max(got[0]["mfcc"]))
+    assert base_band == 1                      # 440 Hz of 0-4 kHz
+    for mid in range(1, 6):
+        assert got[mid]["sample_rate"] == rate
+        assert abs(got[mid]["duration_s"] - n / rate) < 1e-6, mid
+        assert got[mid]["mfcc"].index(max(got[mid]["mfcc"])) \
+            == base_band, mid
+
+    # resample accepts the new formats too (mu-law down to 4 kHz)
+    out = multimodal.resample_audio(
+        spark.createDataFrame([(9, bytearray(ulaw))],
+                              "media_id long, data binary"), 4000).head()
+    assert (out["sample_rate"], out["n_samples"]) == (4000, n // 2)
+
+    # perceptual codecs still gate loudly
+    flac = _wav_bytes_fmt(rate, 1, 0xF1AC, 16, b"\x00" * 64)
+    with pytest.raises(Exception, match="format code"):
+        multimodal.decode_audio(
+            spark.createDataFrame([(8, bytearray(flac))],
+                                  "media_id long, data binary")).collect()
