@@ -13,8 +13,10 @@ Decode coverage:
   the overwhelming majority of real image corpora), BMP and PPM/PGM
   image headers + pixel-histogram features; WAV (RIFF) audio headers +
   numpy-FFT band-energy features.
-- STUBBED (codec genuinely unavailable in this container): progressive
-  JPEG, compressed audio, and video codec frames (ffmpeg). Those raise
+- STUBBED (codec genuinely unavailable in this container): perceptual
+  audio codecs (MP3/AAC/Opus/FLAC) and video codec frames (ffmpeg) —
+  progressive JPEG decodes natively since r9 (functions/jpeg.py §G) and
+  G.711-in-WAV since r9 too. The remaining stubs raise
   NotImplementedError; `fake=True` substitutes a deterministic fake
   decoder so the Spark-side plumbing (schema, batching, partitioning)
   stays fully real and testable for them.
@@ -455,7 +457,7 @@ def _decode_pixels(raw: bytes) -> tuple[int, int, bytes]:
         f"unsupported image magic {raw[:4]!r}: PNG, baseline JPEG, and "
         "GIF (pure-Python codecs, functions/jpeg.py + functions/gif.py) "
         "and uncompressed BMP/PPM/PGM decode without a third-party "
-        "library; progressive JPEG raises from the codec; pass "
+        "library (JPEG covers baseline AND progressive since r9); pass "
         "fake=True for the deterministic test decoder")
 
 

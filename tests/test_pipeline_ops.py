@@ -596,10 +596,15 @@ def test_jpeg_codec_failure_modes():
     blob = jpeg.encode_jpeg(8, 8, img.tobytes())
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"\x89PNG" + blob)
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: the stream becomes MALFORMED progressive (its
+    # baseline full-range interleaved scan is illegal under SOF2 — a
+    # progressive DC scan must have Se=0), so it still fails loudly
     sof = blob.find(b"\xff\xc0")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se"):
         jpeg.decode_jpeg(blob[:sof + 1] + b"\xc2" + blob[sof + 2:])
+    # genuinely unsupported frame types still gate: SOF3 lossless
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg.decode_jpeg(blob[:sof + 1] + b"\xc3" + blob[sof + 2:])
     # truncate mid-entropy-stream: reader exhausts mid-symbol (noise
     # content so the scan data vastly exceeds the single kept byte)
     rng = np.random.default_rng(3)
@@ -2473,3 +2478,56 @@ def test_wav_format_family_decodes(spark):
         multimodal.decode_audio(
             spark.createDataFrame([(8, bytearray(flac))],
                                   "media_id long, data binary")).collect()
+
+
+def test_jpeg_progressive_equals_baseline_exactly():
+    """The progressive decoder's exact-equality witness: a
+    spectral-selection SOF2 stream carries IDENTICAL quantized
+    coefficients to the baseline stream of the same raster, so both
+    must decode to byte-equal pixels — gray and color, dims off the
+    8-multiple grid."""
+    import numpy as np
+    from amazon_kinesis_replay_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg)
+    rng = np.random.default_rng(5)
+    for gray in (False, True):
+        for w, h in ((16, 16), (24, 17), (9, 30)):
+            nch = 1 if gray else 3
+            pix = rng.integers(0, 256, (h, w, nch), np.uint8).tobytes()
+            base = decode_jpeg(encode_jpeg(w, h, pix, gray=gray))
+            prog = decode_jpeg(encode_jpeg(w, h, pix, gray=gray,
+                                           progressive=True))
+            assert base == prog, (gray, w, h)
+
+
+def test_jpeg_progressive_decodes_foreign_libjpeg_fixtures():
+    """Successive-approximation witness: REAL progressive JPEGs (libjpeg
+    output shipped in this container's nodejs docs) exercise the DC/AC
+    refinement scan paths. Dimensions are cross-checked against an
+    independent SOF2 header parse, and the known content ('white
+    stripe' images) pins gross pixel correctness: a refinement-logic
+    bug scrambles the raster, which cannot stay >80% pure white."""
+    import os
+    import struct
+
+    import numpy as np
+    import pytest
+    from amazon_kinesis_replay_spark.functions.jpeg import decode_jpeg
+    fixtures = ["/usr/share/doc/nodejs/thin-white-stripe.jpg",
+                "/usr/share/doc/nodejs/full-white-stripe.jpg"]
+    found = [p for p in fixtures if os.path.exists(p)]
+    if not found:
+        pytest.skip("no system progressive-JPEG fixture available")
+    for p in found:
+        raw = open(p, "rb").read()
+        # independent dims from the SOF2 segment
+        i = raw.find(b"\xff\xc2")
+        assert i > 0, "fixture is not progressive"
+        eh, ew = struct.unpack_from(">HH", raw, i + 5)
+        w, h, pix = decode_jpeg(raw)
+        assert (w, h) == (ew, eh)
+        img = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+        white = float((img.mean(axis=2) >= 250).mean())
+        assert white > 0.8, (p, white)
+        # determinism
+        assert decode_jpeg(raw)[2] == pix
