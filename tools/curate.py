@@ -6,6 +6,8 @@
   2. n-gram LM fit scoring             (ngram_lm_counts/ngram_lm_score)
   2b. distill the quality signal into a reusable linear classifier
       (classifier.logreg_train/logreg_score) and gate near-certain junk
+  2c. precision-calibrated threshold witness (threshold_for_precision
+      over a bounded validation set with decile-synthesized labels)
   3. PII redaction                     (text.pii_redact)
   4. near-dup detection (MinHash-LSH)  (dedup.minhash_dedup)
   5. clustering, KEEP THE BEST copy    (dedup.dedup_clusters(quality=))
@@ -114,6 +116,30 @@ def main():
     summary["docs_after_clf_gate"] = docs.count()
     print(f"[2b] classifier agreement {summary['clf_agreement']}, "
           f"{summary['docs_after_clf_gate']} docs pass the junk gate",
+          flush=True)
+
+    # 2c (r9): precision-calibrated threshold on a BOUNDED validation
+    # set — labels synthesized from the expensive multi-signal score's
+    # extreme deciles (top decile = good, bottom = junk; the regime
+    # where heuristic labels are most trustworthy), hash-sampled to
+    # ~2000 rows so threshold_for_precision's unpartitioned calibration
+    # window never sees corpus-scale input. Recorded, not applied: the
+    # junk gate stays keep-frac-calibrated (2b); this witnesses the
+    # second calibration surface end-to-end.
+    lo_d, hi_d = quality.approxQuantile("score", [0.1, 0.9], 0.0)
+    val0 = (probs.join(quality, "doc_id")
+            .filter((F.col("score") <= lo_d) | (F.col("score") >= hi_d))
+            .withColumn("label", (F.col("score") >= hi_d).cast("int")))
+    n_val = val0.count()
+    rate = max(1, min(100, (100 * 2000) // max(n_val, 1)))
+    val = val0.filter(
+        F.pmod(F.xxhash64(F.lit(13), F.col("doc_id")), F.lit(100)) < rate)
+    t80 = classifier.threshold_for_precision(val, "label",
+                                             min_precision=0.8)
+    summary["threshold_p80"] = round(t80, 6) if t80 is not None else None
+    summary["calibration_rows"] = val.count()
+    print(f"[2c] precision>=0.8 threshold {summary['threshold_p80']} "
+          f"from {summary['calibration_rows']} synthesized-label rows",
           flush=True)
 
     # 3: PII redaction (clean_text replaces text downstream)
