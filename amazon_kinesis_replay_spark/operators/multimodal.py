@@ -11,8 +11,11 @@ Decode coverage:
   (marker walk, Huffman entropy decode, dequant + numpy IDCT, chroma
   upsample, YCbCr->RGB — functions/jpeg.py; together these two cover
   the overwhelming majority of real image corpora), BMP and PPM/PGM
-  image headers + pixel-histogram features; WAV (RIFF) audio headers +
-  numpy-FFT band-energy features.
+  image headers + pixel-histogram features; WAV (RIFF), Sun AU and
+  AIFF/AIFC audio containers (integer PCM 8-32, float32, G.711
+  A-law/mu-law, 'sowt', WAVE_FORMAT_EXTENSIBLE) + numpy-FFT
+  band-energy features — cross-container decode pinned byte-exact at
+  24/32-bit on real CPython audiodata fixtures.
 - STUBBED (codec genuinely unavailable in this container): perceptual
   audio codecs (MP3/AAC/Opus/FLAC) and video codec frames (ffmpeg) —
   progressive JPEG decodes natively since r9 (functions/jpeg.py §G) and
@@ -803,6 +806,162 @@ def _g711_tables():
 _G711 = None
 
 
+def _parse_ieee_extended(b: bytes) -> float:
+    """80-bit IEEE 754 extended-precision float (big-endian) — the
+    AIFF COMM chunk's sample-rate encoding (Apple IFF spec): 1 sign +
+    15 exponent + 64 explicit-integer-bit mantissa."""
+    import struct
+    e = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    if (e & 0x7FFF) == 0 and mant == 0:
+        return 0.0
+    v = mant * 2.0 ** ((e & 0x7FFF) - 16383 - 63)
+    return -v if e & 0x8000 else v
+
+
+def _pcm_be_to_f64(body: bytes, bits: int):
+    """Signed BIG-endian integer PCM (the AU/AIFF byte order) to
+    float64 in int16 scale."""
+    import numpy as np
+    if bits == 16:
+        return np.frombuffer(body[:len(body) & ~1], dtype=">i2") \
+            .astype(np.float64)
+    if bits == 8:                       # AU/AIFF 8-bit PCM is SIGNED
+        return np.frombuffer(body, dtype=np.int8) \
+            .astype(np.float64) * 256.0
+    if bits == 24:
+        b = np.frombuffer(body[:len(body) - len(body) % 3],
+                          dtype=np.uint8).reshape(-1, 3)
+        v = ((b[:, 0].astype(np.int64) << 16)
+             | (b[:, 1].astype(np.int64) << 8) | b[:, 2].astype(np.int64))
+        v[v >= 1 << 23] -= 1 << 24
+        return v.astype(np.float64) / 256.0
+    if bits == 32:
+        return np.frombuffer(body[:len(body) & ~3], dtype=">i4") \
+            .astype(np.float64) / 65536.0
+    raise NotImplementedError(
+        f"{bits}-bit big-endian PCM not supported (8/16/24/32)")
+
+
+def _g711_decode(body: bytes, fmt: int):
+    import numpy as np
+    global _G711
+    if _G711 is None:
+        _G711 = _g711_tables()
+    table = _G711[1] if fmt == 6 else _G711[0]   # 6=A-law else mu-law
+    return table[np.frombuffer(body, dtype=np.uint8)].astype(np.float64)
+
+
+def _au_mono_f64(raw: bytes, max_frames: int | None = None):
+    """Sun/NeXT AU (.snd) decode to the `_wav_mono_f64` contract. The
+    header is six big-endian u32 words (magic, data offset, data size,
+    encoding, rate, channels — the public Sun audio spec); encodings
+    covered: mu-law(1), signed PCM 8/16/24/32 (2-5), float32(6),
+    A-law(27)."""
+    import struct
+
+    import numpy as np
+    if len(raw) < 24 or raw[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", raw[4:24])
+    end = len(raw) if size in (0, 0xFFFFFFFF) else min(len(raw), off + size)
+    body = raw[off:end]
+    if enc == 1:
+        a = _g711_decode(body, 7)
+    elif enc in (2, 3, 4, 5):
+        a = _pcm_be_to_f64(body, (enc - 1) * 8)
+    elif enc == 6:
+        a = np.frombuffer(body[:len(body) & ~3], dtype=">f4") \
+            .astype(np.float64) * 32767.0
+    elif enc == 27:
+        a = _g711_decode(body, 6)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} not supported (mu-law, PCM 8-32, "
+            "float32, A-law)")
+    return _mono_trim(a, channels, rate, max_frames)
+
+
+def _aiff_mono_f64(raw: bytes, max_frames: int | None = None):
+    """AIFF / AIFF-C decode to the `_wav_mono_f64` contract: IFF chunk
+    walk (COMM carries channels/frames/bits + the 80-bit-float rate,
+    AIFC adds a compression 4cc), SSND carries the samples after its
+    offset/blocksize words. Covered: uncompressed signed BE PCM
+    8/16/24/32 ('NONE'), 'sowt' little-endian PCM16, G.711
+    'ulaw'/'alaw' (either case)."""
+    import struct
+
+    import numpy as np
+    if len(raw) < 12 or raw[:4] != b"FORM" or raw[8:12] not in (b"AIFF",
+                                                                b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    channels = bits = None
+    rate = 0.0
+    comp = b"NONE"
+    body = b""
+    i = 12
+    while i + 8 <= len(raw):
+        cid = raw[i:i + 4]
+        csz = struct.unpack_from(">I", raw, i + 4)[0]
+        chunk = raw[i + 8:i + 8 + csz]
+        if cid == b"COMM" and len(chunk) >= 18:
+            channels, _frames, bits = struct.unpack_from(">HIH", chunk, 0)
+            rate = _parse_ieee_extended(chunk[8:18])
+            if len(chunk) >= 22:                     # AIFC
+                comp = chunk[18:22]
+        elif cid == b"SSND" and len(chunk) >= 8:
+            data_off = struct.unpack_from(">I", chunk, 0)[0]
+            body = chunk[8 + data_off:]
+        i += 8 + csz + (csz & 1)                     # chunks word-align
+    if not channels or not rate or bits is None:
+        raise ValueError("AIFF missing or malformed COMM chunk")
+    if comp in (b"NONE", b"\x00\x00\x00\x00"):
+        a = _pcm_be_to_f64(body, int(bits))
+    elif comp == b"sowt":                            # LE PCM16
+        a = np.frombuffer(body[:len(body) & ~1], dtype="<i2") \
+            .astype(np.float64)
+    elif comp.lower() == b"ulaw":
+        a = _g711_decode(body, 7)
+    elif comp.lower() == b"alaw":
+        a = _g711_decode(body, 6)
+    else:
+        raise NotImplementedError(
+            f"AIFC compression {comp!r} not supported "
+            "(NONE/sowt/ulaw/alaw)")
+    return _mono_trim(a, int(channels), int(round(rate)), max_frames)
+
+
+def _mono_trim(a, channels: int, rate: int, max_frames: int | None):
+    """Shared tail of the audio decoders: frame-align, optionally
+    truncate the RETURNED signal, mono-mix. Returns
+    (rate, channels, total_frames, mono)."""
+    n = len(a) // channels * channels
+    total_frames = n // channels
+    frames = total_frames
+    if max_frames is not None and frames > max_frames:
+        frames = max_frames
+    trimmed = a[:frames * channels]
+    mono = (trimmed.reshape(-1, channels).mean(axis=1)
+            if channels > 1 else trimmed)
+    return int(rate), channels, total_frames, mono
+
+
+def _audio_mono_f64(raw: bytes, max_frames: int | None = None):
+    """Magic-dispatched audio decode: RIFF/WAVE, Sun AU, AIFF/AIFC —
+    all to (rate, channels, total_frames, mono float64 in int16
+    scale). Anything else raises loudly."""
+    if raw[:4] == b"RIFF":
+        return _wav_mono_f64(raw, max_frames)
+    if raw[:4] == b".snd":
+        return _au_mono_f64(raw, max_frames)
+    if raw[:4] == b"FORM":
+        return _aiff_mono_f64(raw, max_frames)
+    raise NotImplementedError(
+        f"unsupported audio magic {raw[:4]!r}: WAV, AU and AIFF/AIFC "
+        "decode without a codec library; pass fake=True for the "
+        "deterministic test decoder")
+
+
 def _wav_mono_f64(raw: bytes, max_frames: int | None = None):
     """Decode a RIFF/WAVE payload to (rate, channels, total_frames,
     mono float64 signal in int16 scale). Format support — all from the
@@ -846,15 +1005,7 @@ def _wav_mono_f64(raw: bytes, max_frames: int | None = None):
         raise NotImplementedError(
             f"WAV format code {fmt} at {bits}-bit not supported "
             "(integer PCM 8/16/24/32, float32, A-law, mu-law)")
-    n = len(a) // channels * channels
-    total_frames = n // channels
-    frames = total_frames
-    if max_frames is not None and frames > max_frames:
-        frames = max_frames
-    trimmed = a[:frames * channels]
-    mono = (trimmed.reshape(-1, channels).mean(axis=1)
-            if channels > 1 else trimmed)
-    return rate, channels, total_frames, mono
+    return _mono_trim(a, channels, rate, max_frames)
 
 
 def _band_energies(mono, n_bands: int = 13) -> list[float]:
@@ -884,13 +1035,8 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     digest-derived fake decoder."""
 
     def _real_one(raw: bytes):
-        if raw[:4] != b"RIFF":
-            raise NotImplementedError(
-                f"unsupported audio magic {raw[:4]!r}: only WAV decodes "
-                "without a codec library; pass fake=True for "
-                "the deterministic test decoder")
-        rate, _ch, total_frames, mono = _wav_mono_f64(raw,
-                                                      max_frames=65536)
+        rate, _ch, total_frames, mono = _audio_mono_f64(raw,
+                                                        max_frames=65536)
         duration = total_frames / rate
         return rate, round(duration, 6), _band_energies(mono)
 
@@ -948,12 +1094,7 @@ def resample_audio(df: DataFrame, out_rate: int,
         if fake:
             a = np.frombuffer(raw[:len(raw) & ~1], dtype="<i2")
             return 8000, a.astype(np.float64)
-        if raw[:4] != b"RIFF":
-            raise NotImplementedError(
-                f"unsupported audio magic {raw[:4]!r}: only WAV "
-                "resamples without a codec library; pass fake=True "
-                "for the deterministic test path")
-        rate, _ch, _frames, mono = _wav_mono_f64(raw)
+        rate, _ch, _frames, mono = _audio_mono_f64(raw)
         return rate, mono
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

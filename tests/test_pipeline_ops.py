@@ -2531,3 +2531,69 @@ def test_jpeg_progressive_decodes_foreign_libjpeg_fixtures():
         assert white > 0.8, (p, white)
         # determinism
         assert decode_jpeg(raw)[2] == pix
+
+
+def test_audio_containers_cross_decode_foreign_fixtures(spark):
+    """Cross-container witness on REAL foreign files (CPython's
+    audiodata fixtures: the same 'pluck' audio shipped as WAV, AIFF
+    and Sun AU at several depths): every container/depth decodes to
+    the same (rate, channels, frames); 24- and 32-bit PCM agree
+    BYTE-EXACTLY across all three containers (BE/LE mirroring is
+    perfect); 16-bit agrees within dither (<=2.5 in int16 scale);
+    G.711 mu-law/A-law track the 16-bit master at corr >= 0.999; and
+    a real WAVE_FORMAT_EXTENSIBLE file decodes identically to its
+    plain-header twin. Skipped when the fixture tree is absent."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _audio_mono_f64)
+    base = ("/root/.pyenv/versions/3.7.16/lib/python3.7/test/"
+            "audiodata/")
+    if not os.path.isdir(base):
+        pytest.skip("no CPython audiodata fixtures available")
+
+    def d(f):
+        return _audio_mono_f64(open(base + f, "rb").read())
+
+    names = ["pluck-pcm8", "pluck-pcm16", "pluck-pcm24", "pluck-pcm32"]
+    got = {}
+    for n in names:
+        for ext in (".wav", ".aiff", ".au"):
+            rate, ch, frames, mono = d(n + ext)
+            assert (rate, ch, frames) == (11025, 2, 3307), (n, ext)
+            got[n + ext] = mono
+    for n in ("pluck-pcm24", "pluck-pcm32"):       # byte-exact family
+        assert (got[n + ".wav"] == got[n + ".aiff"]).all()
+        assert (got[n + ".wav"] == got[n + ".au"]).all()
+    for ext in (".aiff", ".au"):                   # dither-level only
+        assert np.abs(got["pluck-pcm16" + ext]
+                      - got["pluck-pcm16.wav"]).max() <= 2.5
+    w16 = got["pluck-pcm16.wav"]
+    for f in ("pluck-ulaw.au", "pluck-ulaw.aifc", "pluck-alaw.aifc"):
+        rate, ch, frames, mono = d(f)
+        assert (rate, ch, frames) == (11025, 2, 3307)
+        assert np.corrcoef(mono, w16)[0, 1] >= 0.999, f
+
+    ext_dir = ("/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+               "audiodata/")
+    if os.path.exists(ext_dir + "pluck-pcm24-ext.wav"):
+        a = _audio_mono_f64(open(ext_dir + "pluck-pcm24.wav",
+                                 "rb").read())
+        b = _audio_mono_f64(open(ext_dir + "pluck-pcm24-ext.wav",
+                                 "rb").read())
+        assert a[:3] == b[:3] and (a[3] == b[3]).all()
+
+    # the decode surface reaches Spark: AIFF + AU payloads through the
+    # Arrow-batched decode_audio kernel
+    rows = [(1, bytearray(open(base + "pluck-pcm16.aiff", "rb").read())),
+            (2, bytearray(open(base + "pluck-ulaw.au", "rb").read()))]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r["media_id"]: r for r in
+           multimodal.decode_audio(media).collect()}
+    for mid in (1, 2):
+        assert out[mid]["sample_rate"] == 11025
+        assert abs(out[mid]["duration_s"] - 3307 / 11025) < 1e-6
+        assert len(out[mid]["mfcc"]) == 13
