@@ -864,6 +864,9 @@ def _au_mono_f64(raw: bytes, max_frames: int | None = None):
     if len(raw) < 24 or raw[:4] != b".snd":
         raise ValueError("not an AU payload")
     off, size, enc, rate, channels = struct.unpack(">IIIII", raw[4:24])
+    if rate == 0 or channels == 0:
+        raise ValueError(
+            f"malformed AU header: rate={rate} channels={channels}")
     end = len(raw) if size in (0, 0xFFFFFFFF) else min(len(raw), off + size)
     body = raw[off:end]
     if enc == 1:

@@ -1328,8 +1328,9 @@ def _require_single_query(query_df: DataFrame) -> None:
         raise ValueError(
             f"query_df must contain exactly one query vector (got "
             f"{'>=2' if n > 1 else n}): the candidate top-k is a single "
-            "global limit; run queries in a loop, or use the batched "
-            "multi-query retrieval pattern (bm25_topk_indexed).")
+            "global limit; use the batched multi-query entry points "
+            "(sq8_topk_batch / ivf_sq_probe_topk_batch, or "
+            "bm25_topk_indexed for text), or run queries in a loop.")
 
 
 def sq8_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
