@@ -13,13 +13,16 @@ Decode coverage:
   the overwhelming majority of real image corpora), BMP and PPM/PGM
   image headers + pixel-histogram features; WAV (RIFF), Sun AU and
   AIFF/AIFC audio containers (integer PCM 8-32, float32, G.711
-  A-law/mu-law, 'sowt', WAVE_FORMAT_EXTENSIBLE) + numpy-FFT
+  A-law/mu-law, 'sowt', WAVE_FORMAT_EXTENSIBLE) + FLAC (r10,
+  functions/flac.py — CONSTANT/VERBATIM/FIXED/LPC subframes, Rice
+  residuals, all stereo decorrelations, CRC+MD5-verified) + numpy-FFT
   band-energy features — cross-container decode pinned byte-exact at
-  24/32-bit on real CPython audiodata fixtures.
+  24/32-bit on real CPython audiodata fixtures, FLAC pinned byte-exact
+  against the same WAV masters via the encoder-first witness.
 - STUBBED (codec genuinely unavailable in this container): perceptual
-  audio codecs (MP3/AAC/Opus/FLAC) and video codec frames (ffmpeg) —
-  progressive JPEG decodes natively since r9 (functions/jpeg.py §G) and
-  G.711-in-WAV since r9 too. The remaining stubs raise
+  audio codecs (MP3/AAC/Opus) and video codec frames (ffmpeg) —
+  progressive JPEG decodes natively since r9 (functions/jpeg.py §G),
+  G.711-in-WAV since r9, FLAC since r10. The remaining stubs raise
   NotImplementedError; `fake=True` substitutes a deterministic fake
   decoder so the Spark-side plumbing (schema, batching, partitioning)
   stays fully real and testable for them.
@@ -949,19 +952,32 @@ def _mono_trim(a, channels: int, rate: int, max_frames: int | None):
     return int(rate), channels, total_frames, mono
 
 
+def _flac_mono_f64(raw: bytes, max_frames: int | None = None):
+    """FLAC decode to the `_wav_mono_f64` contract (int16-scale mono
+    float64). Lossless by construction — `functions.flac.decode_flac`
+    verifies per-frame CRC-8/CRC-16 and the STREAMINFO MD5 of the
+    decoded samples, so a wrong raster cannot be emitted silently."""
+    from amazon_kinesis_replay_spark.functions.flac import decode_flac
+    rate, channels, bits, _frames, samples = decode_flac(raw)
+    a = samples.astype("float64").reshape(-1) * (2.0 ** (16 - bits))
+    return _mono_trim(a, channels, rate, max_frames)
+
+
 def _audio_mono_f64(raw: bytes, max_frames: int | None = None):
-    """Magic-dispatched audio decode: RIFF/WAVE, Sun AU, AIFF/AIFC —
-    all to (rate, channels, total_frames, mono float64 in int16
-    scale). Anything else raises loudly."""
+    """Magic-dispatched audio decode: RIFF/WAVE, Sun AU, AIFF/AIFC,
+    FLAC (r10) — all to (rate, channels, total_frames, mono float64 in
+    int16 scale). Anything else raises loudly."""
     if raw[:4] == b"RIFF":
         return _wav_mono_f64(raw, max_frames)
     if raw[:4] == b".snd":
         return _au_mono_f64(raw, max_frames)
     if raw[:4] == b"FORM":
         return _aiff_mono_f64(raw, max_frames)
+    if raw[:4] == b"fLaC":
+        return _flac_mono_f64(raw, max_frames)
     raise NotImplementedError(
-        f"unsupported audio magic {raw[:4]!r}: WAV, AU and AIFF/AIFC "
-        "decode without a codec library; pass fake=True for the "
+        f"unsupported audio magic {raw[:4]!r}: WAV, AU, AIFF/AIFC and "
+        "FLAC decode without a codec library; pass fake=True for the "
         "deterministic test decoder")
 
 
@@ -1033,9 +1049,10 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     band energies over the decoded signal via numpy FFT. Supported WAV
     encodings (r9 — public specs, no codec library): integer PCM
     8/16/24/32-bit, IEEE float32, and G.711 A-law / mu-law (telephony
-    corpora ship as G.711-in-WAV); perceptual codecs (MP3/AAC/Opus/FLAC)
-    raise NotImplementedError from the kernel. fake=True substitutes the
-    digest-derived fake decoder."""
+    corpora ship as G.711-in-WAV); FLAC decodes since r10
+    (functions/flac.py, lossless + CRC/MD5-verified); the remaining
+    perceptual codecs (MP3/AAC/Opus) raise NotImplementedError from the
+    kernel. fake=True substitutes the digest-derived fake decoder."""
 
     def _real_one(raw: bytes):
         rate, _ch, total_frames, mono = _audio_mono_f64(raw,
