@@ -237,6 +237,53 @@ def hilbert_py_nd(coords: list[int], bits: int) -> int:
     return d
 
 
+def hilbert_axes_py_nd(h: int, bits: int, dims: int) -> list[int]:
+    """INDEPENDENT second n-D derivation (r10, the r9 verdict's #4
+    ask): index -> coordinates via the DECODE direction — the transform
+    Skilling's paper ("Programming the Hilbert Curve", AIP Conf. Proc.
+    707, 2004) presents as its PRIMARY code (TransposetoAxes: Gray
+    decode first, then the undo-excess-work sweep ASCENDING in q) —
+    where `hilbert_py_nd` implements the encode direction (descending
+    sweep, Gray encode last). The two directions share no code path;
+    full-grid inverse equality (∀cells: decode(encode(c)) == c,
+    test-pinned at 2-D/3-D/4-D and random-sampled to 8 bits) certifies
+    both walks implement mutually inverse maps, and the registry's
+    kind='hilbert_nd' oracle builds its lookup from THIS function (by
+    inverting the decoded table) so the cross-engine gate compares two
+    genuinely different constructions of the same mapping.
+
+    Negative result worth keeping (r10): the Butz/Hamilton
+    entry-direction state walk ("Compact Hilbert Indices", Dalhousie
+    CS-2006-07) produces a DIFFERENT valid 3-D Hilbert curve — a
+    brute-force over all 1152 input-side conventions (axis
+    permutation x reflection mask x initial entry x initial direction)
+    found no match at 3-D, so a state-table twin of THIS curve cannot
+    be built from that formulation; n-D Hilbert curves are not unique.
+    (At 2-D it matches with perm=id, refl=0, e0=0, d0=0.)"""
+    n = dims
+    X = [0] * n
+    for k in range(n * bits):              # un-interleave (MSB-first)
+        bit = (h >> (n * bits - 1 - k)) & 1
+        X[k % n] |= bit << (bits - 1 - (k // n))
+    t = X[n - 1] >> 1                      # Gray decode
+    for i in range(n - 1, 0, -1):
+        X[i] ^= X[i - 1]
+    X[0] ^= t
+    q = 2                                  # undo excess work, ascending
+    top = 2 << (bits - 1)
+    while q != top:
+        p = q - 1
+        for i in range(n - 1, -1, -1):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q <<= 1
+    return X
+
+
 def hilbert_lookup_nd(spark, bits: int, dims: int):
     """(zkey -> hkey) mapping for every cell of the dims-dimensional
     2^bits grid, from the n-D Skilling walk. Broadcast-bounded: the

@@ -1876,6 +1876,14 @@ def q_dedup_exact(spark, sf_dir):
       the gate cross-checks two curve derivations on real data
       (simhash gate class, with DuckDB's own zvalue_sql arithmetic
       feeding the join key).
+    - kind='hilbert_nd' (r10): the 3-D Hilbert key at 4 bits/dim over
+      (user, ms, event_id) — engine lookup from the n-D Skilling ENCODE
+      walk; oracle lookup built by INVERTING the paper's DECODE
+      direction (`hilbert_axes_py_nd`, TransposetoAxes) with a
+      build-time bijection assertion. Closes the r9 verdict's "n-D gate
+      would be a self-twin" residual with two mutually-inverse
+      constructions (the Butz/Hamilton state walk was measured to be a
+      DIFFERENT valid 3-D curve — see hilbert_axes_py_nd's docstring).
     - kind='bm25' (late r8): the retrieval family's sufficient
       statistics — the inverted index (`operators.retrieval.postings`)
       folded by term: keep_id = Σdf (postings rows), dup_count = Σtf
@@ -1977,6 +1985,31 @@ def q_dedup_exact(spark, sf_dir):
         .select(F.lit("hilbert").alias("kind"), F.col("keep_id"),
                 F.col("dup_count").cast("long").alias("dup_count"),
                 "span_start", "span_end"))
+    # kind='hilbert_nd' (r10): the 3-D Hilbert key — the engine lookup
+    # comes from the n-D Skilling ENCODE walk (hilbert_py_nd via
+    # hilbert_lookup_nd); the oracle joins a VALUES lookup built by
+    # INVERTING the DECODE direction (hilbert_axes_py_nd — the paper's
+    # TransposetoAxes, its PRIMARY code), so the gate cross-checks two
+    # mutually-inverse constructions of the same 3-D mapping on real
+    # event rows (the 2-D gate's independence pattern, carried to n-D).
+    ev3 = (load(spark, sf_dir, "events")
+           .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+                   & F.col("event_id").isNotNull())
+           .select(F.pmod(F.col("user_id"), F.lit(16)).alias("u"),
+                   F.pmod(F.unix_millis("ts"), F.lit(16)).alias("m"),
+                   F.pmod(F.col("event_id"), F.lit(16)).alias("e")))
+    lut3 = layout.hilbert_lookup_nd(spark, bits=4, dims=3)
+    h3_rows = (ev3.select(
+        layout.zvalue([F.col("u"), F.col("m"), F.col("e")], bits=4)
+        .alias("zkey"))
+        .join(F.broadcast(lut3), "zkey")
+        .agg(F.count("*").alias("keep_id"),
+             F.sum("hkey").alias("dup_count"),
+             F.min("hkey").alias("span_start"),
+             F.max("hkey").alias("span_end"))
+        .select(F.lit("hilbert_nd").alias("kind"), F.col("keep_id"),
+                F.col("dup_count").cast("long").alias("dup_count"),
+                "span_start", "span_end"))
     # kind='bm25': single-scan two-level tree over the inverted index —
     # groupBy(term) folds postings into (df, ttf), then one global agg
     bm_rows = (retrieval.postings(d, "doc_id", "text")
@@ -2019,8 +2052,8 @@ def q_dedup_exact(spark, sf_dir):
                        .alias("span_end")))
     return (ex_rows.unionAll(sp_rows).unionAll(bl_rows)
             .unionAll(qh_rows).unionAll(zo_rows).unionAll(hi_rows)
-            .unionAll(bm_rows).unionAll(sq_rows).unionAll(sa_rows)
-            .unionAll(ch_rows))
+            .unionAll(h3_rows).unionAll(bm_rows).unionAll(sq_rows)
+            .unionAll(sa_rows).unionAll(ch_rows))
 
 
 #: dedup_exact kind='bloom' parameters — shared by the Spark query and
@@ -2279,8 +2312,44 @@ def _zorder_summary_sql() -> str:
                    ((CAST(epoch_ms(ts) AS BIGINT) % 256) + 256) % 256 AS m
             FROM events
             WHERE ts IS NOT NULL AND user_id IS NOT NULL))
-    """ + _hilbert_summary_sql() \
+    """ + _hilbert_summary_sql() + _hilbert_nd_summary_sql() \
         + _BM25_SUMMARY_SQL + _SQ8_SUMMARY_SQL + _CHUNK_SUMMARY_SQL
+
+
+def _hilbert_nd_summary_sql() -> str:
+    """kind='hilbert_nd' summary (r10) — 3-D at 4 bits/dim (4096
+    cells): the VALUES lookup is built by walking every Hilbert INDEX
+    through `hilbert_axes_py_nd` (the paper's decode direction —
+    TransposetoAxes) and inverting, with a bijection assertion at
+    build time; the engine side joins the lookup built from the ENCODE
+    walk. DuckDB's zkey is its own `zvalue_sql` shift arithmetic."""
+    from ..operators.layout import (hilbert_axes_py_nd, zvalue_py,
+                                    zvalue_sql)
+    z = zvalue_sql(["u", "m", "e"], bits=4)
+    pairs = []
+    seen = set()
+    for h in range(1 << 12):
+        zk = zvalue_py(hilbert_axes_py_nd(h, 4, 3), 4)
+        assert zk not in seen, "decode walk is not a bijection"
+        seen.add(zk)
+        pairs.append(f"({zk},{h})")
+    vals = ", ".join(pairs)
+    return f"""
+        UNION ALL
+        SELECT 'hilbert_nd' AS kind,
+               CAST(count(*) AS BIGINT) AS keep_id,
+               CAST(sum(hkey) AS BIGINT) AS dup_count,
+               CAST(min(hkey) AS BIGINT) AS span_start,
+               CAST(max(hkey) AS BIGINT) AS span_end
+        FROM (SELECT {z} AS zkey FROM (
+            SELECT ((user_id % 16) + 16) % 16 AS u,
+                   ((CAST(epoch_ms(ts) AS BIGINT) % 16) + 16) % 16 AS m,
+                   ((event_id % 16) + 16) % 16 AS e
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL))
+        JOIN (VALUES {vals}) AS lut(zkey, hkey) USING (zkey)
+    """
 
 
 def _hilbert_summary_sql() -> str:

@@ -321,6 +321,37 @@ def test_hilbert_nd_bijection_adjacency_and_2d_equality():
             assert d == layout.hilbert_py_skilling(x, y, 4)
 
 
+def test_hilbert_decode_direction_is_exact_inverse():
+    """INDEPENDENT n-D derivation gate (r10, r9 verdict item 4):
+    `hilbert_axes_py_nd` implements the DECODE direction straight from
+    the paper's primary code (TransposetoAxes: Gray decode first, undo
+    sweep ascending) — no code shared with the encode walk. Full-grid
+    inverse equality at 2-D/3-D/4-D plus seeded random samples up to
+    8 bits certifies the two walks are mutually inverse constructions
+    of the same curve; the registry's dedup_exact kind='hilbert_nd'
+    oracle builds its lookup from THIS function. (A Butz/Hamilton
+    entry-direction state walk was brute-force-checked over all 1152
+    input-side conventions and is a DIFFERENT valid 3-D curve — the
+    docstring records the negative result.)"""
+    import random
+
+    from itertools import product
+    for dims, bits in ((2, 4), (3, 3), (4, 2)):
+        for c in product(range(1 << bits), repeat=dims):
+            h = layout.hilbert_py_nd(list(c), bits)
+            assert layout.hilbert_axes_py_nd(h, bits, dims) == list(c)
+        # and the other composition order: decode(h) re-encodes to h
+        for h in range(1 << (dims * bits)):
+            c = layout.hilbert_axes_py_nd(h, bits, dims)
+            assert layout.hilbert_py_nd(c, bits) == h
+    rng = random.Random(41)
+    for dims, bits in ((2, 8), (3, 5), (4, 4), (5, 3)):
+        for _ in range(400):
+            c = [rng.randrange(1 << bits) for _ in range(dims)]
+            h = layout.hilbert_py_nd(c, bits)
+            assert layout.hilbert_axes_py_nd(h, bits, dims) == c
+
+
 def test_layout_hilbert_3d_prunes_and_is_lossless(spark, sf_dir, tmp_path):
     """3-D Hilbert layout over (user, ms, value): reads back losslessly
     and prunes a 1-D user band from footers where a ts-sorted layout

@@ -5,9 +5,12 @@
   1. quality + repetition signals      (text.quality_features profile)
   2. n-gram LM fit scoring             (ngram_lm_counts/ngram_lm_score)
   2b. distill the quality signal into a reusable linear classifier
-      (classifier.logreg_train/logreg_score) and gate near-certain junk
-  2c. precision-calibrated threshold witness (threshold_for_precision
-      over a bounded validation set with decile-synthesized labels)
+      (classifier.logreg_train/logreg_score)
+  2c. precision-calibrated junk gate (r10: APPLIED, was recorded-only —
+      threshold_for_precision on the DROP side over a bounded
+      validation set with decile-synthesized labels; both candidates'
+      junk precision/recall + kept counts measured, keep-frac is the
+      fallback when no threshold reaches the 0.8 precision bar)
   3. PII redaction                     (text.pii_redact)
   4. near-dup detection (MinHash-LSH)  (dedup.minhash_dedup)
   5. clustering, KEEP THE BEST copy    (dedup.dedup_clusters(quality=))
@@ -100,11 +103,85 @@ def main():
              .filter((F.col("prob") >= 0.5) == (F.col("label") == 1))
              .count())
     summary["clf_agreement"] = round(agree / summary["docs_in"], 3)
-    # calibrated junk gate (late r8, replacing the fixed 0.05): drop at
-    # most ~3% of the corpus (threshold_keep_frac via the deterministic
-    # quantile histogram) and never a doc scoring >= 0.05 — the
-    # near-certain-junk intent of the old constant, now data-calibrated
-    thr = min(0.05, classifier.threshold_keep_frac(probs, keep_frac=0.97))
+    # keep-frac candidate (late r8): drop at most ~3% of the corpus
+    # (threshold_keep_frac via the deterministic quantile histogram) and
+    # never a doc scoring >= 0.05 — recorded for comparison below
+    thr_kf = min(0.05,
+                 classifier.threshold_keep_frac(probs, keep_frac=0.97))
+    summary["junk_gate_threshold_keepfrac"] = round(thr_kf, 6)
+    print(f"[2b] classifier agreement {summary['clf_agreement']}",
+          flush=True)
+
+    # 2c (r9 recorded, r10 APPLIED): precision-calibrated junk gate on a
+    # BOUNDED validation set — labels synthesized from the expensive
+    # multi-signal score's extreme deciles (top decile = good, bottom =
+    # junk; the regime where heuristic labels are most trustworthy),
+    # hash-sampled to ~2000 rows so threshold_for_precision's
+    # unpartitioned calibration window never sees corpus-scale input.
+    # The gate DROPS docs, so the surface that matters is DROP-SIDE
+    # precision (>= 80% of what we drop must be labeled junk — volume
+    # calibration says how MUCH to drop, precision calibration says how
+    # SAFELY): calibrate by inverting labels and probs, then measure
+    # both candidates' junk precision/recall on the validation labels
+    # and apply the precision-calibrated one (keep-frac stays the
+    # fallback when no threshold reaches the precision bar).
+    lo_d, hi_d = quality.approxQuantile("score", [0.1, 0.9], 0.0)
+    val0 = (probs.join(quality, "doc_id")
+            .filter((F.col("score") <= lo_d) | (F.col("score") >= hi_d))
+            .withColumn("label", (F.col("score") >= hi_d).cast("int")))
+    n_val = val0.count()
+    rate = max(1, min(100, (100 * 2000) // max(n_val, 1)))
+    val = (val0.filter(
+        F.pmod(F.xxhash64(F.lit(13), F.col("doc_id")), F.lit(100)) < rate)
+        .select("doc_id", "prob", "label").persist())
+    summary["calibration_rows"] = val.count()
+    t80 = classifier.threshold_for_precision(val, "label",
+                                             min_precision=0.8)
+    summary["threshold_p80"] = round(t80, 6) if t80 is not None else None
+    t_inv = classifier.threshold_for_precision(
+        val.select("doc_id",
+                   (1.0 - F.col("prob")).alias("prob"),
+                   (1 - F.col("label")).alias("label")),
+        "label", min_precision=0.8)
+    # drop set is prob < thr; inverted keep set prob' >= t_inv is
+    # prob <= 1 - t_inv (the measure-zero boundary doc stays kept).
+    # NOT capped at the legacy 0.05 constant: the >=0.8 drop-side
+    # precision IS the safety statement the constant approximated —
+    # the volume sanity guard below catches a degenerate calibration.
+    thr_jp = None if t_inv is None else 1.0 - t_inv
+    summary["junk_gate_threshold_p80"] = (round(thr_jp, 6)
+                                          if thr_jp is not None else None)
+
+    def _gate_metrics(thr: float) -> dict:
+        m = (val.agg(
+            F.sum(((F.col("prob") < thr)
+                   & (F.col("label") == 0)).cast("long")).alias("tp"),
+            F.sum((F.col("prob") < thr).cast("long")).alias("dropped"),
+            F.sum((F.col("label") == 0).cast("long")).alias("junk"))
+            .head())
+        prec = (m["tp"] / m["dropped"]) if m["dropped"] else None
+        rec = (m["tp"] / m["junk"]) if m["junk"] else None
+        kept = probs.filter(F.col("prob") >= thr).count()
+        return {"junk_precision": round(prec, 3) if prec is not None
+                else None,
+                "junk_recall": round(rec, 3) if rec is not None else None,
+                "docs_kept": kept}
+    summary["gate_keepfrac"] = _gate_metrics(thr_kf)
+    if thr_jp is not None:
+        summary["gate_p80"] = _gate_metrics(thr_jp)
+        # volume sanity guard: a junk gate that would drop >20% of the
+        # corpus signals a degenerate calibration (labels too easy, or
+        # the classifier collapsed) — fall back to the volume-bounded
+        # threshold rather than silently gutting the corpus
+        if summary["gate_p80"]["docs_kept"] >= 0.8 * summary["docs_in"]:
+            thr = thr_jp
+            summary["junk_gate_applied"] = "p80"
+        else:
+            thr = thr_kf
+            summary["junk_gate_applied"] = "keepfrac_volume_guard"
+    else:
+        thr = thr_kf
+        summary["junk_gate_applied"] = "keepfrac_fallback"
     summary["junk_gate_threshold"] = round(thr, 6)
     gated = probs.filter(F.col("prob") >= thr).select("doc_id")
     # localCheckpoint: truncate the lineage at the composition joint —
@@ -113,34 +190,13 @@ def main():
     # the driver during ANALYSIS (observed; persist() does not help —
     # it shortcuts execution, not plan construction)
     docs = docs.join(gated, "doc_id").localCheckpoint()
+    val.unpersist()
     summary["docs_after_clf_gate"] = docs.count()
-    print(f"[2b] classifier agreement {summary['clf_agreement']}, "
-          f"{summary['docs_after_clf_gate']} docs pass the junk gate",
-          flush=True)
-
-    # 2c (r9): precision-calibrated threshold on a BOUNDED validation
-    # set — labels synthesized from the expensive multi-signal score's
-    # extreme deciles (top decile = good, bottom = junk; the regime
-    # where heuristic labels are most trustworthy), hash-sampled to
-    # ~2000 rows so threshold_for_precision's unpartitioned calibration
-    # window never sees corpus-scale input. Recorded, not applied: the
-    # junk gate stays keep-frac-calibrated (2b); this witnesses the
-    # second calibration surface end-to-end.
-    lo_d, hi_d = quality.approxQuantile("score", [0.1, 0.9], 0.0)
-    val0 = (probs.join(quality, "doc_id")
-            .filter((F.col("score") <= lo_d) | (F.col("score") >= hi_d))
-            .withColumn("label", (F.col("score") >= hi_d).cast("int")))
-    n_val = val0.count()
-    rate = max(1, min(100, (100 * 2000) // max(n_val, 1)))
-    val = val0.filter(
-        F.pmod(F.xxhash64(F.lit(13), F.col("doc_id")), F.lit(100)) < rate)
-    t80 = classifier.threshold_for_precision(val, "label",
-                                             min_precision=0.8)
-    summary["threshold_p80"] = round(t80, 6) if t80 is not None else None
-    summary["calibration_rows"] = val.count()
-    print(f"[2c] precision>=0.8 threshold {summary['threshold_p80']} "
-          f"from {summary['calibration_rows']} synthesized-label rows",
-          flush=True)
+    print(f"[2c] junk gate applied={summary['junk_gate_applied']} "
+          f"thr={summary['junk_gate_threshold']} "
+          f"(keepfrac {summary['gate_keepfrac']}, "
+          f"p80 {summary.get('gate_p80')}); "
+          f"{summary['docs_after_clf_gate']} docs pass", flush=True)
 
     # 3: PII redaction (clean_text replaces text downstream)
     red = text.pii_redact(docs, "doc_id", "text").persist()
