@@ -1,0 +1,397 @@
+"""Arithmetic-coded JPEG entropy layer (ITU-T T.81 Annexes D + F).
+
+Closes the last JPEG-mode gate (`decode_jpeg` raised on SOF9): the
+QM-coder with the Table D.3 probability-estimation state machine plus
+the Annex-F DC/AC decision models, decode AND encode.
+
+Witness design (r10 — stronger than the progressive-JPEG encoder-first
+precedent, because a REAL second implementation exists in-container):
+the system libjpeg62-turbo ships arithmetic support (`jinit_arith_*`,
+checked r10), so conformance is pinned FOREIGN IN BOTH DIRECTIONS —
+(1) libjpeg-encoded arithmetic streams must decode here byte-equal to
+libjpeg's own decode of them, and (2) streams encoded HERE must decode
+under libjpeg byte-equal to our baseline-Huffman twin of the same
+raster. A private convention error (interval orientation, byte feed,
+state packing) cannot survive either direction.
+
+`_QM_TABLE` is ITU-T T.81 Table D.3 (public), read out of the
+container's own libjpeg (`jpeg_aritab`, a public-domain rendering of
+the same table) and embedded; the first row's Qe=0x5A1D/switch=1 and
+the NLPS fast-attack jumps match the published table.
+
+The coder here keeps the arithmetic in plain Python integers: the
+encoder accumulates the code base `c` as ONE big integer (Python's
+arbitrary precision resolves carry propagation that C implementations
+handle with 0xFF/0x00 stacking), and the decoder feeds bits one at a
+time during renormalization — slower than libjpeg's aligned-register
+trick, same bitstreams, and this rides the Arrow-batched mapInPandas
+image kernel where per-batch Python is already the model.
+
+Reference parity: the reference engine (aws-samples/
+amazon-kinesis-replay, JsonEventS3Iterator.java) transports opaque
+payloads; this module belongs to the repo's multimodal extension
+surface (`operators/multimodal.py`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: ITU-T T.81 Table D.3 — (Qe, Next_Index_LPS | switch<<7, Next_Index_MPS)
+#: per state. State byte layout everywhere: bit 7 = current MPS sense,
+#: bits 0-6 = state index; the LPS transition XORs the switch bit into
+#: the MPS sense in one step: new = (old & 0x80) ^ packed_next.
+#: Entry 113 is the FIXED ~0.5 bin (self-loop, no switch) used for AC
+#: sign decisions.
+_RAW = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+_QE = tuple(r[0] for r in _RAW)
+_NLPS = tuple(r[1] | (r[3] << 7) for r in _RAW)   # switch folded in bit 7
+_NMPS = tuple(r[2] for r in _RAW)
+
+#: index of the fixed ~0.5 probability bin (self-looping table entry)
+FIXED_BIN = 113
+
+#: T.81 default conditioning bounds (written by DAC otherwise)
+DEFAULT_DC_L = 0
+DEFAULT_DC_U = 1
+DEFAULT_AC_K = 5
+
+
+class QMDecoder:
+    """T.81 Annex D arithmetic decoder over one entropy segment
+    (0xFF00-destuffed; zero bits feed after the segment ends, per the
+    decode-past-marker convention). Interval registers: a in
+    [0x8000, 0x10000], c = code offset within the interval."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+        c = 0
+        for _ in range(16):
+            c = (c << 1) | self._next_bit()
+        self.c = c
+        self.a = 0x10000
+
+    def _next_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def decode(self, st: bytearray, i: int) -> int:
+        sv = st[i]
+        s = sv & 0x7F
+        qe = _QE[s]
+        mps = sv >> 7
+        a1 = self.a - qe
+        if self.c >= a1:
+            # top subinterval (nominal LPS, conditionally exchanged)
+            self.c -= a1
+            if a1 < qe:
+                bit = mps
+                st[i] = (sv & 0x80) ^ _NMPS[s]
+            else:
+                bit = mps ^ 1
+                st[i] = (sv & 0x80) ^ _NLPS[s]
+            self.a = qe
+        else:
+            if a1 >= 0x8000:
+                self.a = a1
+                return mps                      # fast path: no renorm
+            if a1 < qe:
+                bit = mps ^ 1
+                st[i] = (sv & 0x80) ^ _NLPS[s]
+            else:
+                bit = mps
+                st[i] = (sv & 0x80) ^ _NMPS[s]
+            self.a = a1
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c = (self.c << 1) | self._next_bit()
+        return bit
+
+
+class QMEncoder:
+    """T.81 Annex D arithmetic encoder. The code base `c` is ONE
+    arbitrary-precision integer (bit length = 16 + renorm count), so
+    carry propagation needs no 0xFF stacking; `finish()` emits the
+    base value's bytes with 0xFF00 stuffing, trailing zero bytes
+    dropped (the decoder zero-feeds past the segment)."""
+
+    def __init__(self):
+        self.c = 0
+        self.a = 0x10000
+        self.shifts = 0
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        s = sv & 0x7F
+        qe = _QE[s]
+        mps = sv >> 7
+        self.a -= qe
+        if bit != mps:
+            if self.a >= qe:                    # LPS takes the top
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ _NLPS[s]
+        else:
+            if self.a >= 0x8000:
+                return                          # fast path: no renorm
+            if self.a < qe:                     # exchanged MPS: top
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ _NMPS[s]
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.shifts += 1
+
+    def finish(self) -> bytes:
+        nbits = 16 + self.shifts
+        npad = (-nbits) % 8
+        v = self.c << npad
+        raw = v.to_bytes((nbits + npad) // 8, "big")
+        raw = raw.rstrip(b"\x00")
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)                # zero stuffing
+        return bytes(out)
+
+
+def _new_stats(n: int) -> bytearray:
+    return bytearray(n)                         # state 0, MPS 0
+
+
+class _ArithScanState:
+    """Per-restart-interval model state: DC/AC statistics areas (64 and
+    256 bins per table, T.81 F.1.4.4), DC contexts and predictors, and
+    the fixed sign bin."""
+
+    def __init__(self, comps):
+        self.dc_stats: dict[int, bytearray] = {}
+        self.ac_stats: dict[int, bytearray] = {}
+        self.dc_context = {cid: 0 for cid, _, _, _ in comps}
+        self.last_dc = {cid: 0 for cid, _, _, _ in comps}
+        self.fixed = bytearray([FIXED_BIN])
+
+    def dc(self, tbl: int) -> bytearray:
+        if tbl not in self.dc_stats:
+            self.dc_stats[tbl] = _new_stats(64)
+        return self.dc_stats[tbl]
+
+    def ac(self, tbl: int) -> bytearray:
+        if tbl not in self.ac_stats:
+            self.ac_stats[tbl] = _new_stats(256)
+        return self.ac_stats[tbl]
+
+
+def _decode_dc(dec: QMDecoder, ms: _ArithScanState, tbl: int, cid: int,
+               dc_l: int, dc_u: int) -> int:
+    """T.81 F.2.4.1: one DC difference; returns the new DC value."""
+    st = ms.dc(tbl)
+    base = ms.dc_context[cid]
+    if dec.decode(st, base) == 0:
+        ms.dc_context[cid] = 0
+        return ms.last_dc[cid]
+    sign = dec.decode(st, base + 1)
+    i = base + 2 + sign
+    m = dec.decode(st, i)
+    if m:
+        i = 20                                  # Table F.4: X1 = 20
+        while dec.decode(st, i):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arith JPEG DC magnitude overflow")
+            i += 1
+    if m < (1 << dc_l) >> 1:
+        ms.dc_context[cid] = 0                  # zero diff category
+    elif m > (1 << dc_u) >> 1:
+        ms.dc_context[cid] = 12 + sign * 4      # large diff category
+    else:
+        ms.dc_context[cid] = 4 + sign * 4       # small diff category
+    v = m
+    i += 14                                     # magnitude-bit bins
+    m >>= 1
+    while m:
+        if dec.decode(st, i):
+            v |= m
+        m >>= 1
+    v += 1
+    if sign:
+        v = -v
+    ms.last_dc[cid] += v
+    return ms.last_dc[cid]
+
+
+def _decode_ac(dec: QMDecoder, ms: _ArithScanState, tbl: int,
+               coeffs: np.ndarray, ac_k: int) -> None:
+    """T.81 F.2.4.2: AC coefficients 1..63 into zigzag `coeffs`."""
+    st = ms.ac(tbl)
+    k = 1
+    while k <= 63:
+        i = 3 * (k - 1)
+        if dec.decode(st, i):
+            return                              # EOB
+        while dec.decode(st, i + 1) == 0:
+            k += 1
+            i += 3
+            if k > 63:
+                raise ValueError("arith JPEG AC run past block end")
+        sign = dec.decode(ms.fixed, 0)
+        i += 2
+        m = dec.decode(st, i)
+        if m:
+            if dec.decode(st, i):
+                m = 2
+                i = 189 if k <= ac_k else 217
+                while dec.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith JPEG AC magnitude "
+                                         "overflow")
+                    i += 1
+        v = m
+        i += 14
+        m >>= 1
+        while m:
+            if dec.decode(st, i):
+                v |= m
+            m >>= 1
+        v += 1
+        coeffs[k] = -v if sign else v
+        k += 1
+
+
+def _encode_dc(enc: QMEncoder, ms: _ArithScanState, tbl: int, cid: int,
+               dc_val: int, dc_l: int, dc_u: int) -> None:
+    st = ms.dc(tbl)
+    base = ms.dc_context[cid]
+    diff = dc_val - ms.last_dc[cid]
+    ms.last_dc[cid] = dc_val
+    if diff == 0:
+        enc.encode(st, base, 0)
+        ms.dc_context[cid] = 0
+        return
+    enc.encode(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, base + 1, sign)
+    sz = (-diff if sign else diff) - 1
+    i = base + 2 + sign
+    if sz == 0:
+        enc.encode(st, i, 0)
+        m = 0
+    else:
+        enc.encode(st, i, 1)
+        m = 1
+        i = 20
+        while sz >= (m << 1):
+            enc.encode(st, i, 1)
+            m <<= 1
+            i += 1
+        enc.encode(st, i, 0)
+    if m < (1 << dc_l) >> 1:
+        ms.dc_context[cid] = 0
+    elif m > (1 << dc_u) >> 1:
+        ms.dc_context[cid] = 12 + sign * 4
+    else:
+        ms.dc_context[cid] = 4 + sign * 4
+    i += 14
+    bit = m >> 1
+    while bit:
+        enc.encode(st, i, 1 if sz & bit else 0)
+        bit >>= 1
+
+
+def _encode_ac(enc: QMEncoder, ms: _ArithScanState, tbl: int,
+               zz: np.ndarray, ac_k: int) -> None:
+    st = ms.ac(tbl)
+    last = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last = k
+            break
+    k = 1
+    while k <= last:
+        i = 3 * (k - 1)
+        enc.encode(st, i, 0)                    # not EOB
+        while zz[k] == 0:
+            enc.encode(st, i + 1, 0)
+            k += 1
+            i += 3
+        enc.encode(st, i + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(ms.fixed, 0, sign)
+        sz = (-v if sign else v) - 1
+        i += 2
+        if sz == 0:
+            enc.encode(st, i, 0)
+            m = 0
+        elif sz == 1:
+            enc.encode(st, i, 1)
+            enc.encode(st, i, 0)
+            m = 1
+        else:
+            enc.encode(st, i, 1)
+            enc.encode(st, i, 1)
+            m = 2
+            i = 189 if k <= ac_k else 217
+            while sz >= (m << 1):
+                enc.encode(st, i, 1)
+                m <<= 1
+                i += 1
+            enc.encode(st, i, 0)
+        i += 14
+        bit = m >> 1
+        while bit:
+            enc.encode(st, i, 1 if sz & bit else 0)
+            bit >>= 1
+        k += 1
+    if last < 63:
+        enc.encode(st, 3 * (k - 1), 1)          # EOB
