@@ -308,6 +308,101 @@ def _decode_ac(dec: QMDecoder, ms: _ArithScanState, tbl: int,
         k += 1
 
 
+def _decode_dc_first(dec: QMDecoder, ms: _ArithScanState, tbl: int,
+                     cid: int, al: int, dc_l: int, dc_u: int) -> int:
+    """T.81 G.2 progressive DC first scan (Ah=0): the sequential DC
+    model over the point-transformed values; returns the block's DC
+    coefficient (last_dc << Al)."""
+    return _decode_dc(dec, ms, tbl, cid, dc_l, dc_u) << al
+
+
+def _decode_dc_refine(dec: QMDecoder, ms: _ArithScanState,
+                      blk: np.ndarray, al: int) -> None:
+    """Progressive DC refinement (Ah>0): ONE fixed-bin decision per
+    block appends the next approximation bit."""
+    if dec.decode(ms.fixed, 0):
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _decode_ac_first(dec: QMDecoder, ms: _ArithScanState, tbl: int,
+                     blk: np.ndarray, ss: int, se: int, al: int,
+                     ac_k: int) -> None:
+    """Progressive AC first scan (Ah=0) for band [Ss,Se]: the
+    sequential AC model restricted to the band, new coefficients land
+    shifted by Al. `blk` is zigzag-ordered."""
+    st = ms.ac(tbl)
+    k = ss
+    while k <= se:
+        i = 3 * (k - 1)
+        if dec.decode(st, i):
+            return                              # EOB
+        while dec.decode(st, i + 1) == 0:
+            k += 1
+            i += 3
+            if k > se:
+                raise ValueError("arith JPEG AC run past band end")
+        sign = dec.decode(ms.fixed, 0)
+        i += 2
+        m = dec.decode(st, i)
+        if m:
+            if dec.decode(st, i):
+                m = 2
+                i = 189 if k <= ac_k else 217
+                while dec.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith JPEG AC magnitude "
+                                         "overflow")
+                    i += 1
+        v = m
+        i += 14
+        m >>= 1
+        while m:
+            if dec.decode(st, i):
+                v |= m
+            m >>= 1
+        v += 1
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _decode_ac_refine(dec: QMDecoder, ms: _ArithScanState, tbl: int,
+                      blk: np.ndarray, ss: int, se: int,
+                      al: int) -> None:
+    """Progressive AC refinement (Ah>0): history-nonzero coefficients
+    consume one correction decision (bin 3(k-1)+2); zero-history
+    positions consume newly-nonzero decisions (bin 3(k-1)+1) with a
+    fixed-bin sign; the EOB decision (bin 3(k-1)) exists only beyond
+    the previous scans' last nonzero position (T.81 G.2.3 / the
+    decode_mcu_AC_refine structure). `blk` is zigzag-ordered."""
+    st = ms.ac(tbl)
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex > 0 and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        i = 3 * (k - 1)
+        if k > kex and dec.decode(st, i):
+            return                              # EOB
+        while True:
+            c = int(blk[k])
+            if c:                               # history-nonzero
+                if dec.decode(st, i + 2):
+                    blk[k] = c + (m1 if c < 0 else p1)
+                break
+            if dec.decode(st, i + 1):           # newly nonzero
+                blk[k] = m1 if dec.decode(ms.fixed, 0) else p1
+                break
+            k += 1
+            i += 3
+            if k > se:
+                raise ValueError("arith JPEG AC refinement past band "
+                                 "end")
+        k += 1
+
+
 def _encode_dc(enc: QMEncoder, ms: _ArithScanState, tbl: int, cid: int,
                dc_val: int, dc_l: int, dc_u: int) -> None:
     st = ms.dc(tbl)

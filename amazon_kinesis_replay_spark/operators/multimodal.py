@@ -22,7 +22,8 @@ Decode coverage:
 - STUBBED (codec genuinely unavailable in this container): perceptual
   audio codecs (MP3/AAC/Opus) and video codec frames (ffmpeg) —
   progressive JPEG decodes natively since r9 (functions/jpeg.py §G),
-  G.711-in-WAV since r9, FLAC since r10. The remaining stubs raise
+  G.711-in-WAV since r9, FLAC since r10, arithmetic-coded JPEG
+  (SOF9 + SOF10, QM coder) since r10 too. The remaining stubs raise
   NotImplementedError; `fake=True` substitutes a deterministic fake
   decoder so the Spark-side plumbing (schema, batching, partitioning)
   stays fully real and testable for them.

@@ -2761,6 +2761,43 @@ def test_jpeg_arith_decodes_foreign_libjpeg_encodes():
                 assert int(np.abs(ref - mine).max()) <= 3
 
 
+_PENC_C = _AENC_C.replace(
+    "cinfo.restart_interval = rst;",
+    "jpeg_simple_progression(&cinfo);\n  cinfo.restart_interval = rst;")
+
+
+def test_jpeg_arith_progressive_decodes_foreign_libjpeg_twins():
+    """SOF10 (progressive + arithmetic, T.81 G.2) witness: libjpeg's
+    simple-progression script encoded with and without arith_code gives
+    coefficient-identical streams, so this repo's decoder must produce
+    BYTE-EQUAL pixels for both — across gray/color (default 4:2:0
+    chroma: interleaved arith DC scans + per-component AC first AND
+    refinement scans), qualities and restart intervals. Skipped when
+    the C toolchain is unavailable."""
+    import subprocess
+
+    import pytest
+    from amazon_kinesis_replay_spark.functions.jpeg import decode_jpeg
+    tool = _compile_libjpeg_tool(_PENC_C, "penc")
+    if tool is None:
+        pytest.skip("no C toolchain / jpeglib for the foreign witness")
+    td, penc = tool
+    with td:
+        for gray, q, rst, w, h, seed in (
+                (0, 90, 0, 64, 48, 1), (0, 60, 2, 37, 29, 2),
+                (1, 75, 0, 129, 65, 3), (1, 60, 3, 8, 8, 4)):
+            pa, ph = td.name + "/pa.jpg", td.name + "/ph.jpg"
+            # sub=1 keeps libjpeg's default 4:2:0 chroma for color —
+            # interleaved DC scans + subsampled per-component AC grids
+            for path, arith in ((pa, 1), (ph, 0)):
+                subprocess.run(
+                    [penc, path, str(w), str(h), str(gray), "1",
+                     str(q), str(rst), str(seed), str(arith)],
+                    check=True)
+            assert decode_jpeg(open(pa, "rb").read()) == \
+                decode_jpeg(open(ph, "rb").read()), (gray, q, rst, w, h)
+
+
 def test_jpeg_arith_encoder_decodes_under_foreign_libjpeg():
     """Arithmetic-JPEG witness, encode direction: rasters encoded by
     THIS repo with arithmetic=True must decode under the system libjpeg
