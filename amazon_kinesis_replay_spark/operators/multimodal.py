@@ -385,38 +385,47 @@ _GIF_PALETTE = bytes(
 
 def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
     """The deterministic per-row synthesis rule behind
-    synthesize_image_media: media_id%3==0 -> PNG (media_id-cycled filter
-    types), ==1 -> baseline JPEG (4:2:0 / restart-interval variants),
-    ==2 -> GIF (interlaced every other one). Exposed as a pure function
-    so the registry's literal-VALUES oracle can recompute the exact blob
-    bytes driver-side (pure Python, no Spark) and cross-check the
-    distributed mapInPandas pipeline in DuckDB."""
+    synthesize_image_media, cycling media_id through FIVE codec modes
+    (r10 widened from three — the new JPEG entropy/scan modes ride the
+    same correctness gate): media_id%5==0 -> PNG (media_id-cycled
+    filter types), ==1 -> baseline JPEG (4:2:0 / restart-interval
+    variants), ==2 -> GIF (interlaced every other one), ==3 ->
+    ARITHMETIC JPEG (SOF9, QM coder; 4:2:0 every other one), ==4 ->
+    progressive JPEG (SOF2, spectral selection). Exposed as a pure
+    function so the registry's literal-VALUES oracle can recompute the
+    exact blob bytes driver-side (pure Python, no Spark) and
+    cross-check the distributed mapInPandas pipeline in DuckDB."""
     from ..functions.gif import encode_gif
     from ..functions.jpeg import encode_jpeg
     n = side * side * 3
     m = int(media_id)
-    if m % 3 == 1:
-        raster = (raw + bytes(n))[:n]
-        return encode_jpeg(side, side, raster, subsample=(m % 6 == 1),
-                           restart_interval=1 if m % 12 == 1 else 0)
-    if m % 3 == 2:
+    raster = (raw + bytes(n))[:n]
+    mode = m % 5
+    if mode == 1:
+        return encode_jpeg(side, side, raster, subsample=(m % 10 == 1),
+                           restart_interval=1 if m % 20 == 1 else 0)
+    if mode == 2:
         indices = (raw + bytes(side * side))[:side * side]
         return encode_gif(side, side, indices, _GIF_PALETTE,
-                          interlace=(m % 6 == 2))
-    raster = (raw + bytes(n))[:n]
+                          interlace=(m % 10 == 2))
+    if mode == 3:
+        return encode_jpeg(side, side, raster, subsample=(m % 10 == 3),
+                           arithmetic=True)
+    if mode == 4:
+        return encode_jpeg(side, side, raster, progressive=True)
     return encode_png(side, side, raster, ctype=2,
-                      filters=[(m // 3) % 5] * side)
+                      filters=[(m // 5) % 5] * side)
 
 
 def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
     """Deterministic REAL mixed-codec fixture synthesis cycling media_id
-    through all three pure-Python codecs: media_id%3==0 becomes a PNG
-    (media_id-cycled filter types), ==1 a baseline JPEG (4:2:0
-    subsampling and restart-interval variants), ==2 a GIF (interlaced
-    every other one) — so a downstream real decode exercises the zlib
-    unfilter paths, the Huffman/IDCT/upsample paths, AND the LZW +
-    deinterlace paths in one pass. Arrow-batched mapInPandas; schema
-    matches the (media_id, data) decode input contract."""
+    through FIVE codec modes (see synth_image_blob: PNG, baseline JPEG,
+    GIF, arithmetic JPEG, progressive JPEG) — a downstream real decode
+    exercises the zlib unfilter paths, the Huffman/IDCT/upsample paths,
+    the LZW + deinterlace paths, the QM arithmetic coder AND the
+    spectral-selection scan walker in one pass. Arrow-batched
+    mapInPandas; schema matches the (media_id, data) decode input
+    contract."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -2552,11 +2552,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas REAL image decode over binary media
     columns: document text bytes are synthesized into genuine PNGs
-    (doc_id%3==0; media_id-cycled filter types), baseline JPEGs (==1;
-    4:2:0 and restart-interval variants), and GIFs (==2; interlaced
-    variants), then decoded by the real pure-Python codecs — the zlib
-    unfilter round-trip, the Huffman/IDCT/upsample pipeline, AND the
-    LZW + deinterlace pipeline all run at the gate, not a fake.
+    (doc_id%5==0; media_id-cycled filter types), baseline JPEGs (==1;
+    4:2:0 and restart-interval variants), GIFs (==2; interlaced
+    variants), ARITHMETIC JPEGs (==3; SOF9 QM coder, r10) and
+    progressive JPEGs (==4; SOF2), then decoded by the real
+    pure-Python codecs — the zlib unfilter round-trip, the
+    Huffman/IDCT/upsample pipeline, the LZW + deinterlace pipeline,
+    the Annex-D arithmetic decoder AND the progressive scan walker all
+    run at the gate, not a fake.
     Oracled since r7 (r6 verdict item 1): _multimodal_oracle recomputes
     (media_id, width, height, n_bytes, sha1) driver-side in pure Python
     — no Spark — and embeds them as a literal VALUES table, so the gate
