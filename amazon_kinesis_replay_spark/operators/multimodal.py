@@ -417,6 +417,103 @@ def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
                       filters=[(m // 5) % 5] * side)
 
 
+def synth_audio_blob(media_id: int, raw: bytes, rate: int = 8000) -> bytes:
+    """Deterministic per-row AUDIO fixture synthesis — the audio twin
+    of synth_image_blob (r10): int16 samples derive from a tonal base
+    plus the payload bytes, and media_id%3 cycles the container/codec:
+    ==0 -> FLAC (stereo mid/side, LPC order 4, blocksize 256 — the
+    full lossless entropy path), ==1 -> WAV (PCM16 mono), ==2 -> Sun
+    AU (PCM16 big-endian stereo). Frame count varies with media_id so
+    block boundaries move. Pure function: the registry oracle
+    recomputes the exact blobs driver-side."""
+    import math
+    import struct
+    m = int(media_id)
+    n = 400 + (m % 7) * 37
+    L = max(len(raw), 1)
+
+    def s(k: int) -> int:
+        base = int(3000 * math.sin(k / 9.0))
+        b = raw[k % L] if raw else 0
+        return base + (b - 128) * 8
+
+    if m % 3 == 0:
+        from ..functions.flac import encode_flac
+        frames = [[s(2 * i), s(2 * i + 1)] for i in range(n)]
+        return encode_flac(rate, 2, 16, frames, blocksize=256,
+                           stereo="mid_side", lpc_order=4,
+                           partition_order=1)
+    if m % 3 == 1:
+        pcm = struct.pack(f"<{n}h", *[s(i) for i in range(n)])
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    body = struct.pack(f">{2 * n}h", *[s(i) for i in range(2 * n)])
+    return (b".snd" + struct.pack(">IIIII", 24, len(body), 3, rate, 2)
+            + body)
+
+
+def synthesize_audio_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched synthesis of the mixed FLAC/WAV/AU audio fixtures
+    (see synth_audio_blob); schema matches the (media_id, data) decode
+    input contract."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                ids.append(mid)
+                blobs.append(synth_audio_blob(int(mid), raw))
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    return df.select("media_id", "data").mapInPandas(
+        _synth, "media_id long, data binary")
+
+
+def audio_content_digest(rate: int, channels: int, mono) -> str:
+    """EXACT, float-free audio content digest: sha1 over rate, channel
+    count and round(mono * channels) as int64 — the channel-MEAN mono
+    times the channel count is the exact integer channel SUM for every
+    lossless integer-PCM decode path (WAV/AU/AIFF/FLAC), so the digest
+    is bit-stable across processes and engines. Shared by the
+    distributed audio_meta kernel and the registry's driver-side
+    recompute."""
+    import numpy as np
+    ints = np.rint(np.asarray(mono, np.float64) * channels) \
+        .astype(np.int64)
+    return hashlib.sha1(f"{rate}:{channels}:".encode()
+                        + ints.tobytes()).hexdigest()
+
+
+def audio_meta(df: DataFrame) -> DataFrame:
+    """Distributed audio metadata + exact content digest through the
+    REAL decoders (r10): (sample_rate, channels, total_frames) from the
+    container walk and `audio_content_digest` over the decoded signal —
+    malformed payloads raise (never silently wrong). Arrow-batched
+    mapInPandas over (media_id, data)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "sample_rate": [], "channels": [],
+                    "total_frames": [], "mono_digest": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                rate, ch, frames, mono = _audio_mono_f64(bytes(data))
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["total_frames"].append(frames)
+                rows["mono_digest"].append(
+                    audio_content_digest(rate, ch, mono))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "data").mapInPandas(
+        _kernel, "media_id long, sample_rate int, channels int, "
+                 "total_frames long, mono_digest string")
+
+
 def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
     """Deterministic REAL mixed-codec fixture synthesis cycling media_id
     through FIVE codec modes (see synth_image_blob: PNG, baseline JPEG,

@@ -2958,15 +2958,41 @@ _ORACLES_SIM = {
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """JVM-side binary metadata (byte length + digest) — the cheap
-    pre-filter that runs before any Python decode at scale. Text payloads
-    stand in for opaque media bytes (no binary fixture table)."""
+    """Two-kind union over the multimodal metadata surface (registry
+    pinned at 50 — the kind-discriminator consolidation pattern):
+
+    - kind='meta': JVM-side binary metadata (byte length + digest) —
+      the cheap pre-filter that runs before any Python decode at scale.
+      Text payloads stand in for opaque media bytes.
+    - kind='audio' (r10): the REAL audio decode stack at the gate —
+      document text synthesizes deterministic FLAC (stereo mid/side +
+      LPC + Rice), WAV (PCM16) and Sun AU (PCM16 BE) payloads
+      (`synth_audio_blob`, media_id%3 cycle) which the Arrow-batched
+      `audio_meta` kernel decodes distributed; n_bytes carries
+      total_frames and digest the exact integer channel-SUM sha1
+      (`audio_content_digest` — float-free because mono*channels is an
+      exact integer for every lossless PCM path). The oracle recomputes
+      every blob + decode driver-side in pure Python (no Spark) as a
+      literal VALUES table — the multimodal_decode gate pattern, so the
+      FLAC/WAV/AU codecs are hash-checked at every driver correctness
+      run, not only in tests."""
     ensure_engine_conf(spark)
+    from ..operators import multimodal
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    meta = d.select(
+        F.lit("meta").alias("kind"),
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5(F.col("text").cast("binary")).alias("digest"))
+    media = multimodal.synthesize_audio_media(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.encode("text", "UTF-8").alias("data")))
+    audio = (multimodal.audio_meta(media)
+             .select(F.lit("audio").alias("kind"),
+                     F.col("media_id").alias("doc_id"),
+                     F.col("total_frames").cast("long").alias("n_bytes"),
+                     F.col("mono_digest").alias("digest")))
+    return meta.unionAll(audio)
 
 
 def _multimodal_oracle() -> str:
@@ -3011,13 +3037,50 @@ def _multimodal_oracle() -> str:
 
 _ORACLES_MM = {
     "multimodal_decode": _multimodal_oracle,  # callable: literal VALUES
-    "multimodal_meta": """
-        SELECT doc_id,
+    "multimodal_meta": None,  # replaced below by the callable oracle
+}
+
+
+def _multimodal_meta_oracle() -> str:
+    """Callable oracle for the two-kind multimodal_meta union: the
+    kind='meta' leg is plain SQL (DuckDB's own octet_length + md5);
+    the kind='audio' leg RECOMPUTES every synthesized FLAC/WAV/AU blob
+    and its decode driver-side in pure Python (synth_audio_blob ->
+    _audio_mono_f64 -> audio_content_digest — no Spark, no Arrow) and
+    embeds (doc_id, total_frames, digest) as a literal VALUES table.
+    A decode that desynchronizes anywhere (FLAC Rice walk, WAV chunk
+    walk, AU header) changes the digest and fails the hash."""
+    import os
+
+    import duckdb
+
+    from ..operators.multimodal import (_audio_mono_f64,
+                                        audio_content_digest,
+                                        synth_audio_blob)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    values = []
+    for did, text in rows:
+        blob = synth_audio_blob(int(did), text.encode("utf-8"))
+        rate, ch, frames, mono = _audio_mono_f64(blob)
+        dig = audio_content_digest(rate, ch, mono)
+        values.append(f"(CAST({did} AS BIGINT), "
+                      f"CAST({frames} AS BIGINT), '{dig}')")
+    return ("""
+        SELECT 'meta' AS kind, doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS digest
         FROM documents
-    """,
-}
+        UNION ALL
+        SELECT 'audio' AS kind, doc_id, n_bytes, digest
+        FROM (VALUES """ + ",".join(values)
+        + ") AS a(doc_id, n_bytes, digest)")
+
+
+_ORACLES_MM["multimodal_meta"] = _multimodal_meta_oracle
 
 
 def q_training_data_pipeline(spark, sf_dir):

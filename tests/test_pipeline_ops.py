@@ -2906,6 +2906,32 @@ def test_audio_containers_cross_decode_foreign_fixtures(spark):
         assert len(out[mid]["mfcc"]) == 13
 
 
+def test_audio_meta_mixed_container_kernel(spark):
+    """The r10 audio gate surface end-to-end in Spark: mixed FLAC/WAV/AU
+    payloads (synth_audio_blob cycle) through the Arrow-batched
+    audio_meta kernel — container-correct (rate, channels), the
+    media_id-varying frame counts, and digests equal to the pure-Python
+    driver-side recompute (the registry oracle's exact path)."""
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _audio_mono_f64, audio_content_digest, synth_audio_blob)
+
+    src = spark.range(9).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("audio payload "), F.col("id")),
+                 "UTF-8").alias("data"))
+    out = {r["media_id"]: r for r in multimodal.audio_meta(
+        multimodal.synthesize_audio_media(src)).collect()}
+    assert len(out) == 9
+    for mid in range(9):
+        blob = synth_audio_blob(mid, f"audio payload {mid}".encode())
+        rate, ch, frames, mono = _audio_mono_f64(blob)
+        r = out[mid]
+        assert (r["sample_rate"], r["channels"]) == (rate, ch)
+        assert r["channels"] == (1 if mid % 3 == 1 else 2)
+        assert r["total_frames"] == frames == 400 + (mid % 7) * 37
+        assert r["mono_digest"] == audio_content_digest(rate, ch, mono)
+
+
 def test_au_malformed_header_raises_value_error():
     """Malformed-streams-raise-ValueError contract for the AU path
     (r9 advice): rate=0 or channels=0 in the header must surface as
