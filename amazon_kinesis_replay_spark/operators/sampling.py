@@ -83,11 +83,12 @@ def temperature_mixture_rates(df: DataFrame, domain_col: str,
 
     T=2 (the default) evaluates as sqrt(w*n) — sqrt, multiply and
     divide are correctly-rounded IEEE ops, and the cross-domain total
-    is summed in decimal(24,12) (exact, order-independent; the mirrored
-    double->decimal cast is the sanctioned mirrored-cast exception:
-    both engines round the same double to the same decimal), so an
-    oracle SQL engine computes the identical rate_ppm. Other T values
-    use pow() and are NOT bit-portable across engines (libm variance);
+    sums floor-quantized longs (r10, replacing the mirrored decimal
+    cast — see similarity._Q_SCALE: Spark and DuckDB disagreed on
+    shortest-repr midpoint ties; floor(v*1e12+0.5) is pure IEEE and
+    identical in both) in a decimal(38,0) accumulator, so an oracle
+    SQL engine computes the identical rate_ppm. Other T values use
+    pow() and are NOT bit-portable across engines (libm variance);
     they remain available for production use.
 
     Scale shape: one map-side-combinable count per domain (the result
@@ -117,10 +118,11 @@ def temperature_mixture_rates(df: DataFrame, domain_col: str,
     # composed query's physical plan. The decimal window-sum is the
     # same exact order-independent total the agg form computed.
     wall = Window.partitionBy()
+    from .similarity import _Q_SCALE, _qprod
     counts = counts.withColumn(
         "__stot",
-        F.sum(F.col("__s").cast("decimal(24,12)")).over(wall)
-        .cast("double")).withColumn(
+        F.sum(_qprod(F.col("__s")).cast("decimal(38,0)")).over(wall)
+        .cast("double") / F.lit(_Q_SCALE)).withColumn(
         "__ntot", F.sum("n_docs").over(wall).cast("double"))
     rate = F.least(
         F.lit(1.0),

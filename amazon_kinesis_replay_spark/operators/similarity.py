@@ -14,22 +14,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Exact-sum element type: products of N(0,1)-ish floats stay well inside
-#: decimal(24,12); 12 fractional digits captures the double product closely
-#: enough that both engines round the SAME double to the SAME decimal.
-_PROD_DEC = "decimal(24,12)"
-_ACC_DEC = "decimal(30,12)"
+#: Cross-engine-exact quantization scale (r10, replacing the mirrored
+#: double->decimal(24,12) cast): q(v) = floor(v*1e12 + 0.5) — floor,
+#: multiply and add are IEEE-deterministic doubles, so BOTH engines
+#: compute the IDENTICAL long from the identical double, and integer
+#: sums are exact and order-independent. The decimal cast it replaces
+#: had a measured failure mode (hit once at sf1, r10): Spark's
+#: BigDecimal.valueOf rounds the double's SHORTEST REPR while DuckDB's
+#: cast rounds the EXACT binary value — they disagree whenever the
+#: shortest repr lands exactly on a 1e-12 midpoint that the exact value
+#: straddles (0.2714602053165436^2 reprs as ...0705 while its exact
+#: value is 5.15e-18 below the tie). floor-quantized longs also measure
+#: FASTER than decimal aggregates on both engines.
+_Q_SCALE = 1e12
+
+
+def _qprod(v: Column) -> Column:
+    """floor(v*1e12 + 0.5) as a long — the engine-exact quantizer."""
+    return F.floor(v * F.lit(_Q_SCALE) + F.lit(0.5))
 
 
 def _exact_dot(a: Column, b: Column) -> Column:
-    """Order-independent exact dot product -> double."""
-    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_PROD_DEC))
-    dec = F.aggregate(
-        prods,
-        F.lit(0).cast(_ACC_DEC),
-        lambda acc, v: (acc + v).cast(_ACC_DEC),
-    )
-    return dec.cast("double")
+    """Order-independent, engine-exact dot product -> double: quantized
+    products (64 of them, each |q| <= ~4e12) sum exactly in a long, and
+    the long casts to double exactly (< 2^53)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: _qprod(x.cast("double") * y.cast("double")))
+    s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return s.cast("double") / F.lit(_Q_SCALE)
 
 
 def _norm(a: Column) -> Column:
@@ -258,12 +270,14 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
         dims = assigned.select(
             "centroid_id", F.posexplode("vec").alias("pos", "x"))
         if exact:
-            # mirrored double->decimal of unit-scale components (the
-            # sanctioned mirrored-cast exception): the decimal SUM is order-
-            # independent and exact, its double cast correctly rounded —
-            # identical in any engine
-            m = F.sum(F.col("x").cast("double").cast(_PROD_DEC)) \
-                .cast("double").alias("m")
+            # engine-exact component sum (r10: floor-quantized longs, see
+            # _Q_SCALE — the mirrored decimal cast diverged on shortest-
+            # repr ties): decimal(38,0) accumulation keeps the sum exact
+            # past long range at corpus scale; the final double cast is
+            # correctly rounded identically in both engines
+            m = (F.sum(_qprod(F.col("x").cast("double"))
+                       .cast("decimal(38,0)"))
+                 .cast("double") / F.lit(_Q_SCALE)).alias("m")
             out_elem = "double"
         else:
             m = F.avg("x").alias("m")
@@ -732,10 +746,11 @@ def kmeans_centroids_two_level(
         dims = assigned.select(
             "coarse_id", "fine_id", F.posexplode("vec").alias("pos", "x"))
         if exact:
-            # mirrored double->decimal of unit-scale components (the
-            # sanctioned mirrored-cast exception, same as flat exact Lloyd)
-            m = F.sum(F.col("x").cast("double").cast(_PROD_DEC)) \
-                .cast("double").alias("m")
+            # engine-exact component sum (r10: floor-quantized longs in a
+            # decimal(38,0) accumulator, same as flat exact Lloyd)
+            m = (F.sum(_qprod(F.col("x").cast("double"))
+                       .cast("decimal(38,0)"))
+                 .cast("double") / F.lit(_Q_SCALE)).alias("m")
         else:
             m = F.avg("x").alias("m")
         means = dims.groupBy("coarse_id", "fine_id", "pos").agg(m)

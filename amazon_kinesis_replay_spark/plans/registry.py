@@ -1766,8 +1766,8 @@ _ORACLES_TEXT["doc_train_split"] = """
                    sqrt(CAST(w * n_docs AS DOUBLE)) AS s
             FROM mixc),
         mixt AS (
-            SELECT CAST(CAST(sum(CAST(s AS DECIMAL(24,12))) AS VARCHAR)
-                        AS DOUBLE) AS st,
+            SELECT CAST(CAST(sum(CAST(floor(s * 1e12 + 0.5) AS BIGINT)) AS VARCHAR)
+                        AS DOUBLE) / 1e12 AS st,
                    CAST(sum(n_docs) AS DOUBLE) AS nt
             FROM mixs),
         mixr AS (
@@ -2459,13 +2459,20 @@ _ORACLES_DEDUP["dedup_exact"] = _dedup_exact_oracle
 # Extensions — similarity search over embeddings
 # ===========================================================================
 
-_DOT_DEC = "DECIMAL(24,12)"
 
 
 def _dot_sql(a: str, b: str) -> str:
-    return (f"CAST(CAST(list_sum(list_transform(range(1, len({a})+1), "
-            f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
-            f"AS {_DOT_DEC}))) AS VARCHAR) AS DOUBLE)")
+    # Mirror of similarity._exact_dot (r10: floor-quantized longs — see
+    # similarity._Q_SCALE for why the mirrored double->decimal cast was
+    # replaced: Spark rounds the double's shortest repr, DuckDB the exact
+    # binary value, and they disagree on shortest-repr midpoint ties; a
+    # VARCHAR-routed decimal cast fixes it but measured ~50x slower).
+    # floor/multiply/add are IEEE-deterministic in both engines; the
+    # BIGINT sum (64 terms, each <= ~4e12) is exact and its double cast
+    # is exact (< 2^53).
+    return (f"(CAST(list_sum(list_transform(range(1, len({a})+1), "
+            f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS "
+            f"DOUBLE) * 1e12 + 0.5) AS BIGINT))) AS DOUBLE) / 1e12)")
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -2588,23 +2595,21 @@ def q_embedding_stats(spark, sf_dir):
     """Vector math surface over the wide-to-long pivot (merged from the
     separate posexplode and norms queries; r2 verdict item 1): posexplode
     every embedding to (vec_id, pos, x) rows, then aggregate back per
-    vector — dimension count, EXACT L2 norm (per-dim squares cast to
-    decimal before the order-independent sum; bit-identical to the SQL
-    oracle), and min/max components. The explode+reaggregate shape is the
-    feature-pipeline staple; the aggregate is map-side combinable."""
+    vector — dimension count, EXACT L2 norm (floor-quantized squares
+    summed as longs — engine-exact, see similarity._Q_SCALE for why
+    this replaced the mirrored decimal cast in r10; bit-identical to
+    the SQL oracle), and min/max components. The explode+reaggregate
+    shape is the feature-pipeline staple; the aggregate is map-side
+    combinable."""
     ensure_engine_conf(spark)
+    from ..operators.similarity import _Q_SCALE, _qprod
     emb = load(spark, sf_dir, "embeddings")
     rows = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
     xd = F.col("x").cast("double")
-    # double->decimal(24,12) of a UNIT-SCALE product is the sanctioned
-    # exception to the "never cast a double product to decimal" rule —
-    # same audited pattern as similarity._PROD_DEC (12 fractional digits
-    # capture the product closely enough that both engines round the same
-    # double to the same decimal); mirrored in the oracle SQL.
-    sq = (xd * xd).cast("decimal(24,12)")
+    sq = _qprod(xd * xd)
     return rows.groupBy("vec_id").agg(
         F.count("*").cast("long").alias("n_dims"),
-        F.sqrt(F.sum(sq).cast("double")).alias("l2_norm"),
+        F.sqrt(F.sum(sq).cast("double") / F.lit(_Q_SCALE)).alias("l2_norm"),
         F.min(xd).alias("min_x"),
         F.max(xd).alias("max_x"))
 
@@ -2692,8 +2697,9 @@ def _ivf_update_sql(assign_cte: str) -> str:
     return f"""
         SELECT centroid_id, list(s ORDER BY pos) AS c_vec FROM (
             SELECT centroid_id, pos,
-                   CAST(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
-                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
+                   CAST(CAST(sum(CAST(floor(CAST(embedding[pos] AS DOUBLE)
+                       * 1e12 + 0.5) AS BIGINT)) AS VARCHAR)
+                       AS DOUBLE) / 1e12 AS s
             FROM {assign_cte}, (SELECT unnest(range(1, 65)) AS pos) p
             GROUP BY centroid_id, pos) GROUP BY centroid_id"""
 
@@ -2753,8 +2759,9 @@ def _tl2_coarse_update_sql(asg: str) -> str:
         SELECT coarse_id AS centroid_id, list(s ORDER BY pos) AS c_vec
         FROM (
             SELECT coarse_id, pos,
-                   CAST(CAST(sum(CAST(CAST(vec[pos] AS DOUBLE)
-                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
+                   CAST(CAST(sum(CAST(floor(CAST(vec[pos] AS DOUBLE)
+                       * 1e12 + 0.5) AS BIGINT)) AS VARCHAR)
+                       AS DOUBLE) / 1e12 AS s
             FROM {asg}, (SELECT unnest(range(1, 65)) AS pos) p
             GROUP BY coarse_id, pos) GROUP BY coarse_id"""
 
@@ -2776,8 +2783,9 @@ def _tl2_fine_update_sql(asg: str) -> str:
     return f"""
         SELECT coarse_id, fine_id, list(s ORDER BY pos) AS c_vec FROM (
             SELECT coarse_id, fine_id, pos,
-                   CAST(CAST(sum(CAST(CAST(vec[pos] AS DOUBLE)
-                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS s
+                   CAST(CAST(sum(CAST(floor(CAST(vec[pos] AS DOUBLE)
+                       * 1e12 + 0.5) AS BIGINT)) AS VARCHAR)
+                       AS DOUBLE) / 1e12 AS s
             FROM {asg}, (SELECT unnest(range(1, 65)) AS pos) p
             GROUP BY coarse_id, fine_id, pos) GROUP BY coarse_id, fine_id"""
 
@@ -2897,8 +2905,9 @@ _ORACLES_SIM = {
             FROM embeddings)
         SELECT vec_id,
                CAST(count(*) AS BIGINT) AS n_dims,
-               sqrt(CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                        AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)) AS l2_norm,
+               sqrt(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 1e12) AS l2_norm,
                CAST(min(x) AS DOUBLE) AS min_x,
                CAST(max(x) AS DOUBLE) AS max_x
         FROM d GROUP BY vec_id
