@@ -1230,12 +1230,49 @@ _ORACLES_SQL_SURFACE = {
                    GROUP BY 1, 2) th
           ON s.event_type = th.event_type AND s.b = th.b
     """,
+    # Explicit sorted-rank interpolation mirroring Spark's Percentile
+    # EXACTLY (r10): two shortcuts — integral position, and EQUAL
+    # lower/higher keys (return the key as-is) — then the
+    # (higher-position)*lowerKey + (position-lower)*higherKey form.
+    # NOT quantile_cont: its algebraically-equal formula differs in
+    # floating point both on equal-neighbor interpolation points
+    # (common at sf1, where the tiled fixture duplicates values) and
+    # on ordinary rows at the 1-ulp level (docs/ROUND10.md).
     "event_value_quantiles": """
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value) - 1 AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events),
+        pos AS (
+            SELECT g.event_type, ps.p, g.n,
+                   ps.p * (g.n - 1) AS pos,
+                   CAST(floor(ps.p * (g.n - 1)) AS BIGINT) AS lo,
+                   CAST(ceil(ps.p * (g.n - 1)) AS BIGINT) AS hi
+            FROM (SELECT DISTINCT event_type, n FROM ranked) g,
+                 -- ::DOUBLE: DuckDB parses bare 0.99 as DECIMAL, which
+                 -- silently switches the pos/frac arithmetic out of the
+                 -- IEEE path Spark's percentile uses
+                 (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+                                 0.99::DOUBLE]) AS p) ps),
+        vals AS (
+            SELECT o.event_type, o.p,
+                   CASE WHEN o.hi = o.lo OR rlo.value = rhi.value
+                        THEN rlo.value
+                        ELSE (o.hi - o.pos) * rlo.value
+                             + (o.pos - o.lo) * rhi.value
+                   END AS v
+            FROM pos o
+            JOIN ranked rlo ON rlo.event_type = o.event_type
+                           AND rlo.rk = o.lo
+            JOIN ranked rhi ON rhi.event_type = o.event_type
+                           AND rhi.rk = o.hi)
         SELECT event_type,
-               quantile_cont(value, 0.5) AS p50,
-               quantile_cont(value, 0.9) AS p90,
-               quantile_cont(value, 0.99) AS p99
-        FROM events GROUP BY event_type
+               max(CASE WHEN p = 0.5 THEN v END) AS p50,
+               max(CASE WHEN p = 0.9 THEN v END) AS p90,
+               max(CASE WHEN p = 0.99 THEN v END) AS p99
+        FROM vals GROUP BY event_type
     """,
     "user_event_windows": """
         SELECT event_id, user_id,
