@@ -240,3 +240,64 @@ def test_twin_tokenizer_whitespace_edges(spark):
         rows, dim=32, n_iters=6, n_buckets=2)
     for a, b in zip(w_mb, w_mb_py):
         assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_drop_side_calibrated_junk_gate_on_planted_junk(spark):
+    """End-to-end exercise of the curate-2c APPLIED path that the
+    synthetic fixture never lets fire (its decile labels always trip
+    the volume guard): on a SEPARABLE corpus with planted junk, the
+    drop-side precision calibration — threshold_for_precision over
+    inverted labels and probs, drop set = prob < (1 - t_inv) — must
+    yield a gate that (a) achieves >= 0.8 junk precision against the
+    GROUND TRUTH, (b) recalls most planted junk, and (c) keeps enough
+    of the corpus that the curate volume guard (>= 80% kept) would
+    APPLY it rather than fall back to keep-frac."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_replay_spark.operators import classifier
+
+    rng = random.Random(17)
+    vocab = ["data", "spark", "query", "join", "scan", "filter",
+             "table", "column", "stream", "batch", "merge", "sort"]
+    rows = []
+    for i in range(300):
+        if i % 10 == 0:                      # planted junk: 10%
+            junk_tok = rng.choice(["zz", "@@", "..", "xx"])
+            text = " ".join([junk_tok] * rng.randrange(3, 30))
+            rows.append((i, text, 0))
+        else:
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randrange(20, 60)))
+            rows.append((i, text, 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    w = classifier.logreg_train(df, "doc_id", "text", "label", dim=256)
+    probs = classifier.logreg_score(df.select("doc_id", "text"),
+                                    "doc_id", "text", w) \
+        .select(F.col("id").alias("doc_id"), "prob")
+    val = probs.join(df.select("doc_id", "label"), "doc_id")
+
+    t_inv = classifier.threshold_for_precision(
+        val.select((1.0 - F.col("prob")).alias("prob"),
+                   (1 - F.col("label")).alias("label")),
+        "label", min_precision=0.8)
+    assert t_inv is not None
+    thr = 1.0 - t_inv
+
+    m = (val.agg(
+        F.sum(((F.col("prob") < thr) & (F.col("label") == 0))
+              .cast("long")).alias("tp"),
+        F.sum((F.col("prob") < thr).cast("long")).alias("dropped"),
+        F.sum((F.col("label") == 0).cast("long")).alias("junk"),
+        F.count("*").alias("n")).head())
+    assert m["dropped"] > 0
+    junk_precision = m["tp"] / m["dropped"]
+    junk_recall = m["tp"] / m["junk"]
+    kept_frac = (m["n"] - m["dropped"]) / m["n"]
+    assert junk_precision >= 0.8, junk_precision
+    assert junk_recall >= 0.7, junk_recall
+    # volume-safe: the curate guard (kept >= 0.8 * docs_in) would APPLY
+    # this threshold on a separable corpus with 10% junk
+    assert kept_frac >= 0.8, kept_frac
