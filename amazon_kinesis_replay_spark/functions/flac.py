@@ -548,7 +548,10 @@ def _lpc_coeffs(x: np.ndarray, order: int, precision: int):
     if cmax == 0:
         return None
     shift = precision - 1 - int(np.floor(np.log2(cmax))) - 1
-    shift = max(0, min(31, shift))
+    # the stream field is 5-bit SIGNED: legal non-negative range is
+    # 0..15 (16..31 would wrap negative on decode — caught by the r10
+    # fuzz on noise inputs whose LPC coefficients come out tiny)
+    shift = max(0, min(15, shift))
     q = np.round(a * (1 << shift)).astype(np.int64)
     lim = 1 << (precision - 1)
     q = np.clip(q, -lim, lim - 1)

@@ -3018,6 +3018,48 @@ def test_flac_codec_lossless_roundtrip_matrix():
     assert stats.get("escapes", 0) > 0
 
 
+def test_flac_seeded_fuzz_roundtrip():
+    """Seeded random sweep over lengths (incl. 0/1/block-boundary),
+    depths, channel modes, predictors, partition orders and content
+    classes (noise / full-scale / constant / ramp / tone). This sweep
+    caught a real encoder bug the systematic matrix missed: the LPC
+    shift field is 5-bit SIGNED, so computed shifts of 16..31 (tiny
+    LPC coefficients on noise inputs) wrapped negative on decode —
+    now clamped to 15."""
+    import numpy as np
+
+    from amazon_kinesis_replay_spark.functions.flac import (
+        decode_flac, encode_flac)
+    rng = np.random.default_rng(123)
+    for _ in range(120):
+        bits = int(rng.choice([4, 8, 12, 16, 24, 32]))
+        ch = int(rng.choice([1, 2]))
+        n = int(rng.choice([0, 1, 2, 255, 256, 257, 1000]))
+        lim = 1 << (bits - 1)
+        mode = rng.choice(["noise", "fullscale", "const", "tone"])
+        if mode == "noise":
+            x = rng.integers(-lim, lim, (n, ch))
+        elif mode == "fullscale":
+            x = rng.choice([-lim, lim - 1, 0], size=(n, ch))
+        elif mode == "const":
+            x = np.full((n, ch), int(rng.integers(-lim, lim)))
+        else:
+            t = np.arange(n * ch).reshape(n, ch)
+            x = (np.sin(t * 0.05) * (lim - 1)).astype(np.int64)
+        x = x.astype(np.int64)
+        stereo = str(rng.choice(["independent", "left_side",
+                                 "right_side", "mid_side"])) \
+            if ch == 2 else "independent"
+        raw = encode_flac(44100, ch, bits, x,
+                          blocksize=int(rng.choice([192, 256, 1000])),
+                          stereo=stereo,
+                          lpc_order=int(rng.choice([0, 1, 8, 32])),
+                          partition_order=int(rng.choice([0, 2, 4])))
+        r, c, b, f, y = decode_flac(raw)
+        assert (r, c, b, f) == (44100, ch, bits, n)
+        assert (y == x).all()
+
+
 def test_flac_crc_kernels_match_public_check_values():
     """FLAC witness layer 3: the CRC-8 (poly 0x07) and CRC-16 (poly
     0x8005, unreflected, init 0) kernels are pinned to their PUBLIC
