@@ -420,12 +420,16 @@ def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
 def synth_audio_blob(media_id: int, raw: bytes, rate: int = 8000) -> bytes:
     """Deterministic per-row AUDIO fixture synthesis — the audio twin
     of synth_image_blob (r10): int16 samples derive from a tonal base
-    plus the payload bytes, and media_id%3 cycles the container/codec:
-    ==0 -> FLAC (stereo mid/side, LPC order 4, blocksize 256 — the
-    full lossless entropy path), ==1 -> WAV (PCM16 mono), ==2 -> Sun
-    AU (PCM16 big-endian stereo). Frame count varies with media_id so
-    block boundaries move. Pure function: the registry oracle
-    recomputes the exact blobs driver-side."""
+    plus the payload bytes, and media_id%4 cycles the container/codec
+    (widened from %3 late r10 — both gate sides recompute through this
+    same pure function, so they move together): ==0 -> FLAC (stereo
+    mid/side, LPC order 4, blocksize 256 — the full lossless entropy
+    path), ==1 -> WAV (PCM16 mono), ==2 -> Sun AU (PCM16 big-endian
+    stereo), ==3 -> IMA ADPCM WAV (format 0x11 block codec, stereo on
+    alternate rows so the 4-byte channel interleave is exercised).
+    Frame count varies with media_id so block boundaries move. Pure
+    function: the registry oracle recomputes the exact blobs
+    driver-side."""
     import math
     import struct
     m = int(media_id)
@@ -437,19 +441,24 @@ def synth_audio_blob(media_id: int, raw: bytes, rate: int = 8000) -> bytes:
         b = raw[k % L] if raw else 0
         return base + (b - 128) * 8
 
-    if m % 3 == 0:
+    if m % 4 == 0:
         from ..functions.flac import encode_flac
         frames = [[s(2 * i), s(2 * i + 1)] for i in range(n)]
         return encode_flac(rate, 2, 16, frames, blocksize=256,
                            stereo="mid_side", lpc_order=4,
                            partition_order=1)
-    if m % 3 == 1:
+    if m % 4 == 1:
         pcm = struct.pack(f"<{n}h", *[s(i) for i in range(n)])
         fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
         return (b"RIFF"
                 + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
                 + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    if m % 4 == 3:
+        ch = 2 if m % 8 == 3 else 1
+        return encode_wav_ima(rate, ch,
+                              [s(i) for i in range(n * ch)],
+                              block_align=128 * ch)
     body = struct.pack(f">{2 * n}h", *[s(i) for i in range(2 * n)])
     return (b".snd" + struct.pack(">IIIII", 24, len(body), 3, rate, 2)
             + body)
@@ -855,17 +864,19 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
-def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes, int]:
-    """(sample_rate, channels, bits_per_sample, data, format_code) from a
-    RIFF/WAVE payload — chunk-walks the container, so extra chunks (LIST,
-    fact, cue) before or after fmt/data are handled. A
-    WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt chunk resolves to the real code
-    from the SubFormat GUID's leading two bytes (the spec encodes the
-    classic code there)."""
+def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes, int, int]:
+    """(sample_rate, channels, bits_per_sample, data, format_code,
+    block_align) from a RIFF/WAVE payload — chunk-walks the container,
+    so extra chunks (LIST, fact, cue) before or after fmt/data are
+    handled. A WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt chunk resolves to the
+    real code from the SubFormat GUID's leading two bytes (the spec
+    encodes the classic code there). block_align is load-bearing only
+    for block codecs (IMA ADPCM)."""
     import struct
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     rate = channels = bits = fmt = None
+    block_align = 0
     data = b""
     i = 12
     while i + 8 <= len(raw):
@@ -874,6 +885,7 @@ def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes, int]:
         body = raw[i + 8:i + 8 + csz]
         if cid == b"fmt " and len(body) >= 16:
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt == 0xFFFE and len(body) >= 26:     # EXTENSIBLE
                 fmt = struct.unpack_from("<H", body, 24)[0]
@@ -882,7 +894,156 @@ def _parse_wav(raw: bytes) -> tuple[int, int, int, bytes, int]:
         i += 8 + csz + (csz & 1)            # chunks are word-aligned
     if rate is None or not rate or not channels or not bits:
         raise ValueError("WAV missing or malformed fmt chunk")
-    return int(rate), int(channels), int(bits), data, int(fmt)
+    return (int(rate), int(channels), int(bits), data, int(fmt),
+            int(block_align))
+
+
+#: IMA/DVI ADPCM tables from the public IMA spec (identical constants in
+#: CPython's audioop.c, which the tests use as the FOREIGN witness: the
+#: repacked nibble stream must decode sample-exact through
+#: audioop.adpcm2lin in both encode directions).
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8) * 2
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+
+def _ima_decode_step(pred: int, idx: int, d: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: vpdiff uses the step of the INCOMING
+    index (the index update is 'for later' — IMA spec step order, same
+    as audioop.adpcm2lin)."""
+    step = _IMA_STEPS[idx]
+    vpdiff = step >> 3
+    if d & 4:
+        vpdiff += step
+    if d & 2:
+        vpdiff += step >> 1
+    if d & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if d & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[d]))
+    return pred, idx
+
+
+def _ima_encode_step(s: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA ADPCM encode step (nibble, new_pred, new_idx). The
+    magnitude loop accumulates vpdiff exactly as the decoder's bit
+    formula does, so encoder and decoder predictions stay identical —
+    asserted sample-exact against audioop.adpcm2lin in the tests."""
+    step = _IMA_STEPS[idx]
+    diff = s - pred
+    nib = 8 if diff < 0 else 0
+    diff = abs(diff)
+    vpdiff = step >> 3
+    if diff >= step:
+        nib |= 4
+        diff -= step
+        vpdiff += step
+    step >>= 1
+    if diff >= step:
+        nib |= 2
+        diff -= step
+        vpdiff += step
+    step >>= 1
+    if diff >= step:
+        nib |= 1
+        vpdiff += step
+    pred = pred - vpdiff if nib & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+    return nib, pred, idx
+
+
+def _ima_adpcm_f64(pcm: bytes, channels: int, block_align: int):
+    """IMA ADPCM (WAV format 0x11) block decode to interleaved float64
+    samples in int16 scale. Block layout per the Microsoft/IMA WAV
+    spec: a 4-byte header per channel (int16 LE initial sample, step
+    index, reserved) — the header sample IS the block's first output
+    frame — then the nibble data in 4-byte-per-channel interleaved
+    groups, LOW nibble first within each byte, 8 samples per channel
+    per group. A trailing short block decodes its complete groups."""
+    import struct
+
+    import numpy as np
+    if block_align < 4 * channels + 4 * channels:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small "
+                         f"for {channels} channel(s)")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for base in range(0, len(pcm), block_align):
+        block = pcm[base:base + block_align]
+        if len(block) < 4 * channels:
+            break                              # truncated trailing header
+        preds, idxs = [], []
+        for c in range(channels):
+            pred, idx, _ = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} > 88")
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)
+        data = block[4 * channels:]
+        group = 4 * channels
+        for pos in range(0, len(data) - group + 1, group):
+            for c in range(channels):
+                for byte in data[pos + 4 * c:pos + 4 * c + 4]:
+                    for d in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_decode_step(
+                            preds[c], idxs[c], d)
+                        chans[c].append(preds[c])
+    frames = min(len(ch) for ch in chans)
+    a = np.empty(frames * channels, dtype=np.float64)
+    for c in range(channels):
+        a[c::channels] = chans[c][:frames]
+    return a
+
+
+def encode_wav_ima(rate: int, channels: int, samples,
+                   block_align: int = 256) -> bytes:
+    """Encode interleaved int16 samples as an IMA ADPCM (format 0x11)
+    RIFF/WAVE payload — the synthesis half of the codec (fixture
+    generation for the correctness gate; the tests also cross-check it
+    through audioop). Each block header stores the block's ACTUAL first
+    sample (exact) plus the carried step index; frames pad with zeros
+    to whole blocks, so total decoded frames round up to a block
+    multiple."""
+    import struct
+    spb = (block_align - 4 * channels) // (4 * channels) * 8 + 1
+    flat = [int(s) for s in samples]
+    frames = len(flat) // channels
+    n_blocks = max(1, -(-frames // spb))
+    flat += [0] * (n_blocks * spb * channels - len(flat))
+    idxs = [0] * channels
+    out = bytearray()
+    for b in range(n_blocks):
+        base = b * spb * channels
+        nibs: list[list[int]] = []
+        for c in range(channels):
+            pred = max(-32768, min(32767, flat[base + c]))
+            out += struct.pack("<hBB", pred, idxs[c], 0)
+            cn = []
+            for k in range(1, spb):
+                nib, pred, idxs[c] = _ima_encode_step(
+                    flat[base + k * channels + c], pred, idxs[c])
+                cn.append(nib)
+            nibs.append(cn)
+        for pos in range(0, spb - 1, 8):
+            for c in range(channels):
+                g = nibs[c][pos:pos + 8]
+                out += bytes((g[i] | (g[i + 1] << 4))
+                             for i in range(0, 8, 2))
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, rate, byte_rate,
+                      block_align, 4, 2, spb)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(out))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(out)) + bytes(out))
 
 
 def _g711_tables():
@@ -1093,12 +1254,14 @@ def _wav_mono_f64(raw: bytes, max_frames: int | None = None):
     mono float64 signal in int16 scale). Format support — all from the
     public specs, no codec library: integer PCM at 8 (unsigned) / 16 /
     24 / 32 bits, IEEE float32 (format 3), A-law (6) and mu-law (7,
-    both via the G.711 tables); anything else raises loudly. channels
-    average to mono; `max_frames` truncates the RETURNED signal only
-    (total_frames stays exact for duration math)."""
+    both via the G.711 tables), IMA/DVI ADPCM (0x11, block codec —
+    foreign-witnessed sample-exact against CPython audioop in the
+    tests); anything else raises loudly. channels average to mono;
+    `max_frames` truncates the RETURNED signal only (total_frames
+    stays exact for duration math)."""
     import numpy as np
     global _G711
-    rate, channels, bits, pcm, fmt = _parse_wav(raw)
+    rate, channels, bits, pcm, fmt, block_align = _parse_wav(raw)
     if fmt == 1:
         if bits == 16:
             a = np.frombuffer(pcm[:len(pcm) & ~1], dtype="<i2") \
@@ -1127,10 +1290,13 @@ def _wav_mono_f64(raw: bytes, max_frames: int | None = None):
             _G711 = _g711_tables()
         table = _G711[1] if fmt == 6 else _G711[0]
         a = table[np.frombuffer(pcm, dtype=np.uint8)].astype(np.float64)
+    elif fmt == 0x11 and bits == 4:
+        a = _ima_adpcm_f64(pcm, channels, block_align)
     else:
         raise NotImplementedError(
             f"WAV format code {fmt} at {bits}-bit not supported "
-            "(integer PCM 8/16/24/32, float32, A-law, mu-law)")
+            "(integer PCM 8/16/24/32, float32, A-law, mu-law, "
+            "IMA ADPCM)")
     return _mono_trim(a, channels, rate, max_frames)
 
 

@@ -3012,15 +3012,16 @@ def q_multimodal_meta(spark, sf_dir):
       Text payloads stand in for opaque media bytes.
     - kind='audio' (r10): the REAL audio decode stack at the gate —
       document text synthesizes deterministic FLAC (stereo mid/side +
-      LPC + Rice), WAV (PCM16) and Sun AU (PCM16 BE) payloads
-      (`synth_audio_blob`, media_id%3 cycle) which the Arrow-batched
+      LPC + Rice), WAV (PCM16), Sun AU (PCM16 BE) and IMA ADPCM WAV
+      (format 0x11 block codec, late r10; mono+stereo) payloads
+      (`synth_audio_blob`, media_id%4 cycle) which the Arrow-batched
       `audio_meta` kernel decodes distributed; n_bytes carries
       total_frames and digest the exact integer channel-SUM sha1
       (`audio_content_digest` — float-free because mono*channels is an
       exact integer for every lossless PCM path). The oracle recomputes
       every blob + decode driver-side in pure Python (no Spark) as a
       literal VALUES table — the multimodal_decode gate pattern, so the
-      FLAC/WAV/AU codecs are hash-checked at every driver correctness
+      FLAC/WAV/AU/IMA-ADPCM codecs are hash-checked at every driver correctness
       run, not only in tests."""
     ensure_engine_conf(spark)
     from ..operators import multimodal
@@ -3090,7 +3091,7 @@ _ORACLES_MM = {
 def _multimodal_meta_oracle() -> str:
     """Callable oracle for the two-kind multimodal_meta union: the
     kind='meta' leg is plain SQL (DuckDB's own octet_length + md5);
-    the kind='audio' leg RECOMPUTES every synthesized FLAC/WAV/AU blob
+    the kind='audio' leg RECOMPUTES every synthesized FLAC/WAV/AU/IMA-ADPCM blob
     and its decode driver-side in pure Python (synth_audio_blob ->
     _audio_mono_f64 -> audio_content_digest — no Spark, no Arrow) and
     embeds (doc_id, total_frames, digest) as a literal VALUES table.

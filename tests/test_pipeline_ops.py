@@ -2907,29 +2907,143 @@ def test_audio_containers_cross_decode_foreign_fixtures(spark):
 
 
 def test_audio_meta_mixed_container_kernel(spark):
-    """The r10 audio gate surface end-to-end in Spark: mixed FLAC/WAV/AU
-    payloads (synth_audio_blob cycle) through the Arrow-batched
-    audio_meta kernel — container-correct (rate, channels), the
-    media_id-varying frame counts, and digests equal to the pure-Python
-    driver-side recompute (the registry oracle's exact path)."""
+    """The r10 audio gate surface end-to-end in Spark: mixed
+    FLAC/WAV/AU/IMA-ADPCM payloads (synth_audio_blob %4 cycle) through
+    the Arrow-batched audio_meta kernel — container-correct (rate,
+    channels), the media_id-varying frame counts, and digests equal to
+    the pure-Python driver-side recompute (the registry oracle's exact
+    path). The ADPCM rows (mid%4==3) zero-pad to whole blocks, so their
+    frame count rounds UP to a block multiple; every other mode keeps
+    the exact closed-form count."""
     from amazon_kinesis_replay_spark.operators.multimodal import (
         _audio_mono_f64, audio_content_digest, synth_audio_blob)
 
-    src = spark.range(9).select(
+    src = spark.range(12).select(
         F.col("id").alias("media_id"),
         F.encode(F.concat(F.lit("audio payload "), F.col("id")),
                  "UTF-8").alias("data"))
     out = {r["media_id"]: r for r in multimodal.audio_meta(
         multimodal.synthesize_audio_media(src)).collect()}
-    assert len(out) == 9
-    for mid in range(9):
+    assert len(out) == 12
+    modes = set()
+    for mid in range(12):
         blob = synth_audio_blob(mid, f"audio payload {mid}".encode())
         rate, ch, frames, mono = _audio_mono_f64(blob)
         r = out[mid]
+        modes.add(mid % 4)
         assert (r["sample_rate"], r["channels"]) == (rate, ch)
-        assert r["channels"] == (1 if mid % 3 == 1 else 2)
-        assert r["total_frames"] == frames == 400 + (mid % 7) * 37
+        n = 400 + (mid % 7) * 37
+        if mid % 4 == 3:
+            assert r["channels"] == (2 if mid % 8 == 3 else 1)
+            spb = 249          # (128*ch - 4*ch) // (4*ch) * 8 + 1
+            assert r["total_frames"] == frames == -(-n // spb) * spb
+        else:
+            assert r["channels"] == (1 if mid % 4 == 1 else 2)
+            assert r["total_frames"] == frames == n
         assert r["mono_digest"] == audio_content_digest(rate, ch, mono)
+    assert modes == {0, 1, 2, 3}
+
+
+def test_wav_ima_adpcm_foreign_witness_audioop():
+    """IMA ADPCM (WAV format 0x11) pinned against CPython's audioop —
+    a genuinely FOREIGN implementation of the same public IMA spec
+    (audioop.c ships its own step/index tables and step order) present
+    in this container's Python 3.11. Three directions:
+
+    1. encoder->container->decoder e2e (mono + stereo, several block
+       sizes), with every block's nibble stream repacked to audioop's
+       high-nibble-first order and decoded via audioop.adpcm2lin from
+       the block-header state — sample-exact agreement required;
+    2. a FOREIGN-ENCODED stream (audioop.lin2adpcm over the real
+       CPython pluck-pcm16.wav fixture when present, synthetic
+       otherwise) must decode sample-exact through _ima_decode_step —
+       audioop's quantizer makes different nibble choices than ours,
+       so this leg witnesses the decoder on nibble sequences our
+       encoder never emits;
+    3. malformed headers raise ValueError (step index > 88, block_align
+       too small), per the audio contract."""
+    import math
+    import os
+    import struct
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _ima_adpcm_f64, _ima_decode_step, _parse_wav, _wav_mono_f64,
+        encode_wav_ima)
+
+    sig = [max(-32768, min(32767, int(9000 * math.sin(i / 7.0))
+                           + ((i * 37) % 257 - 128) * 9))
+           for i in range(3000)]
+
+    # 1) e2e + per-block audioop agreement
+    for ch, ba in ((1, 128), (2, 256), (2, 512), (1, 2048)):
+        blob = encode_wav_ima(8000, ch, (sig * ch)[:len(sig) // ch * ch],
+                              block_align=ba)
+        rate, c2, _frames, _mono = _wav_mono_f64(blob)
+        assert (rate, c2) == (8000, ch)
+        _r, cc, bits, pcm, fmt, b_a = _parse_wav(blob)
+        assert (fmt, bits, b_a) == (0x11, 4, ba)
+        mine = _ima_adpcm_f64(pcm, cc, b_a)
+        for base in range(0, len(pcm), ba):
+            block = pcm[base:base + ba]
+            for c in range(cc):
+                pred, idx, _ = struct.unpack_from("<hBB", block, 4 * c)
+                nibs = []
+                data = block[4 * cc:]
+                for pos in range(0, len(data) - 4 * cc + 1, 4 * cc):
+                    for byte in data[pos + 4 * c:pos + 4 * c + 4]:
+                        nibs += [byte & 0xF, byte >> 4]
+                packed = bytes((nibs[i] << 4) | nibs[i + 1]
+                               for i in range(0, len(nibs), 2))
+                lin, _st = audioop.adpcm2lin(packed, 2, (pred, idx))
+                theirs = np.frombuffer(lin, "<i2").astype(np.int64)
+                spb = len(nibs) + 1
+                blk = base // ba
+                mc = mine[c::cc][blk * spb:(blk + 1) * spb] \
+                    .astype(np.int64)
+                assert mc[0] == pred
+                assert (mc[1:] == theirs).all()
+
+    # 2) foreign-encoded stream decodes sample-exact
+    fixture = ("/root/.pyenv/versions/3.7.16/lib/python3.7/test/"
+               "audiodata/pluck-pcm16.wav")
+    if os.path.isfile(fixture):
+        _r, fch, _b, fpcm, _f, _ba2 = _parse_wav(
+            open(fixture, "rb").read())
+        left = np.frombuffer(fpcm[:len(fpcm) & ~1], "<i2")[::fch]
+        frag = left.astype("<i2").tobytes()
+    else:  # pragma: no cover - fixture always present in this container
+        frag = struct.pack(f"<{len(sig)}h", *sig)
+    adp, _st = audioop.lin2adpcm(frag, 2, None)
+    lin, _st = audioop.adpcm2lin(adp, 2, (0, 0))
+    theirs = np.frombuffer(lin, "<i2").astype(np.int64)
+    p, ix = 0, 0
+    mine2 = np.empty(len(adp) * 2, dtype=np.int64)
+    k = 0
+    for byte in adp:
+        for d in (byte >> 4, byte & 0xF):      # audioop: high first
+            p, ix = _ima_decode_step(p, ix, d)
+            mine2[k] = p
+            k += 1
+    assert (mine2 == theirs).all()
+    assert len(theirs) >= 2000                 # a real-length witness
+
+    # 3) malformed headers raise
+    good = encode_wav_ima(8000, 1, sig[:600], block_align=128)
+    _r, _c, _b, pcm, _f, _ba3 = _parse_wav(good)
+    bad = bytearray(pcm)
+    bad[2] = 89                                # step index out of range
+    with pytest.raises(ValueError, match="step index"):
+        _ima_adpcm_f64(bytes(bad), 1, 128)
+    with pytest.raises(ValueError, match="block_align"):
+        _ima_adpcm_f64(pcm, 4, 16)
 
 
 def test_au_malformed_header_raises_value_error():
@@ -3123,7 +3237,7 @@ def test_flac_cross_container_witness_and_spark_decode(spark):
         pytest.skip("no CPython audiodata fixtures available")
 
     wav16 = open(base + "pluck-pcm16.wav", "rb").read()
-    rate, ch, bits, pcm, fmt = _parse_wav(wav16)
+    rate, ch, bits, pcm, fmt, _ba = _parse_wav(wav16)
     assert (fmt, bits, ch) == (1, 16, 2)
     s16 = np.frombuffer(pcm[:len(pcm) & ~1], "<i2").astype(np.int64)
     flac16 = encode_flac(rate, ch, 16, s16.reshape(-1, ch),
@@ -3133,7 +3247,7 @@ def test_flac_cross_container_witness_and_spark_decode(spark):
     assert (_audio_mono_f64(flac16)[3] == _audio_mono_f64(wav16)[3]).all()
 
     wav24 = open(base + "pluck-pcm24.wav", "rb").read()
-    rate, ch, bits, pcm, fmt = _parse_wav(wav24)
+    rate, ch, bits, pcm, fmt, _ba = _parse_wav(wav24)
     assert (fmt, bits, ch) == (1, 24, 2)
     b = np.frombuffer(pcm[:len(pcm) - len(pcm) % 3],
                       np.uint8).reshape(-1, 3)
