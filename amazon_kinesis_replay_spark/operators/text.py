@@ -140,6 +140,116 @@ def bpe_encode(df: DataFrame, text_col: str,
     return out
 
 
+def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 512,
+                  n_iters: int = 2, seed_size: int = 4096,
+                  max_piece_len: int = 8,
+                  max_words: int = 1_000_000) -> dict[str, float]:
+    """Train a unigram-LM subword tokenizer (SentencePiece
+    `--model_type=unigram`, Kudo 2018) DISTRIBUTED, in the hard-EM
+    (Viterbi) form whose corpus-scale aggregates are all exact integers
+    (see functions/unigram.py for why soft-EM's fractional expected
+    counts cannot be made engine-deterministic). Same aggregate-then-fit
+    scale shape as `bpe_train`:
+
+    - pre-token counting is one JVM-regex explode + map-side-combinable
+      groupBy (corpus-scale work, vocab-scale result), capped to the
+      `max_words` most frequent words (ties by word — the bpe_train cap
+      contract);
+    - substring SEED counting and every E-step run as Arrow-batched
+      mapInPandas over the distinct-WORD table with per-batch
+      pre-aggregation, then a vocab-bounded groupBy-sum — the corpus
+      never moves, scores travel as a broadcast;
+    - only (piece, count) tables at most seed_size + alphabet rows ever
+      reach the driver, where functions/unigram.py's prune/rescore
+      produce the next score table.
+
+    Returns the piece->log-prob dict (feed to `unigram_encode`); a
+    driver-only recompute via `functions.unigram.train_unigram` over the
+    same word counts yields the IDENTICAL table (the registry gate's
+    twin contract)."""
+    from ..functions import unigram as _ug
+    words = (df.select(F.explode(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
+        .alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(int(max_words)))
+    words = words.persist()
+    try:
+        def _partials(counter_of) -> DataFrame:
+            """Run a word->Counter kernel as mapInPandas with per-batch
+            pre-aggregation, summed to exact totals per piece."""
+            def _kernel(batches):
+                from collections import Counter
+                for pdf in batches:
+                    agg: Counter = Counter()
+                    for w, c in zip(pdf["word"], pdf["cnt"]):
+                        counter_of(str(w), int(c), agg)
+                    yield pd.DataFrame(
+                        {"piece": list(agg.keys()),
+                         "pcnt": list(agg.values())})
+            return (words.mapInPandas(_kernel, "piece string, pcnt long")
+                    .groupBy("piece").agg(F.sum("pcnt").alias("cnt")))
+
+        def _seed_kernel(w, c, agg):
+            n = len(w)
+            for i in range(n):
+                for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                    agg[w[i:j]] += c
+
+        seed = _partials(_seed_kernel)
+        top = seed.orderBy(F.col("cnt").desc(), F.col("piece")) \
+            .limit(int(seed_size)).collect()
+        singles = seed.filter(F.length("piece") == 1).collect()
+        raw = {r["piece"]: r["cnt"] for r in top}
+        raw.update({r["piece"]: r["cnt"] for r in singles})
+        if not raw:
+            return {}
+        pieces = sorted(raw)
+        scores = _ug.rescore(raw, pieces)
+
+        sc = df.sparkSession.sparkContext
+        for _ in range(int(n_iters)):
+            bc = sc.broadcast(scores)
+
+            def _em_kernel(w, c, agg, _bc=bc):
+                for p in _ug.viterbi(w, _bc.value, max_piece_len):
+                    agg[p] += c
+
+            got = _partials(_em_kernel).collect()
+            counts = {r["piece"]: r["cnt"] for r in got}
+            from collections import Counter as _C
+            pieces = _ug.prune(_C(counts), int(vocab_size))
+            scores = _ug.rescore(counts, pieces)
+            bc.unpersist()
+        return scores
+    finally:
+        words.unpersist()
+
+
+def unigram_encode(df: DataFrame, text_col: str,
+                   scores: dict[str, float],
+                   out_col: str = "unigram_tokens") -> DataFrame:
+    """Apply a trained unigram score table: adds `out_col`
+    (array<string>, lossless — concat reproduces the text) and
+    `{out_col}_count` (long). Arrow-batched pandas UDF with the score
+    table shipped once per executor as a broadcast and a per-batch
+    pre-token cache (heavy-tailed distribution -> dict probes), the
+    `bpe_encode` execution shape."""
+    from ..functions import unigram as _ug
+    bc = df.sparkSession.sparkContext.broadcast(scores)
+
+    @F.pandas_udf("array<string>")
+    def _enc(s: pd.Series) -> pd.Series:
+        sco = bc.value
+        cache: dict[str, list[str]] = {}
+        return s.map(lambda t: _ug.encode_text(t or "", sco, cache))
+
+    return (df.withColumn(out_col, _enc(F.col(text_col)))
+            .withColumn(f"{out_col}_count",
+                        F.size(out_col).cast("long")))
+
+
 def _word_ngrams(text_col: Column, n: int) -> Column:
     """array<struct<context,token>> of word n-grams: context = the n-1
     preceding words space-joined (empty for unigrams), token = the n-th.

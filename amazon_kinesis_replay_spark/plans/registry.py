@@ -1386,6 +1386,17 @@ def q_doc_pii_redact(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     merges = text.bpe_train(d, "text", n_merges=64)
     enc = text.bpe_encode(d.select("doc_id", "text"), "text", merges)
+    # late r10: the unigram-LM tokenizer (SentencePiece hard-EM form,
+    # text.unigram_train — distributed seed + Viterbi E-steps over the
+    # word-count table, exact-integer aggregates) rides this entry the
+    # same way BPE does: the oracle retrains driver-only via
+    # functions.unigram.train_unigram over the SAME capped word counts
+    # and embeds per-doc token counts, so the distributed train+encode
+    # path is hash-checked end-to-end.
+    ug_scores = text.unigram_train(d, "text", vocab_size=256,
+                                   n_iters=2, seed_size=1024)
+    ug_enc = text.unigram_encode(d.select("doc_id", "text"), "text",
+                                 ug_scores)
     # r7b: the n-gram LM pipeline rides the same entry with EXACT-INTEGER
     # fit statistics (gram count / seen-in-model count / summed model
     # counts) — the model trains on the EVEN doc_ids only so odd docs
@@ -1432,6 +1443,8 @@ def q_doc_pii_redact(spark, sf_dir):
     return (text.pii_redact(d, "doc_id", "text")
             .join(enc.select("doc_id", F.col("bpe_tokens_count")
                              .alias("bpe_token_count")), "doc_id")
+            .join(ug_enc.select("doc_id", F.col("unigram_tokens_count")
+                                .alias("unigram_token_count")), "doc_id")
             .join(per, "doc_id", "left")
             .join(hb, "doc_id")
             .withColumns({
@@ -1570,10 +1583,18 @@ def _pii_bpe_oracle() -> str:
     capped = dict(sorted(counts.items(),
                          key=lambda kv: (-kv[1], kv[0]))[:1_000_000])
     ranks = _bpe.merge_ranks(_bpe.learn_bpe(capped, 64))
+    # late r10: unigram-LM twin — retrain driver-only over the SAME
+    # capped word counts (functions/unigram.py hard-EM kernels; the
+    # Spark side trains distributed) and embed per-doc token counts.
+    from ..functions import unigram as _ug
+    ug_scores = _ug.train_unigram(capped, vocab_size=256, n_iters=2,
+                                  seed_size=1024)
     cache: dict = {}
+    ug_cache: dict = {}
     values = ",".join(
         f"(CAST({did} AS BIGINT), "
-        f"CAST({len(_bpe.encode_text(t, ranks, cache))} AS BIGINT))"
+        f"CAST({len(_bpe.encode_text(t, ranks, cache))} AS BIGINT), "
+        f"CAST({len(_ug.encode_text(t, ug_scores, ug_cache))} AS BIGINT))"
         for did, t in rows)
 
     # late r8: hashed-bucket DSIR stats (dsir_hashed_stats twin). The
@@ -1616,7 +1637,8 @@ def _pii_bpe_oracle() -> str:
         f"CAST({sum(n * rmod.get(b, 0) for b, n in c.items())} AS BIGINT))"
         for did, c in per_doc.items())
     return (_PII_ORACLE_BASE + f""",
-        bpe(doc_id, bpe_token_count) AS (VALUES {values}),
+        bpe(doc_id, bpe_token_count, unigram_token_count)
+            AS (VALUES {values}),
         hb(doc_id, hb_grams, hb_t_sum, hb_r_sum) AS (VALUES {hb_values}),
         toks AS (
             SELECT doc_id,
@@ -1649,7 +1671,7 @@ def _pii_bpe_oracle() -> str:
             GROUP BY f.doc_id)
         SELECT s3.doc_id, clean_text, n_emails, n_ips, n_phones,
                n_emails + n_ips + n_phones AS n_redactions,
-               bpe_token_count,
+               bpe_token_count, unigram_token_count,
                hb.hb_grams, hb.hb_t_sum, hb.hb_r_sum,
                CAST(coalesce(perdoc.lm_n_grams, 0) AS BIGINT) AS lm_n_grams,
                CAST(coalesce(perdoc.lm_n_seen, 0) AS BIGINT) AS lm_n_seen,

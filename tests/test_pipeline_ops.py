@@ -1625,6 +1625,86 @@ def test_bpe_train_encode_spark(spark, sf_dir):
         assert list(r["bpe_tokens"]) == bpe.encode_text(r["text"], ranks)
 
 
+def test_unigram_train_encode_spark(spark, sf_dir):
+    """Unigram-LM tokenizer (SentencePiece hard-EM form) end-to-end on
+    the documents fixture: the DISTRIBUTED trainer (seed + Viterbi
+    E-steps as Spark jobs) must produce the BIT-IDENTICAL score table
+    as the driver-only pure-Python twin over the same capped word
+    counts (the registry gate's contract — exact-integer aggregates
+    make this possible; soft-EM could not), and the Arrow-batched
+    encode must match the kernel row-by-row and be lossless."""
+    from collections import Counter
+
+    from amazon_kinesis_replay_spark.functions import unigram as ug
+    from amazon_kinesis_replay_spark.functions.bpe import pretokenize
+    from amazon_kinesis_replay_spark.operators import text as T
+    from amazon_kinesis_replay_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = T.unigram_train(docs, "text", vocab_size=256, n_iters=2,
+                             seed_size=1024)
+    # the fixture's closed word list converges to mostly whole-word
+    # pieces — the invariants are coverage + multi-char use, not size
+    assert any(len(p) > 1 for p in scores)
+
+    wc: Counter = Counter()
+    rows = docs.orderBy("doc_id").collect()
+    for r in rows:
+        wc.update(pretokenize(r["text"]))
+    capped = dict(sorted(wc.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:1_000_000])
+    twin = ug.train_unigram(capped, vocab_size=256, n_iters=2,
+                            seed_size=1024)
+    assert scores == twin                    # bit-identical doubles
+
+    enc = T.unigram_encode(docs, "text", scores)
+    bad = enc.filter(F.concat_ws("", F.col("unigram_tokens"))
+                     != F.col("text")).count()
+    assert bad == 0                          # lossless, every document
+    sample = enc.orderBy("doc_id").limit(20).collect()
+    for r in sample:
+        assert list(r["unigram_tokens"]) == ug.encode_text(
+            r["text"], twin)
+        assert r["unigram_tokens_count"] == len(r["unigram_tokens"])
+
+    # subword compression: multi-char pieces actually get used
+    total = enc.agg(F.sum("unigram_tokens_count")).head()[0]
+    chars = docs.agg(F.sum(F.length("text"))).head()[0]
+    assert total < chars
+
+
+def test_unigram_kernel_properties():
+    """Pure-kernel pins: Viterbi picks the max-score segmentation on a
+    hand-checkable table, unknown characters fall back to single-char
+    unk pieces (never a crash), the determinism contract holds (same
+    inputs -> same table), and add-one rescore emits the exact
+    log((c+1)/(total+V)) doubles."""
+    import math
+
+    from amazon_kinesis_replay_spark.functions import unigram as ug
+
+    scores = {"ab": math.log(0.4), "a": math.log(0.3),
+              "b": math.log(0.2), "abc": math.log(0.05),
+              "c": math.log(0.3)}
+    # 'ab'+'c' = log(.4)+log(.3) = log(.12) > 'abc' = log(.05)
+    assert ug.viterbi("abc", scores) == ["ab", "c"]
+    # unseen char: unk fallback, still lossless
+    assert "".join(ug.viterbi("aXb", scores)) == "aXb"
+
+    wc = {"hello": 5, " hello": 3, " world": 4, "!": 2}
+    t1 = ug.train_unigram(wc, vocab_size=32, n_iters=2, seed_size=64)
+    t2 = ug.train_unigram(dict(reversed(list(wc.items()))),
+                          vocab_size=32, n_iters=2, seed_size=64)
+    assert t1 == t2                          # input-order free
+
+    r = ug.rescore({"a": 3, "b": 1}, ["a", "b"])
+    assert r["a"] == math.log(4) - math.log(6)
+    assert r["b"] == math.log(2) - math.log(6)
+
+    for w in ("", "a", "hello!", " spaced"):
+        assert "".join(ug.encode_text(w, t1, {})) == w
+
+
 def test_ngram_lm_train_and_score(spark):
     """CCNet-style LM quality scoring on a hand-computable corpus: bigram
     counts from the distributed trainer match exact enumeration, and
