@@ -227,17 +227,34 @@ def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 512,
         words.unpersist()
 
 
+def unigram_vocab(scores: dict[str, float]) -> dict[str, int]:
+    """Deterministic piece->id vocabulary for a trained unigram score
+    table: 0 = <unk>, then pieces in (score DESC, piece ASC) order —
+    most probable pieces get the smallest ids (the SentencePiece
+    convention). A pure function of the score table, so every engine
+    and round derives the same ids."""
+    ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {p: i + 1 for i, (p, _) in enumerate(ordered)}
+
+
 def unigram_encode(df: DataFrame, text_col: str,
                    scores: dict[str, float],
-                   out_col: str = "unigram_tokens") -> DataFrame:
+                   out_col: str = "unigram_tokens",
+                   vocab: dict[str, int] | None = None) -> DataFrame:
     """Apply a trained unigram score table: adds `out_col`
     (array<string>, lossless — concat reproduces the text) and
     `{out_col}_count` (long). Arrow-batched pandas UDF with the score
     table shipped once per executor as a broadcast and a per-batch
     pre-token cache (heavy-tailed distribution -> dict probes), the
-    `bpe_encode` execution shape."""
+    `bpe_encode` execution shape.
+
+    With `vocab` (from `unigram_vocab`), also adds `{out_col}_ids`
+    (array<long>) — pieces mapped through the broadcast table,
+    out-of-vocabulary pieces (unk single-chars from unseen text) to
+    <unk>=0, the shard-ready form `pack_sequences` consumes."""
     from ..functions import unigram as _ug
-    bc = df.sparkSession.sparkContext.broadcast(scores)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(scores)
 
     @F.pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
@@ -245,9 +262,19 @@ def unigram_encode(df: DataFrame, text_col: str,
         cache: dict[str, list[str]] = {}
         return s.map(lambda t: _ug.encode_text(t or "", sco, cache))
 
-    return (df.withColumn(out_col, _enc(F.col(text_col)))
-            .withColumn(f"{out_col}_count",
-                        F.size(out_col).cast("long")))
+    out = (df.withColumn(out_col, _enc(F.col(text_col)))
+           .withColumn(f"{out_col}_count",
+                       F.size(out_col).cast("long")))
+    if vocab is not None:
+        bcv = sc.broadcast(vocab)
+
+        @F.pandas_udf("array<long>")
+        def _ids(s: pd.Series) -> pd.Series:
+            v = bcv.value
+            return s.map(lambda toks: [v.get(t, 0) for t in toks])
+
+        out = out.withColumn(f"{out_col}_ids", _ids(F.col(out_col)))
+    return out
 
 
 def _word_ngrams(text_col: Column, n: int) -> Column:

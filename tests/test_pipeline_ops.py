@@ -1672,6 +1672,23 @@ def test_unigram_train_encode_spark(spark, sf_dir):
     chars = docs.agg(F.sum(F.length("text"))).head()[0]
     assert total < chars
 
+    # id path: deterministic vocab, round-trip through ids, <unk>=0
+    vocab = T.unigram_vocab(scores)
+    assert sorted(vocab.values()) == list(range(1, len(scores) + 1))
+    small = docs.orderBy("doc_id").limit(10)
+    with_ids = T.unigram_encode(small, "text", scores, vocab=vocab) \
+        .orderBy("doc_id").collect()
+    inv = {i: p for p, i in vocab.items()}
+    for r in with_ids:
+        assert [vocab.get(t, 0) for t in r["unigram_tokens"]] \
+            == list(r["unigram_tokens_ids"])
+        assert "".join(inv[i] for i in r["unigram_tokens_ids"]
+                       if i) == r["text"]   # all in-vocab on the corpus
+    unseen = spark.createDataFrame([(1, "éé")],
+                                   "doc_id long, text string")
+    u = T.unigram_encode(unseen, "text", scores, vocab=vocab).head()
+    assert set(u["unigram_tokens_ids"]) == {0}   # unk path
+
 
 def test_unigram_kernel_properties():
     """Pure-kernel pins: Viterbi picks the max-score segmentation on a
@@ -3252,6 +3269,71 @@ def test_flac_seeded_fuzz_roundtrip():
         r, c, b, f, y = decode_flac(raw)
         assert (r, c, b, f) == (44100, ch, bits, n)
         assert (y == x).all()
+
+
+def test_ima_adpcm_seeded_fuzz_vs_audioop():
+    """Seeded random sweep for the IMA ADPCM codec over lengths
+    (incl. 0/1/block-boundary), channel counts, block sizes and content
+    classes (noise / full-scale steps / constant / tone) — every blob
+    roundtrips through encode_wav_ima -> _wav_mono_f64, and every
+    block's nibble stream must decode sample-exact through CPython's
+    audioop from the block-header state (the foreign-witness invariant,
+    fuzzed rather than fixed-cased)."""
+    import math
+    import struct
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _parse_wav, _wav_mono_f64, encode_wav_ima)
+
+    rng = np.random.default_rng(321)
+    for _ in range(60):
+        ch = int(rng.choice([1, 2]))
+        ba = int(rng.choice([16, 128, 512])) * ch
+        spb = (ba - 4 * ch) // (4 * ch) * 8 + 1
+        n = int(rng.choice([0, 1, spb - 1, spb, spb + 1, 700]))
+        mode = rng.choice(["noise", "steps", "const", "tone"])
+        if mode == "noise":
+            x = rng.integers(-32768, 32768, n * ch)
+        elif mode == "steps":
+            x = rng.choice([-32768, 32767, 0], size=n * ch)
+        elif mode == "const":
+            x = np.full(n * ch, int(rng.integers(-32768, 32768)))
+        else:
+            x = (np.sin(np.arange(n * ch) * 0.21) * 30000).astype(int)
+        blob = encode_wav_ima(8000, ch, [int(v) for v in x],
+                              block_align=ba)
+        rate, c2, frames, _mono = _wav_mono_f64(blob)
+        assert (rate, c2) == (8000, ch)
+        assert frames == max(1, math.ceil(n / spb)) * spb
+        _r, cc, _b, pcm, _f, b_a = _parse_wav(blob)
+        from amazon_kinesis_replay_spark.operators.multimodal import (
+            _ima_adpcm_f64)
+        mine = _ima_adpcm_f64(pcm, cc, b_a)
+        for base in range(0, len(pcm), b_a):
+            block = pcm[base:base + b_a]
+            data = block[4 * cc:]
+            for c in range(cc):
+                pred, idx, _ = struct.unpack_from("<hBB", block, 4 * c)
+                nibs = []
+                for pos in range(0, len(data) - 4 * cc + 1, 4 * cc):
+                    for byte in data[pos + 4 * c:pos + 4 * c + 4]:
+                        nibs += [byte & 0xF, byte >> 4]
+                packed = bytes((nibs[i] << 4) | nibs[i + 1]
+                               for i in range(0, len(nibs), 2))
+                lin, _st = audioop.adpcm2lin(packed, 2, (pred, idx))
+                theirs = np.frombuffer(lin, "<i2").astype(np.int64)
+                blk = base // b_a
+                mc = mine[c::cc][blk * spb:(blk + 1) * spb] \
+                    .astype(np.int64)
+                assert mc[0] == pred
+                assert (mc[1:] == theirs).all()
 
 
 def test_flac_crc_kernels_match_public_check_values():
