@@ -385,36 +385,42 @@ _GIF_PALETTE = bytes(
 
 def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
     """The deterministic per-row synthesis rule behind
-    synthesize_image_media, cycling media_id through FIVE codec modes
-    (r10 widened from three — the new JPEG entropy/scan modes ride the
-    same correctness gate): media_id%5==0 -> PNG (media_id-cycled
-    filter types), ==1 -> baseline JPEG (4:2:0 / restart-interval
-    variants), ==2 -> GIF (interlaced every other one), ==3 ->
-    ARITHMETIC JPEG (SOF9, QM coder; 4:2:0 every other one), ==4 ->
-    progressive JPEG (SOF2, spectral selection). Exposed as a pure
-    function so the registry's literal-VALUES oracle can recompute the
-    exact blob bytes driver-side (pure Python, no Spark) and
-    cross-check the distributed mapInPandas pipeline in DuckDB."""
+    synthesize_image_media, cycling media_id through SIX codec modes
+    (late r10 widened from five — WebP joins the correctness gate):
+    media_id%6==0 -> PNG (media_id-cycled filter types), ==1 ->
+    baseline JPEG (4:2:0 / restart-interval variants), ==2 -> GIF
+    (interlaced every other one), ==3 -> ARITHMETIC JPEG (SOF9, QM
+    coder; 4:2:0 every other one), ==4 -> progressive JPEG (SOF2,
+    spectral selection), ==5 -> WebP VP8L lossless (functions/webp.py,
+    RGBA). Exposed as a pure function so the registry's literal-VALUES
+    oracle can recompute the exact blob bytes driver-side (pure
+    Python, no Spark) and cross-check the distributed mapInPandas
+    pipeline in DuckDB; both gate sides move together when the cycle
+    changes."""
     from ..functions.gif import encode_gif
     from ..functions.jpeg import encode_jpeg
     n = side * side * 3
     m = int(media_id)
     raster = (raw + bytes(n))[:n]
-    mode = m % 5
+    mode = m % 6
     if mode == 1:
-        return encode_jpeg(side, side, raster, subsample=(m % 10 == 1),
-                           restart_interval=1 if m % 20 == 1 else 0)
+        return encode_jpeg(side, side, raster, subsample=(m % 12 == 1),
+                           restart_interval=1 if m % 24 == 1 else 0)
     if mode == 2:
         indices = (raw + bytes(side * side))[:side * side]
         return encode_gif(side, side, indices, _GIF_PALETTE,
-                          interlace=(m % 10 == 2))
+                          interlace=(m % 12 == 2))
     if mode == 3:
-        return encode_jpeg(side, side, raster, subsample=(m % 10 == 3),
+        return encode_jpeg(side, side, raster, subsample=(m % 12 == 3),
                            arithmetic=True)
     if mode == 4:
         return encode_jpeg(side, side, raster, progressive=True)
+    if mode == 5:
+        from ..functions.webp import encode_webp_lossless
+        rgba = (raw + bytes(side * side * 4))[:side * side * 4]
+        return encode_webp_lossless(side, side, rgba)
     return encode_png(side, side, raster, ctype=2,
-                      filters=[(m // 5) % 5] * side)
+                      filters=[(m // 6) % 5] * side)
 
 
 def synth_audio_blob(media_id: int, raw: bytes, rate: int = 8000) -> bytes:
@@ -525,13 +531,13 @@ def audio_meta(df: DataFrame) -> DataFrame:
 
 def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
     """Deterministic REAL mixed-codec fixture synthesis cycling media_id
-    through FIVE codec modes (see synth_image_blob: PNG, baseline JPEG,
-    GIF, arithmetic JPEG, progressive JPEG) — a downstream real decode
-    exercises the zlib unfilter paths, the Huffman/IDCT/upsample paths,
-    the LZW + deinterlace paths, the QM arithmetic coder AND the
-    spectral-selection scan walker in one pass. Arrow-batched
-    mapInPandas; schema matches the (media_id, data) decode input
-    contract."""
+    through SIX codec modes (see synth_image_blob: PNG, baseline JPEG,
+    GIF, arithmetic JPEG, progressive JPEG, WebP VP8L) — a downstream
+    real decode exercises the zlib unfilter paths, the
+    Huffman/IDCT/upsample paths, the LZW + deinterlace paths, the QM
+    arithmetic coder, the spectral-selection scan walker AND the VP8L
+    bitstream walk in one pass. Arrow-batched mapInPandas; schema
+    matches the (media_id, data) decode input contract."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -575,11 +581,15 @@ def _decode_pixels(raw: bytes) -> tuple[int, int, bytes]:
         return _parse_bmp(raw)
     if raw[:2] in (b"P6", b"P5"):
         return _parse_ppm(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        from ..functions.webp import decode_webp
+        return decode_webp(raw)           # RGBA (4-channel layout)
     raise NotImplementedError(
         f"unsupported image magic {raw[:4]!r}: PNG, baseline JPEG, and "
         "GIF (pure-Python codecs, functions/jpeg.py + functions/gif.py) "
         "and uncompressed BMP/PPM/PGM decode without a third-party "
-        "library (JPEG covers baseline AND progressive since r9); pass "
+        "library (JPEG covers baseline AND progressive since r9, WebP "
+        "VP8L lossless since r10 — functions/webp.py); pass "
         "fake=True for the deterministic test decoder")
 
 
@@ -1430,6 +1440,9 @@ def media_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
              .when(head2 == "424D", "bmp")
              .when(F.substring(data, 1, 2).cast("string")
                    .isin("P6", "P5"), "ppm")
+             .when((head4 == "52494646")
+                   & (F.hex(F.substring(data, 9, 4)) == "57454250"),
+                   "webp")
              .when(head4 == "52494646", "riff")   # WAV / AVI container
              .otherwise("unknown"))
     return df.withColumns({

@@ -3075,8 +3075,9 @@ def _multimodal_oracle() -> str:
     n_bytes/sha1 pin the exact encoded bytes, so the gate hash-checks
     the distributed mapInPandas pipeline end to end. Rows only appear in
     the Spark result if the REAL decode succeeded (the kernel raises on
-    any malformed blob), so a row-count match also proves all three
-    codecs decoded every blob."""
+    any malformed blob), so a row-count match also proves all six
+    codecs (PNG, baseline/arithmetic/progressive JPEG, GIF, WebP
+    VP8L) decoded every blob."""
     import hashlib
     import os
 

@@ -919,7 +919,7 @@ def test_multimodal_real_gif_decode(spark):
         assert (out[mid]["width"], out[mid]["height"]) == (8, 8)
         assert out[mid]["features"] == pytest.approx(exp, abs=1e-6)
 
-    # the mixed synthesis covers PNG/JPEG/GIF and every payload decodes
+    # the mixed synthesis covers all six codec modes and every payload decodes
     src = spark.range(9).select(
         F.col("id").alias("media_id"),
         F.encode(F.concat(F.lit("payload "), F.col("id")), "UTF-8")
@@ -928,6 +928,382 @@ def test_multimodal_real_gif_decode(spark):
     decoded = multimodal.decode_images(mixed).collect()
     assert len(decoded) == 9
     assert all((r["width"], r["height"]) == (8, 8) for r in decoded)
+
+
+def _libwebp():
+    """ctypes handle to the container's libwebp (the NORMATIVE WebP
+    implementation) — the foreign witness for functions/webp.py. Skips
+    the calling test if absent."""
+    import ctypes
+
+    import pytest
+    try:
+        L = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp.so.7 not available")
+    L.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    L.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    L.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    L.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+    L.WebPEncodeRGBA.restype = ctypes.c_size_t
+    L.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+    L.WebPFree.argtypes = [ctypes.c_void_p]
+
+    def dec(blob):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        p = L.WebPDecodeRGBA(blob, len(blob), ctypes.byref(w),
+                             ctypes.byref(h))
+        if not p:
+            return None
+        out = bytes(ctypes.cast(
+            p, ctypes.POINTER(ctypes.c_ubyte
+                              * (w.value * h.value * 4))).contents)
+        L.WebPFree(p)
+        return w.value, h.value, out
+
+    def enc(rgba, w, h, lossless=True, quality=75.0):
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        if lossless:
+            n = L.WebPEncodeLosslessRGBA(rgba, w, h, w * 4,
+                                         ctypes.byref(out))
+        else:
+            n = L.WebPEncodeRGBA(rgba, w, h, w * 4,
+                                 ctypes.c_float(quality),
+                                 ctypes.byref(out))
+        assert n > 0
+        blob = bytes(ctypes.cast(
+            out, ctypes.POINTER(ctypes.c_ubyte * n)).contents)
+        L.WebPFree(out)
+        return blob
+
+    return enc, dec
+
+
+def _webp_corpus(seed=42, n=27, wmax=80):
+    """Seeded content classes chosen to make libwebp's encoder exercise
+    every VP8L feature: noise (literals), gradients (predictor +
+    cross-color), few-color (palette incl. packed indices), constant
+    (LZ77), repeated rows (long backrefs), translucent (alpha +
+    cache)."""
+    import math
+    import os
+    import random
+    rng = random.Random(seed)
+    for trial in range(n):
+        # the last two trials are large translucent gradients at sizes
+        # where libwebp reaches for meta-Huffman groups (measured; the
+        # coverage assertion below keeps this pinned)
+        big = trial >= n - 2
+        if big:
+            w, h = (108, 160) if trial == n - 2 else (123, 112)
+            mode = 5
+        else:
+            w = rng.randint(1, wmax)
+            h = rng.randint(1, wmax)
+            mode = trial % 6
+        rgba = bytearray(w * h * 4)
+        if mode == 0:
+            rgba = bytearray(os.urandom(w * h * 4))
+        elif mode == 1:
+            for y in range(h):
+                for x in range(w):
+                    i = 4 * (y * w + x)
+                    rgba[i:i + 4] = bytes((
+                        int(120 + 100 * math.sin(x / 9)) & 255,
+                        (y * 5) & 255, (x + y) & 255, 255))
+        elif mode == 2:
+            cols = [os.urandom(3) + b"\xff" for _ in range(12)]
+            for i in range(w * h):
+                rgba[4 * i:4 * i + 4] = cols[(i * 7 + i // w) % 12]
+        elif mode == 3:
+            rgba = bytearray(bytes((10, 200, 30, 255)) * (w * h))
+        elif mode == 4:
+            row = os.urandom(w * 4)
+            rgba = bytearray(row * h)
+        else:
+            for y in range(h):
+                for x in range(w):
+                    i = 4 * (y * w + x)
+                    rgba[i:i + 4] = bytes(((x * 2) & 255, (y * 2) & 255,
+                                           (x + y) & 255,
+                                           (x * y) % 256))
+        if mode != 5:
+            for i in range(3, len(rgba), 4):
+                rgba[i] = 255
+        yield trial, w, h, bytes(rgba)
+
+
+def test_webp_vp8l_decode_matches_libwebp_bidirectional():
+    """The WebP witness, both directions, byte-exact:
+
+    1. libwebp-ENCODED streams (default effort — predictor +
+       cross-color + palette + color-cache + meta-Huffman + LZ77 all
+       active, asserted below so coverage cannot silently narrow)
+       decode byte-identical through functions/webp.py to libwebp's
+       own RGBA output;
+    2. streams from this module's minimal encoder decode byte-identical
+       through libwebp (the normative decoder accepts our bitstream).
+
+    Transparent pixels compare against libwebp's DECODE (the encoder's
+    default exact=0 cleanup may alter RGB under alpha=0 — that is
+    encoder freedom, not decoder disagreement)."""
+    import os
+    import random
+    import struct
+
+    import amazon_kinesis_replay_spark.functions.webp as W
+
+    enc, dec = _libwebp()
+
+    def stream_features(blob):
+        i = 12
+        while True:
+            fourcc = blob[i:i + 4]
+            csz = struct.unpack_from("<I", blob, i + 4)[0]
+            if fourcc == b"VP8L":
+                body = blob[i + 8:i + 8 + csz]
+                break
+            i += 8 + csz + (csz & 1)
+        br = W._BitReader(body[1:])
+        ww = br.bits(14) + 1
+        hh = br.bits(14) + 1
+        br.bit()
+        br.bits(3)
+        ts = []
+        while br.bit():
+            t = br.bits(2)
+            ts.append(t)
+            if t in (0, 1):
+                sb = br.bits(3) + 2
+                W._decode_image(br, W._div_round_up(ww, sb),
+                                W._div_round_up(hh, sb))
+            elif t == 3:
+                n = br.bits(8) + 1
+                W._decode_image(br, n, 1)
+                wb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+                ww = W._div_round_up(ww, wb)
+        cache = br.bits(4) if br.bit() else 0
+        meta = br.bit()
+        return ts, cache, meta
+
+    seen = set()
+    for trial, w, h, rgba in _webp_corpus():
+        blob = enc(rgba, w, h)
+        ref = dec(blob)
+        got = W.decode_webp(blob)
+        assert got[0:2] == (w, h) == ref[0:2]
+        assert got[2] == ref[2], f"trial {trial} ({w}x{h})"
+        ts, cache, meta = stream_features(blob)
+        seen.update(f"t{t}" for t in ts)
+        if cache:
+            seen.add("cache")
+        if meta:
+            seen.add("meta")
+    assert {"t0", "t1", "t3", "cache", "meta"} <= seen, seen
+
+    rng = random.Random(9)
+    for _ in range(8):
+        w = rng.randint(1, 24)
+        h = rng.randint(1, 24)
+        rgba = os.urandom(w * h * 4)
+        blob = W.encode_webp_lossless(w, h, rgba)
+        ref = dec(blob)
+        assert ref is not None and ref[0:2] == (w, h)
+        assert ref[2] == rgba
+        assert W.decode_webp(blob)[2] == rgba
+
+
+def test_webp_distance_map_matches_libwebp():
+    """Re-derive the 120-entry LZ77 distance map EMPIRICALLY from
+    libwebp (the extraction that produced _DIST_MAP, frozen as a test):
+    for each plane code, a crafted single-backref stream at two widths
+    reveals (dx, dy) through the normative decoder — any table drift or
+    transcription error fails here."""
+    import struct
+
+    import amazon_kinesis_replay_spark.functions.webp as W
+
+    _enc, dec = _libwebp()
+    bwc = W._BitWriter
+
+    def write_green_257(bw):
+        bw.put(0, 1)
+        bw.put(13 - 4, 4)
+        for pos in range(13):
+            bw.put(1 if pos in (11, 12) else 0, 3)
+        bw.put(1, 1)
+        bw.put(3, 3)
+        bw.put(255, 8)
+        for _ in range(255):
+            bw.put_code(0, 1)
+        bw.put_code(1, 1)
+        bw.put_code(1, 1)
+
+    def g_code(sym):
+        return (sym, 8) if sym < 255 else (510 + (sym - 255), 9)
+
+    def prefix_encode(v):
+        if v <= 4:
+            return v - 1, 0, 0
+        vv = v - 1
+        hb = vv.bit_length() - 1
+        second = (vv >> (hb - 1)) & 1
+        return (2 * hb + second, vv - ((2 + second) << (hb - 1)),
+                hb - 1)
+
+    def probe(width, height, px_, py_, plane):
+        pidx = py_ * width + px_
+        sym, rest, eb = prefix_encode(plane)
+        bw = bwc()
+        bw.put(width - 1, 14)
+        bw.put(height - 1, 14)
+        bw.put(0, 1)
+        bw.put(0, 3)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        write_green_257(bw)
+        for _ in range(3):
+            W._write_fixed8_code(bw)
+        W._write_single_symbol_code(bw, sym)
+        for i in range(width * height):
+            if i == pidx:
+                c, ln = g_code(256)      # length-1 backref
+                bw.put_code(c, ln)
+                bw.put(rest, eb)
+                continue
+            r, g, b = i & 0xFF, (i >> 8) & 0xFF, (i * 7) & 0xFF
+            c, ln = g_code(g)
+            bw.put_code(c, ln)
+            bw.put_code(r, 8)
+            bw.put_code(b, 8)
+            bw.put_code(255, 8)
+        payload = b"\x2f" + bw.done()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        blob = (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+                + chunk)
+        got = dec(blob)
+        assert got is not None, plane
+        out = got[2]
+        pix = out[pidx * 4:pidx * 4 + 4]
+        src = None
+        for i in range(width * height):
+            if i == pidx:
+                continue
+            cand = bytes((i & 0xFF, (i >> 8) & 0xFF, (i * 7) & 0xFF,
+                          255))
+            if cand == pix:
+                assert src is None
+                src = i
+        assert src is not None, plane
+        return pidx - src
+
+    derived = []
+    for plane in range(1, 121):
+        d16 = probe(16, 18, 8, 9, plane)
+        d24 = probe(24, 18, 12, 9, plane)
+        dy, rem = divmod(d24 - d16, 8)
+        assert rem == 0, plane
+        derived.append((d16 - 16 * dy, dy))
+    assert tuple(derived) == W._DIST_MAP
+
+
+def test_webp_subtract_green_and_malformed():
+    """The one VP8L feature libwebp's default encoder never emits
+    (cross-color subsumes it): a handcrafted SUBTRACT_GREEN stream must
+    decode identically through libwebp and functions/webp.py. Plus the
+    malformed contract: truncation/bad magic raise WebPError, lossy
+    'VP8 ' raises NotImplementedError."""
+    import os
+    import struct
+
+    import pytest
+
+    import amazon_kinesis_replay_spark.functions.webp as W
+
+    enc, dec = _libwebp()
+
+    w, h = 9, 5
+    bw = W._BitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)                        # transform present
+    bw.put(2, 2)                        # SUBTRACT_GREEN
+    bw.put(0, 1)                        # no more transforms
+    bw.put(0, 1)                        # no color cache
+    bw.put(0, 1)                        # no meta-huffman
+    for _ in range(4):
+        W._write_fixed8_code(bw)
+    W._write_single_symbol_code(bw, 0)
+    rng = bytearray(os.urandom(w * h * 4))
+    for i in range(w * h):
+        g, r, b, a = rng[4 * i:4 * i + 4]
+        bw.put_code(g, 8)
+        bw.put_code(r, 8)
+        bw.put_code(b, 8)
+        bw.put_code(255, 8)
+    payload = b"\x2f" + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    blob = (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+            + chunk)
+    ref = dec(blob)
+    got = W.decode_webp(blob)
+    assert ref is not None and got[0:2] == (w, h) == ref[0:2]
+    assert got[2] == ref[2]
+    # subtract-green really fired: green added into r/b somewhere
+    assert any(got[2][4 * i] != rng[4 * i + 1] for i in range(w * h))
+
+    good = W.encode_webp_lossless(4, 4, os.urandom(64))
+    with pytest.raises(W.WebPError):
+        W.decode_webp(good[:30])
+    with pytest.raises(W.WebPError):
+        W.decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
+    lossy = enc(bytes(range(64)) * 4, 8, 8, lossless=False)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        W.decode_webp(lossy)
+
+
+def test_webp_rides_image_decode_and_sniff(spark):
+    """Wiring: a WebP payload routes through decode_images (RGBA
+    histogram features) and the JVM magic sniff labels RIFF+WEBP as
+    'webp' while RIFF+WAVE stays 'riff'."""
+    import os
+
+    from amazon_kinesis_replay_spark.functions.webp import (
+        encode_webp_lossless)
+
+    rgba = os.urandom(8 * 8 * 4)
+    blob = encode_webp_lossless(8, 8, rgba)
+    media = spark.createDataFrame([(1, bytearray(blob))],
+                                  "media_id long, data binary")
+    import pytest
+
+    out = multimodal.decode_images(media).collect()[0]
+    assert (out["width"], out["height"]) == (8, 8)
+    assert out["features"] == pytest.approx(
+        multimodal._pixel_histogram(rgba), abs=1e-6)
+
+    wav = multimodal.synth_audio_blob(1, b"x")
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(wav))],
+        "media_id long, data binary")
+    got = {r["media_id"]: r["magic"]
+           for r in multimodal.media_metadata(df).collect()}
+    assert got[1] == "webp" and got[2] == "riff"
 
 
 def test_multimodal_mjpeg_frame_decode(spark):
