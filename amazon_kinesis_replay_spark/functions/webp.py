@@ -516,27 +516,71 @@ def _inv_palette(px, palette, wbits, xsize, ysize, packed_xsize):
 
 
 def decode_webp(raw: bytes):
-    """Decode a WebP container to (width, height, rgba_bytes). VP8L
-    (lossless) decodes natively; 'VP8 ' (lossy) and animation raise
-    NotImplementedError (no in-container witness tooling would make a
-    lossy decoder checkable — see multimodal docstring policy)."""
+    """Decode a WebP container to (width, height, pixel_bytes): RGBA
+    for VP8L (lossless), RGB for 'VP8 ' (lossy — functions/vp8.py
+    decodes the keyframe to YUV bit-exact vs libwebp; the YUV->RGB
+    step below is OUR deterministic studio-range BT.601 kernel, since
+    color conversion is outside RFC 6386). Lossy-with-alpha (ALPH) and
+    animation raise NotImplementedError."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise WebPError("not a WEBP payload")
+    i = 12
+    chunks = []
+    while i + 8 <= len(raw):
+        fourcc = raw[i:i + 4]
+        csz = struct.unpack_from("<I", raw, i + 4)[0]
+        chunks.append((fourcc, raw[i + 8:i + 8 + csz]))
+        i += 8 + csz + (csz & 1)
+    kinds = {f for f, _ in chunks}
+    if b"ANIM" in kinds or b"ANMF" in kinds:
+        raise NotImplementedError("animated WebP not supported")
+    for fourcc, body in chunks:
+        if fourcc == b"VP8L":
+            return _decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            if b"ALPH" in kinds:
+                raise NotImplementedError(
+                    "lossy WebP with an ALPH alpha plane not supported")
+            from .vp8 import decode_vp8
+            w, h, y, u, v = decode_vp8(body)
+            return w, h, _yuv420_to_rgb(w, h, y, u, v)
+    raise WebPError("no VP8/VP8L chunk in WEBP container")
+
+
+def decode_webp_yuv(raw: bytes):
+    """Decode a LOSSY WebP to its (width, height, Y, U, V) planes —
+    the RFC-defined decoder output, bit-exact vs libwebp's
+    WebPDecodeYUV (the tests' witness surface)."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
         raise WebPError("not a WEBP payload")
     i = 12
     while i + 8 <= len(raw):
         fourcc = raw[i:i + 4]
         csz = struct.unpack_from("<I", raw, i + 4)[0]
-        body = raw[i + 8:i + 8 + csz]
-        if fourcc == b"VP8L":
-            return _decode_vp8l(body)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 WebP not supported (VP8L lossless decodes "
-                "natively)")
-        if fourcc in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP not supported")
+            from .vp8 import decode_vp8
+            return decode_vp8(raw[i + 8:i + 8 + csz])
         i += 8 + csz + (csz & 1)
-    raise WebPError("no VP8L chunk in WEBP container")
+    raise WebPError("no VP8 (lossy) chunk in WEBP container")
+
+
+def _yuv420_to_rgb(w: int, h: int, y: bytes, u: bytes, v: bytes) -> bytes:
+    """Deterministic studio-range BT.601 YUV420->RGB: nearest-neighbor
+    chroma upsampling + r=1.164(y-16)+1.596(v-128) etc., rounded —
+    numpy-vectorized, identical on every engine."""
+    import numpy as np
+    cw = (w + 1) >> 1
+    ya = np.frombuffer(y, np.uint8).astype(np.float64).reshape(h, w)
+    ua = np.frombuffer(u, np.uint8).astype(np.float64) \
+        .reshape(-1, cw).repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+    va = np.frombuffer(v, np.uint8).astype(np.float64) \
+        .reshape(-1, cw).repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+    yy = 1.164 * (ya - 16.0)
+    r = yy + 1.596 * (va - 128.0)
+    g = yy - 0.391 * (ua - 128.0) - 0.813 * (va - 128.0)
+    b = yy + 2.018 * (ua - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
 def _decode_vp8l(body: bytes):

@@ -7,11 +7,17 @@ UDFs).
 
 Decode coverage:
 - REAL, pure-Python (no third-party codec): PNG (stdlib zlib inflate of
-  the IDAT stream + numpy scanline unfiltering) and baseline JPEG
+  the IDAT stream + numpy scanline unfiltering), baseline JPEG
   (marker walk, Huffman entropy decode, dequant + numpy IDCT, chroma
-  upsample, YCbCr->RGB — functions/jpeg.py; together these two cover
-  the overwhelming majority of real image corpora), BMP and PPM/PGM
-  image headers + pixel-histogram features; WAV (RIFF), Sun AU and
+  upsample, YCbCr->RGB — functions/jpeg.py) and WebP — BOTH classes,
+  late r10: VP8L lossless (functions/webp.py — full transform/cache/
+  meta-Huffman coverage, byte-exact against the container's libwebp in
+  BOTH directions) and lossy VP8 keyframes (functions/vp8.py —
+  RFC 6386 boolean decoder, mode/token trees, IWHT/IDCT, intra
+  prediction, in-loop deblocking; YUV planes bit-exact vs libwebp
+  across qualities/partitions/segments/filter variants; together these
+  cover the overwhelming majority of real image corpora), BMP and
+  PPM/PGM image headers + pixel-histogram features; WAV (RIFF), Sun AU and
   AIFF/AIFC audio containers (integer PCM 8-32, float32, G.711
   A-law/mu-law, 'sowt', WAVE_FORMAT_EXTENSIBLE) + FLAC (r10,
   functions/flac.py — CONSTANT/VERBATIM/FIXED/LPC subframes, Rice
@@ -589,7 +595,8 @@ def _decode_pixels(raw: bytes) -> tuple[int, int, bytes]:
         "GIF (pure-Python codecs, functions/jpeg.py + functions/gif.py) "
         "and uncompressed BMP/PPM/PGM decode without a third-party "
         "library (JPEG covers baseline AND progressive since r9, WebP "
-        "VP8L lossless since r10 — functions/webp.py); pass "
+        "VP8L lossless AND lossy VP8 since r10 — functions/webp.py, "
+        "functions/vp8.py); pass "
         "fake=True for the deterministic test decoder")
 
 

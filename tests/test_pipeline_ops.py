@@ -1277,6 +1277,306 @@ def test_webp_subtract_green_and_malformed():
         W.decode_webp(lossy)
 
 
+def _libwebp_yuv():
+    """WebPDecodeYUV via ctypes — the normative VP8 decoder's plane
+    output (the RFC-defined surface, free of any RGB conversion)."""
+    import ctypes
+
+    import pytest
+    try:
+        L = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp.so.7 not available")
+    L.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+    L.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    L.WebPFree.argtypes = [ctypes.c_void_p]
+
+    def dec_yuv(blob):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        u = ctypes.POINTER(ctypes.c_ubyte)()
+        v = ctypes.POINTER(ctypes.c_ubyte)()
+        stride = ctypes.c_int()
+        uv_stride = ctypes.c_int()
+        y = L.WebPDecodeYUV(blob, len(blob), ctypes.byref(w),
+                            ctypes.byref(h), ctypes.byref(u),
+                            ctypes.byref(v), ctypes.byref(stride),
+                            ctypes.byref(uv_stride))
+        assert y
+        W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+        cw, ch2 = (W + 1) // 2, (H + 1) // 2
+
+        def crop(ptr, st, ww, hh):
+            buf = bytes(ctypes.cast(
+                ptr, ctypes.POINTER(ctypes.c_ubyte * (st * hh))).contents)
+            return b"".join(buf[r * st:r * st + ww] for r in range(hh))
+
+        out = (W, H, crop(y, S, W, H), crop(u, US, cw, ch2),
+               crop(v, US, cw, ch2))
+        L.WebPFree(y)
+        return out
+
+    return dec_yuv
+
+
+def _libwebp_encoder():
+    """Advanced libwebp lossy encoder via ctypes (ABI 0x020f) — exposes
+    the WebPConfig knobs (partitions, filter_type, sharpness, segments,
+    autofilter, method) so the decoder witness can force every header
+    feature libwebp's simple API never emits."""
+    import ctypes
+
+    import pytest
+    try:
+        L = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp.so.7 not available")
+    if L.WebPGetEncoderVersion() >> 8 != 0x102:
+        pytest.skip("struct layouts pinned to libwebp 1.2.x")
+
+    class Config(ctypes.Structure):
+        _fields_ = [("lossless", ctypes.c_int),
+                    ("quality", ctypes.c_float),
+                    ("method", ctypes.c_int), ("image_hint", ctypes.c_int),
+                    ("target_size", ctypes.c_int),
+                    ("target_PSNR", ctypes.c_float),
+                    ("segments", ctypes.c_int),
+                    ("sns_strength", ctypes.c_int),
+                    ("filter_strength", ctypes.c_int),
+                    ("filter_sharpness", ctypes.c_int),
+                    ("filter_type", ctypes.c_int),
+                    ("autofilter", ctypes.c_int),
+                    ("alpha_compression", ctypes.c_int),
+                    ("alpha_filtering", ctypes.c_int),
+                    ("alpha_quality", ctypes.c_int),
+                    ("pass_", ctypes.c_int),
+                    ("show_compressed", ctypes.c_int),
+                    ("preprocessing", ctypes.c_int),
+                    ("partitions", ctypes.c_int),
+                    ("partition_limit", ctypes.c_int),
+                    ("emulate_jpeg_size", ctypes.c_int),
+                    ("thread_level", ctypes.c_int),
+                    ("low_memory", ctypes.c_int),
+                    ("near_lossless", ctypes.c_int),
+                    ("exact", ctypes.c_int),
+                    ("use_delta_palette", ctypes.c_int),
+                    ("use_sharp_yuv", ctypes.c_int),
+                    ("qmin", ctypes.c_int), ("qmax", ctypes.c_int)]
+
+    class MemoryWriter(ctypes.Structure):
+        _fields_ = [("mem", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("size", ctypes.c_size_t),
+                    ("max_size", ctypes.c_size_t),
+                    ("pad", ctypes.c_uint32 * 1)]
+
+    class Picture(ctypes.Structure):
+        # includes the PRIVATE tail fields (memory_/memory_argb_/pad8):
+        # the library writes them, so omitting them corrupts the stack
+        _fields_ = [("use_argb", ctypes.c_int),
+                    ("colorspace", ctypes.c_int),
+                    ("width", ctypes.c_int), ("height", ctypes.c_int),
+                    ("y", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("u", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("v", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("y_stride", ctypes.c_int),
+                    ("uv_stride", ctypes.c_int),
+                    ("a", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("a_stride", ctypes.c_int),
+                    ("pad1", ctypes.c_uint32 * 2),
+                    ("argb", ctypes.POINTER(ctypes.c_uint32)),
+                    ("argb_stride", ctypes.c_int),
+                    ("pad2", ctypes.c_uint32 * 3),
+                    ("writer", ctypes.c_void_p),
+                    ("custom_ptr", ctypes.c_void_p),
+                    ("extra_info_type", ctypes.c_int),
+                    ("extra_info", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("stats", ctypes.c_void_p),
+                    ("error_code", ctypes.c_int),
+                    ("progress_hook", ctypes.c_void_p),
+                    ("user_data", ctypes.c_void_p),
+                    ("pad3", ctypes.c_uint32 * 3),
+                    ("pad4", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("pad5", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("pad6", ctypes.c_uint32 * 8),
+                    ("pad7", ctypes.c_void_p),
+                    ("memory_", ctypes.c_void_p),
+                    ("memory_argb_", ctypes.c_void_p),
+                    ("pad8", ctypes.c_void_p * 2)]
+
+    L.WebPConfigInitInternal.restype = ctypes.c_int
+    L.WebPConfigInitInternal.argtypes = [
+        ctypes.POINTER(Config), ctypes.c_int, ctypes.c_float,
+        ctypes.c_int]
+    L.WebPValidateConfig.restype = ctypes.c_int
+    L.WebPValidateConfig.argtypes = [ctypes.POINTER(Config)]
+    L.WebPPictureInitInternal.restype = ctypes.c_int
+    L.WebPPictureInitInternal.argtypes = [ctypes.POINTER(Picture),
+                                          ctypes.c_int]
+    L.WebPPictureImportRGBA.restype = ctypes.c_int
+    L.WebPPictureImportRGBA.argtypes = [ctypes.POINTER(Picture),
+                                        ctypes.c_char_p, ctypes.c_int]
+    L.WebPEncode.restype = ctypes.c_int
+    L.WebPEncode.argtypes = [ctypes.POINTER(Config),
+                             ctypes.POINTER(Picture)]
+    L.WebPMemoryWriterInit.argtypes = [ctypes.POINTER(MemoryWriter)]
+    L.WebPMemoryWriterClear.argtypes = [ctypes.POINTER(MemoryWriter)]
+    L.WebPPictureFree.argtypes = [ctypes.POINTER(Picture)]
+    ABI = 0x020F
+
+    def enc(rgba, w, h, quality=75.0, **kw):
+        cfg = Config()
+        assert L.WebPConfigInitInternal(ctypes.byref(cfg), 0,
+                                        ctypes.c_float(quality), ABI)
+        for k, vv in kw.items():
+            setattr(cfg, k, vv)
+        assert L.WebPValidateConfig(ctypes.byref(cfg)), kw
+        pic = Picture()
+        assert L.WebPPictureInitInternal(ctypes.byref(pic), ABI)
+        pic.width = w
+        pic.height = h
+        pic.use_argb = 0
+        assert L.WebPPictureImportRGBA(ctypes.byref(pic), rgba, w * 4)
+        wrt = MemoryWriter()
+        L.WebPMemoryWriterInit(ctypes.byref(wrt))
+        pic.writer = ctypes.cast(L.WebPMemoryWrite, ctypes.c_void_p)
+        pic.custom_ptr = ctypes.cast(ctypes.byref(wrt), ctypes.c_void_p)
+        ok = L.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
+        assert ok, f"encode failed: error_code={pic.error_code}"
+        blob = bytes(ctypes.cast(
+            wrt.mem, ctypes.POINTER(ctypes.c_ubyte * wrt.size)).contents)
+        L.WebPMemoryWriterClear(ctypes.byref(wrt))
+        L.WebPPictureFree(ctypes.byref(pic))
+        return blob
+
+    return enc
+
+
+def _vp8_raster(w, h, mode, rng):
+    import math
+    rgba = bytearray(w * h * 4)
+    for y in range(h):
+        for x in range(w):
+            i = 4 * (y * w + x)
+            if mode == 0:                        # smooth tone
+                rgba[i:i + 4] = bytes((
+                    int(128 + 100 * math.sin(x / 5)) & 255,
+                    int(128 + 100 * math.sin(y / 7)) & 255,
+                    int(128 + 80 * math.sin((x + y) / 11)) & 255, 255))
+            elif mode == 1:                      # noise
+                rgba[i:i + 4] = bytes((rng.randrange(256),) * 3 + (255,))
+            elif mode == 2:                      # gradients
+                rgba[i:i + 4] = bytes(((x * 9) & 255, (y * 9) & 255,
+                                       (x * y) & 255, 255))
+            else:                                # hard blocks
+                v = 200 if (x // 8 + y // 8) % 2 else 30
+                rgba[i:i + 4] = bytes((v,) * 3 + (255,))
+    return bytes(rgba)
+
+
+def test_vp8_lossy_decode_matches_libwebp_yuv():
+    """Lossy WebP (VP8 keyframe) witness: across a seeded corpus of
+    sizes (1x1 to ~180, odd dims), qualities 0..100 and four content
+    classes, functions/vp8.py must reproduce libwebp's decoded Y/U/V
+    planes BYTE-EXACT — header parse, boolean decoder, mode trees,
+    token decode, dequant, intra prediction, IWHT/IDCT and the full
+    normal loop filter all have to be right for even one image to
+    match."""
+    import random
+
+    from amazon_kinesis_replay_spark.functions.webp import decode_webp_yuv
+
+    dec_yuv = _libwebp_yuv()
+    enc, _dec = _libwebp()
+    rng = random.Random(11)
+    for trial in range(24):
+        w = rng.randint(1, 180)
+        h = rng.randint(1, 180)
+        q = rng.choice([0, 5, 25, 50, 75, 90, 100])
+        rgba = _vp8_raster(w, h, trial % 4, rng)
+        blob = enc(rgba, w, h, lossless=False, quality=float(q))
+        ref = dec_yuv(blob)
+        got = decode_webp_yuv(blob)
+        assert got[0:2] == ref[0:2], (trial, w, h, q)
+        assert got[2] == ref[2] and got[3] == ref[3] \
+            and got[4] == ref[4], (trial, w, h, q)
+
+
+def test_vp8_decode_header_knob_matrix_matches_libwebp():
+    """Force every VP8 header feature the simple encoder API never
+    emits — token partitions 2/4/8, the SIMPLE filter type, filter
+    sharpness, autofilter, 1..4 segments with strong SNS, methods 0/6,
+    filter_strength 0 (filter disabled) — and require byte-exact YUV
+    against libwebp for each."""
+    import random
+
+    from amazon_kinesis_replay_spark.functions.webp import decode_webp_yuv
+
+    enc = _libwebp_encoder()
+    dec_yuv = _libwebp_yuv()
+    rng = random.Random(3)
+    rgba = _vp8_raster(96, 80, 0, rng)
+    for kw in (dict(partitions=1), dict(partitions=2), dict(partitions=3),
+               dict(filter_type=0), dict(filter_type=0, partitions=2),
+               dict(filter_sharpness=5), dict(filter_sharpness=7),
+               dict(autofilter=1), dict(segments=1),
+               dict(segments=2, sns_strength=90),
+               dict(segments=4, sns_strength=100),
+               dict(method=0), dict(method=6), dict(filter_strength=0)):
+        blob = enc(rgba, 96, 80, quality=60.0, **kw)
+        ref = dec_yuv(blob)
+        got = decode_webp_yuv(blob)
+        assert got[0:2] == ref[0:2], kw
+        assert got[2:] == ref[2:], kw
+
+
+def test_vp8_lossy_rides_image_decode_and_malformed():
+    """Wiring + contract: a lossy WebP decodes through _decode_pixels
+    (RGB via the documented BT.601 kernel over the witnessed YUV);
+    malformed streams raise VP8Error; an interframe tag raises; a
+    lossy-with-alpha file (ALPH chunk) raises NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from amazon_kinesis_replay_spark.functions import webp as W
+    from amazon_kinesis_replay_spark.functions.vp8 import (VP8Error,
+                                                           decode_vp8)
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _decode_pixels)
+
+    enc, _dec = _libwebp()
+    import random
+    rgba = _vp8_raster(40, 24, 2, random.Random(1))
+    blob = enc(rgba, 40, 24, lossless=False)
+    w, h, px = _decode_pixels(blob)
+    assert (w, h, len(px)) == (40, 24, 40 * 24 * 3)
+    yw, yh, Y, U, Vp = W.decode_webp_yuv(blob)
+    assert px == W._yuv420_to_rgb(yw, yh, Y, U, Vp)
+    ya = np.frombuffer(Y, np.uint8)
+    assert ya.std() > 1                          # real content decoded
+
+    i = blob.find(b"VP8 ") + 8
+    with pytest.raises(VP8Error, match="keyframe"):
+        decode_vp8(bytes([blob[i] | 1]) + blob[i + 1:])
+    with pytest.raises(VP8Error):
+        decode_vp8(blob[i:i + 12])
+    with pytest.raises(VP8Error, match="start code"):
+        decode_vp8(blob[i:i + 3] + b"\x00\x01\x2a" + blob[i + 6:])
+
+    # alpha forces a VP8X+ALPH container on the lossy path
+    rgba_a = bytearray(rgba)
+    for k in range(3, len(rgba_a), 4):
+        rgba_a[k] = 128
+    blob_a = enc(bytes(rgba_a), 40, 24, lossless=False)
+    assert b"ALPH" in blob_a
+    with pytest.raises(NotImplementedError, match="ALPH"):
+        W.decode_webp(blob_a)
+
+
 def test_webp_rides_image_decode_and_sniff(spark):
     """Wiring: a WebP payload routes through decode_images (RGBA
     histogram features) and the JVM magic sniff labels RIFF+WEBP as
