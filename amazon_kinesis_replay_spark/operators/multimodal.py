@@ -391,33 +391,36 @@ _GIF_PALETTE = bytes(
 
 def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
     """The deterministic per-row synthesis rule behind
-    synthesize_image_media, cycling media_id through SIX codec modes
-    (late r10 widened from five — WebP joins the correctness gate):
-    media_id%6==0 -> PNG (media_id-cycled filter types), ==1 ->
-    baseline JPEG (4:2:0 / restart-interval variants), ==2 -> GIF
-    (interlaced every other one), ==3 -> ARITHMETIC JPEG (SOF9, QM
-    coder; 4:2:0 every other one), ==4 -> progressive JPEG (SOF2,
-    spectral selection), ==5 -> WebP VP8L lossless (functions/webp.py,
-    RGBA). Exposed as a pure function so the registry's literal-VALUES
-    oracle can recompute the exact blob bytes driver-side (pure
-    Python, no Spark) and cross-check the distributed mapInPandas
-    pipeline in DuckDB; both gate sides move together when the cycle
-    changes."""
+    synthesize_image_media, cycling media_id through SEVEN codec modes
+    (late r10 widened from five — BOTH WebP classes join the
+    correctness gate): media_id%7==0 -> PNG (media_id-cycled filter
+    types), ==1 -> baseline JPEG (4:2:0 / restart-interval variants),
+    ==2 -> GIF (interlaced every other one), ==3 -> ARITHMETIC JPEG
+    (SOF9, QM coder; 4:2:0 every other one), ==4 -> progressive JPEG
+    (SOF2, spectral selection), ==5 -> WebP VP8L lossless
+    (functions/webp.py, RGBA), ==6 -> LOSSY VP8 WebP
+    (payload-coupled embedded fixtures, functions/vp8.py — the one
+    codec with no in-repo encoder; dims cycle 16x16/24x16/16x24, NOT
+    side x side). Exposed as a pure function so the registry's
+    literal-VALUES oracle can recompute the exact blob bytes
+    driver-side (pure Python, no Spark) and cross-check the
+    distributed mapInPandas pipeline in DuckDB; both gate sides move
+    together when the cycle changes."""
     from ..functions.gif import encode_gif
     from ..functions.jpeg import encode_jpeg
     n = side * side * 3
     m = int(media_id)
     raster = (raw + bytes(n))[:n]
-    mode = m % 6
+    mode = m % 7
     if mode == 1:
-        return encode_jpeg(side, side, raster, subsample=(m % 12 == 1),
-                           restart_interval=1 if m % 24 == 1 else 0)
+        return encode_jpeg(side, side, raster, subsample=(m % 14 == 1),
+                           restart_interval=1 if m % 28 == 1 else 0)
     if mode == 2:
         indices = (raw + bytes(side * side))[:side * side]
         return encode_gif(side, side, indices, _GIF_PALETTE,
-                          interlace=(m % 12 == 2))
+                          interlace=(m % 14 == 2))
     if mode == 3:
-        return encode_jpeg(side, side, raster, subsample=(m % 12 == 3),
+        return encode_jpeg(side, side, raster, subsample=(m % 14 == 3),
                            arithmetic=True)
     if mode == 4:
         return encode_jpeg(side, side, raster, progressive=True)
@@ -425,8 +428,39 @@ def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
         from ..functions.webp import encode_webp_lossless
         rgba = (raw + bytes(side * side * 4))[:side * side * 4]
         return encode_webp_lossless(side, side, rgba)
+    if mode == 6:
+        return synth_vp8_blob(m, raw)
     return encode_png(side, side, raster, ctype=2,
-                      filters=[(m // 6) % 5] * side)
+                      filters=[(m // 7) % 5] * side)
+
+
+#: Three tiny libwebp-encoded LOSSY VP8 keyframes (default header path;
+#: 4 token partitions + 4 segments with strong SNS; SIMPLE loop filter
+#: with sharpness) — decoded natively by functions/vp8.py, whose
+#: correctness is pinned bit-exact against libwebp's YUV output in the
+#: tests. synth_vp8_blob couples them to the per-row payload via a
+#: trailing XTRA chunk (skipped by the chunk walk, but changing the
+#: blob bytes), so the gate's n_bytes/sha1 stay payload-dependent.
+_VP8_FIXTURES = (
+    "UklGRlYAAABXRUJQVlA4IEoAAAAQAgCdASoQABAAAkA4JbACdLcAAYr2OvR4APzxv6OU/rL2T7IAke7Z8v/7WvdDtjT/z8FAfevLDznUhdNj94+5fPXjTpnpNyAAAA==",
+    "UklGRogAAABXRUJQVlA4IHwAAABQBACdASoYABAAPw00vFasIickGAGAIYnsAJ0yhHc3pNuABIzSrdqT4AgwAPx+nOzqg+TBOHDVyz8uUm+yCFbcnYaHPWILRbeSZwntPO92REXEf2gUMGsZV3ZDOLWlv/b7IY0u1wf/Qo1/oKkwHmZyWL++nCWu9Vw1AAAA",
+    "UklGRtIAAABXRUJQVlA4IMYAAAAyBgCdASoQABgAPlEejEQjoaEYBAI7BQS2AE6ZQjgbwD8YPxmrAPlo+7faq1EADBNJcl76NekFTJwAAP7JeA7a9Sr8EJPtQ73KWR+YxMNibFCnGsX/ymWnRiOGlLiUeHr/f/n39RBUjfwI13+6dp3+8+Uq/dDnAgGm1Ys5tcJlqxYG2z9btUZRqYaPPMkh7jB3u1qdMW8yC+Vhfv52f+wD4mP6SGTP82uE5NzmeMa9Srf7e/6F8h74n8VPbVPDYv+QOLlAAAA=",
+)
+_VP8_FIXTURE_DIMS = ((16, 16), (24, 16), (16, 24))
+
+
+def synth_vp8_blob(media_id: int, raw: bytes) -> bytes:
+    """Deterministic LOSSY-VP8 fixture selection + payload coupling (see
+    _VP8_FIXTURES). Pure function — the registry oracle recomputes the
+    exact bytes driver-side."""
+    import base64
+    import struct
+    i = (int(media_id) // 7) % len(_VP8_FIXTURES)
+    base = base64.b64decode(_VP8_FIXTURES[i])
+    body = raw or b"\x00"
+    pad = b"\x00" if len(body) & 1 else b""
+    out = base + b"XTRA" + struct.pack("<I", len(body)) + body + pad
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
 
 
 def synth_audio_blob(media_id: int, raw: bytes, rate: int = 8000) -> bytes:

@@ -2618,14 +2618,18 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas REAL image decode over binary media
     columns: document text bytes are synthesized into genuine PNGs
-    (doc_id%5==0; media_id-cycled filter types), baseline JPEGs (==1;
+    (doc_id%7==0; media_id-cycled filter types), baseline JPEGs (==1;
     4:2:0 and restart-interval variants), GIFs (==2; interlaced
-    variants), ARITHMETIC JPEGs (==3; SOF9 QM coder, r10) and
-    progressive JPEGs (==4; SOF2), then decoded by the real
-    pure-Python codecs — the zlib unfilter round-trip, the
+    variants), ARITHMETIC JPEGs (==3; SOF9 QM coder, r10),
+    progressive JPEGs (==4; SOF2), VP8L lossless WebPs (==5, late
+    r10) and payload-coupled LOSSY VP8 WebPs (==6, late r10 — the
+    embedded-fixture pattern, functions/vp8.py), then decoded by the
+    real pure-Python codecs — the zlib unfilter round-trip, the
     Huffman/IDCT/upsample pipeline, the LZW + deinterlace pipeline,
-    the Annex-D arithmetic decoder AND the progressive scan walker all
-    run at the gate, not a fake.
+    the Annex-D arithmetic decoder, the progressive scan walker, the
+    VP8L bitstream walk AND the RFC 6386 VP8 keyframe decoder (bool
+    decoder, token trees, IWHT/IDCT, intra prediction, loop filter)
+    all run at the gate, not a fake.
     Oracled since r7 (r6 verdict item 1): _multimodal_oracle recomputes
     (media_id, width, height, n_bytes, sha1) driver-side in pure Python
     — no Spark — and embeds them as a literal VALUES table, so the gate
@@ -3075,9 +3079,9 @@ def _multimodal_oracle() -> str:
     n_bytes/sha1 pin the exact encoded bytes, so the gate hash-checks
     the distributed mapInPandas pipeline end to end. Rows only appear in
     the Spark result if the REAL decode succeeded (the kernel raises on
-    any malformed blob), so a row-count match also proves all six
-    codecs (PNG, baseline/arithmetic/progressive JPEG, GIF, WebP
-    VP8L) decoded every blob."""
+    any malformed blob), so a row-count match also proves all seven
+    codec modes (PNG, baseline/arithmetic/progressive JPEG, GIF, WebP
+    VP8L, lossy VP8) decoded every blob."""
     import hashlib
     import os
 
@@ -3087,6 +3091,7 @@ def _multimodal_oracle() -> str:
                                         synth_image_blob)
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                             "/root/testdata/sf0.01")
+    from ..operators.multimodal import _VP8_FIXTURE_DIMS
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
         "ORDER BY doc_id").fetchall()
@@ -3095,9 +3100,17 @@ def _multimodal_oracle() -> str:
         blob = synth_image_blob(int(did), text.encode("utf-8"))
         w, h, pixels = _decode_pixels(blob)
         small = _resize_nn(pixels, w, h, len(pixels) // (w * h), 4, 4)
+        # expected dims from the SYNTHESIS RULE, not the decoder (a
+        # decoder misreporting dimensions must fail the gate): side=8
+        # for the encoder-backed modes, the fixture's own dims for the
+        # lossy-VP8 mode (no in-repo VP8 encoder)
+        if did % 7 == 6:
+            wexp, hexp = _VP8_FIXTURE_DIMS[(did // 7) % 3]
+        else:
+            wexp = hexp = 8
         values.append(
-            f"(CAST({did} AS BIGINT), CAST(8 AS INTEGER), "
-            f"CAST(8 AS INTEGER), CAST({len(blob)} AS BIGINT), "
+            f"(CAST({did} AS BIGINT), CAST({wexp} AS INTEGER), "
+            f"CAST({hexp} AS INTEGER), CAST({len(blob)} AS BIGINT), "
             f"'{hashlib.sha1(blob).hexdigest()}', "
             f"'{hashlib.sha1(small).hexdigest()}')")
     return ("SELECT * FROM (VALUES " + ",".join(values)

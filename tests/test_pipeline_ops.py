@@ -919,15 +919,22 @@ def test_multimodal_real_gif_decode(spark):
         assert (out[mid]["width"], out[mid]["height"]) == (8, 8)
         assert out[mid]["features"] == pytest.approx(exp, abs=1e-6)
 
-    # the mixed synthesis covers all six codec modes and every payload decodes
-    src = spark.range(9).select(
+    # the mixed synthesis covers all seven codec modes and every
+    # payload decodes; mode 6 (lossy VP8) carries its fixture's dims
+    src = spark.range(14).select(
         F.col("id").alias("media_id"),
         F.encode(F.concat(F.lit("payload "), F.col("id")), "UTF-8")
         .alias("data"))
     mixed = multimodal.synthesize_image_media(src)
-    decoded = multimodal.decode_images(mixed).collect()
-    assert len(decoded) == 9
-    assert all((r["width"], r["height"]) == (8, 8) for r in decoded)
+    decoded = {r["media_id"]: r
+               for r in multimodal.decode_images(mixed).collect()}
+    assert len(decoded) == 14
+    for mid, r in decoded.items():
+        if mid % 7 == 6:
+            exp = multimodal._VP8_FIXTURE_DIMS[(mid // 7) % 3]
+        else:
+            exp = (8, 8)
+        assert (r["width"], r["height"]) == exp, mid
 
 
 def _libwebp():
@@ -1537,8 +1544,10 @@ def test_vp8_decode_header_knob_matrix_matches_libwebp():
 def test_vp8_lossy_rides_image_decode_and_malformed():
     """Wiring + contract: a lossy WebP decodes through _decode_pixels
     (RGB via the documented BT.601 kernel over the witnessed YUV);
-    malformed streams raise VP8Error; an interframe tag raises; a
-    lossy-with-alpha file (ALPH chunk) raises NotImplementedError."""
+    malformed streams raise VP8Error; an interframe tag raises; and
+    lossy-with-alpha decodes — the ALPH plane (headerless VP8L stream
+    + row filter, functions/webp.py decode_alpha) byte-equal to the A
+    channel of libwebp's own RGBA decode."""
     import numpy as np
     import pytest
 
@@ -1567,14 +1576,114 @@ def test_vp8_lossy_rides_image_decode_and_malformed():
     with pytest.raises(VP8Error, match="start code"):
         decode_vp8(blob[i:i + 3] + b"\x00\x01\x2a" + blob[i + 6:])
 
-    # alpha forces a VP8X+ALPH container on the lossy path
-    rgba_a = bytearray(rgba)
-    for k in range(3, len(rgba_a), 4):
-        rgba_a[k] = 128
-    blob_a = enc(bytes(rgba_a), 40, 24, lossless=False)
-    assert b"ALPH" in blob_a
-    with pytest.raises(NotImplementedError, match="ALPH"):
-        W.decode_webp(blob_a)
+    # lossy + alpha: the ALPH plane (headerless VP8L stream + row
+    # filter) must match the A channel of libwebp's own RGBA decode
+    # byte-exact, across alpha content classes that make the encoder
+    # pick different row filters (header coverage asserted)
+    import math
+    import random as _r
+    rng2 = _r.Random(2)
+    filters_seen = set()
+    methods_seen = set()
+    for trial in range(6):
+        aw = rng2.randint(8, 80)
+        ah = rng2.randint(8, 80)
+        rgba_a = bytearray(_vp8_raster(aw, ah, 0, rng2))
+        for yy in range(ah):
+            for xx in range(aw):
+                k = 4 * (yy * aw + xx) + 3
+                if trial % 3 == 0:
+                    rgba_a[k] = (xx * 8 + yy) & 255
+                elif trial % 3 == 1:
+                    rgba_a[k] = rng2.randrange(256)
+                else:
+                    rgba_a[k] = 255 if (xx // 4 + yy // 4) % 2 else 40
+        blob_a = enc(bytes(rgba_a), aw, ah, lossless=False)
+        assert b"ALPH" in blob_a
+        i_a = blob_a.find(b"ALPH") + 8
+        methods_seen.add(blob_a[i_a] & 3)
+        filters_seen.add((blob_a[i_a] >> 2) & 3)
+        ref_a = _dec(blob_a)
+        Wd, Hd, px_a = W.decode_webp(blob_a)
+        assert (Wd, Hd) == (aw, ah) and len(px_a) == aw * ah * 4
+        assert px_a[3::4] == ref_a[2][3::4], trial
+    assert 1 in methods_seen                     # VP8L-coded plane hit
+    assert len(filters_seen) >= 2                # >1 row filter hit
+
+
+def test_webp_animation_compositing():
+    """Animated WebP (ANIM/ANMF): hand-assembled containers of LOSSLESS
+    frames drive the compositor — full-frame replace, sub-rectangle
+    placement at (even) offsets, no-blend vs alpha-blend semantics at
+    the exact sa=255/sa=0 endpoints, dispose-to-background refill,
+    duration passthrough, stride sampling and the frame cap. Frame
+    payload decode itself is the libwebp-witnessed VP8L path; the
+    compositor's conventions are documented in decode_webp_frames."""
+    import struct
+
+    import pytest
+
+    from amazon_kinesis_replay_spark.functions import webp as W
+
+    cw, ch = 12, 10
+
+    def chunk(fourcc, body):
+        return (fourcc + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def vp8l_chunk(w, h, rgba):
+        blob = W.encode_webp_lossless(w, h, rgba)
+        return blob[12:]                      # the VP8L chunk, padded
+
+    def anmf(fx, fy, w, h, dur, dispose, no_blend, rgba):
+        hdr = (struct.pack("<I", fx // 2)[:3]
+               + struct.pack("<I", fy // 2)[:3]
+               + struct.pack("<I", w - 1)[:3]
+               + struct.pack("<I", h - 1)[:3]
+               + struct.pack("<I", dur)[:3]
+               + bytes([dispose | (no_blend << 1)]))
+        return chunk(b"ANMF", hdr + vp8l_chunk(w, h, rgba))
+
+    f1 = bytes(bytearray((i * 7) % 255 for i in range(cw * ch * 4)))
+    f1 = bytes(b if i % 4 != 3 else 255 for i, b in enumerate(f1))
+    patch_solid = bytes((9, 8, 7, 255)) * 16          # sa=255 endpoint
+    patch_clear = bytes((1, 2, 3, 0)) * 16            # sa=0 endpoint
+    body = (chunk(b"VP8X", bytes([0x12, 0, 0, 0])
+                  + struct.pack("<I", cw - 1)[:3]
+                  + struct.pack("<I", ch - 1)[:3])
+            + chunk(b"ANIM", bytes((30, 20, 10, 255)) + b"\x00\x00")
+            + anmf(0, 0, cw, ch, 40, 0, 1, f1)
+            + anmf(2, 2, 4, 4, 50, 1, 0, patch_solid)
+            + anmf(2, 2, 4, 4, 60, 0, 0, patch_clear))
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    w, h, frames = W.decode_webp_frames(blob)
+    assert (w, h) == (cw, ch)
+    assert [d for d, _ in frames] == [40, 50, 60]
+    assert frames[0][1] == f1                       # full replace
+    c2 = frames[1][1]
+    for r in range(4):                              # sa=255 blend = src
+        o = ((2 + r) * cw + 2) * 4
+        assert c2[o:o + 16] == patch_solid[r * 16:r * 16 + 16]
+    # outside the patch, frame 1 pixels persist
+    assert c2[:2 * cw * 4] == f1[:2 * cw * 4]
+    # frame 3: sa=0 blend keeps the DISPOSED (background) pixels
+    c3 = frames[2][1]
+    bg = bytes((10, 20, 30, 255))                   # stored BGRA
+    for r in range(4):
+        o = ((2 + r) * cw + 2) * 4
+        assert c3[o:o + 16] == bg * 4
+    # stride + cap
+    _, _, sampled = W.decode_webp_frames(blob, max_frames=1, stride=2)
+    assert len(sampled) == 1 and sampled[0][0] == 40
+    # non-animated payload -> one still frame, duration 0
+    still = W.encode_webp_lossless(4, 4, bytes(range(64)))
+    sw, sh, sframes = W.decode_webp_frames(still)
+    assert (sw, sh, len(sframes)) == (4, 4, 1)
+    assert sframes[0][0] == 0 and len(sframes[0][1]) == 64
+    # the still-image API keeps its animation gate
+    with pytest.raises(NotImplementedError):
+        W.decode_webp(blob)
 
 
 def test_webp_rides_image_decode_and_sniff(spark):
