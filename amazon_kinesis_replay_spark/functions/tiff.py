@@ -1,0 +1,409 @@
+"""Baseline TIFF codec: pure-Python decoder + encoder (TIFF 6.0 spec).
+
+Decoder: both byte orders (II/MM), strip-based baseline images with
+8-bit samples — grayscale (PhotometricInterpretation 0/1, min-is-white
+inverted to min-is-black), RGB and RGBA (extra sample) — compressions
+None(1), LZW(5, MSB-first codes with the spec's early-change width
+bump, plus the horizontal-differencing Predictor 2) and PackBits
+(32773). Tiled files, planar configuration 2, and non-8-bit depths
+raise loudly (NotImplementedError), never silently-wrong pixels.
+
+Encoder: the fixture-synthesis half — same coverage (None / PackBits /
+LZW with optional predictor, gray/RGB/RGBA, choosable rows-per-strip
+and byte order), lossless by construction.
+
+Witness (tests): the container's libtiff.so.6 via ctypes — our encoded
+files decode byte-exact through TIFFReadRGBAImage, and
+libtiff-WRITTEN files (TIFFWriteScanline across the same compression
+matrix) decode byte-exact through this module: both directions, a
+genuinely foreign implementation of the same public spec.
+
+Reference scope note: the reference engine has no media decode; this
+belongs to the repo's multimodal extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class TIFFError(ValueError):
+    """Malformed TIFF stream (never silently wrong pixels)."""
+
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_EXTRA_SAMPLES = 338
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+
+
+def _read_ifd(raw: bytes, bo: str):
+    off = struct.unpack_from(bo + "I", raw, 4)[0]
+    if off + 2 > len(raw):
+        raise TIFFError("IFD offset out of range")
+    n = struct.unpack_from(bo + "H", raw, off)[0]
+    tags = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(raw):
+            raise TIFFError("IFD entry out of range")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", raw, e)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            data = raw[e + 8:e + 8 + size]
+        else:
+            doff = struct.unpack_from(bo + "I", raw, e + 8)[0]
+            data = raw[doff:doff + size]
+            if len(data) < size:
+                raise TIFFError(f"tag {tag} data out of range")
+        if typ == 3:
+            vals = struct.unpack(bo + f"{cnt}H", data)
+        elif typ == 4:
+            vals = struct.unpack(bo + f"{cnt}I", data)
+        elif typ == 1:
+            vals = tuple(data)
+        else:
+            vals = (data,)
+        tags[tag] = vals
+    return tags
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise TIFFError("PackBits run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise TIFFError("PackBits strip short")
+    return bytes(out[:expected])
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW: MSB-first code packing, Clear=256, EOI=257,
+    first dynamic code 258, and the EARLY code-width change (width
+    bumps when the next code to be ADDED is 2^w - 1, one entry earlier
+    than GIF's variant)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise TIFFError("LZW first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise TIFFError("LZW code out of range")
+            out += entry
+            prev = entry
+            # the TIFF "early change": widen as soon as the NEXT entry
+            # index reaches 2^w - 1 (one sooner than classic LZW) —
+            # pinned against libtiff-written streams in the tests
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected]) if len(out) >= expected else \
+        (_ for _ in ()).throw(TIFFError("LZW strip short"))
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (early-change, MSB-first)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # encoder widens one step LATER than the decoder's early
+        # change (the decoder's table lags by one entry at read time);
+        # this pairing is what libtiff's reader accepts — verified
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:                     # table nearly full
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def decode_tiff(raw: bytes):
+    """Decode a baseline TIFF to (width, height, pixel_bytes) — 1, 3
+    or 4 channels (len(pixels) // (w*h))."""
+    if len(raw) < 8:
+        raise TIFFError("TIFF too short")
+    if raw[:2] == b"II":
+        bo = "<"
+    elif raw[:2] == b"MM":
+        bo = ">"
+    else:
+        raise TIFFError("not a TIFF payload")
+    if struct.unpack_from(bo + "H", raw, 2)[0] != 42:
+        raise TIFFError("bad TIFF magic number")
+    t = _read_ifd(raw, bo)
+    if _TAG_TILE_WIDTH in t:
+        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    w = t[_TAG_WIDTH][0]
+    h = t[_TAG_HEIGHT][0]
+    spp = t.get(_TAG_SPP, (1,))[0]
+    bits = t.get(_TAG_BITS, (1,) * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"{bits}-bit TIFF not supported (8-bit)")
+    if t.get(_TAG_PLANAR, (1,))[0] != 1:
+        raise NotImplementedError("planar TIFF not supported (chunky)")
+    comp = t.get(_TAG_COMPRESSION, (1,))[0]
+    photo = t.get(_TAG_PHOTOMETRIC, (1,))[0]
+    if spp not in (1, 3, 4) or photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} x {spp} samples not supported")
+    pred = t.get(_TAG_PREDICTOR, (1,))[0]
+    rps = t.get(_TAG_ROWS_PER_STRIP, (h,))[0] or h
+    offsets = t[_TAG_STRIP_OFFSETS]
+    counts = t[_TAG_STRIP_COUNTS]
+    if len(offsets) != len(counts):
+        raise TIFFError("strip offsets/counts mismatch")
+    row_bytes = w * spp
+    out = bytearray()
+    for i, (so, sc) in enumerate(zip(offsets, counts)):
+        nrows = min(rps, h - i * rps)
+        if nrows <= 0:
+            break
+        expected = nrows * row_bytes
+        strip = raw[so:so + sc]
+        if len(strip) < sc:
+            raise TIFFError("strip data out of range")
+        if comp == 1:
+            if len(strip) < expected:
+                raise TIFFError("uncompressed strip short")
+            data = strip[:expected]
+        elif comp == 5:
+            data = _lzw_decode(strip, expected)
+        elif comp == 32773:
+            data = _unpackbits(strip, expected)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} not supported "
+                "(none, LZW, PackBits)")
+        if pred == 2:
+            data = bytearray(data)
+            for r in range(nrows):
+                ro = r * row_bytes
+                for x in range(spp, row_bytes):
+                    data[ro + x] = (data[ro + x]
+                                    + data[ro + x - spp]) & 0xFF
+            data = bytes(data)
+        elif pred != 1:
+            raise NotImplementedError(f"TIFF predictor {pred}")
+        out += data
+    if len(out) != w * h * spp:
+        raise TIFFError("decoded size mismatch")
+    if photo == 0:                                # min-is-white
+        out = bytearray(255 - b for b in out)
+    return w, h, bytes(out)
+
+
+def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
+                compression: int = 1, predictor: int = 1,
+                rows_per_strip: int | None = None,
+                big_endian: bool = False) -> bytes:
+    """Encode 8-bit chunky pixels (spp=1 gray / 3 RGB / 4 RGBA) as a
+    strip-based TIFF; compression 1/5/32773, optional horizontal
+    predictor (LZW only per the spec's usual pairing, but accepted for
+    any compression)."""
+    if len(pixels) < width * height * spp:
+        raise TIFFError("pixel buffer shorter than width*height*spp")
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+    row_bytes = width * spp
+    strips = []
+    for y0 in range(0, height, rps):
+        nrows = min(rps, height - y0)
+        data = bytearray(
+            pixels[y0 * row_bytes:(y0 + nrows) * row_bytes])
+        if predictor == 2:
+            for r in range(nrows - 1, -1, -1):
+                ro = r * row_bytes
+                for x in range(row_bytes - 1, spp - 1, -1):
+                    data[ro + x] = (data[ro + x]
+                                    - data[ro + x - spp]) & 0xFF
+        if compression == 1:
+            strips.append(bytes(data))
+        elif compression == 5:
+            strips.append(_lzw_encode(bytes(data)))
+        elif compression == 32773:
+            packed = bytearray()
+            for r in range(nrows):
+                row = bytes(data[r * row_bytes:(r + 1) * row_bytes])
+                i = 0
+                while i < len(row):
+                    run = 1
+                    while (i + run < len(row) and run < 128
+                           and row[i + run] == row[i]):
+                        run += 1
+                    if run >= 2:
+                        packed += bytes([257 - run, row[i]])
+                        i += run
+                    else:
+                        j = i + 1
+                        while (j < len(row) and j - i < 128
+                               and not (j + 1 < len(row)
+                                        and row[j] == row[j + 1])):
+                            j += 1
+                        packed += bytes([j - i - 1]) + row[i:j]
+                        i = j
+            strips.append(bytes(packed))
+        else:
+            raise TIFFError(f"unsupported compression {compression}")
+
+    n_strips = len(strips)
+    photo = 1 if spp == 1 else 2
+    # entries sorted by tag; multi-value data always lives in the
+    # post-IFD extra area (legal TIFF even when it would fit inline)
+    entries = [(_TAG_WIDTH, 4, 1), (_TAG_HEIGHT, 4, 1),
+               (_TAG_BITS, 3, spp), (_TAG_COMPRESSION, 3, 1),
+               (_TAG_PHOTOMETRIC, 3, 1),
+               (_TAG_STRIP_OFFSETS, 4, n_strips),
+               (_TAG_SPP, 3, 1), (_TAG_ROWS_PER_STRIP, 4, 1),
+               (_TAG_STRIP_COUNTS, 4, n_strips), (_TAG_PLANAR, 3, 1)]
+    if predictor != 1:
+        entries.append((_TAG_PREDICTOR, 3, 1))
+    if spp == 4:
+        entries.append((_TAG_EXTRA_SAMPLES, 3, 1))
+    entries.sort()
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * len(entries) + 4
+
+    def pad2(b):
+        return b + (b"\x00" if len(b) & 1 else b"")
+
+    # multi-value tags: inline when their packed size fits the 4-byte
+    # value slot (the spec REQUIRES inline then), else in the extra area
+    multi = {_TAG_BITS: ("H", [8] * spp),
+             _TAG_STRIP_OFFSETS: ("I", None),          # filled below
+             _TAG_STRIP_COUNTS: ("I", [len(st) for st in strips])}
+    extra_ptrs = {}
+    pos = extra_off
+    for tag, (fmt, vals) in multi.items():
+        cnt = spp if tag == _TAG_BITS else n_strips
+        size = struct.calcsize(fmt) * cnt
+        if size > 4:
+            extra_ptrs[tag] = pos
+            pos += size + (size & 1)
+    data_off = pos
+    offsets = []
+    pos = data_off
+    for st in strips:
+        offsets.append(pos)
+        pos += len(st) + (len(st) & 1)
+    multi[_TAG_STRIP_OFFSETS] = ("I", offsets)
+
+    extra = bytearray()
+    for tag in multi:
+        if tag in extra_ptrs:
+            fmt, vals = multi[tag]
+            extra += pad2(struct.pack(bo + fmt * len(vals), *vals))
+
+    # ExtraSamples=1 (ASSOCIATED alpha): sample values pass through
+    # RGBA readers unchanged; 2 (unassociated) makes libtiff
+    # premultiply on read, which would break the byte-exact witness
+    scalar = {_TAG_WIDTH: width, _TAG_HEIGHT: height,
+              _TAG_COMPRESSION: compression, _TAG_PHOTOMETRIC: photo,
+              _TAG_SPP: spp, _TAG_ROWS_PER_STRIP: rps, _TAG_PLANAR: 1,
+              _TAG_PREDICTOR: predictor, _TAG_EXTRA_SAMPLES: 1}
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II")
+    out += struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if tag in multi:
+            fmt, vals = multi[tag]
+            if tag in extra_ptrs:
+                out += struct.pack(bo + "I", extra_ptrs[tag])
+            else:
+                packed = struct.pack(bo + fmt * len(vals), *vals)
+                out += packed + b"\x00" * (4 - len(packed))
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            packed = struct.pack(bo + fmt, scalar[tag])
+            out += packed + b"\x00" * (4 - len(packed))
+    out += struct.pack(bo + "I", 0)               # next IFD
+    out += extra
+    for st in strips:
+        out += st + (b"\x00" if len(st) & 1 else b"")
+    return bytes(out)

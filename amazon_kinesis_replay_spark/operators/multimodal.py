@@ -391,9 +391,9 @@ _GIF_PALETTE = bytes(
 
 def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
     """The deterministic per-row synthesis rule behind
-    synthesize_image_media, cycling media_id through SEVEN codec modes
-    (late r10 widened from five — BOTH WebP classes join the
-    correctness gate): media_id%7==0 -> PNG (media_id-cycled filter
+    synthesize_image_media, cycling media_id through EIGHT codec modes
+    (late r10 widened from five — BOTH WebP classes AND TIFF join the
+    correctness gate): media_id%8==0 -> PNG (media_id-cycled filter
     types), ==1 -> baseline JPEG (4:2:0 / restart-interval variants),
     ==2 -> GIF (interlaced every other one), ==3 -> ARITHMETIC JPEG
     (SOF9, QM coder; 4:2:0 every other one), ==4 -> progressive JPEG
@@ -401,7 +401,9 @@ def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
     (functions/webp.py, RGBA), ==6 -> LOSSY VP8 WebP
     (payload-coupled embedded fixtures, functions/vp8.py — the one
     codec with no in-repo encoder; dims cycle 16x16/24x16/16x24, NOT
-    side x side). Exposed as a pure function so the registry's
+    side x side), ==7 -> TIFF (functions/tiff.py — LZW+predictor /
+    PackBits / uncompressed cycling, occasional multi-strip and
+    big-endian variants). Exposed as a pure function so the registry's
     literal-VALUES oracle can recompute the exact blob bytes
     driver-side (pure Python, no Spark) and cross-check the
     distributed mapInPandas pipeline in DuckDB; both gate sides move
@@ -411,16 +413,16 @@ def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
     n = side * side * 3
     m = int(media_id)
     raster = (raw + bytes(n))[:n]
-    mode = m % 7
+    mode = m % 8
     if mode == 1:
-        return encode_jpeg(side, side, raster, subsample=(m % 14 == 1),
-                           restart_interval=1 if m % 28 == 1 else 0)
+        return encode_jpeg(side, side, raster, subsample=(m % 16 == 1),
+                           restart_interval=1 if m % 32 == 1 else 0)
     if mode == 2:
         indices = (raw + bytes(side * side))[:side * side]
         return encode_gif(side, side, indices, _GIF_PALETTE,
-                          interlace=(m % 14 == 2))
+                          interlace=(m % 16 == 2))
     if mode == 3:
-        return encode_jpeg(side, side, raster, subsample=(m % 14 == 3),
+        return encode_jpeg(side, side, raster, subsample=(m % 16 == 3),
                            arithmetic=True)
     if mode == 4:
         return encode_jpeg(side, side, raster, progressive=True)
@@ -430,8 +432,15 @@ def synth_image_blob(media_id: int, raw: bytes, side: int = 8) -> bytes:
         return encode_webp_lossless(side, side, rgba)
     if mode == 6:
         return synth_vp8_blob(m, raw)
+    if mode == 7:
+        from ..functions.tiff import encode_tiff
+        return encode_tiff(side, side, raster, spp=3,
+                           compression=(1, 5, 32773)[m % 3],
+                           predictor=2 if m % 3 == 1 else 1,
+                           rows_per_strip=3 if m % 16 == 7 else None,
+                           big_endian=(m % 16 == 15))
     return encode_png(side, side, raster, ctype=2,
-                      filters=[(m // 7) % 5] * side)
+                      filters=[(m // 8) % 5] * side)
 
 
 #: Three tiny libwebp-encoded LOSSY VP8 keyframes (default header path;
@@ -455,7 +464,7 @@ def synth_vp8_blob(media_id: int, raw: bytes) -> bytes:
     exact bytes driver-side."""
     import base64
     import struct
-    i = (int(media_id) // 7) % len(_VP8_FIXTURES)
+    i = (int(media_id) // 8) % len(_VP8_FIXTURES)
     base = base64.b64decode(_VP8_FIXTURES[i])
     body = raw or b"\x00"
     pad = b"\x00" if len(body) & 1 else b""
@@ -571,8 +580,9 @@ def audio_meta(df: DataFrame) -> DataFrame:
 
 def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
     """Deterministic REAL mixed-codec fixture synthesis cycling media_id
-    through SIX codec modes (see synth_image_blob: PNG, baseline JPEG,
-    GIF, arithmetic JPEG, progressive JPEG, WebP VP8L) — a downstream
+    through EIGHT codec modes (see synth_image_blob: PNG, baseline
+    JPEG, GIF, arithmetic JPEG, progressive JPEG, WebP VP8L, lossy
+    VP8, TIFF) — a downstream
     real decode exercises the zlib unfilter paths, the
     Huffman/IDCT/upsample paths, the LZW + deinterlace paths, the QM
     arithmetic coder, the spectral-selection scan walker AND the VP8L
@@ -624,13 +634,16 @@ def _decode_pixels(raw: bytes) -> tuple[int, int, bytes]:
     if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
         from ..functions.webp import decode_webp
         return decode_webp(raw)           # RGBA (4-channel layout)
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..functions.tiff import decode_tiff
+        return decode_tiff(raw)           # 1/3/4-channel layout
     raise NotImplementedError(
         f"unsupported image magic {raw[:4]!r}: PNG, baseline JPEG, and "
         "GIF (pure-Python codecs, functions/jpeg.py + functions/gif.py) "
         "and uncompressed BMP/PPM/PGM decode without a third-party "
-        "library (JPEG covers baseline AND progressive since r9, WebP "
-        "VP8L lossless AND lossy VP8 since r10 — functions/webp.py, "
-        "functions/vp8.py); pass "
+        "library (JPEG covers baseline AND progressive since r9; WebP "
+        "VP8L lossless AND lossy VP8, and baseline TIFF, since r10 — "
+        "functions/webp.py, functions/vp8.py, functions/tiff.py); pass "
         "fake=True for the deterministic test decoder")
 
 
@@ -1484,6 +1497,7 @@ def media_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
              .when((head4 == "52494646")
                    & (F.hex(F.substring(data, 9, 4)) == "57454250"),
                    "webp")
+             .when(head4.isin("49492A00", "4D4D002A"), "tiff")
              .when(head4 == "52494646", "riff")   # WAV / AVI container
              .otherwise("unknown"))
     return df.withColumns({

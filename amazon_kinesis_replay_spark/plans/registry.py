@@ -2618,12 +2618,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas REAL image decode over binary media
     columns: document text bytes are synthesized into genuine PNGs
-    (doc_id%7==0; media_id-cycled filter types), baseline JPEGs (==1;
+    (doc_id%8==0; media_id-cycled filter types), baseline JPEGs (==1;
     4:2:0 and restart-interval variants), GIFs (==2; interlaced
     variants), ARITHMETIC JPEGs (==3; SOF9 QM coder, r10),
     progressive JPEGs (==4; SOF2), VP8L lossless WebPs (==5, late
     r10) and payload-coupled LOSSY VP8 WebPs (==6, late r10 — the
-    embedded-fixture pattern, functions/vp8.py), then decoded by the
+    embedded-fixture pattern, functions/vp8.py) and TIFFs (==7, late
+    r10 — LZW/PackBits/uncompressed, functions/tiff.py), then decoded
+    by the
     real pure-Python codecs — the zlib unfilter round-trip, the
     Huffman/IDCT/upsample pipeline, the LZW + deinterlace pipeline,
     the Annex-D arithmetic decoder, the progressive scan walker, the
@@ -3079,9 +3081,9 @@ def _multimodal_oracle() -> str:
     n_bytes/sha1 pin the exact encoded bytes, so the gate hash-checks
     the distributed mapInPandas pipeline end to end. Rows only appear in
     the Spark result if the REAL decode succeeded (the kernel raises on
-    any malformed blob), so a row-count match also proves all seven
+    any malformed blob), so a row-count match also proves all eight
     codec modes (PNG, baseline/arithmetic/progressive JPEG, GIF, WebP
-    VP8L, lossy VP8) decoded every blob."""
+    VP8L, lossy VP8, TIFF) decoded every blob."""
     import hashlib
     import os
 
@@ -3104,8 +3106,8 @@ def _multimodal_oracle() -> str:
         # decoder misreporting dimensions must fail the gate): side=8
         # for the encoder-backed modes, the fixture's own dims for the
         # lossy-VP8 mode (no in-repo VP8 encoder)
-        if did % 7 == 6:
-            wexp, hexp = _VP8_FIXTURE_DIMS[(did // 7) % 3]
+        if did % 8 == 6:
+            wexp, hexp = _VP8_FIXTURE_DIMS[(did // 8) % 3]
         else:
             wexp = hexp = 8
         values.append(

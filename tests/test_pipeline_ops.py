@@ -919,19 +919,19 @@ def test_multimodal_real_gif_decode(spark):
         assert (out[mid]["width"], out[mid]["height"]) == (8, 8)
         assert out[mid]["features"] == pytest.approx(exp, abs=1e-6)
 
-    # the mixed synthesis covers all seven codec modes and every
+    # the mixed synthesis covers all eight codec modes and every
     # payload decodes; mode 6 (lossy VP8) carries its fixture's dims
-    src = spark.range(14).select(
+    src = spark.range(16).select(
         F.col("id").alias("media_id"),
         F.encode(F.concat(F.lit("payload "), F.col("id")), "UTF-8")
         .alias("data"))
     mixed = multimodal.synthesize_image_media(src)
     decoded = {r["media_id"]: r
                for r in multimodal.decode_images(mixed).collect()}
-    assert len(decoded) == 14
+    assert len(decoded) == 16
     for mid, r in decoded.items():
-        if mid % 7 == 6:
-            exp = multimodal._VP8_FIXTURE_DIMS[(mid // 7) % 3]
+        if mid % 8 == 6:
+            exp = multimodal._VP8_FIXTURE_DIMS[(mid // 8) % 3]
         else:
             exp = (8, 8)
         assert (r["width"], r["height"]) == exp, mid
@@ -1609,6 +1609,200 @@ def test_vp8_lossy_rides_image_decode_and_malformed():
         assert px_a[3::4] == ref_a[2][3::4], trial
     assert 1 in methods_seen                     # VP8L-coded plane hit
     assert len(filters_seen) >= 2                # >1 row filter hit
+
+
+def _libtiff():
+    """ctypes harness for the container's libtiff.so.6 — the foreign
+    witness for functions/tiff.py. Returns (read_rgba, write_tiff).
+    The TIFF* handle must be wrapped in c_void_p at EVERY variadic
+    call site (ctypes passes bare ints as 32-bit, truncating the
+    pointer)."""
+    import ctypes
+    import os
+    import tempfile
+
+    import pytest
+    try:
+        L = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff.so.6 not available")
+    L.TIFFOpen.restype = ctypes.c_void_p
+    L.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    L.TIFFGetField.restype = ctypes.c_int
+    L.TIFFReadRGBAImage.restype = ctypes.c_int
+    L.TIFFReadRGBAImage.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
+    L.TIFFWriteScanline.restype = ctypes.c_int
+    L.TIFFWriteScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_uint32, ctypes.c_uint16]
+
+    def read_rgba(blob):
+        with tempfile.NamedTemporaryFile(suffix=".tif",
+                                         delete=False) as f:
+            f.write(blob)
+            path = f.name
+        try:
+            tif = L.TIFFOpen(path.encode(), b"r")
+            if not tif:
+                return None
+            w = ctypes.c_uint32()
+            h = ctypes.c_uint32()
+            L.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(256),
+                           ctypes.byref(w))
+            L.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(257),
+                           ctypes.byref(h))
+            ww, hh = w.value, h.value
+            buf = (ctypes.c_uint32 * (ww * hh))()
+            ok = L.TIFFReadRGBAImage(ctypes.c_void_p(tif), ww, hh,
+                                     buf, 1)
+            L.TIFFClose(ctypes.c_void_p(tif))
+            if not ok:
+                return None
+            raw = bytes(ctypes.cast(
+                buf, ctypes.POINTER(
+                    ctypes.c_ubyte * (ww * hh * 4))).contents)
+            rows = [raw[r * ww * 4:(r + 1) * ww * 4]
+                    for r in range(hh)]
+            return ww, hh, b"".join(reversed(rows))   # bottom-up
+        finally:
+            os.unlink(path)
+
+    def write_tiff(w, h, pixels, spp, compression=1, predictor=1,
+                   rows_per_strip=None):
+        with tempfile.NamedTemporaryFile(suffix=".tif",
+                                         delete=False) as f:
+            path = f.name
+        tif = L.TIFFOpen(path.encode(), b"w")
+        assert tif
+
+        def setf(tag, val, is32=False):
+            arg = ctypes.c_uint32(val) if is32 else ctypes.c_int(val)
+            assert L.TIFFSetField(ctypes.c_void_p(tif),
+                                  ctypes.c_uint32(tag), arg)
+
+        setf(256, w, True)
+        setf(257, h, True)
+        setf(258, 8)
+        setf(259, compression)
+        setf(262, 1 if spp == 1 else 2)
+        setf(277, spp)
+        setf(284, 1)
+        setf(278, rows_per_strip or h, True)
+        if predictor != 1:
+            setf(317, predictor)
+        row_bytes = w * spp
+        for r in range(h):
+            buf = ctypes.create_string_buffer(
+                pixels[r * row_bytes:(r + 1) * row_bytes], row_bytes)
+            assert L.TIFFWriteScanline(ctypes.c_void_p(tif), buf,
+                                       r, 0) == 1
+        L.TIFFClose(ctypes.c_void_p(tif))
+        blob = open(path, "rb").read()
+        os.unlink(path)
+        return blob
+
+    return read_rgba, write_tiff
+
+
+def test_tiff_bidirectional_witness_libtiff():
+    """Baseline TIFF pinned against libtiff in BOTH directions,
+    byte-exact: our encoder's files (gray/RGB/RGBA x uncompressed/
+    LZW(+predictor)/PackBits x single/multi-strip x II/MM) read back
+    through TIFFReadRGBAImage exactly, and libtiff-WRITTEN files
+    decode exactly through decode_tiff — the LZW early-change width
+    schedule, the MSB-first code packing, PackBits, the horizontal
+    predictor and the IFD walk all have to agree with the normative
+    implementation for either direction to pass. (Found this way: the
+    encoder widens one step LATER than the decoder's early change;
+    RGBA must declare ASSOCIATED alpha or libtiff premultiplies.)"""
+    import os
+    import random
+
+    from amazon_kinesis_replay_spark.functions.tiff import (decode_tiff,
+                                                            encode_tiff)
+
+    read_rgba, write_tiff = _libtiff()
+    rng = random.Random(5)
+    for trial in range(18):
+        w = rng.randint(1, 50)
+        h = rng.randint(1, 50)
+        spp = rng.choice([1, 3, 4])
+        comp = rng.choice([1, 5, 32773])
+        pred = rng.choice([1, 2]) if comp == 5 else 1
+        px = os.urandom(w * h * spp)
+        blob = encode_tiff(w, h, px, spp=spp, compression=comp,
+                           predictor=pred,
+                           rows_per_strip=rng.choice([None, 3, h]),
+                           big_endian=rng.random() < 0.5)
+        ref = read_rgba(blob)
+        assert ref is not None and ref[0:2] == (w, h), trial
+        rgba = ref[2]
+        for i in range(w * h):
+            if spp == 1:
+                exp = (px[i],) * 3 + (255,)
+            elif spp == 3:
+                exp = tuple(px[3 * i:3 * i + 3]) + (255,)
+            else:
+                exp = tuple(px[4 * i:4 * i + 4])
+            assert tuple(rgba[4 * i:4 * i + 4]) == exp, (trial, i)
+        assert decode_tiff(blob)[2] == px
+
+    for trial in range(12):
+        w = rng.randint(1, 50)
+        h = rng.randint(1, 50)
+        spp = rng.choice([1, 3])
+        comp = rng.choice([1, 5, 32773])
+        pred = rng.choice([1, 2]) if comp == 5 else 1
+        px = os.urandom(w * h * spp)
+        blob = write_tiff(w, h, px, spp, comp, pred,
+                          rng.choice([None, 4]))
+        got = decode_tiff(blob)
+        assert got[0:2] == (w, h) and got[2] == px, trial
+
+
+def test_tiff_photometric_and_gates():
+    """Min-is-white grayscale inverts (cross-checked against libtiff
+    on the same patched file); tiled layouts, 16-bit depths and
+    unknown compressions raise loudly; truncation raises TIFFError;
+    the image-decode dispatch routes II*/MM* payloads."""
+    import os
+    import struct
+
+    import pytest
+
+    from amazon_kinesis_replay_spark.functions.tiff import (TIFFError,
+                                                            decode_tiff,
+                                                            encode_tiff)
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _decode_pixels)
+
+    read_rgba, _w = _libtiff()
+    px = os.urandom(6 * 5)
+    blob = bytearray(encode_tiff(6, 5, px, spp=1, compression=1))
+    i = blob.find(struct.pack("<HH", 262, 3))
+    blob[i + 8] = 0                                # min-is-white
+    inv = decode_tiff(bytes(blob))[2]
+    assert inv == bytes(255 - b for b in px)
+    ref = read_rgba(bytes(blob))
+    assert ref is not None
+    assert bytes(ref[2][0::4]) == inv              # libtiff agrees
+
+    good = encode_tiff(4, 4, os.urandom(48), spp=3)
+    w, h, out = _decode_pixels(good)
+    assert (w, h, len(out)) == (4, 4, 48)
+    with pytest.raises(TIFFError):
+        decode_tiff(good[:20])
+    b2 = bytearray(good)
+    j = b2.find(struct.pack("<HH", 259, 3))
+    b2[j + 8] = 7                                  # "JPEG" compression
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(b2))
+    b3 = bytearray(good)
+    k = b3.find(struct.pack("<HH", 256, 4))
+    b3[k:k + 2] = struct.pack("<H", 322)           # TileWidth
+    with pytest.raises(NotImplementedError, match="tiled"):
+        decode_tiff(bytes(b3))
 
 
 def test_webp_animation_compositing():
