@@ -368,7 +368,11 @@ def decode_vp8(data: bytes, _skip_loop_filter: bool = False):
                 if ymode == B_PRED:
                     level += mode_lf_delta[0]
             level = _clip(level, 63)
-            inner = (not skip) or ymode == B_PRED
+            # RFC 15.2: interior edges filter only when the MB has
+            # non-zero coefficients or is B_PRED — the DECODED nnz, not
+            # the coded skip flag (an unskipped all-zero MB skips its
+            # interior edges too)
+            inner = bool(mb_nnz) or ymode == B_PRED
             mb_info[mby][mbx] = (level, inner)
 
     if filter_level and not _skip_loop_filter:
@@ -787,7 +791,7 @@ def _simple_filter(E, pix):
     p1, p0, q0, q1 = pix[2:6]
     if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 > E:
         return None
-    _f, (np1, np0, nq0, nq1) = _common_adjust(True, [p1, p0, q0, q1])
+    _f, (_p1, np0, nq0, _q1) = _common_adjust(True, [p1, p0, q0, q1])
     return [pix[0], pix[1], p1, np0, nq0, q1, pix[6], pix[7]]
 
 
