@@ -143,15 +143,49 @@ _ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _png_unfilter_pass(stream: bytes, w: int, h: int, channels: int):
+def _png_row_bytes(w: int, channels: int, depth: int) -> int:
+    return (w * channels * depth + 7) >> 3
+
+
+def _png_expand(rows, w: int, channels: int, depth: int,
+                scale_gray: bool):
+    """(h, row_bytes) unfiltered bytes -> (h, w*channels) uint8 SAMPLES:
+    sub-8 depths unpack MSB-first (scaled to full 8-bit range for
+    grayscale, left as indices for palettes), depth 16 big-endian
+    samples scale by round(v*255/65535) — the documented engine-wide
+    16->8 rule (libpng's simplified API instead gamma-maps 16-bit input
+    as linear light, a color-management choice outside RFC 2083, so the
+    16-bit path is pinned by hand-computed vectors rather than the
+    foreign witness)."""
+    import numpy as np
+    h = rows.shape[0]
+    if depth == 8:
+        return rows
+    if depth == 16:
+        v = rows.reshape(h, -1)[:, :w * channels * 2] \
+            .reshape(h, w * channels, 2).astype(np.uint32)
+        v16 = (v[:, :, 0] << 8) | v[:, :, 1]
+        return ((v16 * 255 + 32767) // 65535).astype(np.uint8)
+    bits = np.unpackbits(rows, axis=1)[:, :w * channels * depth]
+    grouped = bits.reshape(h, w * channels, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (grouped * weights).sum(axis=2).astype(np.uint8)
+    if scale_gray:
+        vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return vals
+
+
+def _png_unfilter_pass(stream: bytes, w: int, h: int, channels: int,
+                       depth: int = 8):
     """Unfilter one PNG image pass (a whole non-interlaced image, or one
     Adam7 reduced image — filtering restarts per pass, RFC 2083 §6):
-    h scanlines of (filter_byte + w*channels pixels) -> (h, w*channels)
-    uint8 array. Sub vectorizes as a per-channel cumsum; Average/Paeth
-    carry a true left-pixel dependency and run per byte."""
+    h scanlines of (filter_byte + row bytes) -> (h, row_bytes) uint8
+    array. Sub vectorizes as a per-filter-unit cumsum; Average/Paeth
+    carry a true left dependency and run per byte. The filter unit
+    (`bpp`) is max(1, channels*depth//8) per the spec."""
     import numpy as np
-    stride = w * channels
-    bpp = channels                          # bytes per pixel at depth 8
+    stride = _png_row_bytes(w, channels, depth)
+    bpp = max(1, (channels * depth) >> 3)
     lines = np.frombuffer(stream, np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.int16)
     for y in range(h):
@@ -160,8 +194,9 @@ def _png_unfilter_pass(stream: bytes, w: int, h: int, channels: int):
         prev = out[y - 1] if y else np.zeros(stride, np.int16)
         if f == 0:                          # None
             cur = row
-        elif f == 1:                        # Sub: cumsum per channel
-            cur = (np.cumsum(row.reshape(w, bpp).astype(np.int64), axis=0)
+        elif f == 1:                        # Sub: cumsum per filter unit
+            cur = (np.cumsum(row.reshape(-1, bpp).astype(np.int64),
+                             axis=0)
                    % 256).astype(np.int16).reshape(stride)
         elif f == 2:                        # Up
             cur = (row + prev) % 256
@@ -227,12 +262,16 @@ def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
     stream, then per-scanline unfiltering (None/Sub/Up/Average/Paeth,
     RFC 2083 §6) in numpy. Sub vectorizes as a per-channel cumsum;
     Average/Paeth carry a true left-pixel dependency and run per byte.
-    Supports bit depth 8, color types 0/2/3/4/6 (indexed output is
-    expanded through the PLTE), and BOTH interlace methods — Adam7 (r7)
-    reassembles the 7 reduced passes, each unfiltered independently per
-    RFC 2083 §2.6; other bit depths raise NotImplementedError. Truncated
-    chunks, stream-length mismatches, and bad filter ids raise
-    ValueError — wrong pixels are never silently emitted."""
+    Supports color types 0/2/3/4/6 (indexed output is expanded through
+    the PLTE) at the spec's full depth matrix (late r10): 1/2/4-bit
+    grayscale and palettes (MSB-first unpack, grayscale scaled to the
+    full 8-bit range), 8-bit everywhere, and 16-bit scaled to 8 by
+    round(v*255/65535) — see _png_expand for why the 16->8 rule is
+    pinned by vectors rather than libpng. BOTH interlace methods —
+    Adam7 (r7) reassembles the 7 reduced passes, each unfiltered
+    independently per RFC 2083 §2.6. Truncated chunks, stream-length
+    mismatches, and bad filter ids raise ValueError — wrong pixels are
+    never silently emitted."""
     import struct
     import zlib
 
@@ -267,15 +306,20 @@ def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
-    if depth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} not supported (8 only)")
+    valid_depths = (1, 2, 4, 8, 16) if ctype == 0 else \
+        (1, 2, 4, 8) if ctype == 3 else (8, 16)
+    if depth not in valid_depths:
+        raise ValueError(
+            f"PNG bit depth {depth} invalid for color type {ctype}")
+    scale_gray = ctype == 0                 # palettes keep raw indices
     stream = zlib.decompress(b"".join(idat))
     stride = w * channels
     if interlace == 0:
-        if len(stream) != h * (stride + 1):
+        rb = _png_row_bytes(w, channels, depth)
+        if len(stream) != h * (rb + 1):
             raise ValueError("PNG pixel stream length mismatch")
-        pixels = _png_unfilter_pass(stream, w, h, channels)
+        rows = _png_unfilter_pass(stream, w, h, channels, depth)
+        pixels = _png_expand(rows, w, channels, depth, scale_gray)
     else:                                   # Adam7 (interlace validated =1)
         full = np.zeros((h, w, channels), np.uint8)
         pos = 0
@@ -284,11 +328,12 @@ def _parse_png(raw: bytes) -> tuple[int, int, bytes]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            nbytes = ph * (pw * channels + 1)
+            nbytes = ph * (_png_row_bytes(pw, channels, depth) + 1)
             if pos + nbytes > len(stream):
                 raise ValueError("PNG Adam7 pixel stream truncated")
-            sub = _png_unfilter_pass(stream[pos:pos + nbytes],
-                                     pw, ph, channels)
+            rows = _png_unfilter_pass(stream[pos:pos + nbytes],
+                                      pw, ph, channels, depth)
+            sub = _png_expand(rows, pw, channels, depth, scale_gray)
             pos += nbytes
             full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
         if pos != len(stream):
@@ -655,8 +700,10 @@ def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
-    The real path decodes PNG (incl. Adam7) / baseline JPEG / GIF /
-    BMP / PPM / PGM with the pure-Python codecs (`_decode_pixels`),
+    The real path decodes PNG (incl. Adam7) / JPEG (baseline,
+    progressive, arithmetic) / GIF / WebP (VP8L lossless + lossy VP8
+    incl. ALPH) / baseline TIFF / BMP / PPM / PGM with the pure-Python
+    codecs (`_decode_pixels`),
     computing a pixel-histogram feature vector over the decoded raster;
     unsupported formats raise loudly from the kernel. fake=True
     substitutes the deterministic fake decoder for any payload.

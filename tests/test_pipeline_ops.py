@@ -1279,9 +1279,11 @@ def test_webp_subtract_green_and_malformed():
         W.decode_webp(good[:30])
     with pytest.raises(W.WebPError):
         W.decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
+    # lossy VP8 now decodes natively (functions/vp8.py) — returns RGB,
+    # RGBA when an ALPH plane rides along
     lossy = enc(bytes(range(64)) * 4, 8, 8, lossless=False)
-    with pytest.raises(NotImplementedError, match="lossy"):
-        W.decode_webp(lossy)
+    lw, lh, lpx = W.decode_webp(lossy)
+    assert (lw, lh) == (8, 8) and len(lpx) in (8 * 8 * 3, 8 * 8 * 4)
 
 
 def _libwebp_yuv():
@@ -1609,6 +1611,203 @@ def test_vp8_lossy_rides_image_decode_and_malformed():
         assert px_a[3::4] == ref_a[2][3::4], trial
     assert 1 in methods_seen                     # VP8L-coded plane hit
     assert len(filters_seen) >= 2                # >1 row filter hit
+
+
+def _libpng():
+    """ctypes harness for libpng16's SIMPLIFIED API (no setjmp needed
+    from the caller) — the foreign witness for the PNG codec. Returns
+    (read_rgba, write_png); write emits 8-bit RGBA files."""
+    import ctypes
+
+    import pytest
+    try:
+        L = ctypes.CDLL("libpng16.so.16")
+    except OSError:
+        pytest.skip("libpng16 not available")
+
+    class PngImage(ctypes.Structure):
+        _fields_ = [("opaque", ctypes.c_void_p),
+                    ("version", ctypes.c_uint32),
+                    ("width", ctypes.c_uint32),
+                    ("height", ctypes.c_uint32),
+                    ("format", ctypes.c_uint32),
+                    ("flags", ctypes.c_uint32),
+                    ("colormap_entries", ctypes.c_uint32),
+                    ("warning_or_error", ctypes.c_uint32),
+                    ("message", ctypes.c_char * 64)]
+
+    L.png_image_begin_read_from_memory.restype = ctypes.c_int
+    L.png_image_begin_read_from_memory.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_char_p, ctypes.c_size_t]
+    L.png_image_finish_read.restype = ctypes.c_int
+    L.png_image_finish_read.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p]
+    L.png_image_write_to_memory.restype = ctypes.c_int
+    L.png_image_write_to_memory.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p]
+
+    def read_rgba(blob):
+        img = PngImage()
+        img.version = 1
+        if not L.png_image_begin_read_from_memory(ctypes.byref(img),
+                                                  blob, len(blob)):
+            return None
+        img.format = 3                     # PNG_FORMAT_RGBA
+        buf = ctypes.create_string_buffer(img.width * img.height * 4)
+        if not L.png_image_finish_read(ctypes.byref(img), None, buf,
+                                       0, None):
+            return None
+        return img.width, img.height, buf.raw
+
+    def write_png(w, h, rgba):
+        img = PngImage()
+        img.version = 1
+        img.width = w
+        img.height = h
+        img.format = 3
+        size = ctypes.c_size_t(0)
+        assert L.png_image_write_to_memory(
+            ctypes.byref(img), None, ctypes.byref(size), 0, rgba, 0,
+            None)
+        buf = ctypes.create_string_buffer(size.value)
+        assert L.png_image_write_to_memory(
+            ctypes.byref(img), buf, ctypes.byref(size), 0, rgba, 0,
+            None)
+        return buf.raw[:size.value]
+
+    return read_rgba, write_png
+
+
+def test_png_bidirectional_witness_libpng():
+    """The PNG codec's first FOREIGN witness (it was zlib+roundtrip
+    only until late r10): our encoder's files — every color type
+    (gray/RGB/palette/gray-alpha/RGBA), all five filter types cycling,
+    straight and Adam7 — decode byte-exact through libpng's simplified
+    read API, and libpng-WRITTEN files decode byte-exact through
+    _parse_png."""
+    import os
+    import random
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _GIF_PALETTE, _parse_png, encode_png)
+
+    read_rgba, write_png = _libpng()
+    rng = random.Random(17)
+    for trial in range(16):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        ctype = rng.choice([0, 2, 3, 4, 6])
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        px = os.urandom(w * h * ch)
+        filters = [rng.randrange(5) for _ in range(rng.randint(1, 4))]
+        blob = encode_png(w, h, px, ctype=ctype, filters=filters,
+                          palette=_GIF_PALETTE if ctype == 3 else None,
+                          interlace=rng.random() < 0.4)
+        ref = read_rgba(blob)
+        assert ref is not None and ref[0:2] == (w, h), trial
+        for i in range(w * h):
+            got = tuple(ref[2][4 * i:4 * i + 4])
+            if ctype == 0:
+                exp = (px[i],) * 3 + (255,)
+            elif ctype == 2:
+                exp = tuple(px[3 * i:3 * i + 3]) + (255,)
+            elif ctype == 3:
+                p = px[i]
+                exp = tuple(_GIF_PALETTE[3 * p:3 * p + 3]) + (255,)
+            elif ctype == 4:
+                exp = (px[2 * i],) * 3 + (px[2 * i + 1],)
+            else:
+                exp = tuple(px[4 * i:4 * i + 4])
+            assert got == exp, (trial, ctype, i)
+
+    for trial in range(8):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        rgba = os.urandom(w * h * 4)
+        blob = write_png(w, h, rgba)
+        got = _parse_png(blob)
+        assert got[0:2] == (w, h) and got[2] == rgba, trial
+
+
+def test_png_full_depth_matrix():
+    """PNG depths beyond 8 (late r10): hand-computed vectors pin
+    1/2/4-bit grayscale scaling, sub-byte palette indexing, and the
+    engine's documented 16->8 rule round(v*255/65535); every REAL
+    sub-8-bit PNG shipped in this container must decode byte-identical
+    to libpng (the 16-bit system file decodes but is excluded from the
+    libpng comparison: the simplified API gamma-maps 16-bit input as
+    linear light — a color-management choice outside RFC 2083,
+    documented in _png_expand)."""
+    import glob
+    import struct
+    import zlib
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _parse_png)
+
+    read_rgba, _w = _libpng()
+
+    def chunk(t, b):
+        c = t + b
+        return (struct.pack(">I", len(b)) + c
+                + struct.pack(">I", zlib.crc32(c)))
+
+    def png(w, h, depth, ctype, rows, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(rows)) \
+            + chunk(b"IEND", b"")
+
+    bits = "1010110011"
+    blob = png(10, 1, 1, 0,
+               b"\x00" + int(bits + "0" * 6, 2).to_bytes(2, "big"))
+    assert _parse_png(blob)[2] == bytes(
+        255 if c == "1" else 0 for c in bits)
+    ref = read_rgba(blob)
+    assert bytes(ref[2][0::4]) == _parse_png(blob)[2]
+
+    pal = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    blob = png(6, 1, 2, 3, b"\x00" + bytes([0b00011011, 0b10010000]),
+               pal)
+    assert _parse_png(blob)[2] == b"".join(
+        pal[3 * i:3 * i + 3] for i in (0, 1, 2, 3, 2, 1))
+
+    blob = png(5, 1, 4, 0, b"\x00" + bytes([0x0F, 0x78, 0x10]))
+    assert _parse_png(blob)[2] == bytes(v * 17 for v in (0, 15, 7, 8, 1))
+
+    v16 = (0, 257, 65535, 32768, 514, 65021)
+    blob = png(2, 1, 16, 2, b"\x00" + b"".join(
+        struct.pack(">H", x) for x in v16))
+    assert list(_parse_png(blob)[2]) == [round(x * 255 / 65535)
+                                        for x in v16]
+
+    seen_sub8 = 0
+    for f in glob.glob("/usr/share/**/*.png", recursive=True):
+        d = open(f, "rb").read()
+        if len(d) < 26 or d[:8] != b"\x89PNG\r\n\x1a\n":
+            continue
+        depth, ctype = d[24], d[25]
+        if depth == 8:
+            continue
+        w, h, px = _parse_png(d)           # must decode, all depths
+        if depth < 8:
+            seen_sub8 += 1
+            ref = read_rgba(d)
+            assert ref is not None and ref[0:2] == (w, h), f
+            ch = len(px) // (w * h)
+            ours = bytes(b for i in range(w * h)
+                         for b in px[ch * i:ch * i + 3]) \
+                if ch >= 3 else px
+            theirs = bytes(b for i in range(w * h)
+                           for b in ref[2][4 * i:4 * i + 3]) \
+                if ch >= 3 else bytes(ref[2][0::4])
+            assert ours == theirs, f
+    assert seen_sub8 >= 3                  # real foreign fixtures hit
 
 
 def _libtiff():
