@@ -419,6 +419,36 @@ def main():
     summary["audit_files_for_lowq_long_box"] = hit
     print(f"[10b] hilbert audit: {hit}/{len(a_files)} files overlap "
           "the low-quality+long box", flush=True)
+    # 11: multimodal audit — the curated corpus's media companion
+    # surface, run with the PRODUCTION codec stack (late r10: eight
+    # image codec modes incl. WebP VP8L/lossy-VP8 and TIFF, four audio
+    # containers incl. IMA ADPCM): synthesize payload-coupled blobs for
+    # a bounded sample of exported docs, sniff magics JVM-side (the
+    # route/partition pre-filter), then decode EVERYTHING distributed —
+    # the decoders raise on any malformed blob, so the counts double as
+    # a zero-failure assertion.
+    from amazon_kinesis_replay_spark.operators import multimodal
+    media_src = (clean.select(F.col("doc_id").alias("media_id"),
+                              F.encode("text", "UTF-8").alias("data"))
+                 .orderBy("media_id").limit(240))
+    imgs = multimodal.synthesize_image_media(media_src)
+    magic_rows = (multimodal.media_metadata(imgs)
+                  .groupBy("magic").agg(F.count("*").alias("n"))
+                  .collect())                      # <=8 rows, one per codec
+    summary["media_magic_counts"] = {
+        r["magic"]: r["n"] for r in magic_rows}
+    summary["media_images_decoded"] = multimodal.decode_images(imgs) \
+        .count()
+    aud = multimodal.audio_meta(
+        multimodal.synthesize_audio_media(media_src))
+    summary["media_audio_decoded"] = aud.count()
+    summary["media_audio_rates_ok"] = bool(
+        aud.filter("sample_rate != 8000").count() == 0)
+    print(f"[11] media audit: {summary['media_images_decoded']} images "
+          f"({summary['media_magic_counts']}), "
+          f"{summary['media_audio_decoded']} audio blobs decoded",
+          flush=True)
+
     summary["wall_s"] = round(time.monotonic() - t0, 2)
     print(json.dumps(summary), flush=True)
     if len(sys.argv) <= 2:
