@@ -312,12 +312,15 @@ _MAGICS = (
     (b"BZh", "bz2"),
     (_MAGIC, "lz4"),
     (b"\xfd7zXZ\x00", "xz"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),      # RFC 8878, .jsonl.zst shards
 )
 
 
 def sniff_codec(head: bytes) -> str:
-    """Codec name from leading bytes: gzip/bz2/lz4/xz, else 'plain' — the
-    reference's catch-CompressorException-fall-back-to-text behavior."""
+    """Codec name from leading bytes: gzip/bz2/lz4/xz/zstd, else 'plain'
+    — the reference's catch-CompressorException-fall-back-to-text
+    behavior (zstd added late r10: the modern corpus shard codec,
+    functions/zstd.py, pure Python + libzstd-witnessed)."""
     for magic, name in _MAGICS:
         if head.startswith(magic):
             return name
@@ -338,4 +341,7 @@ def decompress_auto(data: bytes) -> bytes:
         return lzma.decompress(data)
     if codec == "lz4":
         return frame_decompress(data)
+    if codec == "zstd":
+        from ..functions.zstd import decompress as _zstd_decompress
+        return _zstd_decompress(data)
     return data

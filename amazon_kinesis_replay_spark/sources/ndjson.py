@@ -52,14 +52,15 @@ def read_events(spark: SparkSession, cfg: ReplayConfig,
 
 def _decode_lines(pdf_iter):
     """mapInPandas kernel: (path, content) file rows -> (value, path) line
-    rows, decompressing by CONTENT sniffing (gzip/bz2/lz4-frame/xz, else
-    plain text). Undecodable objects are skipped — the ignoreCorruptFiles
+    rows, decompressing by CONTENT sniffing (gzip/bz2/lz4-frame/xz/zstd,
+    else plain text). Undecodable objects are skipped — the ignoreCorruptFiles
     analogue for the binary path."""
     import lzma
     import zlib
 
     import pandas as pd
 
+    from ..functions.zstd import ZstdError
     from .lz4frame import LZ4FrameError, decompress_auto
 
     # Everything the stdlib decompressors raise on corrupt input: gzip ->
@@ -67,7 +68,7 @@ def _decode_lines(pdf_iter):
     # OSError/ValueError/EOFError; xz -> lzma.LZMAError (plain Exception
     # subclass, NOT OSError). Missing any of these would fail the whole
     # ingest job on one corrupt object instead of skipping it.
-    corrupt = (LZ4FrameError, OSError, EOFError, ValueError,
+    corrupt = (LZ4FrameError, ZstdError, OSError, EOFError, ValueError,
                lzma.LZMAError, zlib.error)
 
     for pdf in pdf_iter:

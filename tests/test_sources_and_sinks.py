@@ -204,9 +204,16 @@ def test_sniff_codec_dispatch():
     assert lz4frame.sniff_codec(_bz2.compress(raw)[:8]) == "bz2"
     assert lz4frame.sniff_codec(_lzma.compress(raw)[:8]) == "xz"
     assert lz4frame.sniff_codec(lz4frame.frame_compress(raw)[:8]) == "lz4"
+    assert lz4frame.sniff_codec(b"\x28\xb5\x2f\xfd....") == "zstd"
     assert lz4frame.sniff_codec(raw[:8]) == "plain"
-    for blob in (raw, _gzip.compress(raw), _bz2.compress(raw),
-                 _lzma.compress(raw), lz4frame.frame_compress(raw)):
+    blobs = [raw, _gzip.compress(raw), _bz2.compress(raw),
+             _lzma.compress(raw), lz4frame.frame_compress(raw)]
+    try:
+        compress, _a, _d = _libzstd()
+        blobs.append(compress(raw, 3))
+    except Exception:
+        pass
+    for blob in blobs:
         assert lz4frame.decompress_auto(blob) == raw
 
 
@@ -601,3 +608,215 @@ def test_verify_shards_flags_same_rowcount_rewrite(spark, sf_dir, tmp_path):
     bad = export.verify_shards(spark, out)
     assert not bad["ok"] and bad["changed"] == [victim]
     assert bad["missing"] == [] and bad["extra"] == []
+
+
+def _libzstd():
+    """ctypes harness for the container's libzstd.so.1 — the foreign
+    witness for functions/zstd.py. Returns (compress, compress_adv,
+    decompress_ref)."""
+    import ctypes
+
+    import pytest
+    try:
+        L = ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        pytest.skip("libzstd.so.1 not available")
+    L.ZSTD_compress.restype = ctypes.c_size_t
+    L.ZSTD_compress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                ctypes.c_char_p, ctypes.c_size_t,
+                                ctypes.c_int]
+    L.ZSTD_compressBound.restype = ctypes.c_size_t
+    L.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    L.ZSTD_isError.restype = ctypes.c_uint
+    L.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    L.ZSTD_createCCtx.restype = ctypes.c_void_p
+    L.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+    L.ZSTD_CCtx_setParameter.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.c_int]
+    L.ZSTD_compress2.restype = ctypes.c_size_t
+    L.ZSTD_compress2.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_size_t, ctypes.c_char_p,
+                                 ctypes.c_size_t]
+    L.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    L.ZSTD_decompress.restype = ctypes.c_size_t
+    L.ZSTD_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                  ctypes.c_char_p, ctypes.c_size_t]
+
+    def compress(data, level=3):
+        cap = L.ZSTD_compressBound(len(data))
+        buf = ctypes.create_string_buffer(cap)
+        n = L.ZSTD_compress(buf, cap, data, len(data), level)
+        assert not L.ZSTD_isError(n)
+        return buf.raw[:n]
+
+    def compress_adv(data, level=3, checksum=0, windowlog=0):
+        c = L.ZSTD_createCCtx()
+        L.ZSTD_CCtx_setParameter(ctypes.c_void_p(c), 100, level)
+        L.ZSTD_CCtx_setParameter(ctypes.c_void_p(c), 201, checksum)
+        if windowlog:
+            L.ZSTD_CCtx_setParameter(ctypes.c_void_p(c), 101,
+                                     windowlog)
+        cap = L.ZSTD_compressBound(len(data))
+        buf = ctypes.create_string_buffer(cap)
+        n = L.ZSTD_compress2(ctypes.c_void_p(c), buf, cap, data,
+                             len(data))
+        assert not L.ZSTD_isError(n)
+        L.ZSTD_freeCCtx(ctypes.c_void_p(c))
+        return buf.raw[:n]
+
+    def decompress_ref(blob, cap):
+        buf = ctypes.create_string_buffer(max(cap, 1))
+        n = L.ZSTD_decompress(buf, cap, blob, len(blob))
+        assert not L.ZSTD_isError(n), hex(n)
+        return buf.raw[:n]
+
+    return compress, compress_adv, decompress_ref
+
+
+def test_zstd_decoder_matches_libzstd():
+    """RFC 8878 witness: streams produced by libzstd across levels
+    1..19 and content classes (empty / tiny / single-byte runs /
+    random / word-soup text incl. multi-block >128 KiB / periodic)
+    decode byte-exact — with DECODE-PATH COVERAGE ASSERTED via the
+    module's stats hook (raw+RLE+compressed blocks, raw + compressed +
+    treeless literals, 1- and 4-stream Huffman, FSE-compressed weight
+    descriptions, all four LL/OF/ML table modes). Checksum frames
+    verify and tampering raises; multi-frame and skippable-frame
+    streams concatenate; truncation raises; the dictionary-id flag
+    raises NotImplementedError; the predefined FSE distributions are
+    byte-compared against libzstd's own in-binary copies."""
+    import collections
+    import os
+    import random
+    import struct
+
+    import pytest
+
+    import amazon_kinesis_replay_spark.functions.zstd as Z
+
+    compress, compress_adv, _dref = _libzstd()
+    rng = random.Random(1)
+    words = [os.urandom(rng.randint(2, 9)) for _ in range(50)]
+    cases = [b"", b"a", bytes(70000), b"\x00" * 400000,
+             os.urandom(5000), b"abcdef" * 10000,
+             b" ".join(rng.choice(words) for _ in range(80000))]
+    Z.stats = collections.Counter()
+    try:
+        for data in cases:
+            for level in (1, 3, 9, 19):
+                assert Z.decompress(compress(data, level)) == data
+        # treeless literals (lit_type_3) are an encoder heuristic
+        # libzstd rarely takes — covered by the crafted-frame test
+        need = {"block_0", "block_1", "block_2", "lit_type_0",
+                "lit_type_2", "lit_streams_1",
+                "lit_streams_4", "weights_fse", "seq_mode_0",
+                "seq_mode_1", "seq_mode_2", "seq_mode_3"}
+        assert need <= set(Z.stats), sorted(need - set(Z.stats))
+    finally:
+        Z.stats = None
+
+    text = b" ".join(rng.choice(words) for _ in range(60000))
+    blob = compress_adv(text, 9, checksum=1)
+    assert Z.decompress(blob) == text
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(Z.ZstdError, match="checksum"):
+        Z.decompress(bytes(bad))
+    assert Z.decompress(compress_adv(text, 19, windowlog=10)) == text
+
+    skip = struct.pack("<II", 0x184D2A53, 5) + b"hello"
+    multi = compress(text[:1000]) + skip + compress_adv(text[1000:2000],
+                                                        19)
+    assert Z.decompress(multi) == text[:2000]
+    with pytest.raises(Z.ZstdError):
+        Z.decompress(blob[:len(blob) // 2])
+    dicty = bytearray(compress(text[:500]))
+    dicty[4] |= 1                              # dictionary-id flag
+    with pytest.raises(NotImplementedError, match="dictionar"):
+        Z.decompress(bytes(dicty))
+
+    lib = open("/lib/x86_64-linux-gnu/libzstd.so.1", "rb").read()
+    for arr in (Z.LL_DEFAULTS, Z.ML_DEFAULTS, Z.OF_DEFAULTS):
+        assert lib.find(struct.pack(f"<{len(arr)}h", *arr)) >= 0
+
+
+def test_zstd_crafted_paths_cross_checked():
+    """The two decode paths libzstd's encoder never emits — RLE
+    literals and DIRECT (4-bit nibble) Huffman weight descriptions —
+    driven by hand-assembled frames that libzstd's DECODER must accept
+    and decode identically (so the craft is foreign-validated, not a
+    self-twin). Found while crafting: huff0 rejects non-minimal weight
+    sets (weight-1 symbols must exist, in pairs), so the direct-weights
+    fixture uses a canonical (2,1,1)+implied-3 tree."""
+    import struct
+
+    import amazon_kinesis_replay_spark.functions.zstd as Z
+
+    _c, _ca, decompress_ref = _libzstd()
+
+    def frame(blocks):
+        return struct.pack("<I", Z.ZSTD_MAGIC) + b"\x00\x00" \
+            + b"".join(blocks)
+
+    def block(body, last=1, btype=2):
+        bh = last | (btype << 1) | (len(body) << 3)
+        return bytes((bh & 0xFF, (bh >> 8) & 0xFF,
+                      (bh >> 16) & 0xFF)) + body
+
+    body = bytes([1 | (20 << 3), ord("x"), 0])   # RLE literals, 0 seqs
+    blob = frame([block(body)])
+    assert Z.decompress(blob) == b"x" * 20
+    assert decompress_ref(blob, 64) == b"x" * 20
+
+    codebits = {0: "01", 1: "000", 2: "001", 3: "1"}
+    lits = bytes([3, 3, 0, 1, 3, 2, 0, 3, 3, 0, 3, 2, 1, 3, 3, 3])
+    bits = "".join(codebits[c] for c in lits)
+    stream = int("1" + bits, 2).to_bytes((len(bits) + 8) // 8, "little")
+    comp = bytes([127 + 3, 0x21, 0x10]) + stream
+    v = 2 | (len(lits) << 4) | (len(comp) << 14)
+    body = bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)) \
+        + comp + b"\x00"
+    blob = frame([block(body)])
+    assert Z.decompress(blob) == lits
+    assert decompress_ref(blob, 64) == lits
+
+    # TREELESS literals: block 2 reuses block 1's huffman table (the
+    # lit_type_3 path libzstd's encoder rarely emits)
+    body2 = bytes((3 | (len(lits) << 4) & 0xFF,
+                   ((3 | (len(lits) << 4) | (len(stream) << 14))
+                    >> 8) & 0xFF,
+                   ((3 | (len(lits) << 4) | (len(stream) << 14))
+                    >> 16) & 0xFF)) + stream + b"\x00"
+    blob2 = frame([block(body, last=0), block(body2, last=1)])
+    assert Z.decompress(blob2) == lits + lits
+    assert decompress_ref(blob2, 64) == lits + lits
+
+
+def test_read_events_sniffed_zst_shards(spark, sf_dir, tmp_path):
+    """.jsonl.zst corpus shards (the modern format The Pile / RedPajama
+    ship) ingest through the content-sniffing source: libzstd-written
+    shards decode via the pure-Python decoder, a corrupt shard is
+    skipped whole, and plain text still falls back."""
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.sources.ndjson import (
+        read_events_sniffed)
+
+    compress, _ca, _d = _libzstd()
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts").orderBy("ts").limit(200).collect())
+
+    def line(r):
+        return json.dumps({"event_id": r["event_id"],
+                           "dropoff_datetime": r["ts"].isoformat()})
+
+    half = len(rows) // 2
+    (tmp_path / "a.jsonl.zst").write_bytes(compress(
+        ("\n".join(line(r) for r in rows[:half]) + "\n").encode(), 9))
+    (tmp_path / "b.jsonl.zst").write_bytes(
+        ("\n".join(line(r) for r in rows[half:]) + "\n").encode())
+    bad = bytearray(compress(b"x" * 1000, 3))
+    (tmp_path / "bad.jsonl.zst").write_bytes(bytes(bad[:12]))
+    cfg = ReplayConfig(source_path=str(tmp_path),
+                       timestamp_attribute="dropoff_datetime")
+    got = read_events_sniffed(spark, cfg)
+    assert got.count() == len(rows)
