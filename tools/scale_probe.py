@@ -394,7 +394,25 @@ def main():
         n_dense = dense.count()
         return f"x{mult} -> {n_dense} dense minute buckets"
 
+    def run_media(mult):
+        # late r10: the multimodal decode family — per-blob pure-Python
+        # codecs inside Arrow-batched mapInPandas. No shuffle at all
+        # (synthesize and decode fuse into one scan), so the curve must
+        # track the blob count exactly; a bend would mean the decode
+        # stopped distributing.
+        from amazon_kinesis_replay_spark.operators import multimodal
+        corpus = _expand_docs(docs, mult).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("data"))
+        n = corpus.count()
+        media = multimodal.synthesize_image_media(corpus)
+        dec = multimodal.decode_images(media).count()
+        aud = multimodal.audio_meta(
+            multimodal.synthesize_audio_media(corpus)).count()
+        return f"{n} docs -> {dec} images + {aud} audio decoded"
+
     all_families = [
+        ("media", run_media),
         ("minhash", run_minhash),
         ("bm25", run_bm25),
         ("zorder", run_zorder),
