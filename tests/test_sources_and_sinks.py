@@ -820,3 +820,33 @@ def test_read_events_sniffed_zst_shards(spark, sf_dir, tmp_path):
                        timestamp_attribute="dropoff_datetime")
     got = read_events_sniffed(spark, cfg)
     assert got.count() == len(rows)
+
+
+def test_zstd_seeded_mutation_fuzz_never_crashes():
+    """Corrupt-input robustness, fuzzed: 400 seeded bit-flips and
+    truncations of a libzstd stream must each either raise ZstdError /
+    NotImplementedError or decode to SOME bytes — never crash with a
+    foreign exception, hang, or overrun (checksum-carrying frames
+    additionally catch silent corruption, covered above)."""
+    import os
+    import random
+
+    import amazon_kinesis_replay_spark.functions.zstd as Z
+
+    compress, _ca, _d = _libzstd()
+    rng = random.Random(7)
+    words = [os.urandom(rng.randint(2, 9)) for _ in range(50)]
+    text = b" ".join(rng.choice(words) for _ in range(20000))
+    blob = compress(text, 9)
+    for trial in range(400):
+        b = bytearray(blob)
+        k = rng.randrange(len(b))
+        if trial % 2:
+            b[k] ^= 1 << rng.randrange(8)
+            mut = bytes(b)
+        else:
+            mut = bytes(b[:k])
+        try:
+            Z.decompress(mut, max_output=1 << 24)
+        except (Z.ZstdError, NotImplementedError):
+            pass
