@@ -327,9 +327,16 @@ def sniff_codec(head: bytes) -> str:
     return "plain"
 
 
-def decompress_auto(data: bytes) -> bytes:
-    """Sniff + decompress; plain content passes through unchanged."""
+def decompress_auto(data: bytes, path: str | None = None) -> bytes:
+    """Sniff + decompress; plain content passes through unchanged.
+    Brotli has NO magic bytes (RFC 7932 streams start directly with
+    window bits), so it cannot be content-sniffed — a `.br`/`.brotli`
+    path suffix dispatches it when the content matches no other codec
+    (extension as tie-break only, never overriding a sniffed magic)."""
     codec = sniff_codec(data[:8])
+    if codec == "plain" and path and path.endswith((".br", ".brotli")):
+        from ..functions.brotli import decompress as _br
+        return _br(data)
     if codec == "gzip":
         import gzip
         return gzip.decompress(data)

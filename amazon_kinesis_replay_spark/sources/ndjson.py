@@ -53,13 +53,15 @@ def read_events(spark: SparkSession, cfg: ReplayConfig,
 def _decode_lines(pdf_iter):
     """mapInPandas kernel: (path, content) file rows -> (value, path) line
     rows, decompressing by CONTENT sniffing (gzip/bz2/lz4-frame/xz/zstd,
-    else plain text). Undecodable objects are skipped — the ignoreCorruptFiles
+    else plain text; `.br` paths additionally try brotli, which has no
+    sniffable magic). Undecodable objects are skipped — the ignoreCorruptFiles
     analogue for the binary path."""
     import lzma
     import zlib
 
     import pandas as pd
 
+    from ..functions.brotli import BrotliError
     from ..functions.zstd import ZstdError
     from .lz4frame import LZ4FrameError, decompress_auto
 
@@ -68,13 +70,13 @@ def _decode_lines(pdf_iter):
     # OSError/ValueError/EOFError; xz -> lzma.LZMAError (plain Exception
     # subclass, NOT OSError). Missing any of these would fail the whole
     # ingest job on one corrupt object instead of skipping it.
-    corrupt = (LZ4FrameError, ZstdError, OSError, EOFError, ValueError,
-               lzma.LZMAError, zlib.error)
+    corrupt = (LZ4FrameError, ZstdError, BrotliError, OSError, EOFError,
+               ValueError, lzma.LZMAError, zlib.error)
 
     for pdf in pdf_iter:
         for path, content in zip(pdf["path"], pdf["content"]):
             try:
-                text = decompress_auto(bytes(content))
+                text = decompress_auto(bytes(content), path=str(path))
                 # errors="replace", NOT strict (r7 review): one bad byte
                 # must not silently drop the whole object — the text path
                 # (spark.read.text), sources/kinesis.py, and the

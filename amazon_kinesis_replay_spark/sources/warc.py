@@ -171,6 +171,41 @@ def http_body(content: "F.Column") -> "F.Column":
         s, idx + F.lit(4), F.length(s))).otherwise(s)
 
 
+def py_http_payload(payload: bytes) -> bytes:
+    """HTTP response record -> decoded body bytes: split the header
+    block, then undo Content-Encoding — identity, gzip/x-gzip,
+    deflate (zlib or raw), and brotli ('br', the modern crawl default
+    — functions/brotli.py, pure Python, libbrotli-witnessed). Unknown
+    encodings return the raw body (caller-visible, never silently
+    dropped); corrupt encoded bodies raise. For use inside the same
+    Arrow-batched kernels as py_strip_html."""
+    idx = payload.find(b"\r\n\r\n")
+    if idx < 0:
+        return payload
+    headers = payload[:idx].decode("latin-1", "replace").lower()
+    body = payload[idx + 4:]
+    enc = ""
+    for line in headers.split("\r\n"):
+        if line.startswith("content-encoding:"):
+            enc = line.split(":", 1)[1].strip()
+            break
+    if enc in ("", "identity"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        import gzip
+        return gzip.decompress(body)
+    if enc == "deflate":
+        import zlib
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return zlib.decompress(body, -15)    # raw-deflate servers
+    if enc == "br":
+        from ..functions.brotli import decompress as _br
+        return _br(body)
+    return body
+
+
 _TAG = r"<[^>]*>"
 _SCRIPT = r"(?is)<(script|style)[^>]*>.*?</\1>"
 
