@@ -1786,6 +1786,34 @@ def test_png_full_depth_matrix():
     assert list(_parse_png(blob)[2]) == [round(x * 255 / 65535)
                                         for x in v16]
 
+    # sub-8-bit + Adam7 combined: per-pass row bytes at depth 2,
+    # hand-built pass streams, cross-checked against libpng
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _ADAM7_PASSES)
+    w7, h7 = 9, 7
+    vals = [[(x * 3 + y) % 4 for x in range(w7)] for y in range(h7)]
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (w7 - x0 + dx - 1) // dx
+        ph = (h7 - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            y = y0 + r * dy
+            bits = "".join(format(vals[y][x0 + c * dx], "02b")
+                           for c in range(pw))
+            bits += "0" * ((8 - len(bits) % 8) % 8)
+            stream.append(0)
+            stream += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    ihdr7 = struct.pack(">IIBBBBB", w7, h7, 2, 0, 0, 0, 1)
+    blob7 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr7)
+             + chunk(b"IDAT", zlib.compress(bytes(stream)))
+             + chunk(b"IEND", b""))
+    exp7 = bytes(vals[y][x] * 85 for y in range(h7) for x in range(w7))
+    assert _parse_png(blob7)[2] == exp7
+    ref7 = read_rgba(blob7)
+    assert ref7 is not None and bytes(ref7[2][0::4]) == exp7
+
     seen_sub8 = 0
     for f in glob.glob("/usr/share/**/*.png", recursive=True):
         d = open(f, "rb").read()
