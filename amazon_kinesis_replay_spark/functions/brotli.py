@@ -490,6 +490,8 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                 + br.bits(INSERT_BITS[ins_code])
             copy_len = COPY_BASE[cp_code] + br.bits(COPY_BITS[cp_code])
 
+            if produced + insert_len > mlen:
+                raise BrotliError("insert length past meta-block end")
             mode_lut = 512 * ctx_modes[btype[0]]
             for _ in range(insert_len):
                 if blocklen[0] == 0:
@@ -503,8 +505,6 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                 out.append(tree.read(br))
                 mode_lut = 512 * ctx_modes[btype[0]]
             produced += insert_len
-            if produced > mlen:
-                raise BrotliError("insert length past meta-block end")
             if produced == mlen:
                 break
 

@@ -1021,3 +1021,32 @@ def test_brotli_http_payload_and_br_ingest(spark, sf_dir, tmp_path):
                        timestamp_attribute="dropoff_datetime")
     got = read_events_sniffed(spark, cfg)
     assert got.count() == len(rows)
+
+
+def test_brotli_seeded_mutation_fuzz_never_crashes():
+    """Corrupt-input robustness for the brotli decoder (the zstd fuzz
+    contract): 400 seeded bit-flips and truncations of a libbrotli
+    stream each either raise BrotliError or decode to SOME bytes —
+    never a foreign exception, hang, or unbounded output."""
+    import random
+
+    import amazon_kinesis_replay_spark.functions.brotli as B
+
+    compress, _d = _libbrotli()
+    rng = random.Random(7)
+    eng = (b"the of and to in is was that for with data time people "
+           b"work information public about").split()
+    text = b" ".join(rng.choice(eng) for _ in range(8000))
+    blob = compress(text, 9)
+    for trial in range(400):
+        b = bytearray(blob)
+        k = rng.randrange(len(b))
+        if trial % 2:
+            b[k] ^= 1 << rng.randrange(8)
+            mut = bytes(b)
+        else:
+            mut = bytes(b[:k])
+        try:
+            B.decompress(mut, max_output=1 << 24)
+        except B.BrotliError:
+            pass
