@@ -73,6 +73,15 @@ class ZstdError(ValueError):
     """Malformed zstd stream (never silently wrong bytes)."""
 
 
+class ZstdDictionaryError(ZstdError, NotImplementedError):
+    """Spec-valid but undecodable here: frame needs an external
+    dictionary. Subclasses BOTH ZstdError (so the ndjson ingest skip
+    tuple treats the object as undecodable and skips it, matching the
+    reference's fall-back-on-any-decode-failure contract,
+    JsonEventS3Iterator.java:162-167) and NotImplementedError (so
+    direct codec callers still see a loud capability gate)."""
+
+
 #: Optional coverage hook: tests set this to a collections.Counter to
 #: record which decode paths a corpus actually exercised (block types,
 #: literals modes, stream counts, weight description forms, sequence
@@ -550,7 +559,7 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
         if not single_segment:
             i += 1                           # window descriptor
         if dict_flag:
-            raise NotImplementedError(
+            raise ZstdDictionaryError(
                 "zstd dictionaries not supported (corpus shards are "
                 "self-contained)")
         fcs_bytes = (single_segment, 2, 4, 8)[fcs_flag] \

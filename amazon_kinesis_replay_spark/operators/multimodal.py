@@ -678,7 +678,7 @@ def _decode_pixels(raw: bytes) -> tuple[int, int, bytes]:
         return _parse_ppm(raw)
     if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
         from ..functions.webp import decode_webp
-        return decode_webp(raw)           # RGBA (4-channel layout)
+        return decode_webp(raw)  # RGBA for VP8L / lossy+ALPH, RGB for plain lossy VP8
     if raw[:4] in (b"II*\x00", b"MM\x00*"):
         from ..functions.tiff import decode_tiff
         return decode_tiff(raw)           # 1/3/4-channel layout

@@ -331,12 +331,32 @@ def decompress_auto(data: bytes, path: str | None = None) -> bytes:
     """Sniff + decompress; plain content passes through unchanged.
     Brotli has NO magic bytes (RFC 7932 streams start directly with
     window bits), so it cannot be content-sniffed — a `.br`/`.brotli`
-    path suffix dispatches it when the content matches no other codec
-    (extension as tie-break only, never overriding a sniffed magic)."""
+    path suffix dispatches it when the content matches no other codec,
+    and ALSO as a fallback when a coincidentally-matching magic fails
+    to decode (a brotli stream has ~1/65536 odds per file of starting
+    with e.g. the 2-byte gzip magic; without the fallback such objects
+    would be classified corrupt and silently skipped at corpus scale)."""
     codec = sniff_codec(data[:8])
-    if codec == "plain" and path and path.endswith((".br", ".brotli")):
+    is_br_path = bool(path) and path.endswith((".br", ".brotli"))
+    if codec == "plain" and is_br_path:
         from ..functions.brotli import decompress as _br
         return _br(data)
+    try:
+        return _dispatch_codec(codec, data)
+    except Exception:
+        if is_br_path:
+            # the suffix says brotli; the sniffed magic was a collision
+            from ..functions.brotli import BrotliError
+            from ..functions.brotli import decompress as _br
+            try:
+                return _br(data)
+            except BrotliError:
+                pass                  # genuinely corrupt: raise original
+        raise
+
+
+def _dispatch_codec(codec: str, data: bytes) -> bytes:
+    """Decode `data` with the sniffed codec ('plain' passes through)."""
     if codec == "gzip":
         import gzip
         return gzip.decompress(data)

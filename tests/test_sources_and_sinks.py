@@ -1050,3 +1050,85 @@ def test_brotli_seeded_mutation_fuzz_never_crashes():
             B.decompress(mut, max_output=1 << 24)
         except B.BrotliError:
             pass
+
+
+def test_brotli_magic_collision_fallback(spark, sf_dir, tmp_path):
+    """ADVICE r10 item 2: a brotli stream whose leading bytes collide
+    with another codec's magic must still ingest when the path says
+    .br. DETERMINISTIC collision: with lgwin=24 the brotli header bits
+    are WBITS '1111', ISLAST=1, ISLASTEMPTY=0, MNIBBLES='00' -> byte0
+    = 0x1f, and byte1 = low byte of (MLEN-1), so ANY 140-byte payload
+    compressed as one metablock starts \\x1f\\x8b — the gzip magic.
+    decompress_auto must fall back to brotli after gzip fails instead
+    of classifying the object corrupt (silent data loss at scale);
+    a genuinely corrupt .br object still raises the ORIGINAL error."""
+    import gzip as _gzip
+
+    import pytest
+
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.sources.lz4frame import (
+        decompress_auto, sniff_codec)
+    from amazon_kinesis_replay_spark.sources.ndjson import (
+        read_events_sniffed)
+
+    compress, _d = _libbrotli()
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts").orderBy("ts").limit(2).collect())
+    lines = [json.dumps({"event_id": r["event_id"],
+                         "dropoff_datetime": r["ts"].isoformat()})
+             for r in rows]
+    pad = 140 - (len(lines[0]) + 1
+                 + len('{"event_id": 0, "pad": ""}') + 1)
+    assert pad > 0
+    tail = json.dumps({"event_id": 0, "pad": "x" * pad})
+    payload = ("\n".join([lines[0], tail]) + "\n").encode()
+    assert len(payload) == 140
+    blob = compress(payload, 9, 24)
+    assert blob[:2] == b"\x1f\x8b"          # the engineered collision
+    assert sniff_codec(blob[:8]) == "gzip"  # sniffer is fooled...
+    assert decompress_auto(blob, path="x/a.jsonl.br") == payload
+
+    # ...and a corrupt .br object raises the ORIGINAL sniffed error
+    # (gzip: BadGzipFile/EOFError — both in the ingest skip tuple)
+    assert _gzip.BadGzipFile                # imported for documentation
+    with pytest.raises((OSError, EOFError)):
+        decompress_auto(b"\x1f\x8b" + b"\xff" * 6, path="x/bad.br")
+
+    (tmp_path / "coll.jsonl.br").write_bytes(blob)
+    cfg = ReplayConfig(source_path=str(tmp_path),
+                       timestamp_attribute="dropoff_datetime")
+    got = read_events_sniffed(spark, cfg)
+    assert got.count() == 1                 # pad row has no ts -> dropped
+
+
+def test_zstd_dictionary_frame_skipped_not_fatal(spark, sf_dir, tmp_path):
+    """ADVICE r10 item 1: a spec-valid dictionary-compressed zstd frame
+    is undecodable here (no dictionary support); it must SKIP like any
+    other undecodable object instead of aborting the ingest job, while
+    direct codec callers still see a loud NotImplementedError gate."""
+    import pytest
+
+    import amazon_kinesis_replay_spark.functions.zstd as Z
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.sources.ndjson import (
+        read_events_sniffed)
+
+    # minimal frame header with dict_flag set (magic + FHD byte)
+    dict_frame = bytes.fromhex("28b52ffd") + bytes([0x01]) + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        Z.decompress(dict_frame)
+    with pytest.raises(Z.ZstdError):        # ingest skip-tuple class
+        Z.decompress(dict_frame)
+
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts").orderBy("ts").limit(50).collect())
+    text = "\n".join(json.dumps({"event_id": r["event_id"],
+                                 "dropoff_datetime": r["ts"].isoformat()})
+                     for r in rows) + "\n"
+    (tmp_path / "good.jsonl").write_text(text)
+    (tmp_path / "dict.jsonl.zst").write_bytes(dict_frame)
+    cfg = ReplayConfig(source_path=str(tmp_path),
+                       timestamp_attribute="dropoff_datetime")
+    got = read_events_sniffed(spark, cfg)
+    assert got.count() == len(rows)         # dict frame skipped whole
