@@ -80,6 +80,32 @@ BURST_FACTOR = 1.5
 MAX_ATTEMPTS = 3
 RETRY_SLEEP_SEC = 20.0
 
+#: Steal-proofing (r10 verdict item 1): the mp canary's min-of-samples
+#: can dodge a sustained co-tenant steal window — r10's driver attempt
+#: published 25.58 s at steal_pct 4.2 / load1 7.56 with the mp canary at
+#: 0.1757, JUST under the 1.5 x 0.12 = 0.18 trip. /proc counters are
+#: window-integrals (can't be dodged by a lucky sample), so an attempt
+#: with whole-window steal > 1% or load1 above the quiet band re-runs
+#: like a burst attempt. Calibration: quiet closes measured steal
+#: 0.01-0.94 / load1 3.58-4.46 (docs/BENCH_r10_local.json, _close2);
+#: the loaded r10 attempt measured 4.2 / 7.56.
+STEAL_MAX_PCT = 1.0
+LOAD1_MAX = 6.0
+
+
+def _attempt_is_quiet(rec: dict) -> bool:
+    """True when an attempt's noise meters all read quiet: mp canary
+    within the burst factor, whole-window steal <= 1%, load1 within the
+    measured quiet band. Missing /proc keys (non-Linux) fall back to
+    the canary-only predicate."""
+    if rec["canary_mp_sec"] > BURST_FACTOR * CANARY_MP_REF_SEC:
+        return False
+    if rec.get("steal_pct", 0.0) > STEAL_MAX_PCT:
+        return False
+    if rec.get("load1", 0.0) > LOAD1_MAX:
+        return False
+    return True
+
 
 def _canary_kernel(iters: int) -> int:
     acc = 0
@@ -297,13 +323,14 @@ def main():
     for i in range(MAX_ATTEMPTS):
         rec = _sweep(spark, sf_dir)
         attempts.append(rec)
-        if rec["canary_mp_sec"] <= BURST_FACTOR * CANARY_MP_REF_SEC:
+        if _attempt_is_quiet(rec):
             break
         if i + 1 < MAX_ATTEMPTS:
             time.sleep(RETRY_SLEEP_SEC)  # let a transient burst pass
 
     best = min(attempts,
-               key=lambda r: (r["canary_mp_sec"], r["canary_sec"]))
+               key=lambda r: (not _attempt_is_quiet(r),
+                              r["canary_mp_sec"], r["canary_sec"]))
     # Published queries are per-query MINS ACROSS attempts — the same
     # min-of-N round-robin discipline, extended over sweeps: each query
     # ends up with N_RUNS x n_attempts interleaved samples and the min
