@@ -29,25 +29,95 @@ from ..config import ReplayConfig
 from ..functions import jsonf
 
 
-def _finish(lines: DataFrame, cfg: ReplayConfig) -> DataFrame:
+def _finish(lines: DataFrame, cfg: ReplayConfig,
+            keep_path: bool = False) -> DataFrame:
     """Shared tail: suffix-prune files, parse timestamp attr, drop malformed."""
     if cfg.object_suffix_to_skip:
         lines = lines.filter(
             ~F.input_file_name().endswith(cfg.object_suffix_to_skip))
-    parsed = lines.select(
+    cols = [
         F.col("value").alias("payload"),
         jsonf.json_attr_ts(F.col("value"), cfg.timestamp_attribute).alias("ts"),
-    )
+    ]
+    if keep_path:
+        cols.append(F.col("path"))
+    parsed = lines.select(*cols)
     return parsed.filter(F.col("ts").isNotNull())
 
 
+#: scheme://host-insensitive form for joining paths across sources
+#: (input_file_name() says `file:///x`, binaryFile says `file:/x`)
+def _norm_path(col):
+    return F.regexp_replace(col, r"^([a-zA-Z][a-zA-Z0-9+.\-]*):/+", "$1:/")
+
+
 def read_events(spark: SparkSession, cfg: ReplayConfig,
-                path_glob_filter: str | None = None) -> DataFrame:
-    """Batch scan of an NDJSON prefix -> (payload, ts)."""
+                path_glob_filter: str | None = None,
+                sniff_fallback: bool = True,
+                max_fallback_files: int = 100_000) -> DataFrame:
+    """Batch scan of an NDJSON prefix -> (payload, ts).
+
+    `sniff_fallback` mirrors the reference's catch-CompressorException-
+    and-retry behavior (JsonEventS3Iterator.java:162-167) on the fast
+    text path: files the extension-dispatched `spark.read.text` scan
+    yields ZERO parsed rows for (mis-extensioned lz4/zstd/brotli, a
+    corrupt-per-Hadoop `.gz` that is really something else, binary
+    garbage read as text) are re-read through the content-sniffing
+    binaryFile path and their rows unioned in. Detection is one extra
+    eager pass over the text scan (distinct contributing files,
+    map-side combined to ~n_files rows) plus a bodies-unread binaryFile
+    LISTING; only suspect files have their bytes re-read. Suspects
+    contributed no rows to the text leg, so the union cannot duplicate.
+    Steady-state 100 TB ingest should transcode once or call
+    `read_events_sniffed` directly; `sniff_fallback=False` restores the
+    single-pass lazy scan."""
     reader = spark.read.option("ignoreCorruptFiles", "true")
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)
-    return _finish(reader.text(cfg.source_path), cfg)
+    text = reader.text(cfg.source_path)
+    base = _finish(text, cfg)
+    if not sniff_fallback:
+        return base
+
+    # files that contributed at least one parsed row to the text leg
+    ok_files = (_finish(text.withColumn("path", F.input_file_name()), cfg,
+                        keep_path=True)
+                .select(_norm_path(F.col("path")).alias("norm")).distinct())
+    listing_reader = spark.read.format("binaryFile")
+    if path_glob_filter:
+        listing_reader = listing_reader.option("pathGlobFilter",
+                                               path_glob_filter)
+    # selecting only `path` prunes the content column: listing-only scan
+    listing = listing_reader.load(cfg.source_path).select("path")
+    if cfg.object_suffix_to_skip:
+        listing = listing.filter(
+            ~F.col("path").endswith(cfg.object_suffix_to_skip))
+    suspects = (listing
+                .withColumn("norm", _norm_path(F.col("path")))
+                .join(ok_files, "norm", "left_anti")
+                .select("path")
+                .limit(max_fallback_files + 1)
+                .collect())
+    if not suspects:
+        return base
+    if len(suspects) > max_fallback_files:
+        raise ValueError(
+            f"sniff_fallback found more than {max_fallback_files} files "
+            "with no text-parseable rows — the corpus is not "
+            "extension-dispatchable; ingest it with read_events_sniffed "
+            "instead (or raise max_fallback_files)")
+    salvage_files = (spark.read.format("binaryFile")
+                     .load([r["path"] for r in suspects])
+                     .select("path", "content"))
+    salvage_lines = salvage_files.mapInPandas(
+        _decode_lines, "value string, path string")
+    salvage = (salvage_lines
+               .select(F.col("value").alias("payload"),
+                       jsonf.json_attr_ts(F.col("value"),
+                                          cfg.timestamp_attribute)
+                       .alias("ts"))
+               .filter(F.col("ts").isNotNull()))
+    return base.unionByName(salvage)
 
 
 def _decode_lines(pdf_iter):

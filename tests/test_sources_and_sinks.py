@@ -1132,3 +1132,52 @@ def test_zstd_dictionary_frame_skipped_not_fatal(spark, sf_dir, tmp_path):
                        timestamp_attribute="dropoff_datetime")
     got = read_events_sniffed(spark, cfg)
     assert got.count() == len(rows)         # dict frame skipped whole
+
+
+def test_read_events_sniff_fallback_mixed_dir(spark, sf_dir, tmp_path):
+    """r10 verdict item 7: the fast text path falls back to the sniffed
+    binaryFile path PER FILE, mirroring the reference's
+    CompressorException fallback (JsonEventS3Iterator.java:162-167).
+    Mixed dir: plain NDJSON (text leg), a mis-extensioned lz4-frame
+    file named .json (unreadable as text), and a gzip file named
+    .jsonl (Hadoop won't decompress without the .gz suffix) — all
+    three must load, exactly once each, with no duplicated rows."""
+    import gzip as _gzip
+
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.sources import ndjson
+    from amazon_kinesis_replay_spark.sources.lz4frame import frame_compress
+
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts").orderBy("ts").limit(90).collect())
+
+    def text_of(chunk):
+        return "\n".join(
+            json.dumps({"event_id": r["event_id"],
+                        "dropoff_datetime": r["ts"].isoformat()})
+            for r in chunk) + "\n"
+
+    (tmp_path / "plain.jsonl").write_text(text_of(rows[:30]))
+    (tmp_path / "mislabeled_lz4.json").write_bytes(
+        frame_compress(text_of(rows[30:60]).encode()))
+    (tmp_path / "mislabeled_gz.jsonl").write_bytes(
+        _gzip.compress(text_of(rows[60:]).encode()))
+
+    cfg = ReplayConfig(source_path=str(tmp_path),
+                       timestamp_attribute="dropoff_datetime")
+    out = ndjson.read_events(spark, cfg)
+    got = out.select("payload").collect()
+    assert len(got) == len(rows)                      # all three files
+    assert len({r["payload"] for r in got}) == len(rows)  # no dups
+
+    # opt-out restores the lazy single-leg scan: only the plain file
+    lazy = ndjson.read_events(spark, cfg, sniff_fallback=False)
+    assert lazy.count() == 30
+
+    # a dir with nothing to salvage returns the pure text plan
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    (solo / "a.jsonl").write_text(text_of(rows[:10]))
+    cfg2 = ReplayConfig(source_path=str(solo),
+                        timestamp_attribute="dropoff_datetime")
+    assert ndjson.read_events(spark, cfg2).count() == 10
