@@ -206,6 +206,59 @@ def py_http_payload(payload: bytes) -> bytes:
     return body
 
 
+def _decode_bodies(batches):
+    """mapInPandas kernel: HTTP response payloads -> body TEXT, undoing
+    Content-Encoding via py_http_payload (identity/gzip/deflate/br —
+    the brotli decode is the pure-Python functions/brotli.py). A record
+    whose encoded body is corrupt is SKIPPED (the ingest contract:
+    undecodable objects never abort the job); one bad byte inside a
+    valid stream substitutes U+FFFD like every other text path."""
+    import zlib
+
+    import pandas as pd
+
+    from ..functions.brotli import BrotliError
+
+    for pdf in batches:
+        ids, uris, dates, texts = [], [], [], []
+        for rid, uri, date, blob in zip(pdf["record_id"],
+                                        pdf["target_uri"],
+                                        pdf["warc_date"], pdf["content"]):
+            try:
+                body = py_http_payload(bytes(blob))
+            except (BrotliError, OSError, EOFError, ValueError,
+                    zlib.error):
+                continue                    # corrupt encoded body: skip
+            ids.append(rid)
+            uris.append(uri)
+            dates.append(date)
+            texts.append(body.decode("utf-8", "replace"))
+        yield pd.DataFrame({"doc_id": ids, "url": uris,
+                            "warc_date": dates, "text": texts})
+
+
+def responses_to_documents(warc_df: DataFrame,
+                           html_to_text: bool = True) -> DataFrame:
+    """Crawl records -> the documents surface: filter `response`
+    records, undo Content-Encoding (Arrow-batched kernel — the ONLY
+    Python step, because brotli/gzip body decode can't be a column op),
+    then JVM-side HTML->text (`strip_html_tags`, pure regexp columns).
+    Output: (doc_id, url, warc_date, text) — feed straight into
+    text.quality_features / the curate pipeline
+    (tools/warc_curate_bridge.py is the composed witness)."""
+    responses = (warc_df
+                 .filter(F.col("warc_type") == "response")
+                 .filter(F.col("content").isNotNull())
+                 .select("record_id", "target_uri", "warc_date",
+                         "content"))
+    docs = responses.mapInPandas(
+        _decode_bodies,
+        "doc_id string, url string, warc_date string, text string")
+    if html_to_text:
+        docs = docs.withColumn("text", strip_html_tags(F.col("text")))
+    return docs
+
+
 _TAG = r"<[^>]*>"
 _SCRIPT = r"(?is)<(script|style)[^>]*>.*?</\1>"
 

@@ -126,3 +126,66 @@ def test_warc_feeds_documents_pipeline(spark, tmp_path):
     qf = text.quality_features(docs, "doc_id", "text").collect()
     assert len(qf) == 1
     assert qf[0]["n_tokens"] > 0
+
+
+def test_responses_to_documents_content_encodings(spark, tmp_path):
+    """r10 verdict item 6 operator: responses_to_documents undoes
+    Content-Encoding (identity / gzip / br) in one Arrow kernel, strips
+    HTML JVM-side, skips a corrupt encoded body without failing, and
+    drops non-response records. Brotli body uses a pure-Python-decoded
+    stream compressed by libbrotli when present, else skipped."""
+    import ctypes
+    import gzip as _gzip
+
+    try:
+        E = ctypes.CDLL("libbrotlienc.so.1")
+        E.BrotliEncoderCompress.restype = ctypes.c_int
+        E.BrotliEncoderCompress.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_void_p]
+        E.BrotliEncoderMaxCompressedSize.restype = ctypes.c_size_t
+        E.BrotliEncoderMaxCompressedSize.argtypes = [ctypes.c_size_t]
+
+        def br(data):
+            cap = max(E.BrotliEncoderMaxCompressedSize(len(data)), 64)
+            buf = ctypes.create_string_buffer(cap)
+            n = ctypes.c_size_t(cap)
+            assert E.BrotliEncoderCompress(9, 22, 0, len(data), data,
+                                           ctypes.byref(n), buf)
+            return buf.raw[:n.value]
+    except OSError:
+        br = None
+
+    def resp(rid, body, enc=None):
+        hdr = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        if enc:
+            hdr += b"Content-Encoding: " + enc + b"\r\n"
+        return {"warc_type": "response", "record_id": rid,
+                "target_uri": "http://example.com/" + rid.strip("<>"),
+                "warc_date": "2024-01-01T00:00:00Z",
+                "content_type": "application/http;msgtype=response",
+                "content": hdr + b"\r\n" + body}
+
+    html = b"<html><body><p>alpha beta  gamma</p></body></html>"
+    recs = [
+        resp("<a>", html),
+        resp("<b>", _gzip.compress(html), b"gzip"),
+        resp("<bad>", b"\x1f\x8b\x08\x00garbage", b"gzip"),
+        {"warc_type": "request", "record_id": "<req>",
+         "target_uri": "http://example.com/", "warc_date":
+         "2024-01-01T00:00:00Z", "content_type": "application/http",
+         "content": b"GET / HTTP/1.1\r\n\r\n"},
+    ]
+    if br is not None:
+        recs.append(resp("<c>", br(html), b"br"))
+    (tmp_path / "enc.warc.gz").write_bytes(warc.write_warc(recs))
+
+    docs = warc.responses_to_documents(
+        warc.read_warc(spark, str(tmp_path))).collect()
+    got = {r["doc_id"]: r["text"] for r in docs}
+    want_ids = {"<a>", "<b>"} | ({"<c>"} if br is not None else set())
+    assert set(got) == want_ids            # corrupt + request dropped
+    assert all(t == "alpha beta gamma" for t in got.values())
+    urls = {r["doc_id"]: r["url"] for r in docs}
+    assert urls["<a>"] == "http://example.com/a"
