@@ -390,6 +390,40 @@ def threshold_for_precision(scored: DataFrame, label_col: str,
     return None if row is None or row["t"] is None else float(row["t"])
 
 
+def threshold_margin_midpoint(scored: DataFrame, label_col: str,
+                              prob_col: str = "prob",
+                              eps: float = 1e-12) -> float | None:
+    """Max-margin threshold from a labeled validation frame: the
+    LOGIT-space midpoint between the highest negative-label prob and
+    the lowest positive-label prob. Returns None unless the labels are
+    strictly separated (max neg < min pos) — a separated validation set
+    is exactly the regime where prefix-precision calibration
+    (`threshold_for_precision`) degenerates: EVERY threshold inside the
+    gap scores the same on the labels, and the max-recall rule then
+    picks the gap's aggressive edge (just under the lowest positive),
+    dragging every unlabeled mid-confidence row into the drop set. The
+    midpoint is the unique choice equidistant (in log-odds, the model's
+    native space) from both observed clusters. One tiny aggregate; eps
+    clamps saturated probs so logit stays finite."""
+    import math
+    row = (scored.agg(
+        F.max(F.when(F.col(label_col) == 0, F.col(prob_col))).alias("lo"),
+        F.min(F.when(F.col(label_col) == 1, F.col(prob_col))).alias("hi"))
+        .head())
+    if row is None or row["lo"] is None or row["hi"] is None:
+        return None
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if not lo < hi:
+        return None                      # overlapping labels: no margin
+
+    def _logit(p: float) -> float:
+        p = min(max(p, eps), 1.0 - eps)
+        return math.log(p / (1.0 - p))
+
+    mid = (_logit(lo) + _logit(hi)) / 2.0
+    return 1.0 / (1.0 + math.exp(-mid))
+
+
 def py_reference_train(rows, dim: int = 256, n_iters: int = 30,
                        lr: float | None = None,
                        l2: float = 0.0) -> list[float]:

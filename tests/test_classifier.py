@@ -301,3 +301,42 @@ def test_drop_side_calibrated_junk_gate_on_planted_junk(spark):
     # volume-safe: the curate guard (kept >= 0.8 * docs_in) would APPLY
     # this threshold on a separable corpus with 10% junk
     assert kept_frac >= 0.8, kept_frac
+
+
+def test_threshold_margin_midpoint(spark):
+    """Max-margin gate threshold: logit midpoint of a separated labeled
+    validation set (python-twin exact); None on overlap or a missing
+    class. Motivation (r11): on a separated val set the prefix-
+    precision rule returns the gap's aggressive edge — every threshold
+    inside the gap scores identically on the labels, so the midpoint is
+    the principled conservative pick."""
+    import math
+
+    from amazon_kinesis_replay_spark.operators.classifier import (
+        threshold_margin_midpoint)
+
+    rows = [(1, 0.0001, 0), (2, 0.002, 0), (3, 0.97, 1), (4, 0.999, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, prob double, label int")
+    got = threshold_margin_midpoint(df, "label")
+
+    def logit(p):
+        return math.log(p / (1 - p))
+    want = 1 / (1 + math.exp(-(logit(0.002) + logit(0.97)) / 2))
+    assert got is not None and abs(got - want) < 1e-12
+    assert 0.002 < got < 0.97            # strictly inside the gap
+
+    # overlap: max(neg) >= min(pos) -> None
+    df2 = spark.createDataFrame(
+        [(1, 0.4, 0), (2, 0.3, 1)], "doc_id long, prob double, label int")
+    assert threshold_margin_midpoint(df2, "label") is None
+    # a single class -> None
+    df3 = spark.createDataFrame(
+        [(1, 0.4, 0)], "doc_id long, prob double, label int")
+    assert threshold_margin_midpoint(df3, "label") is None
+    # saturated probs stay finite via the eps clamp
+    df4 = spark.createDataFrame(
+        [(1, 0.0, 0), (2, 1.0, 1)], "doc_id long, prob double, label int")
+    mid = threshold_margin_midpoint(df4, "label")
+    # 1e-5 tolerance: 1-(1-eps) reconstructs eps with float error, so
+    # the clamped logits are asymmetric by ~1e-7 in log-odds
+    assert mid is not None and abs(mid - 0.5) < 1e-5

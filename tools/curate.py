@@ -73,6 +73,44 @@ def main():
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     doc_src = load(spark, sf_dir, "documents").select("doc_id", "source")
+
+    # optional planted-junk mode (r10 verdict item 3): argv[3] = junk
+    # fraction. The synthetic word-soup corpus has no real junk, so the
+    # decile-label p80 calibration always trips the volume guard there;
+    # planting genuinely-junky docs (repetition loops, symbol/digit
+    # soup, stub fragments) gives the gate something real to find and
+    # lets END-TO-END precision be measured against ground truth.
+    junk_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+    planted_ids = None
+    if junk_frac > 0:
+        import random
+        n_real = docs.count()
+        n_junk = max(1, int(junk_frac * n_real))
+        max_id = docs.agg(F.max("doc_id")).head()[0]
+        rng = random.Random(20260816)
+        junk_rows = []
+        for i in range(n_junk):
+            kind = i % 3
+            if kind == 0:      # repetition loop (boilerplate stutter)
+                phrase = rng.choice(["click here to subscribe now",
+                                     "lorem ipsum dolor sit",
+                                     "buy cheap deals online today"])
+                t = (phrase + " ") * rng.randint(30, 80)
+            elif kind == 1:    # symbol/digit soup
+                t = " ".join("".join(rng.choice("0123456789!@#$%^&*()_+-=[]{}|;:<>?/~")
+                                     for _ in range(rng.randint(3, 12)))
+                             for _ in range(rng.randint(40, 120)))
+            else:              # stub fragment (far too short)
+                t = rng.choice(["404 not found", "error", "loading...",
+                                "javascript required", "page moved"])
+            junk_rows.append((max_id + 1 + i, t.strip()))
+        junk_df = spark.createDataFrame(junk_rows, "doc_id long, text string")
+        docs = docs.unionByName(junk_df)
+        doc_src = doc_src.unionByName(
+            junk_df.select("doc_id", F.lit("junkfarm").alias("source")))
+        planted_ids = {r[0] for r in junk_rows}
+        summary["planted_junk"] = n_junk
+
     summary["docs_in"] = docs.count()
 
     # 1-2: quality profile + LM fit -> one combined quality score
@@ -89,20 +127,36 @@ def main():
     print(f"[1-2] quality+LM scored {summary['docs_in']} docs", flush=True)
 
     # 2b: distill the (expensive, multi-signal) quality score into a
-    # cheap reusable linear model — weak labels from the score median —
-    # then gate only near-certain junk (the model artifact is the
-    # point; aggressive gating on self-distilled labels would be
-    # circular)
-    med = quality.approxQuantile("score", [0.5], 0.0)[0]
-    lab = docs.join(quality, "doc_id").withColumn(
-        "label", (F.col("score") >= F.lit(med)).cast("int"))
-    w = classifier.logreg_train(lab, "doc_id", "text", "label",
-                                dim=256)
+    # cheap reusable linear model — weak labels from the score's
+    # EXTREME deciles (top = good, bottom = junk; the regime where
+    # heuristic labels are trustworthy — r11: median-split labels put
+    # half the REAL corpus on the junk side of the training signal,
+    # which muddied the boundary enough that the p80 gate threshold
+    # always tripped the volume guard) — then gate only near-certain
+    # junk (the model artifact is the point; aggressive gating on
+    # self-distilled labels would be circular)
+    # p05/p95 tails, not deciles (r11): the more extreme the tail, the
+    # more trustworthy the heuristic label — at p10 the junk side of a
+    # mostly-clean corpus is unavoidably diluted with ordinary docs,
+    # and that label noise smears the distilled boundary enough that
+    # the p80 gate can never be volume-safe
+    lo_d, hi_d = quality.approxQuantile("score", [0.05, 0.95], 0.0)
+    lab = (docs.join(quality, "doc_id")
+           .filter((F.col("score") <= lo_d) | (F.col("score") >= hi_d))
+           .withColumn("label", (F.col("score") >= F.lit(hi_d))
+                       .cast("int")))
+    n_lab = lab.count()
+    # L-BFGS, not GD (r11): the junk gate needs a SHARP boundary — GD's
+    # 30 passes leave mid-corpus probabilities smeared across the
+    # threshold and the p80 gate then can't be volume-safe; curvature
+    # steps converge the same model in ~15 passes
+    w = classifier.logreg_train_lbfgs(lab, "doc_id", "text", "label",
+                                      dim=256, n_iters=15)
     probs = classifier.logreg_score(docs, "doc_id", "text", w)         .select(F.col("id").alias("doc_id"), "prob").persist()
     agree = (probs.join(lab.select("doc_id", "label"), "doc_id")
              .filter((F.col("prob") >= 0.5) == (F.col("label") == 1))
              .count())
-    summary["clf_agreement"] = round(agree / summary["docs_in"], 3)
+    summary["clf_agreement"] = round(agree / max(n_lab, 1), 3)
     # keep-frac candidate (late r8): drop at most ~3% of the corpus
     # (threshold_keep_frac via the deterministic quantile histogram) and
     # never a doc scoring >= 0.05 — recorded for comparison below
@@ -125,7 +179,8 @@ def main():
     # both candidates' junk precision/recall on the validation labels
     # and apply the precision-calibrated one (keep-frac stays the
     # fallback when no threshold reaches the precision bar).
-    lo_d, hi_d = quality.approxQuantile("score", [0.1, 0.9], 0.0)
+    # (lo_d/hi_d computed once in 2b — same deciles train the distilled
+    # model and label its validation set)
     val0 = (probs.join(quality, "doc_id")
             .filter((F.col("score") <= lo_d) | (F.col("score") >= hi_d))
             .withColumn("label", (F.col("score") >= hi_d).cast("int")))
@@ -151,6 +206,17 @@ def main():
     thr_jp = None if t_inv is None else 1.0 - t_inv
     summary["junk_gate_threshold_p80"] = (round(thr_jp, 6)
                                           if thr_jp is not None else None)
+    # r11: max-margin candidate. When the validation labels separate
+    # cleanly (the usual case once the distilled model converges), the
+    # prefix-precision rule picks the gap's AGGRESSIVE edge — every
+    # unlabeled mid-confidence doc lands in the drop set and the
+    # volume guard always fires. The logit midpoint of the observed
+    # margin is the conservative center of the same gap; it must still
+    # clear the 0.8 drop-side precision bar on the labels AND the
+    # volume guard to be applied.
+    thr_margin = classifier.threshold_margin_midpoint(val, "label")
+    summary["junk_gate_threshold_margin"] = (
+        round(thr_margin, 6) if thr_margin is not None else None)
 
     def _gate_metrics(thr: float) -> dict:
         m = (val.agg(
@@ -169,21 +235,50 @@ def main():
     summary["gate_keepfrac"] = _gate_metrics(thr_kf)
     if thr_jp is not None:
         summary["gate_p80"] = _gate_metrics(thr_jp)
-        # volume sanity guard: a junk gate that would drop >20% of the
-        # corpus signals a degenerate calibration (labels too easy, or
-        # the classifier collapsed) — fall back to the volume-bounded
-        # threshold rather than silently gutting the corpus
-        if summary["gate_p80"]["docs_kept"] >= 0.8 * summary["docs_in"]:
-            thr = thr_jp
-            summary["junk_gate_applied"] = "p80"
-        else:
-            thr = thr_kf
-            summary["junk_gate_applied"] = "keepfrac_volume_guard"
+    if thr_margin is not None:
+        summary["gate_margin"] = _gate_metrics(thr_margin)
+
+    # candidate order: margin midpoint (conservative center of the
+    # label gap), then the prefix-precision edge, then keep-frac. Every
+    # candidate must clear the 0.8 drop-side precision bar on the
+    # validation labels AND the volume sanity guard (a junk gate that
+    # would drop >20% of the corpus signals a degenerate calibration —
+    # labels too easy, or the classifier collapsed).
+    def _volume_safe(g: dict) -> bool:
+        return g["docs_kept"] >= 0.8 * summary["docs_in"]
+
+    def _precise(g: dict) -> bool:
+        return (g["junk_precision"] or 0.0) >= 0.8
+
+    if (thr_margin is not None and _precise(summary["gate_margin"])
+            and _volume_safe(summary["gate_margin"])):
+        thr = thr_margin
+        summary["junk_gate_applied"] = "margin_p80"
+    elif thr_jp is not None and _volume_safe(summary["gate_p80"]):
+        thr = thr_jp
+        summary["junk_gate_applied"] = "p80"
+    elif thr_jp is not None:
+        thr = thr_kf
+        summary["junk_gate_applied"] = "keepfrac_volume_guard"
     else:
         thr = thr_kf
         summary["junk_gate_applied"] = "keepfrac_fallback"
     summary["junk_gate_threshold"] = round(thr, 6)
     gated = probs.filter(F.col("prob") >= thr).select("doc_id")
+    if planted_ids is not None:
+        # end-to-end ground truth: of what the gate DROPS, how much is
+        # actually the planted junk (precision), and how much of the
+        # planted junk does it catch (recall)
+        planted_df = spark.createDataFrame(
+            [(i,) for i in sorted(planted_ids)], "doc_id long")
+        dropped = probs.filter(F.col("prob") < thr).select("doc_id")
+        n_dropped = dropped.count()
+        tp = dropped.join(planted_df, "doc_id", "left_semi").count()
+        summary["junk_truth"] = {
+            "dropped": n_dropped, "true_junk_dropped": tp,
+            "precision": round(tp / n_dropped, 3) if n_dropped else None,
+            "recall": round(tp / len(planted_ids), 3)}
+        print(f"[2c] ground truth: {summary['junk_truth']}", flush=True)
     # localCheckpoint: truncate the lineage at the composition joint —
     # every downstream stage otherwise embeds the scoring plan in ITS
     # plan, and by the mixture stage the duplicated mega-lineage OOMs
