@@ -1,16 +1,19 @@
 """Baseline TIFF codec: pure-Python decoder + encoder (TIFF 6.0 spec).
 
-Decoder: both byte orders (II/MM), strip-based baseline images with
-8-bit samples — grayscale (PhotometricInterpretation 0/1, min-is-white
-inverted to min-is-black), RGB and RGBA (extra sample) — compressions
-None(1), LZW(5, MSB-first codes with the spec's early-change width
-bump, plus the horizontal-differencing Predictor 2) and PackBits
-(32773). Tiled files, planar configuration 2, and non-8-bit depths
-raise loudly (NotImplementedError), never silently-wrong pixels.
+Decoder: both byte orders (II/MM), strip-based AND tiled (§15, r11)
+baseline images with 8- or 16-bit samples (16-bit downscales by the
+engine-wide round(v*255/65535) rule, min-is-white inverted at native
+depth first) — grayscale (PhotometricInterpretation 0/1), RGB and RGBA
+(extra sample) — compressions None(1), LZW(5, MSB-first codes with the
+spec's early-change width bump, plus the horizontal-differencing
+Predictor 2, per-SAMPLE at 16-bit) and PackBits (32773). Planar
+configuration 2 and other depths raise loudly (NotImplementedError),
+never silently-wrong pixels.
 
 Encoder: the fixture-synthesis half — same coverage (None / PackBits /
-LZW with optional predictor, gray/RGB/RGBA, choosable rows-per-strip
-and byte order), lossless by construction.
+LZW with optional predictor, gray/RGB/RGBA, 8/16-bit, strip or tiled
+layout, choosable rows-per-strip and byte order), lossless by
+construction.
 
 Witness (tests): the container's libtiff.so.6 via ctypes — our encoded
 files decode byte-exact through TIFFReadRGBAImage, and
@@ -43,6 +46,9 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_EXTRA_SAMPLES = 338
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -201,9 +207,51 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _decompress_block(comp: int, block: bytes, expected: int) -> bytes:
+    """One strip/tile through the compression switch (shared)."""
+    if comp == 1:
+        if len(block) < expected:
+            raise TIFFError("uncompressed block short")
+        return block[:expected]
+    if comp == 5:
+        return _lzw_decode(block, expected)
+    if comp == 32773:
+        return _unpackbits(block, expected)
+    raise NotImplementedError(
+        f"TIFF compression {comp} not supported (none, LZW, PackBits)")
+
+
+def _undo_predictor(data: bytes, nrows: int, row_samples: int,
+                    spp: int, ss: int, bo: str) -> bytes:
+    """Horizontal predictor (tag 317 = 2): per-SAMPLE cumulative sum
+    along each row — byte-wise for 8-bit, 16-bit ints (file byte
+    order) for 16-bit depths (TIFF 6.0 §14 differences the sample
+    values, not the bytes)."""
+    out = bytearray(data)
+    if ss == 1:
+        for r in range(nrows):
+            ro = r * row_samples
+            for x in range(spp, row_samples):
+                out[ro + x] = (out[ro + x] + out[ro + x - spp]) & 0xFF
+        return bytes(out)
+    fmt = bo + "H"
+    for r in range(nrows):
+        ro = r * row_samples * 2
+        for x in range(spp, row_samples):
+            off = ro + x * 2
+            prev = struct.unpack_from(fmt, out, off - spp * 2)[0]
+            cur = struct.unpack_from(fmt, out, off)[0]
+            struct.pack_into(fmt, out, off, (cur + prev) & 0xFFFF)
+    return bytes(out)
+
+
 def decode_tiff(raw: bytes):
     """Decode a baseline TIFF to (width, height, pixel_bytes) — 1, 3
-    or 4 channels (len(pixels) // (w*h))."""
+    or 4 channels (len(pixels) // (w*h)), 8-bit output. Strip AND tile
+    layouts (TIFF 6.0 §15: tiles left-to-right top-to-bottom, edge
+    tiles padded to full size and cropped here); 8- and 16-bit depths
+    (16-bit samples downscale by the engine-wide round(v*255/65535)
+    rule after min-is-white inversion at native depth)."""
     if len(raw) < 8:
         raise TIFFError("TIFF too short")
     if raw[:2] == b"II":
@@ -215,14 +263,19 @@ def decode_tiff(raw: bytes):
     if struct.unpack_from(bo + "H", raw, 2)[0] != 42:
         raise TIFFError("bad TIFF magic number")
     t = _read_ifd(raw, bo)
-    if _TAG_TILE_WIDTH in t:
-        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    if _TAG_WIDTH not in t or _TAG_HEIGHT not in t:
+        raise TIFFError("missing ImageWidth/ImageLength tag")
     w = t[_TAG_WIDTH][0]
     h = t[_TAG_HEIGHT][0]
     spp = t.get(_TAG_SPP, (1,))[0]
     bits = t.get(_TAG_BITS, (1,) * spp)
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"{bits}-bit TIFF not supported (8-bit)")
+    if all(b == 8 for b in bits):
+        ss = 1
+    elif all(b == 16 for b in bits):
+        ss = 2
+    else:
+        raise NotImplementedError(
+            f"{bits}-bit TIFF not supported (8- or 16-bit chunky)")
     if t.get(_TAG_PLANAR, (1,))[0] != 1:
         raise NotImplementedError("planar TIFF not supported (chunky)")
     comp = t.get(_TAG_COMPRESSION, (1,))[0]
@@ -231,114 +284,193 @@ def decode_tiff(raw: bytes):
         raise NotImplementedError(
             f"TIFF photometric {photo} x {spp} samples not supported")
     pred = t.get(_TAG_PREDICTOR, (1,))[0]
-    rps = t.get(_TAG_ROWS_PER_STRIP, (h,))[0] or h
-    offsets = t[_TAG_STRIP_OFFSETS]
-    counts = t[_TAG_STRIP_COUNTS]
-    if len(offsets) != len(counts):
-        raise TIFFError("strip offsets/counts mismatch")
-    row_bytes = w * spp
-    out = bytearray()
-    for i, (so, sc) in enumerate(zip(offsets, counts)):
-        nrows = min(rps, h - i * rps)
-        if nrows <= 0:
-            break
-        expected = nrows * row_bytes
-        strip = raw[so:so + sc]
-        if len(strip) < sc:
-            raise TIFFError("strip data out of range")
-        if comp == 1:
-            if len(strip) < expected:
-                raise TIFFError("uncompressed strip short")
-            data = strip[:expected]
-        elif comp == 5:
-            data = _lzw_decode(strip, expected)
-        elif comp == 32773:
-            data = _unpackbits(strip, expected)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {comp} not supported "
-                "(none, LZW, PackBits)")
-        if pred == 2:
-            data = bytearray(data)
-            for r in range(nrows):
-                ro = r * row_bytes
-                for x in range(spp, row_bytes):
-                    data[ro + x] = (data[ro + x]
-                                    + data[ro + x - spp]) & 0xFF
-            data = bytes(data)
-        elif pred != 1:
-            raise NotImplementedError(f"TIFF predictor {pred}")
-        out += data
-    if len(out) != w * h * spp:
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
+
+    if _TAG_TILE_WIDTH in t:
+        if not all(k in t for k in (_TAG_TILE_LENGTH, _TAG_TILE_OFFSETS,
+                                    _TAG_TILE_COUNTS)):
+            raise TIFFError("tiled TIFF missing tile tags")
+        tw = t[_TAG_TILE_WIDTH][0]
+        tl = t[_TAG_TILE_LENGTH][0]
+        if tw <= 0 or tl <= 0:
+            raise TIFFError("bad tile geometry")
+        offsets = t[_TAG_TILE_OFFSETS]
+        counts = t[_TAG_TILE_COUNTS]
+        if len(offsets) != len(counts):
+            raise TIFFError("tile offsets/counts mismatch")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) < across * down:
+            raise TIFFError("missing tiles")
+        tile_row = tw * spp * ss
+        expected = tl * tile_row
+        img_row = w * spp * ss
+        out = bytearray(h * img_row)
+        for ty in range(down):
+            for tx in range(across):
+                so, sc = (offsets[ty * across + tx],
+                          counts[ty * across + tx])
+                block = raw[so:so + sc]
+                if len(block) < sc:
+                    raise TIFFError("tile data out of range")
+                data = _decompress_block(comp, block, expected)
+                if pred == 2:
+                    data = _undo_predictor(data, tl, tw * spp, spp,
+                                           ss, bo)
+                ncols = min(tw, w - tx * tw) * spp * ss
+                for r in range(min(tl, h - ty * tl)):
+                    dst = (ty * tl + r) * img_row + tx * tile_row
+                    out[dst:dst + ncols] = data[r * tile_row:
+                                                r * tile_row + ncols]
+        out = bytes(out)
+    else:
+        rps = t.get(_TAG_ROWS_PER_STRIP, (h,))[0] or h
+        offsets = t[_TAG_STRIP_OFFSETS]
+        counts = t[_TAG_STRIP_COUNTS]
+        if len(offsets) != len(counts):
+            raise TIFFError("strip offsets/counts mismatch")
+        row_bytes = w * spp * ss
+        acc = bytearray()
+        for i, (so, sc) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - i * rps)
+            if nrows <= 0:
+                break
+            strip = raw[so:so + sc]
+            if len(strip) < sc:
+                raise TIFFError("strip data out of range")
+            data = _decompress_block(comp, strip, nrows * row_bytes)
+            if pred == 2:
+                data = _undo_predictor(data, nrows, w * spp, spp, ss, bo)
+            acc += data
+        out = bytes(acc)
+    if len(out) != w * h * spp * ss:
         raise TIFFError("decoded size mismatch")
-    if photo == 0:                                # min-is-white
-        out = bytearray(255 - b for b in out)
-    return w, h, bytes(out)
+    if ss == 2:
+        n = w * h * spp
+        vals = struct.unpack(bo + "%dH" % n, out)
+        if photo == 0:                            # invert at native depth
+            vals = [65535 - v for v in vals]
+        out = bytes((v * 255 + 32767) // 65535 for v in vals)
+    elif photo == 0:                              # min-is-white
+        out = bytes(255 - b for b in out)
+    return w, h, out
+
+
+def _apply_predictor(data: bytearray, nrows: int, row_samples: int,
+                     spp: int, ss: int, bo: str) -> None:
+    """Forward horizontal differencing in place (encoder side)."""
+    if ss == 1:
+        for r in range(nrows - 1, -1, -1):
+            ro = r * row_samples
+            for x in range(row_samples - 1, spp - 1, -1):
+                data[ro + x] = (data[ro + x] - data[ro + x - spp]) & 0xFF
+        return
+    fmt = bo + "H"
+    for r in range(nrows - 1, -1, -1):
+        ro = r * row_samples * 2
+        for x in range(row_samples - 1, spp - 1, -1):
+            off = ro + x * 2
+            prev = struct.unpack_from(fmt, data, off - spp * 2)[0]
+            cur = struct.unpack_from(fmt, data, off)[0]
+            struct.pack_into(fmt, data, off, (cur - prev) & 0xFFFF)
+
+
+def _compress_block(data: bytes, nrows: int, row_bytes: int,
+                    compression: int) -> bytes:
+    if compression == 1:
+        return data
+    if compression == 5:
+        return _lzw_encode(data)
+    if compression == 32773:
+        packed = bytearray()
+        for r in range(nrows):
+            row = data[r * row_bytes:(r + 1) * row_bytes]
+            i = 0
+            while i < len(row):
+                run = 1
+                while (i + run < len(row) and run < 128
+                       and row[i + run] == row[i]):
+                    run += 1
+                if run >= 2:
+                    packed += bytes([257 - run, row[i]])
+                    i += run
+                else:
+                    j = i + 1
+                    while (j < len(row) and j - i < 128
+                           and not (j + 1 < len(row)
+                                    and row[j] == row[j + 1])):
+                        j += 1
+                    packed += bytes([j - i - 1]) + row[i:j]
+                    i = j
+        return bytes(packed)
+    raise TIFFError(f"unsupported compression {compression}")
 
 
 def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                 compression: int = 1, predictor: int = 1,
                 rows_per_strip: int | None = None,
-                big_endian: bool = False) -> bytes:
-    """Encode 8-bit chunky pixels (spp=1 gray / 3 RGB / 4 RGBA) as a
-    strip-based TIFF; compression 1/5/32773, optional horizontal
-    predictor (LZW only per the spec's usual pairing, but accepted for
-    any compression)."""
-    if len(pixels) < width * height * spp:
+                big_endian: bool = False, bits: int = 8,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """Encode chunky pixels (spp=1 gray / 3 RGB / 4 RGBA) as a TIFF;
+    compression 1/5/32773, optional horizontal predictor (LZW only per
+    the spec's usual pairing, but accepted for any compression).
+    bits=16 takes samples packed in the FILE byte order (big_endian);
+    tile=(tw, tl) writes the §15 tiled layout instead of strips — both
+    dimensions must be multiples of 16 per the spec, edge tiles are
+    zero-padded to full size."""
+    if bits not in (8, 16):
+        raise TIFFError("bits must be 8 or 16")
+    ss = bits // 8
+    if len(pixels) < width * height * spp * ss:
         raise TIFFError("pixel buffer shorter than width*height*spp")
     bo = ">" if big_endian else "<"
-    rps = rows_per_strip or height
-    row_bytes = width * spp
-    strips = []
-    for y0 in range(0, height, rps):
-        nrows = min(rps, height - y0)
-        data = bytearray(
-            pixels[y0 * row_bytes:(y0 + nrows) * row_bytes])
-        if predictor == 2:
-            for r in range(nrows - 1, -1, -1):
-                ro = r * row_bytes
-                for x in range(row_bytes - 1, spp - 1, -1):
-                    data[ro + x] = (data[ro + x]
-                                    - data[ro + x - spp]) & 0xFF
-        if compression == 1:
-            strips.append(bytes(data))
-        elif compression == 5:
-            strips.append(_lzw_encode(bytes(data)))
-        elif compression == 32773:
-            packed = bytearray()
-            for r in range(nrows):
-                row = bytes(data[r * row_bytes:(r + 1) * row_bytes])
-                i = 0
-                while i < len(row):
-                    run = 1
-                    while (i + run < len(row) and run < 128
-                           and row[i + run] == row[i]):
-                        run += 1
-                    if run >= 2:
-                        packed += bytes([257 - run, row[i]])
-                        i += run
-                    else:
-                        j = i + 1
-                        while (j < len(row) and j - i < 128
-                               and not (j + 1 < len(row)
-                                        and row[j] == row[j + 1])):
-                            j += 1
-                        packed += bytes([j - i - 1]) + row[i:j]
-                        i = j
-            strips.append(bytes(packed))
-        else:
-            raise TIFFError(f"unsupported compression {compression}")
+    img_row = width * spp * ss
 
-    n_strips = len(strips)
+    blocks = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise TIFFError("tile dims must be positive multiples of 16")
+        tile_row = tw * spp * ss
+        for y0 in range(0, height, tl):
+            for x0 in range(0, width, tw):
+                data = bytearray(tl * tile_row)      # zero-padded edges
+                ncols = min(tw, width - x0) * spp * ss
+                for r in range(min(tl, height - y0)):
+                    src = (y0 + r) * img_row + x0 * spp * ss
+                    data[r * tile_row:r * tile_row + ncols] = \
+                        pixels[src:src + ncols]
+                if predictor == 2:
+                    _apply_predictor(data, tl, tw * spp, spp, ss, bo)
+                blocks.append(_compress_block(bytes(data), tl,
+                                              tile_row, compression))
+    else:
+        rps = rows_per_strip or height
+        for y0 in range(0, height, rps):
+            nrows = min(rps, height - y0)
+            data = bytearray(pixels[y0 * img_row:(y0 + nrows) * img_row])
+            if predictor == 2:
+                _apply_predictor(data, nrows, width * spp, spp, ss, bo)
+            blocks.append(_compress_block(bytes(data), nrows,
+                                          img_row, compression))
+
+    n_blocks = len(blocks)
     photo = 1 if spp == 1 else 2
+    off_tag = _TAG_TILE_OFFSETS if tile is not None else _TAG_STRIP_OFFSETS
+    cnt_tag = _TAG_TILE_COUNTS if tile is not None else _TAG_STRIP_COUNTS
     # entries sorted by tag; multi-value data always lives in the
     # post-IFD extra area (legal TIFF even when it would fit inline)
     entries = [(_TAG_WIDTH, 4, 1), (_TAG_HEIGHT, 4, 1),
                (_TAG_BITS, 3, spp), (_TAG_COMPRESSION, 3, 1),
                (_TAG_PHOTOMETRIC, 3, 1),
-               (_TAG_STRIP_OFFSETS, 4, n_strips),
-               (_TAG_SPP, 3, 1), (_TAG_ROWS_PER_STRIP, 4, 1),
-               (_TAG_STRIP_COUNTS, 4, n_strips), (_TAG_PLANAR, 3, 1)]
+               (off_tag, 4, n_blocks),
+               (_TAG_SPP, 3, 1),
+               (cnt_tag, 4, n_blocks), (_TAG_PLANAR, 3, 1)]
+    if tile is not None:
+        entries += [(_TAG_TILE_WIDTH, 4, 1), (_TAG_TILE_LENGTH, 4, 1)]
+    else:
+        entries.append((_TAG_ROWS_PER_STRIP, 4, 1))
     if predictor != 1:
         entries.append((_TAG_PREDICTOR, 3, 1))
     if spp == 4:
@@ -352,13 +484,13 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
 
     # multi-value tags: inline when their packed size fits the 4-byte
     # value slot (the spec REQUIRES inline then), else in the extra area
-    multi = {_TAG_BITS: ("H", [8] * spp),
-             _TAG_STRIP_OFFSETS: ("I", None),          # filled below
-             _TAG_STRIP_COUNTS: ("I", [len(st) for st in strips])}
+    multi = {_TAG_BITS: ("H", [bits] * spp),
+             off_tag: ("I", None),                 # filled below
+             cnt_tag: ("I", [len(st) for st in blocks])}
     extra_ptrs = {}
     pos = extra_off
     for tag, (fmt, vals) in multi.items():
-        cnt = spp if tag == _TAG_BITS else n_strips
+        cnt = spp if tag == _TAG_BITS else n_blocks
         size = struct.calcsize(fmt) * cnt
         if size > 4:
             extra_ptrs[tag] = pos
@@ -366,10 +498,10 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
     data_off = pos
     offsets = []
     pos = data_off
-    for st in strips:
+    for st in blocks:
         offsets.append(pos)
         pos += len(st) + (len(st) & 1)
-    multi[_TAG_STRIP_OFFSETS] = ("I", offsets)
+    multi[off_tag] = ("I", offsets)
 
     extra = bytearray()
     for tag in multi:
@@ -382,8 +514,13 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
     # premultiply on read, which would break the byte-exact witness
     scalar = {_TAG_WIDTH: width, _TAG_HEIGHT: height,
               _TAG_COMPRESSION: compression, _TAG_PHOTOMETRIC: photo,
-              _TAG_SPP: spp, _TAG_ROWS_PER_STRIP: rps, _TAG_PLANAR: 1,
+              _TAG_SPP: spp, _TAG_PLANAR: 1,
               _TAG_PREDICTOR: predictor, _TAG_EXTRA_SAMPLES: 1}
+    if tile is not None:
+        scalar[_TAG_TILE_WIDTH] = tile[0]
+        scalar[_TAG_TILE_LENGTH] = tile[1]
+    else:
+        scalar[_TAG_ROWS_PER_STRIP] = rows_per_strip or height
     out = bytearray()
     out += (b"MM" if big_endian else b"II")
     out += struct.pack(bo + "H", 42)
@@ -404,6 +541,6 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
             out += packed + b"\x00" * (4 - len(packed))
     out += struct.pack(bo + "I", 0)               # next IFD
     out += extra
-    for st in strips:
+    for st in blocks:
         out += st + (b"\x00" if len(st) & 1 else b"")
     return bytes(out)

@@ -31,6 +31,9 @@ COLLECT_ALLOWED = {
     "export.py",                 # verify_shards diffs the MANIFEST —
                                  # one row per shard FILE (metadata-
                                  # scale, ~10^5 at 100 TB), never data
+    "sources/ndjson.py",         # sniff-fallback SUSPECT PATH list —
+                                 # bounded by max_fallback_files (loud
+                                 # error beyond), paths not data
 }
 TOPANDAS_ALLOWED = {
     "streaming/replay.py",       # 1-row anchor / per-partition stat frames

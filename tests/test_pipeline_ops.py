@@ -1990,9 +1990,11 @@ def test_tiff_bidirectional_witness_libtiff():
 
 def test_tiff_photometric_and_gates():
     """Min-is-white grayscale inverts (cross-checked against libtiff
-    on the same patched file); tiled layouts, 16-bit depths and
-    unknown compressions raise loudly; truncation raises TIFFError;
-    the image-decode dispatch routes II*/MM* payloads."""
+    on the same patched file); unsupported depths, unknown
+    compressions and structurally-broken tiled files raise loudly;
+    truncation raises TIFFError; the image-decode dispatch routes
+    II*/MM* payloads. (Tiled layouts and 16-bit depths DECODE since
+    r11 — see test_tiff_16bit_and_tiled_witness_libtiff.)"""
     import os
     import struct
 
@@ -2027,9 +2029,21 @@ def test_tiff_photometric_and_gates():
         decode_tiff(bytes(b2))
     b3 = bytearray(good)
     k = b3.find(struct.pack("<HH", 256, 4))
-    b3[k:k + 2] = struct.pack("<H", 322)           # TileWidth
-    with pytest.raises(NotImplementedError, match="tiled"):
+    b3[k:k + 2] = struct.pack("<H", 322)   # Width RENAMED to TileWidth
+    with pytest.raises(TIFFError, match="ImageWidth|tile"):
         decode_tiff(bytes(b3))
+    # TileWidth alongside intact Width/Height but no other tile tags
+    b3b = bytearray(good)
+    k2 = b3b.find(struct.pack("<HH", 278, 4))      # RowsPerStrip slot
+    b3b[k2:k2 + 2] = struct.pack("<H", 322)
+    with pytest.raises(TIFFError, match="tile"):
+        decode_tiff(bytes(b3b))
+    # gray blob: spp=1 keeps BitsPerSample INLINE (patchable value slot)
+    b4 = bytearray(encode_tiff(4, 4, os.urandom(16), spp=1))
+    m = b4.find(struct.pack("<HH", 258, 3))
+    b4[m + 8] = 12                                 # 12-bit depth
+    with pytest.raises(NotImplementedError, match="bit"):
+        decode_tiff(bytes(b4))
 
 
 def test_webp_animation_compositing():
@@ -4638,3 +4652,199 @@ def test_flac_cross_container_witness_and_spark_decode(spark):
         assert out[mid]["sample_rate"] == 11025
         assert abs(out[mid]["duration_s"] - 3307 / 11025) < 1e-6
         assert len(out[mid]["mfcc"]) == 13
+
+
+def test_tiff_16bit_and_tiled_witness_libtiff():
+    """r10 verdict 'codec frontier' item closed (r11): 16-bit depths
+    and the §15 tiled layout, pinned against libtiff in BOTH
+    directions. Our encoder's 16-bit/tiled files read back through
+    TIFFReadScanline / TIFFReadEncodedTile sample-exact (libtiff
+    byte-swaps to host order — MM files prove the swap path), and
+    libtiff-WRITTEN 16-bit + tiled files decode through decode_tiff
+    exactly (16-bit downscaled by the engine-wide round(v*255/65535)
+    rule). Exercises LZW + per-SAMPLE 16-bit predictor and edge-tile
+    padding/cropping in all four direction/layout combinations."""
+    import ctypes
+    import os
+    import random
+    import struct
+    import tempfile
+
+    import pytest
+
+    from amazon_kinesis_replay_spark.functions.tiff import (decode_tiff,
+                                                            encode_tiff)
+
+    try:
+        L = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff.so.6 not available")
+    L.TIFFOpen.restype = ctypes.c_void_p
+    L.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    L.TIFFReadScanline.restype = ctypes.c_int
+    L.TIFFReadScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_uint32, ctypes.c_uint16]
+    L.TIFFWriteScanline.restype = ctypes.c_int
+    L.TIFFWriteScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_uint32, ctypes.c_uint16]
+    L.TIFFReadEncodedTile.restype = ctypes.c_ssize_t
+    L.TIFFReadEncodedTile.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                      ctypes.c_void_p, ctypes.c_ssize_t]
+    L.TIFFWriteTile.restype = ctypes.c_ssize_t
+    L.TIFFWriteTile.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_uint32, ctypes.c_uint32,
+                                ctypes.c_uint32, ctypes.c_uint16]
+
+    def setf(tif, tag, val, is32=False):
+        arg = ctypes.c_uint32(val) if is32 else ctypes.c_int(val)
+        assert L.TIFFSetField(ctypes.c_void_p(tif),
+                              ctypes.c_uint32(tag), arg)
+
+    def tmp(blob=None):
+        with tempfile.NamedTemporaryFile(suffix=".tif",
+                                         delete=False) as f:
+            if blob:
+                f.write(blob)
+            return f.name
+
+    def lt_read_rows(blob, w, h, row_bytes):
+        """decoded raw rows via TIFFReadScanline (host byte order)."""
+        path = tmp(blob)
+        try:
+            tif = L.TIFFOpen(path.encode(), b"r")
+            assert tif
+            out = bytearray()
+            buf = ctypes.create_string_buffer(row_bytes + 8)
+            for r in range(h):
+                assert L.TIFFReadScanline(ctypes.c_void_p(tif), buf,
+                                          r, 0) == 1, r
+                out += buf.raw[:row_bytes]
+            L.TIFFClose(ctypes.c_void_p(tif))
+            return bytes(out)
+        finally:
+            os.unlink(path)
+
+    def lt_read_tiles(blob, w, h, tw, tl, spp, ss):
+        """decoded padded tiles via TIFFReadEncodedTile, assembled."""
+        path = tmp(blob)
+        try:
+            tif = L.TIFFOpen(path.encode(), b"r")
+            assert tif
+            img_row = w * spp * ss
+            tile_row = tw * spp * ss
+            tsize = tl * tile_row
+            out = bytearray(h * img_row)
+            buf = ctypes.create_string_buffer(tsize)
+            across = (w + tw - 1) // tw
+            for ty in range((h + tl - 1) // tl):
+                for tx in range(across):
+                    n = L.TIFFReadEncodedTile(
+                        ctypes.c_void_p(tif), ty * across + tx, buf,
+                        tsize)
+                    assert n == tsize, (ty, tx, n)
+                    ncols = min(tw, w - tx * tw) * spp * ss
+                    for r in range(min(tl, h - ty * tl)):
+                        dst = (ty * tl + r) * img_row + tx * tile_row
+                        out[dst:dst + ncols] = buf.raw[
+                            r * tile_row:r * tile_row + ncols]
+            L.TIFFClose(ctypes.c_void_p(tif))
+            return bytes(out)
+        finally:
+            os.unlink(path)
+
+    def lt_write(w, h, px, spp, bits, comp, pred, tile=None):
+        """libtiff-written file (native II order)."""
+        path = tmp()
+        tif = L.TIFFOpen(path.encode(), b"w")
+        assert tif
+        setf(tif, 256, w, True)
+        setf(tif, 257, h, True)
+        setf(tif, 258, bits)
+        setf(tif, 259, comp)
+        setf(tif, 262, 1 if spp == 1 else 2)
+        setf(tif, 277, spp)
+        setf(tif, 284, 1)
+        if pred != 1:
+            setf(tif, 317, pred)
+        ss = bits // 8
+        img_row = w * spp * ss
+        if tile is None:
+            setf(tif, 278, h, True)
+            for r in range(h):
+                buf = ctypes.create_string_buffer(
+                    px[r * img_row:(r + 1) * img_row], img_row)
+                assert L.TIFFWriteScanline(ctypes.c_void_p(tif), buf,
+                                           r, 0) == 1
+        else:
+            tw, tl = tile
+            setf(tif, 322, tw, True)
+            setf(tif, 323, tl, True)
+            tile_row = tw * spp * ss
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    data = bytearray(tl * tile_row)
+                    ncols = min(tw, w - tx) * spp * ss
+                    for r in range(min(tl, h - ty)):
+                        src = (ty + r) * img_row + tx * spp * ss
+                        data[r * tile_row:r * tile_row + ncols] = \
+                            px[src:src + ncols]
+                    buf = ctypes.create_string_buffer(bytes(data),
+                                                      len(data))
+                    assert L.TIFFWriteTile(ctypes.c_void_p(tif), buf,
+                                           tx, ty, 0, 0) >= 0
+        L.TIFFClose(ctypes.c_void_p(tif))
+        blob = open(path, "rb").read()
+        os.unlink(path)
+        return blob
+
+    rng = random.Random(77)
+
+    # direction 1: OUR encoder -> libtiff raw reads, sample-exact
+    for trial in range(14):
+        w, h = rng.randint(1, 60), rng.randint(1, 60)
+        spp = rng.choice([1, 3])
+        comp = rng.choice([1, 5])
+        pred = rng.choice([1, 2]) if comp == 5 else 1
+        bits = rng.choice([8, 16])
+        be = rng.random() < 0.5
+        tiled = rng.random() < 0.5
+        tile = (16, 32) if tiled else None
+        ss = bits // 8
+        n = w * h * spp
+        if bits == 8:
+            px = os.urandom(n)
+            host = px
+        else:
+            vals = [rng.randrange(65536) for _ in range(n)]
+            px = struct.pack((">" if be else "<") + "%dH" % n, *vals)
+            host = struct.pack("=%dH" % n, *vals)   # scanline host order
+        blob = encode_tiff(w, h, px, spp=spp, compression=comp,
+                           predictor=pred, big_endian=be, bits=bits,
+                           tile=tile)
+        if tiled:
+            got = lt_read_tiles(blob, w, h, 16, 32, spp, ss)
+        else:
+            got = lt_read_rows(blob, w, h, w * spp * ss)
+        assert got == host, (trial, w, h, spp, comp, pred, bits, tiled)
+
+    # direction 2: libtiff-written -> decode_tiff, engine-rule exact
+    for trial in range(14):
+        w, h = rng.randint(1, 60), rng.randint(1, 60)
+        spp = rng.choice([1, 3])
+        comp = rng.choice([1, 5])
+        pred = rng.choice([1, 2]) if comp == 5 else 1
+        bits = rng.choice([8, 16])
+        tiled = rng.random() < 0.5
+        tile = (32, 16) if tiled else None
+        n = w * h * spp
+        if bits == 8:
+            px = os.urandom(n)
+            want = px
+        else:
+            vals = [rng.randrange(65536) for _ in range(n)]
+            px = struct.pack("=%dH" % n, *vals)     # host order for write
+            want = bytes((v * 255 + 32767) // 65535 for v in vals)
+        blob = lt_write(w, h, px, spp, bits, comp, pred, tile)
+        gw, gh, got = decode_tiff(blob)
+        assert (gw, gh) == (w, h)
+        assert got == want, (trial, w, h, spp, comp, pred, bits, tiled)
