@@ -190,6 +190,107 @@ def read_events_sniffed(spark: SparkSession, cfg: ReplayConfig,
     return parsed.filter(F.col("ts").isNotNull())
 
 
+def _decode_lines_numbered(pdf_iter):
+    """`_decode_lines` twin that also emits each line's 0-based
+    position within its object — the coordinate the sampled-seek
+    replica's skip walk is defined over."""
+    import pandas as pd
+    for pdf in _decode_lines(pdf_iter):
+        pdf = pdf.copy()
+        pdf["line_no"] = pdf.groupby("path").cumcount()
+        yield pd.DataFrame({"value": pdf["value"], "path": pdf["path"],
+                            "line_no": pdf["line_no"].astype("int64")})
+
+
+def read_events_sampled_seek(spark: SparkSession, cfg: ReplayConfig,
+                             seek_ts: str,
+                             skip_num_lines: int = 10_000,
+                             path_glob_filter: str | None = None
+                             ) -> DataFrame:
+    """Bug-for-bug OPT-IN replica of the reference's sampled seek
+    (JsonEventS3Iterator.java:79-101): skip `skipNumLines` raw lines,
+    parse ONE, repeat until the parsed timestamp reaches `seek_ts`,
+    then replay from that parse position — lines between parse points
+    are dropped forever, INCLUDING lines at or past the seek target
+    (up to skipNumLines-1 of them). The default path (`filter_seek`'s
+    exact ``ts >=`` predicate with parquet min/max skip-ahead) is
+    strictly stronger; use this only to reproduce the reference's
+    boundary-drop behavior record-for-record.
+
+    Determinism contract: objects ordered by path, lines by position
+    within each object — the same traversal order as the reference's
+    listing loop. The skip geometry mirrors the Java exactly: a skip
+    that runs past the end of an object no-ops (readLine -> null), so
+    the next parse lands on the FIRST line of the next object; a
+    parsed line whose timestamp attribute is malformed keeps the seek
+    scanning (never a stop position). Driver-side work is
+    metadata-scale: one (count) row per object plus one ts row per
+    PARSE POSITION (~n_lines / skipNumLines)."""
+    if skip_num_lines < 1:
+        raise ValueError("skip_num_lines must be >= 1")
+    reader = spark.read.format("binaryFile")
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    files = reader.load(cfg.source_path).select("path", "content")
+    lines = files.mapInPandas(
+        _decode_lines_numbered, "value string, path string, line_no long")
+    if cfg.object_suffix_to_skip:
+        lines = lines.filter(
+            ~F.col("path").endswith(cfg.object_suffix_to_skip))
+
+    # per-object line counts: one row per file (metadata-scale)
+    counts = {r["path"]: r["n"] for r in
+              lines.groupBy("path").agg(F.count("*").alias("n")).collect()}
+    order = sorted(counts)
+    if not order:
+        return lines.select(
+            F.col("value").alias("payload"),
+            jsonf.json_attr_ts(F.col("value"),
+                               cfg.timestamp_attribute).alias("ts"))
+
+    # the reference's parse-position walk (ts-independent geometry)
+    positions: list[tuple[str, int]] = []
+    fi, ln = 0, 0
+    while fi < len(order):
+        positions.append((order[fi], ln))
+        nxt = ln + 1 + skip_num_lines
+        if nxt < counts[order[fi]]:
+            ln = nxt                  # skip stayed inside the object
+        else:
+            fi += 1                   # EOF mid-skip: next object, line 0
+            ln = 0
+
+    pos_df = spark.createDataFrame(positions, "path string, line_no long")
+    parsed_pos = (lines.join(F.broadcast(pos_df), ["path", "line_no"])
+                  .select("path", "line_no",
+                          jsonf.json_attr_ts(F.col("value"),
+                                             cfg.timestamp_attribute)
+                          .alias("ts"))
+                  .collect())
+    ts_at = {(r["path"], r["line_no"]): r["ts"] for r in parsed_pos}
+    import pandas as pd
+    target = pd.Timestamp(seek_ts)
+    if target.tzinfo is not None:
+        target = target.tz_convert("UTC").tz_localize(None)
+    stop = None
+    for pos in positions:
+        ts = ts_at.get(pos)
+        if ts is not None and pd.Timestamp(ts) >= target:
+            stop = pos
+            break
+    if stop is None:                  # iterator exhausted during seek
+        return spark.createDataFrame([], "payload string, ts timestamp")
+    sp, sl = stop
+    kept = lines.filter((F.col("path") > sp)
+                        | ((F.col("path") == sp)
+                           & (F.col("line_no") >= sl)))
+    parsed = kept.select(
+        F.col("value").alias("payload"),
+        jsonf.json_attr_ts(F.col("value"), cfg.timestamp_attribute)
+        .alias("ts"))
+    return parsed.filter(F.col("ts").isNotNull())
+
+
 def read_events_stream_sniffed(spark: SparkSession, cfg: ReplayConfig,
                                max_files_per_trigger: int = 1,
                                path_glob_filter: str | None = None) -> DataFrame:

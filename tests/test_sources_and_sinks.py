@@ -1181,3 +1181,94 @@ def test_read_events_sniff_fallback_mixed_dir(spark, sf_dir, tmp_path):
     cfg2 = ReplayConfig(source_path=str(solo),
                         timestamp_attribute="dropoff_datetime")
     assert ndjson.read_events(spark, cfg2).count() == 10
+
+
+def test_sampled_seek_matches_java_iterator_twin(spark, tmp_path):
+    """Bug-for-bug sampled seek (JsonEventS3Iterator.java:79-101),
+    opt-in: the Spark replica must emit EXACTLY what a pure-python
+    simulation of the Java iterator emits — including the reference's
+    boundary drops (lines at/past the target skipped over during the
+    seek are gone forever) and the skip-truncation-at-object-end rule.
+    The default exact-predicate path keeps strictly more rows; the
+    difference set is asserted non-empty so the test would catch the
+    replica silently degenerating into the exact path."""
+    import datetime as dt
+    import random
+
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.sources import ndjson
+
+    rng = random.Random(3)
+    t0 = dt.datetime(2024, 3, 1)
+    files = {}
+    k = 0
+    for f in range(4):
+        n = rng.randint(5, 120)          # uneven objects: boundary skips
+        rows = []
+        for _ in range(n):
+            if rng.random() < 0.05:
+                rows.append('{"dropoff_datetime": "not-a-ts"}')  # malformed
+            else:
+                ts = t0 + dt.timedelta(seconds=30 * k)
+                rows.append(json.dumps(
+                    {"i": k, "dropoff_datetime": ts.isoformat()}))
+            k += 1
+        files[f"part-{f:03d}.jsonl"] = rows
+    for name, rows in files.items():
+        (tmp_path / name).write_text("\n".join(rows) + "\n")
+
+    target = t0 + dt.timedelta(seconds=30 * (k // 2))
+    SKIP = 7
+
+    # pure-python twin of the Java iterator: parse one line, skip SKIP
+    # raw lines (readLine past EOF no-ops), parse, ... until parsed
+    # ts >= target; then emit every line from that position onward
+    def java_twin():
+        names = sorted(files)
+        fi, ln = 0, 0
+        while fi < len(names):
+            line = files[names[fi]][ln]
+            try:
+                ts = dt.datetime.fromisoformat(
+                    json.loads(line)["dropoff_datetime"])
+            except ValueError:
+                ts = None
+            if ts is not None and ts >= target:
+                break
+            nxt = ln + 1 + SKIP
+            if nxt < len(files[names[fi]]):
+                ln = nxt
+            else:
+                fi += 1
+                ln = 0
+        emitted = []
+        while fi < len(names):
+            for line in files[names[fi]][ln:]:
+                try:
+                    dt.datetime.fromisoformat(
+                        json.loads(line)["dropoff_datetime"])
+                    emitted.append(line)
+                except ValueError:
+                    pass                     # malformed rows drop per-row
+            fi += 1
+            ln = 0
+        return emitted
+
+    want = java_twin()
+    cfg = ReplayConfig(source_path=str(tmp_path),
+                       timestamp_attribute="dropoff_datetime")
+    got = ndjson.read_events_sampled_seek(
+        spark, cfg, target.isoformat(), skip_num_lines=SKIP)
+    got_payloads = sorted(r["payload"] for r in got.collect())
+    assert got_payloads == sorted(want)
+
+    # the replica is NOT the exact path: the exact predicate keeps rows
+    # the reference's seek drops (that is the bug being replicated)
+    exact = (ndjson.read_events(spark, cfg, sniff_fallback=False)
+             .filter(F.col("ts") >= F.lit(target)).count())
+    assert exact > len(want)
+
+    # seek past the corpus end -> exhausted iterator -> empty
+    far = (t0 + dt.timedelta(days=999)).isoformat()
+    assert ndjson.read_events_sampled_seek(
+        spark, cfg, far, skip_num_lines=SKIP).count() == 0
