@@ -204,12 +204,24 @@ def main():
           f"max cluster share {max(sizes) / n_vec:.3f}, "
           f"within-cluster pairs {pair_cost} "
           f"({pair_cost / all_pairs:.3%} of all-pairs)", flush=True)
+    # per-epsilon RECALL vs exact ground truth (r8 roadmap item): one
+    # cluster = all-pairs = the exact dup set; the clustered marking is
+    # a SUBSET of it by construction (a within-cluster qualifying pair
+    # is also a global pair and min-id-wins only shrinks), so the only
+    # error mode is MISSES across cluster boundaries — recall is the
+    # entire quality story, precision is structurally 1.0.
     for eps in (0.3, 0.4, 0.5, 0.7):
-        sem = similarity.semantic_dedup(emb, threshold=eps,
-                                        n_centroids=16, n_iters=2)
-        n_dup = sem.filter("is_dup").count()
-        print(f"  eps={eps:.1f}: {n_dup}/{n_vec} marked duplicate "
-              f"({n_dup / n_vec:.1%})", flush=True)
+        exact_ids = {r["id"] for r in similarity.semantic_dedup(
+            emb, threshold=eps, n_centroids=1, n_iters=1)
+            .filter("is_dup").collect()}
+        got_ids = {r["id"] for r in similarity.semantic_dedup(
+            emb, threshold=eps, n_centroids=16, n_iters=2)
+            .filter("is_dup").collect()}
+        assert got_ids <= exact_ids, "clustered dups must be a subset"
+        rec = len(got_ids) / len(exact_ids) if exact_ids else 1.0
+        print(f"  eps={eps:.1f}: {len(got_ids)}/{n_vec} marked "
+              f"({len(got_ids) / n_vec:.1%}); exact {len(exact_ids)} "
+              f"-> recall {rec:.3f}", flush=True)
 
     spark.stop()
 
