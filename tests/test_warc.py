@@ -189,3 +189,28 @@ def test_responses_to_documents_content_encodings(spark, tmp_path):
     assert all(t == "alpha beta gamma" for t in got.values())
     urls = {r["doc_id"]: r["url"] for r in docs}
     assert urls["<a>"] == "http://example.com/a"
+
+
+def test_responses_to_documents_streaming(spark, tmp_path):
+    """The WARC->documents operator composes onto the STREAMING reader
+    unchanged (mapInPandas + column ops are stream-safe): a two-segment
+    crawl drains through maxFilesPerTrigger=1 into the same
+    (doc_id, url, warc_date, text) surface the batch path yields."""
+    (tmp_path / "s0.warc.gz").write_bytes(warc.write_warc(_records()))
+    recs2 = _records()
+    recs2[2]["record_id"] = "<urn:uuid:9>"
+    (tmp_path / "s1.warc.gz").write_bytes(warc.write_warc(recs2))
+
+    docs = warc.responses_to_documents(
+        warc.read_warc_stream(spark, str(tmp_path)))
+    q = (docs.writeStream.format("memory").queryName("warc_docs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["text"])
+           for r in spark.table("warc_docs").collect()}
+    want = {(r["doc_id"], r["text"])
+            for r in warc.responses_to_documents(
+                warc.read_warc(spark, str(tmp_path))).collect()}
+    assert got == want and len(got) == 2
