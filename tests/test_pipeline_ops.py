@@ -4848,3 +4848,49 @@ def test_tiff_16bit_and_tiled_witness_libtiff():
         gw, gh, got = decode_tiff(blob)
         assert (gw, gh) == (w, h)
         assert got == want, (trial, w, h, spp, comp, pred, bits, tiled)
+
+
+def test_semantic_dedup_multi_assign(spark, sf_dir):
+    """n_assign=2 (r11): a near-dup pair SPLIT across a cluster
+    boundary is invisible to flat SemDeDup (the confinement miss mode
+    the recall probe measured at 0.32 recall) and caught when each
+    vector also joins via its second-nearest centroid. Crafted case:
+    two anchors pull the pair into different clusters; the marked-dup
+    output stays one row per id with the PRIMARY centroid. On the
+    fixture: single-assign dups ⊆ multi-assign dups ⊆ exact dups."""
+    # anchors at +x and +y; the near-dup pair sits near the diagonal,
+    # one member each side -> different primary clusters
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),        # anchor A (centroid seed)
+            (1, [0.0, 1.0, 0.0, 0.0]),        # anchor B (centroid seed)
+            (2, [0.72, 0.69, 0.0, 0.0]),      # pair, leans A
+            (3, [0.69, 0.72, 0.0, 0.0])]      # pair, leans B
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.99, n_centroids=2, n_iters=0)
+
+    def run(n_assign):
+        out = similarity.semantic_dedup(emb, n_assign=n_assign, **kw)
+        rows_ = out.collect()
+        assert sorted(r["id"] for r in rows_) == [0, 1, 2, 3]  # 1/id
+        return {r["id"] for r in rows_ if r["is_dup"]}, \
+            {r["id"]: r["centroid_id"] for r in rows_}
+
+    flat, cent1 = run(1)
+    multi, cent2 = run(2)
+    assert cent1 == cent2                     # primary assignment kept
+    assert cent1[2] != cent1[3]               # the pair IS split
+    assert flat == set()                      # invisible at n_assign=1
+    assert multi == {3}                       # min-id-wins: 3 dups to 2
+
+    # fixture ordering: flat ⊆ multi ⊆ exact (all-pairs), recall up
+    fix = load(spark, sf_dir, "embeddings")
+    d1 = {r["id"] for r in similarity.semantic_dedup(
+        fix, threshold=0.4, n_centroids=16, n_iters=2)
+        .filter("is_dup").collect()}
+    d2 = {r["id"] for r in similarity.semantic_dedup(
+        fix, threshold=0.4, n_centroids=16, n_iters=2, n_assign=2)
+        .filter("is_dup").collect()}
+    ex = {r["id"] for r in similarity.semantic_dedup(
+        fix, threshold=0.4, n_centroids=1, n_iters=1)
+        .filter("is_dup").collect()}
+    assert d1 <= d2 <= ex
+    assert len(d2) > len(d1)                  # recall actually improves

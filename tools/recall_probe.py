@@ -217,11 +217,17 @@ def main():
         got_ids = {r["id"] for r in similarity.semantic_dedup(
             emb, threshold=eps, n_centroids=16, n_iters=2)
             .filter("is_dup").collect()}
-        assert got_ids <= exact_ids, "clustered dups must be a subset"
+        got2_ids = {r["id"] for r in similarity.semantic_dedup(
+            emb, threshold=eps, n_centroids=16, n_iters=2, n_assign=2)
+            .filter("is_dup").collect()}
+        assert got_ids <= got2_ids <= exact_ids, \
+            "dup sets must nest: flat <= multi-assign <= exact"
         rec = len(got_ids) / len(exact_ids) if exact_ids else 1.0
+        rec2 = len(got2_ids) / len(exact_ids) if exact_ids else 1.0
         print(f"  eps={eps:.1f}: {len(got_ids)}/{n_vec} marked "
               f"({len(got_ids) / n_vec:.1%}); exact {len(exact_ids)} "
-              f"-> recall {rec:.3f}", flush=True)
+              f"-> recall {rec:.3f} (n_assign=2: {rec2:.3f})",
+              flush=True)
 
     spark.stop()
 
