@@ -498,3 +498,28 @@ def test_reorder_distributed_gate_partitioned(spark, sf_dir, tmp_path):
     # a second finalize is a no-op
     engine.finalize()
     assert len(emitted()) == 300
+
+
+def test_composed_replay_witness_small(tmp_path):
+    """The composed replay-at-scale witness (source → durable reorder
+    gate → partitioned paced senders → capped sink with retry) pinned
+    at sf0.001 so composition regressions surface in-suite; the
+    recorded sf0.1 run lives in docs/ROUND11.md. The tool exits
+    nonzero unless the emitted multiset is exact, every sender journal
+    is ts-ordered, and every request respects the Kinesis cap."""
+    import json as js
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/replay_scale_witness.py",
+         "/root/testdata/sf0.001", "3"],
+        capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    s = js.loads(line)
+    assert s["emitted"] == s["rows"] == 1000
+    assert s["multiset_exact"] and s["per_sender_ordered"]
+    assert s["request_cap_ok"] and s["retried_records"] > 0
+    assert s["batches"] == 3
