@@ -809,14 +809,18 @@ def kmeans_centroids_two_level(
 def ivf_assign_two_level(emb: DataFrame, coarse: DataFrame,
                          fine: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         exact: bool = False) -> DataFrame:
+                         exact: bool = False,
+                         n_assign: int = 1) -> DataFrame:
     """Assign every vector to its leaf cell through the hierarchy:
     nearest coarse centroid (broadcast scan over n_coarse), then nearest
     fine centroid WITHIN that cell (broadcast join on coarse_id over
     n_fine candidates). Output: (id, vec, centroid_id) — the same
     contract as flat ivf_assign, at O(n_coarse + n_fine) comparisons
     per vector. exact=True scores with the decimal-exact cosine at both
-    levels (cross-engine gates)."""
+    levels (cross-engine gates). n_assign > 1 (r11) keeps each vector's
+    n_assign nearest LEAF cells within its coarse cell and adds an
+    `assign_rank` column (1 = primary) — existing callers see the
+    unchanged 3-column shape at the default."""
     from pyspark.sql import Window
     scorer = cosine if exact else _fast_cosine
     asg1 = ivf_assign(emb, id_col=id_col, vec_col=vec_col,
@@ -828,8 +832,13 @@ def ivf_assign_two_level(emb: DataFrame, coarse: DataFrame,
                              F.col("c_vec")).alias("sim")))
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
                                          F.col("centroid_id").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("id", "vec", "centroid_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    if n_assign <= 1:
+        return ranked.filter(F.col("rn") == 1) \
+            .select("id", "vec", "centroid_id")
+    return (ranked.filter(F.col("rn") <= n_assign)
+            .select("id", "vec", "centroid_id",
+                    F.col("rn").alias("assign_rank")))
 
 
 def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.4,
@@ -837,7 +846,8 @@ def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.4,
                              n_iters: int = 2, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              train_mod: int | None = None,
-                             exact: bool = False) -> DataFrame:
+                             exact: bool = False,
+                             n_assign: int = 1) -> DataFrame:
     """SemDeDup over hierarchical leaf cells — the 100 TB variant: same
     min-id-wins duplicate semantics as `semantic_dedup`, but clustering
     cost is O(n·√k) instead of O(n·k) when k grows ∝ corpus (flat
@@ -851,10 +861,23 @@ def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.4,
     fine, coarse = kmeans_centroids_two_level(
         emb, n_coarse=n_coarse, n_fine=n_fine, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col, train_mod=train_mod, exact=exact)
-    asg = ivf_assign_two_level(emb, coarse, fine, id_col=id_col,
-                               vec_col=vec_col, exact=exact)
-    return _mark_semantic_dups(asg, threshold,
-                               cosine if exact else _fast_cosine)
+    scorer = cosine if exact else _fast_cosine
+    if n_assign <= 1:
+        asg = ivf_assign_two_level(emb, coarse, fine, id_col=id_col,
+                                   vec_col=vec_col, exact=exact)
+        return _mark_semantic_dups(asg, threshold, scorer)
+    # n_assign > 1 (r11): same counter to the leaf-confinement miss
+    # mode as flat semantic_dedup — extra leaf assignments within the
+    # coarse cell generate candidate pairs only; output rows and the
+    # primary centroid_id are unchanged
+    multi = ivf_assign_two_level(emb, coarse, fine, id_col=id_col,
+                                 vec_col=vec_col, exact=exact,
+                                 n_assign=n_assign).localCheckpoint()
+    asg = (multi.filter(F.col("assign_rank") == 1)
+           .select("id", "vec", "centroid_id"))
+    pair_asg = multi.select("id", "vec", "centroid_id")
+    return _mark_semantic_dups(asg, threshold, scorer,
+                               pair_asg=pair_asg)
 
 
 # --------------------------------------------------------------------------

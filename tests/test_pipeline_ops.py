@@ -4894,3 +4894,29 @@ def test_semantic_dedup_multi_assign(spark, sf_dir):
         .filter("is_dup").collect()}
     assert d1 <= d2 <= ex
     assert len(d2) > len(d1)                  # recall actually improves
+
+
+def test_semantic_dedup_two_level_multi_assign(spark, sf_dir):
+    """n_assign=2 on the TWO-LEVEL variant (the 100 TB shape, where
+    smaller leaves make confinement misses worse): output stays one
+    row per id with the primary leaf; dup sets nest single ⊆ multi ⊆
+    exact and recall strictly improves on the fixture."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    one = similarity.semantic_dedup_two_level(
+        emb, threshold=0.3, n_coarse=4, n_fine=4, n_iters=2)
+    two = similarity.semantic_dedup_two_level(
+        emb, threshold=0.3, n_coarse=4, n_fine=4, n_iters=2, n_assign=2)
+    rows2 = two.collect()
+    assert len(rows2) == n                     # one row per id
+    d1 = {r["id"] for r in one.filter("is_dup").collect()}
+    d2 = {r["id"] for r in rows2 if r["is_dup"]}
+    ex = {r["id"] for r in similarity.semantic_dedup(
+        emb, threshold=0.3, n_centroids=1, n_iters=1)
+        .filter("is_dup").collect()}
+    assert d1 <= d2 <= ex
+    assert len(d2) > len(d1)
+    # primary assignment identical between the two runs
+    c1 = {r["id"]: r["centroid_id"] for r in one.collect()}
+    c2 = {r["id"]: r["centroid_id"] for r in rows2}
+    assert c1 == c2
