@@ -86,6 +86,30 @@ def _read_ifd(raw: bytes, bo: str):
     return tags
 
 
+def _tag_u(t: dict, tag: int, default: int | None = None) -> int:
+    """One unsigned integral value for `tag` — TIFFError (never a
+    foreign TypeError/IndexError) on a mutated type/count (r11 fuzz:
+    a flipped type byte turns the value tuple into raw bytes)."""
+    vals = t.get(tag)
+    if vals is None:
+        if default is None:
+            raise TIFFError(f"missing tag {tag}")
+        return default
+    if not vals or not isinstance(vals[0], int):
+        raise TIFFError(f"tag {tag} is not integral")
+    return vals[0]
+
+
+def _tag_us(t: dict, tag: int) -> tuple:
+    """All-integral value tuple for `tag`; TIFFError otherwise."""
+    vals = t.get(tag)
+    if vals is None:
+        raise TIFFError(f"missing tag {tag}")
+    if not vals or not all(isinstance(v, int) for v in vals):
+        raise TIFFError(f"tag {tag} is not integral")
+    return vals
+
+
 def _unpackbits(data: bytes, expected: int) -> bytes:
     out = bytearray()
     i = 0
@@ -208,17 +232,25 @@ def _lzw_encode(data: bytes) -> bytes:
 
 
 def _decompress_block(comp: int, block: bytes, expected: int) -> bytes:
-    """One strip/tile through the compression switch (shared)."""
+    """One strip/tile through the compression switch (shared). ALWAYS
+    returns exactly `expected` bytes or raises — the tiled assembler
+    preallocates the image, so a short block there would silently
+    zero-fill pixels instead of erroring (the LZW EOI path can return
+    short; r11 fuzz finding)."""
     if comp == 1:
         if len(block) < expected:
             raise TIFFError("uncompressed block short")
-        return block[:expected]
-    if comp == 5:
-        return _lzw_decode(block, expected)
-    if comp == 32773:
-        return _unpackbits(block, expected)
-    raise NotImplementedError(
-        f"TIFF compression {comp} not supported (none, LZW, PackBits)")
+        data = block[:expected]
+    elif comp == 5:
+        data = _lzw_decode(block, expected)
+    elif comp == 32773:
+        data = _unpackbits(block, expected)
+    else:
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (none, LZW, PackBits)")
+    if len(data) != expected:
+        raise TIFFError("decoded block short")
+    return data
 
 
 def _undo_predictor(data: bytes, nrows: int, row_samples: int,
@@ -265,10 +297,16 @@ def decode_tiff(raw: bytes):
     t = _read_ifd(raw, bo)
     if _TAG_WIDTH not in t or _TAG_HEIGHT not in t:
         raise TIFFError("missing ImageWidth/ImageLength tag")
-    w = t[_TAG_WIDTH][0]
-    h = t[_TAG_HEIGHT][0]
-    spp = t.get(_TAG_SPP, (1,))[0]
-    bits = t.get(_TAG_BITS, (1,) * spp)
+    w = _tag_u(t, _TAG_WIDTH)
+    h = _tag_u(t, _TAG_HEIGHT)
+    spp = _tag_u(t, _TAG_SPP, 1)
+    # decompression-bomb guard: BOTH layouts allocate output from the
+    # DECLARED dims (the tiled path up front; LZW can synthesize
+    # `expected` bytes from a tiny strip), so a crafted header could
+    # demand gigabytes before any data-length check fires
+    if w <= 0 or h <= 0 or spp <= 0 or w * h * spp > (1 << 30):
+        raise TIFFError("implausible image dimensions")
+    bits = _tag_us(t, _TAG_BITS) if _TAG_BITS in t else (1,) * spp
     if all(b == 8 for b in bits):
         ss = 1
     elif all(b == 16 for b in bits):
@@ -276,14 +314,14 @@ def decode_tiff(raw: bytes):
     else:
         raise NotImplementedError(
             f"{bits}-bit TIFF not supported (8- or 16-bit chunky)")
-    if t.get(_TAG_PLANAR, (1,))[0] != 1:
+    if _tag_u(t, _TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar TIFF not supported (chunky)")
-    comp = t.get(_TAG_COMPRESSION, (1,))[0]
-    photo = t.get(_TAG_PHOTOMETRIC, (1,))[0]
+    comp = _tag_u(t, _TAG_COMPRESSION, 1)
+    photo = _tag_u(t, _TAG_PHOTOMETRIC, 1)
     if spp not in (1, 3, 4) or photo not in (0, 1, 2):
         raise NotImplementedError(
             f"TIFF photometric {photo} x {spp} samples not supported")
-    pred = t.get(_TAG_PREDICTOR, (1,))[0]
+    pred = _tag_u(t, _TAG_PREDICTOR, 1)
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
 
@@ -291,12 +329,12 @@ def decode_tiff(raw: bytes):
         if not all(k in t for k in (_TAG_TILE_LENGTH, _TAG_TILE_OFFSETS,
                                     _TAG_TILE_COUNTS)):
             raise TIFFError("tiled TIFF missing tile tags")
-        tw = t[_TAG_TILE_WIDTH][0]
-        tl = t[_TAG_TILE_LENGTH][0]
-        if tw <= 0 or tl <= 0:
+        tw = _tag_u(t, _TAG_TILE_WIDTH)
+        tl = _tag_u(t, _TAG_TILE_LENGTH)
+        if tw <= 0 or tl <= 0 or tw * tl * spp * ss > (1 << 30):
             raise TIFFError("bad tile geometry")
-        offsets = t[_TAG_TILE_OFFSETS]
-        counts = t[_TAG_TILE_COUNTS]
+        offsets = _tag_us(t, _TAG_TILE_OFFSETS)
+        counts = _tag_us(t, _TAG_TILE_COUNTS)
         if len(offsets) != len(counts):
             raise TIFFError("tile offsets/counts mismatch")
         across = (w + tw - 1) // tw
@@ -325,9 +363,11 @@ def decode_tiff(raw: bytes):
                                                 r * tile_row + ncols]
         out = bytes(out)
     else:
-        rps = t.get(_TAG_ROWS_PER_STRIP, (h,))[0] or h
-        offsets = t[_TAG_STRIP_OFFSETS]
-        counts = t[_TAG_STRIP_COUNTS]
+        rps = _tag_u(t, _TAG_ROWS_PER_STRIP, h) or h
+        if _TAG_STRIP_OFFSETS not in t or _TAG_STRIP_COUNTS not in t:
+            raise TIFFError("missing strip offsets/counts")
+        offsets = _tag_us(t, _TAG_STRIP_OFFSETS)
+        counts = _tag_us(t, _TAG_STRIP_COUNTS)
         if len(offsets) != len(counts):
             raise TIFFError("strip offsets/counts mismatch")
         row_bytes = w * spp * ss

@@ -4920,3 +4920,57 @@ def test_semantic_dedup_two_level_multi_assign(spark, sf_dir):
     c1 = {r["id"]: r["centroid_id"] for r in one.collect()}
     c2 = {r["id"]: r["centroid_id"] for r in rows2}
     assert c1 == c2
+
+
+def test_tiff_seeded_mutation_fuzz_never_crashes():
+    """Corrupt-input robustness for the TIFF decoder (the zstd/brotli
+    fuzz contract, extended to the r11 tiled/16-bit surface): 600
+    seeded bit-flips, truncations and header-field scribbles across
+    strip/tile x 8/16-bit x compression blobs each either raise
+    TIFFError / NotImplementedError or decode to SOME pixels — never a
+    foreign exception (struct.error, IndexError, MemoryError from a
+    crafted-dims allocation bomb), hang, or silent short output."""
+    import os
+    import random
+    import struct as st
+
+    from amazon_kinesis_replay_spark.functions.tiff import (TIFFError,
+                                                            decode_tiff,
+                                                            encode_tiff)
+
+    rng = random.Random(13)
+    blobs = []
+    for spp, comp, bits, tile in [(1, 1, 8, None), (3, 5, 8, (16, 16)),
+                                  (3, 5, 16, None), (1, 32773, 8, None),
+                                  (4, 1, 16, (16, 16)),
+                                  (3, 5, 16, (16, 32))]:
+        w, h = rng.randint(3, 40), rng.randint(3, 40)
+        n = w * h * spp
+        px = (os.urandom(n) if bits == 8
+              else st.pack("<%dH" % n, *(rng.randrange(65536)
+                                         for _ in range(n))))
+        blobs.append(encode_tiff(w, h, px, spp=spp, compression=comp,
+                                 predictor=2 if comp == 5 else 1,
+                                 bits=bits, tile=tile))
+
+    for trial in range(600):
+        b = bytearray(blobs[trial % len(blobs)])
+        mode = trial % 3
+        if mode == 0:
+            k = rng.randrange(len(b))
+            b[k] ^= 1 << rng.randrange(8)
+            mut = bytes(b)
+        elif mode == 1:
+            mut = bytes(b[:rng.randrange(len(b))])
+        else:
+            # scribble a 32-bit value into the IFD region (offsets,
+            # counts, dims — the allocation-bomb surface)
+            k = rng.randrange(8, min(len(b) - 4, 200))
+            st.pack_into("<I", b, k, rng.choice(
+                [0, 1, 0xFFFFFFFF, 1 << 30, 1 << 20, len(b) * 3]))
+            mut = bytes(b)
+        try:
+            w, h, px = decode_tiff(mut)
+            assert len(px) in (w * h, w * h * 3, w * h * 4), trial
+        except (TIFFError, NotImplementedError):
+            pass
