@@ -697,7 +697,20 @@ def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
     return w, h, _pixel_histogram(pixels)
 
 
-def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
+#: everything the pure-Python image codecs raise on corrupt/unsupported
+#: payloads: the per-codec error classes are all ValueError subclasses
+#: (TIFFError, WebPError, ...), PNG inflate raises zlib.error, header
+#: walks over truncated buffers raise struct.error, capability gates
+#: raise NotImplementedError. Used by the on_error="skip" corpus policy.
+def _image_decode_errors():
+    import struct as _struct
+    import zlib as _zlib
+    return (ValueError, NotImplementedError, OSError, EOFError,
+            KeyError, IndexError, _struct.error, _zlib.error)
+
+
+def decode_images(df: DataFrame, fake: bool = False,
+                  on_error: str = "raise") -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
     The real path decodes PNG (incl. Adam7) / JPEG (baseline,
@@ -707,8 +720,15 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     computing a pixel-histogram feature vector over the decoded raster;
     unsupported formats raise loudly from the kernel. fake=True
     substitutes the deterministic fake decoder for any payload.
-    """
+
+    on_error: "raise" (default — the gated-fixture contract: a bad blob
+    is a bug) or "skip" (the 100 TB corpus contract: an undecodable
+    blob drops from the output like every other ingest path; row
+    counts tell you how many)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     decode_one = _fake_decode_image if fake else _real_decode_image
+    skip_errors = _image_decode_errors() if on_error == "skip" else ()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -716,14 +736,20 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
                    "n_bytes": [], "sha1": [], "features": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                w, h, feats = decode_one(raw)
+                try:
+                    w, h, feats = decode_one(raw)
+                except skip_errors:
+                    continue              # undecodable blob: drop row
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(raw))
                 out["sha1"].append(hashlib.sha1(raw).hexdigest())
                 out["features"].append(feats)
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                # an all-skipped batch would yield empty float64
+                # columns Arrow can't cast to list<float>
+                yield pd.DataFrame(out)
 
     return df.select("media_id", "data").mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
 
@@ -749,7 +775,8 @@ def _resize_nn(pixels: bytes, w: int, h: int, c: int,
 
 
 def resize_images(df: DataFrame, out_w: int, out_h: int,
-                  fake: bool = False) -> DataFrame:
+                  fake: bool = False,
+                  on_error: str = "raise") -> DataFrame:
     """Decode + RESIZE image payloads to a fixed raster (the
     normalize-for-training step next to decode/feature-extract/
     frame-sample): nearest-neighbor resample of the decoded raster to
@@ -764,6 +791,9 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
     are the OUTPUT dims, pixels the resized raw channel bytes."""
     if out_w < 1 or out_h < 1:
         raise ValueError(f"output dims must be >= 1, got {out_w}x{out_h}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    skip_errors = _image_decode_errors() if on_error == "skip" else ()
 
     def _decode(raw: bytes) -> tuple[int, int, int, bytes]:
         if fake:
@@ -780,14 +810,18 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                    "channels": [], "pixels": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                w, h, c, pixels = _decode(raw)
+                try:
+                    w, h, c, pixels = _decode(raw)
+                except skip_errors:
+                    continue              # undecodable blob: drop row
                 out["media_id"].append(mid)
                 out["width"].append(out_w)
                 out["height"].append(out_h)
                 out["channels"].append(c)
                 out["pixels"].append(_resize_nn(pixels, w, h, c,
                                                 out_w, out_h))
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     return df.select("media_id", "data").mapInPandas(
         _resize, RESIZED_IMAGE_SCHEMA)

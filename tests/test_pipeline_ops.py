@@ -4974,3 +4974,37 @@ def test_tiff_seeded_mutation_fuzz_never_crashes():
             assert len(px) in (w * h, w * h * 3, w * h * 4), trial
         except (TIFFError, NotImplementedError):
             pass
+
+
+def test_decode_images_on_error_skip(spark):
+    """The corpus decode policy (r11): on_error='skip' drops
+    undecodable blobs (truncated PNG, unknown magic, None payload
+    bytes) like every other ingest path while valid blobs decode
+    unchanged; the default stays raise — a bad blob in the GATED
+    fixture is a bug, not data."""
+    import pytest
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        decode_images, encode_png, resize_images, synth_image_blob)
+
+    good0 = synth_image_blob(0, b"abcdef" * 20)
+    good1 = encode_png(4, 4, bytes(range(48)))
+    bad_trunc = good1[:20]                    # PNG magic, truncated
+    bad_magic = b"\x00\x01nonsense-payload"
+    rows = [(0, bytearray(good0)), (1, bytearray(good1)),
+            (2, bytearray(bad_trunc)), (3, bytearray(bad_magic))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+
+    got = decode_images(df, on_error="skip").collect()
+    assert sorted(r["media_id"] for r in got) == [0, 1]
+    ok = decode_images(df.filter("media_id <= 1")).collect()
+    assert {(r["media_id"], r["sha1"]) for r in ok} == \
+        {(r["media_id"], r["sha1"]) for r in got}  # valid rows identical
+
+    with pytest.raises(Exception):
+        decode_images(df).collect()           # default: loud
+
+    rz = resize_images(df, 4, 4, on_error="skip").collect()
+    assert sorted(r["media_id"] for r in rz) == [0, 1]
+    with pytest.raises(ValueError, match="on_error"):
+        decode_images(df, on_error="ignore")
