@@ -597,26 +597,35 @@ def audio_content_digest(rate: int, channels: int, mono) -> str:
                         + ints.tobytes()).hexdigest()
 
 
-def audio_meta(df: DataFrame) -> DataFrame:
+def audio_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """Distributed audio metadata + exact content digest through the
     REAL decoders (r10): (sample_rate, channels, total_frames) from the
     container walk and `audio_content_digest` over the decoded signal —
-    malformed payloads raise (never silently wrong). Arrow-batched
+    malformed payloads raise (never silently wrong); on_error="skip"
+    (r11) drops undecodable payloads instead, the 100 TB corpus
+    contract (same policy knob as decode_images). Arrow-batched
     mapInPandas over (media_id, data)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    skip_errors = _image_decode_errors() if on_error == "skip" else ()
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "sample_rate": [], "channels": [],
                     "total_frames": [], "mono_digest": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                rate, ch, frames, mono = _audio_mono_f64(bytes(data))
+                try:
+                    rate, ch, frames, mono = _audio_mono_f64(bytes(data))
+                except skip_errors:
+                    continue              # undecodable payload: drop row
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(rate)
                 rows["channels"].append(ch)
                 rows["total_frames"].append(frames)
                 rows["mono_digest"].append(
                     audio_content_digest(rate, ch, mono))
-            yield pd.DataFrame(rows)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
 
     return df.select("media_id", "data").mapInPandas(
         _kernel, "media_id long, sample_rate int, channels int, "

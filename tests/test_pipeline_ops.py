@@ -5008,3 +5008,26 @@ def test_decode_images_on_error_skip(spark):
     assert sorted(r["media_id"] for r in rz) == [0, 1]
     with pytest.raises(ValueError, match="on_error"):
         decode_images(df, on_error="ignore")
+
+
+def test_audio_meta_on_error_skip(spark):
+    """on_error='skip' for the audio surface: a truncated WAV and an
+    unknown container drop; valid payloads decode identically to the
+    raise path."""
+    import pytest
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        audio_meta, synth_audio_blob)
+
+    good = synth_audio_blob(0, b"audio-seed-bytes" * 8)
+    rows = [(0, bytearray(good)), (1, bytearray(good[:10])),
+            (2, bytearray(b"NOTAUDIO" * 4))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = audio_meta(df, on_error="skip").collect()
+    assert [r["media_id"] for r in got] == [0]
+    ok = audio_meta(df.filter("media_id = 0")).collect()
+    assert got[0]["mono_digest"] == ok[0]["mono_digest"]
+    with pytest.raises(Exception):
+        audio_meta(df).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        audio_meta(df, on_error="drop")
