@@ -5031,3 +5031,33 @@ def test_audio_meta_on_error_skip(spark):
         audio_meta(df).collect()
     with pytest.raises(ValueError, match="on_error"):
         audio_meta(df, on_error="drop")
+
+
+def test_image_codecs_raise_only_skip_tuple_under_mutation():
+    """The on_error='skip' safety contract, fuzzed across ALL EIGHT
+    image modes (PNG/JPEG/GIF/arith-JPEG/progressive-JPEG/VP8L/
+    lossy-VP8/TIFF): 2000 seeded bit-flips and truncations each either
+    decode or raise INSIDE _image_decode_errors() — a codec raising
+    anything else would crash a skip-mode corpus task instead of
+    dropping the blob."""
+    import random
+
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        _decode_pixels, _image_decode_errors, synth_image_blob)
+
+    errs = _image_decode_errors()
+    rng = random.Random(99)
+    for mode in range(8):
+        blob = synth_image_blob(
+            mode, bytes(rng.randrange(256) for _ in range(160)))
+        for trial in range(250):
+            b = bytearray(blob)
+            if trial % 2:
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                mut = bytes(b)
+            else:
+                mut = bytes(b[:rng.randrange(len(b))])
+            try:
+                _decode_pixels(mut)
+            except errs:
+                pass
