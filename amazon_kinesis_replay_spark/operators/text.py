@@ -441,7 +441,7 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 def lang_scores(text_col: Column,
                 profiles: dict[str, tuple[str, ...]] | None = None,
                 pre_normalized: bool = False) -> dict[str, Column]:
-    """Per-language profile-coverage scores (|doc ∩ profile| /
+    r"""Per-language profile-coverage scores (|doc ∩ profile| /
     |profile| — the `lang_id_ngram` term, one per language). Exact
     cross-engine: an integer hit count divided by the profile size, so
     the DuckDB mirror (`lang_scores_sql`, emitted from the SAME profile

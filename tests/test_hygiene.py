@@ -142,5 +142,27 @@ def test_bench_attempt_quiet_predicate_is_steal_proof():
         {"canary_mp_sec": 0.1643, "steal_pct": 0.0, "load1": 9.0})
     assert not bench._attempt_is_quiet(
         {"canary_mp_sec": 0.30, "steal_pct": 0.0, "load1": 1.0})
-    # non-Linux fallback: missing /proc keys -> canary-only predicate
-    assert bench._attempt_is_quiet({"canary_mp_sec": 0.15})
+    # r11 advice: on Linux a MISSING /proc meter means the sampling
+    # failed — it must read not-quiet instead of silently degrading to
+    # the dodgeable canary-only predicate (non-Linux keeps the fallback)
+    import sys as _sys
+    if _sys.platform.startswith("linux"):
+        assert not bench._attempt_is_quiet({"canary_mp_sec": 0.15})
+        assert bench._quiet_failures({"canary_mp_sec": 0.15}) == [
+            "steal_pct_missing", "load1_missing"]
+    else:
+        assert bench._attempt_is_quiet({"canary_mp_sec": 0.15})
+    # the failure list names each tripped meter
+    assert bench._quiet_failures(r10_loaded) == ["steal_pct", "load1"]
+    assert bench._quiet_failures(r10_local) == []
+
+
+def test_bench_publish_is_self_describing():
+    """r11 verdict item 4: the published JSON must carry
+    published_attempt_quiet + the failing meters so a retry-cap
+    publication (like r11's best attempt at steal 1.61%) is legible to
+    the driver without forensics. Pins the source, so a refactor that
+    drops the flag fails here rather than silently."""
+    src = open("/root/repo/bench.py").read()
+    assert '"published_attempt_quiet": _attempt_is_quiet(best)' in src
+    assert '"quiet_fail_meters": _quiet_failures(best)' in src

@@ -47,12 +47,20 @@ class JournalSink:
     the first record of its first request (exercising the retry path),
     and journals every ACCEPTED record's (ts, wall-clock) to its own
     file — one file per sink instance, i.e. per sender partition per
-    micro-batch, so within-file order IS per-sender emission order."""
+    micro-batch, so within-file order IS per-sender emission order.
+
+    The journal name must be unique PER INSTANCE, not per (pid, address):
+    ``id(self)`` is a reused memory address, so in a long-lived executor
+    worker a later micro-batch's sink can collide with an earlier one and
+    APPEND to the same file — and the reorder gate's legitimate
+    cross-batch late emissions then read as a within-sender ts inversion
+    (the r11 flaky failure). uuid4 guarantees one file per instance."""
 
     def __init__(self):
+        import uuid
         self.first = True
         self.path = os.path.join(
-            REC_DIR, f"{os.getpid()}-{id(self)}.jsonl")
+            REC_DIR, f"{os.getpid()}-{uuid.uuid4().hex}.jsonl")
         self.f = open(self.path, "a")
 
     def put_records(self, records):
