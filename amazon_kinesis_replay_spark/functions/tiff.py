@@ -314,6 +314,13 @@ def decode_tiff(raw: bytes):
     else:
         raise NotImplementedError(
             f"{bits}-bit TIFF not supported (8- or 16-bit chunky)")
+    # second guard once the sample size is known (r11 advice): the cap
+    # must bound BYTES, not samples — a <1 MB LZW 16-bit file declaring
+    # near-cap dims would otherwise force multi-GiB allocations. 256 MiB
+    # of sample bytes is generous for a corpus decode kernel and keeps
+    # worst-case peak memory (output + numpy u4 intermediate) ~1.5 GiB.
+    if w * h * spp * ss > (1 << 28):
+        raise TIFFError("implausible image dimensions")
     if _tag_u(t, _TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar TIFF not supported (chunky)")
     comp = _tag_u(t, _TAG_COMPRESSION, 1)
@@ -331,7 +338,7 @@ def decode_tiff(raw: bytes):
             raise TIFFError("tiled TIFF missing tile tags")
         tw = _tag_u(t, _TAG_TILE_WIDTH)
         tl = _tag_u(t, _TAG_TILE_LENGTH)
-        if tw <= 0 or tl <= 0 or tw * tl * spp * ss > (1 << 30):
+        if tw <= 0 or tl <= 0 or tw * tl * spp * ss > (1 << 28):
             raise TIFFError("bad tile geometry")
         offsets = _tag_us(t, _TAG_TILE_OFFSETS)
         counts = _tag_us(t, _TAG_TILE_COUNTS)
@@ -387,13 +394,20 @@ def decode_tiff(raw: bytes):
     if len(out) != w * h * spp * ss:
         raise TIFFError("decoded size mismatch")
     if ss == 2:
-        n = w * h * spp
-        vals = struct.unpack(bo + "%dH" % n, out)
+        # vectorized 16->8: the r11 struct.unpack form built a Python
+        # tuple + list (~30-36 bytes per sample, tens of GiB at cap
+        # dims); numpy keeps peak memory at ~6 bytes/sample and the
+        # arithmetic identical (u4 holds 65535*255+32767 < 2^32, //
+        # floors exactly like the scalar rule)
+        import numpy as np
+        vals = np.frombuffer(out, dtype=np.dtype(bo + "u2")).astype(
+            np.uint32)
         if photo == 0:                            # invert at native depth
-            vals = [65535 - v for v in vals]
-        out = bytes((v * 255 + 32767) // 65535 for v in vals)
+            vals = 65535 - vals
+        out = ((vals * 255 + 32767) // 65535).astype(np.uint8).tobytes()
     elif photo == 0:                              # min-is-white
-        out = bytes(255 - b for b in out)
+        import numpy as np
+        out = (255 - np.frombuffer(out, dtype=np.uint8)).tobytes()
     return w, h, out
 
 

@@ -608,6 +608,7 @@ def audio_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     skip_errors = _image_decode_errors() if on_error == "skip" else ()
+    skip_counter = _skip_counter_for(df, on_error)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -617,7 +618,8 @@ def audio_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
                 try:
                     rate, ch, frames, mono = _audio_mono_f64(bytes(data))
                 except skip_errors:
-                    continue              # undecodable payload: drop row
+                    skip_counter.add(1)   # undecodable payload: drop row
+                    continue
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(rate)
                 rows["channels"].append(ch)
@@ -627,9 +629,11 @@ def audio_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
             if rows["media_id"]:
                 yield pd.DataFrame(rows)
 
-    return df.select("media_id", "data").mapInPandas(
+    out_df = df.select("media_id", "data").mapInPandas(
         _kernel, "media_id long, sample_rate int, channels int, "
                  "total_frames long, mono_digest string")
+    out_df.skipped_rows = skip_counter
+    return out_df
 
 
 def synthesize_image_media(df: DataFrame, side: int = 8) -> DataFrame:
@@ -711,11 +715,29 @@ def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
 #: (TIFFError, WebPError, ...), PNG inflate raises zlib.error, header
 #: walks over truncated buffers raise struct.error, capability gates
 #: raise NotImplementedError. Used by the on_error="skip" corpus policy.
+#: MemoryError is deliberately NOT here: every decoder bounds its
+#: allocations from validated header fields (e.g. the TIFF byte-size
+#: caps), so a MemoryError means the WORKER is out of memory — that
+#: must fail the task loudly, not silently shrink the corpus.
 def _image_decode_errors():
     import struct as _struct
     import zlib as _zlib
     return (ValueError, NotImplementedError, OSError, EOFError,
             KeyError, IndexError, _struct.error, _zlib.error)
+
+
+def _skip_counter_for(df: DataFrame, on_error: str):
+    """A per-call Spark accumulator counting rows dropped by the
+    on_error="skip" corpus policy (r11 advice: row counts alone can't
+    distinguish 'a few corrupt blobs' from 'a codec regression skipping
+    a whole mode'). None under on_error="raise". The caller attaches it
+    to the returned frame as `.skipped_rows`; read `.value` on the
+    driver AFTER an action. Standard accumulator caveat: task retries /
+    stage re-executions can double-count, so treat it as an
+    observability meter, not an exact count."""
+    if on_error != "skip":
+        return None
+    return df.sparkSession.sparkContext.accumulator(0)
 
 
 def decode_images(df: DataFrame, fake: bool = False,
@@ -732,12 +754,17 @@ def decode_images(df: DataFrame, fake: bool = False,
 
     on_error: "raise" (default — the gated-fixture contract: a bad blob
     is a bug) or "skip" (the 100 TB corpus contract: an undecodable
-    blob drops from the output like every other ingest path; row
-    counts tell you how many)."""
+    blob drops from the output like every other ingest path). Under
+    "skip" the returned frame carries a `.skipped_rows` accumulator
+    (read `.value` after an action) so a corpus run can tell a few
+    corrupt blobs from a codec regression silently dropping a whole
+    mode; None under "raise". resize_images / audio_meta expose the
+    same meter."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     decode_one = _fake_decode_image if fake else _real_decode_image
     skip_errors = _image_decode_errors() if on_error == "skip" else ()
+    skip_counter = _skip_counter_for(df, on_error)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -748,7 +775,8 @@ def decode_images(df: DataFrame, fake: bool = False,
                 try:
                     w, h, feats = decode_one(raw)
                 except skip_errors:
-                    continue              # undecodable blob: drop row
+                    skip_counter.add(1)   # undecodable blob: drop row
+                    continue
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -760,7 +788,10 @@ def decode_images(df: DataFrame, fake: bool = False,
                 # columns Arrow can't cast to list<float>
                 yield pd.DataFrame(out)
 
-    return df.select("media_id", "data").mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+    out_df = df.select("media_id", "data").mapInPandas(
+        _decode, IMAGE_FEATURES_SCHEMA)
+    out_df.skipped_rows = skip_counter
+    return out_df
 
 
 RESIZED_IMAGE_SCHEMA = StructType([
@@ -803,6 +834,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     skip_errors = _image_decode_errors() if on_error == "skip" else ()
+    skip_counter = _skip_counter_for(df, on_error)
 
     def _decode(raw: bytes) -> tuple[int, int, int, bytes]:
         if fake:
@@ -822,7 +854,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                 try:
                     w, h, c, pixels = _decode(raw)
                 except skip_errors:
-                    continue              # undecodable blob: drop row
+                    skip_counter.add(1)   # undecodable blob: drop row
+                    continue
                 out["media_id"].append(mid)
                 out["width"].append(out_w)
                 out["height"].append(out_h)
@@ -832,8 +865,10 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
             if out["media_id"]:
                 yield pd.DataFrame(out)
 
-    return df.select("media_id", "data").mapInPandas(
+    out_df = df.select("media_id", "data").mapInPandas(
         _resize, RESIZED_IMAGE_SCHEMA)
+    out_df.skipped_rows = skip_counter
+    return out_df
 
 
 def _parse_avi_frames(raw: bytes) -> list[bytes]:

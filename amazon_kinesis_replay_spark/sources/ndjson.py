@@ -219,12 +219,25 @@ def read_events_sampled_seek(spark: SparkSession, cfg: ReplayConfig,
 
     Determinism contract: objects ordered by path, lines by position
     within each object — the same traversal order as the reference's
-    listing loop. The skip geometry mirrors the Java exactly: a skip
-    that runs past the end of an object no-ops (readLine -> null), so
-    the next parse lands on the FIRST line of the next object; a
-    parsed line whose timestamp attribute is malformed keeps the seek
-    scanning (never a stop position). Driver-side work is
-    metadata-scale: one (count) row per object plus one ts row per
+    listing loop. The skip geometry mirrors the Java on CLEAN corpora:
+    a skip that runs past the end of an object no-ops (readLine ->
+    null), so the next parse lands on the FIRST line of the next
+    object.
+
+    Malformed-line DIVERGENCE (documented, DEVIATIONS.md item 10): the
+    reference's next() catches only IllegalArgumentException
+    (JsonEventS3Iterator.java:186), but its parser's actual failure
+    modes — Jackson errors rethrown as RuntimeException, a missing
+    timestamp attribute raising NPE, Instant.parse raising
+    DateTimeParseException (JsonEvent.java:84-92) — are NOT
+    IllegalArgumentException, so on the Java a malformed parse position
+    ABORTS the job (and in the rare caught case next() recurses,
+    advancing ONE line, not skip+1). This replica instead treats a
+    malformed parse position as never-a-stop and keeps walking the
+    skip+1 geometry — record-for-record parity holds only on corpora
+    where every parse position is well-formed (the java-twin test pins
+    THIS replica's semantics, not the Java's abort). Driver-side work
+    is metadata-scale: one (count) row per object plus one ts row per
     PARSE POSITION (~n_lines / skipNumLines)."""
     if skip_num_lines < 1:
         raise ValueError("skip_num_lines must be >= 1")

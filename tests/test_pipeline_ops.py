@@ -4976,6 +4976,66 @@ def test_tiff_seeded_mutation_fuzz_never_crashes():
             pass
 
 
+def test_tiff_16bit_allocation_bomb_guard():
+    """r11 advice (medium): a <1 MB LZW 16-bit TIFF declaring dims that
+    pass the old SAMPLE-count cap but explode in BYTES
+    (w*h*spp <= 2^30 yet w*h*spp*ss >> 2^28) must raise TIFFError from
+    the byte-size guard BEFORE any decompression or allocation — the
+    r11 tuple-building 16->8 path would have attempted tens of GiB
+    (~30+ bytes per sample). Wall time and Python peak allocation are
+    pinned so a guard regression fails loudly, not by OOM-killing the
+    suite."""
+    import struct as st
+    import time
+    import tracemalloc
+
+    import pytest
+
+    from amazon_kinesis_replay_spark.functions.tiff import (TIFFError,
+                                                            decode_tiff,
+                                                            encode_tiff)
+
+    def patch_long(buf: bytearray, tag: int, value: int) -> None:
+        # rewrite the IFD entry as LONG cnt=1 with an inline value
+        off = st.unpack_from("<I", buf, 4)[0]
+        n = st.unpack_from("<H", buf, off)[0]
+        for i in range(n):
+            e = off + 2 + 12 * i
+            if st.unpack_from("<H", buf, e)[0] == tag:
+                st.pack_into("<HHII", buf, e, tag, 4, 1, value)
+                return
+        raise AssertionError(f"tag {tag} not in IFD")
+
+    base = encode_tiff(8, 8, bytes(8 * 8 * 2), spp=1, compression=5,
+                       bits=16)
+    assert len(base) < (1 << 20)
+    for w, h in [(16384, 16384), (30000, 9000)]:
+        assert w * h * 1 <= (1 << 30)          # dodges the sample cap
+        assert w * h * 1 * 2 > (1 << 28)       # trips the byte cap
+        b = bytearray(base)
+        patch_long(b, 256, w)
+        patch_long(b, 257, h)
+        tracemalloc.start()
+        t0 = time.monotonic()
+        with pytest.raises(TIFFError):
+            decode_tiff(bytes(b))
+        dt = time.monotonic() - t0
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert dt < 2.0 and peak < (32 << 20), (dt, peak)
+
+    # the tile-geometry cap is byte-denominated too: image dims stay
+    # tiny (pass both whole-image guards) while the declared TILE is
+    # the bomb
+    tiled = encode_tiff(16, 16, bytes(16 * 16 * 2), spp=1,
+                        compression=5, bits=16, tile=(16, 16))
+    b = bytearray(tiled)
+    patch_long(b, 322, 16384)                  # TileWidth
+    patch_long(b, 323, 16384)                  # TileLength
+    with pytest.raises(TIFFError):
+        decode_tiff(bytes(b))
+
+
 def test_decode_images_on_error_skip(spark):
     """The corpus decode policy (r11): on_error='skip' drops
     undecodable blobs (truncated PNG, unknown magic, None payload
@@ -4995,17 +5055,25 @@ def test_decode_images_on_error_skip(spark):
             (2, bytearray(bad_trunc)), (3, bytearray(bad_magic))]
     df = spark.createDataFrame(rows, "media_id long, data binary")
 
-    got = decode_images(df, on_error="skip").collect()
+    got_df = decode_images(df, on_error="skip")
+    got = got_df.collect()
     assert sorted(r["media_id"] for r in got) == [0, 1]
-    ok = decode_images(df.filter("media_id <= 1")).collect()
+    # skipped-row observability (r11 advice): the drop count is on the
+    # returned frame, readable after the action
+    assert got_df.skipped_rows.value == 2
+    ok_df = decode_images(df.filter("media_id <= 1"))
+    ok = ok_df.collect()
+    assert ok_df.skipped_rows is None         # raise mode: no meter
     assert {(r["media_id"], r["sha1"]) for r in ok} == \
         {(r["media_id"], r["sha1"]) for r in got}  # valid rows identical
 
     with pytest.raises(Exception):
         decode_images(df).collect()           # default: loud
 
-    rz = resize_images(df, 4, 4, on_error="skip").collect()
+    rz_df = resize_images(df, 4, 4, on_error="skip")
+    rz = rz_df.collect()
     assert sorted(r["media_id"] for r in rz) == [0, 1]
+    assert rz_df.skipped_rows.value == 2
     with pytest.raises(ValueError, match="on_error"):
         decode_images(df, on_error="ignore")
 
@@ -5023,8 +5091,10 @@ def test_audio_meta_on_error_skip(spark):
     rows = [(0, bytearray(good)), (1, bytearray(good[:10])),
             (2, bytearray(b"NOTAUDIO" * 4))]
     df = spark.createDataFrame(rows, "media_id long, data binary")
-    got = audio_meta(df, on_error="skip").collect()
+    got_df = audio_meta(df, on_error="skip")
+    got = got_df.collect()
     assert [r["media_id"] for r in got] == [0]
+    assert got_df.skipped_rows.value == 2     # r11 advice: drop meter
     ok = audio_meta(df.filter("media_id = 0")).collect()
     assert got[0]["mono_digest"] == ok[0]["mono_digest"]
     with pytest.raises(Exception):
