@@ -63,25 +63,32 @@ def read_events(spark: SparkSession, cfg: ReplayConfig,
     yields ZERO parsed rows for (mis-extensioned lz4/zstd/brotli, a
     corrupt-per-Hadoop `.gz` that is really something else, binary
     garbage read as text) are re-read through the content-sniffing
-    binaryFile path and their rows unioned in. Detection is one extra
-    eager pass over the text scan (distinct contributing files,
-    map-side combined to ~n_files rows) plus a bodies-unread binaryFile
-    LISTING; only suspect files have their bytes re-read. Suspects
-    contributed no rows to the text leg, so the union cannot duplicate.
-    Steady-state 100 TB ingest should transcode once or call
-    `read_events_sniffed` directly; `sniff_fallback=False` restores the
-    single-pass lazy scan."""
+    binaryFile path and their rows unioned in. The text source is
+    scanned EXACTLY ONCE (r11 verdict item 3): the parsed rows are
+    localCheckpointed and BOTH the returned rows and the
+    zero-contributing-file detection derive from the checkpointed
+    blocks (a returned frame can never be unpersisted by the caller —
+    the documented localCheckpoint pattern; ContextCleaner reclaims
+    the blocks when the frame is unreferenced). Detection additionally
+    costs a bodies-unread binaryFile LISTING; only suspect files have
+    their bytes re-read. Suspects contributed no rows to the text leg,
+    so the union cannot duplicate. Steady-state 100 TB ingest should
+    transcode once or call `read_events_sniffed` directly;
+    `sniff_fallback=False` restores the single-leg LAZY scan (no
+    checkpoint, no eager jobs)."""
     reader = spark.read.option("ignoreCorruptFiles", "true")
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)
     text = reader.text(cfg.source_path)
-    base = _finish(text, cfg)
     if not sniff_fallback:
-        return base
+        return _finish(text, cfg)
 
+    # ONE text scan: parse with path, checkpoint, derive both legs
+    parsed = _finish(text.withColumn("path", F.input_file_name()), cfg,
+                     keep_path=True).localCheckpoint()
+    base = parsed.select("payload", "ts")
     # files that contributed at least one parsed row to the text leg
-    ok_files = (_finish(text.withColumn("path", F.input_file_name()), cfg,
-                        keep_path=True)
+    ok_files = (parsed
                 .select(_norm_path(F.col("path")).alias("norm")).distinct())
     listing_reader = spark.read.format("binaryFile")
     if path_glob_filter:

@@ -1170,17 +1170,32 @@ def test_read_events_sniff_fallback_mixed_dir(spark, sf_dir, tmp_path):
     assert len(got) == len(rows)                      # all three files
     assert len({r["payload"] for r in got}) == len(rows)  # no dups
 
-    # opt-out restores the lazy single-leg scan: only the plain file
+    # single-scan pin (r11 verdict item 3): the returned frame reads the
+    # text leg from the localCheckpoint blocks, NOT a second FileScan —
+    # consuming it must not re-scan the source. The only file scan left
+    # in the plan is the binaryFile re-read of the two suspect files.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan text" not in plan, plan
+    assert plan.count("FileScan") == 1 and "binaryFile" in plan, plan
+
+    # opt-out restores the lazy single-leg scan: only the plain file,
+    # and the plan IS the direct text FileScan (no checkpoint)
     lazy = ndjson.read_events(spark, cfg, sniff_fallback=False)
     assert lazy.count() == 30
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "Scan text" in lazy_plan, lazy_plan
 
-    # a dir with nothing to salvage returns the pure text plan
+    # a dir with nothing to salvage returns the checkpoint-backed leg
+    # with NO file scan at all
     solo = tmp_path / "solo"
     solo.mkdir()
     (solo / "a.jsonl").write_text(text_of(rows[:10]))
     cfg2 = ReplayConfig(source_path=str(solo),
                         timestamp_attribute="dropoff_datetime")
-    assert ndjson.read_events(spark, cfg2).count() == 10
+    clean = ndjson.read_events(spark, cfg2)
+    assert clean.count() == 10
+    clean_plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in clean_plan, clean_plan
 
 
 def test_sampled_seek_matches_java_iterator_twin(spark, tmp_path):
