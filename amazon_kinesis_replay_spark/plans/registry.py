@@ -2702,6 +2702,16 @@ def q_pairwise_topk_per_label(spark, sf_dir):
       the leaf centroid_id (coarse*4+fine). The oracle unrolls the whole
       chain in SQL (_TL2_* helpers), so the O(n*sqrt(k)) geometry itself
       is bit-checked, not just the flat variant.
+    - kind='semdedup_ma' (r12, verdict item 6): multi-assign flat
+      SemDeDup (n_assign=2) — the measured counter to the cluster-
+      confinement recall miss (0.32 -> 0.79 at eps=0.4 on the synthetic
+      embeddings): candidate pairs additionally form between vectors
+      sharing their SECOND-nearest centroid; base rows, the primary
+      centroid_id label, and min-id-wins semantics are unchanged. The
+      oracle unrolls the top-2 assignment (rn <= 2 over the same
+      trained centroids) and generates pairs over the widened table, so
+      the recall fix itself is hash-checked. Same trained centroids as
+      kind='semdedup' (one Lloyd run feeds both).
     """
     ensure_engine_conf(spark)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
@@ -2711,19 +2721,27 @@ def q_pairwise_topk_per_label(spark, sf_dir):
         F.col("lbl").cast("long").alias("label"), "id_a", "id_b", "cosine",
         F.col("rank").cast("long").alias("rank"),
         F.lit(None).cast("boolean").alias("is_dup"))
-    sem = similarity.semantic_dedup(
-        load(spark, sf_dir, "embeddings"), threshold=0.4,
-        n_centroids=16, n_iters=2, exact=True)
-    sem_rows = sem.select(
-        F.lit("semdedup").alias("kind"),
-        F.col("centroid_id").cast("long").alias("label"),
-        F.col("id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.lit(None).cast("double").alias("cosine"),
-        F.lit(None).cast("long").alias("rank"),
-        "is_dup")
+    full = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(full, n_centroids=16, n_iters=2,
+                                        exact=True)
+
+    def _sem_rows(kind: str, n_assign: int):
+        sem = similarity.semantic_dedup(
+            full, threshold=0.4, centroids=cents, exact=True,
+            n_assign=n_assign)
+        return sem.select(
+            F.lit(kind).alias("kind"),
+            F.col("centroid_id").cast("long").alias("label"),
+            F.col("id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("long").alias("rank"),
+            "is_dup")
+
+    sem_rows = _sem_rows("semdedup", 1)
+    sem_ma_rows = _sem_rows("semdedup_ma", 2)
     sem2 = similarity.semantic_dedup_two_level(
-        load(spark, sf_dir, "embeddings"), threshold=0.4,
+        full, threshold=0.4,
         n_coarse=4, n_fine=4, n_iters=2, train_mod=2, exact=True)
     sem2_rows = sem2.select(
         F.lit("semdedup2").alias("kind"),
@@ -2733,7 +2751,8 @@ def q_pairwise_topk_per_label(spark, sf_dir):
         F.lit(None).cast("double").alias("cosine"),
         F.lit(None).cast("long").alias("rank"),
         "is_dup")
-    return pair.unionAll(sem_rows).unionAll(sem2_rows)
+    return (pair.unionAll(sem_rows).unionAll(sem2_rows)
+            .unionAll(sem_ma_rows))
 
 
 _SIGN_BUCKET_SQL = ("(CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END"
@@ -3004,6 +3023,20 @@ _ORACLES_SIM = {
             FROM sd_af a JOIN sd_af b
               ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
             WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4),
+        -- kind='semdedup_ma': top-2 assignment over the SAME trained
+        -- centroids widens candidate-pair generation only (r12)
+        sd_ma AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           {_cosine_sql('e.embedding', 'c.c_vec')} DESC,
+                           c.centroid_id ASC) AS rn
+                FROM embeddings e CROSS JOIN sd_c2 c) WHERE rn <= 2),
+        sd_ma_dups AS (
+            SELECT DISTINCT a.vec_id
+            FROM sd_ma a JOIN sd_ma b
+              ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4),
         {_TL2_CTES.lstrip()}
         SELECT 'pair' AS kind, CAST(label AS BIGINT) AS label, id_a, id_b,
                cosine, CAST(rank AS BIGINT) AS rank,
@@ -3021,6 +3054,12 @@ _ORACLES_SIM = {
                CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BIGINT) AS rank,
                coalesce(d2.id IS NOT NULL, FALSE) AS is_dup
         FROM t2asg asg LEFT JOIN t2dups d2 ON asg.id = d2.id
+        UNION ALL
+        SELECT 'semdedup_ma' AS kind, CAST(af.centroid_id AS BIGINT) AS label,
+               af.vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BIGINT) AS rank,
+               coalesce(dm.vec_id IS NOT NULL, FALSE) AS is_dup
+        FROM sd_af af LEFT JOIN sd_ma_dups dm ON af.vec_id = dm.vec_id
     """,
 }
 

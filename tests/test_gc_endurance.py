@@ -27,11 +27,14 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from amazon_kinesis_replay_spark import fsutil
 from amazon_kinesis_replay_spark.operators import dedup, retrieval, similarity
 from amazon_kinesis_replay_spark.tables import load
+
+pytestmark = pytest.mark.slow       # ~2.5 min composed lifecycle witness
 
 N_CYCLES = 4
 

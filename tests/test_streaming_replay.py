@@ -279,6 +279,8 @@ def test_reorder_buffer_beyond_window_emits_late_not_dropped(spark,
     assert emitted != sorted(emitted)   # beyond-window disorder survives
 
 
+@pytest.mark.slow
+@pytest.mark.loadsensitive
 def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
     """r8 verdict task 5: QUANTIFY the engine's #1 documented deviation —
     pacing per partition-chunk instead of per event (reference:
@@ -305,6 +307,8 @@ def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
     import json as js
     import os
     import time
+
+    from conftest import run_load_sensitive
 
     events = load(spark, sf_dir, "events").select(
         F.col("props").alias("payload"), "ts")
@@ -335,52 +339,58 @@ def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
             self.f.flush()
             return []
 
-    # warm the Python workers so the measured run's launch latency is the
-    # steady micro-batch floor, not one-time worker startup
-    warm = ReplayEngine(ReplayConfig(speedup_factor=1e12, sender_threads=4),
-                        RecordingSink, mode="partitioned")
-    warm.process_batch(events, 0)
-    for fp in glob.glob(rec_dir + "/*.jsonl"):
-        os.unlink(fp)
+    def body():
+        # warm the Python workers so the measured run's launch latency
+        # is the steady micro-batch floor, not one-time worker startup;
+        # the cleanup also clears any journals a failed attempt left
+        warm = ReplayEngine(
+            ReplayConfig(speedup_factor=1e12, sender_threads=4),
+            RecordingSink, mode="partitioned")
+        warm.process_batch(events, 0)
+        for fp in glob.glob(rec_dir + "/*.jsonl"):
+            os.unlink(fp)
 
-    cfg = ReplayConfig(speedup_factor=speedup, sender_threads=4,
-                       max_records_per_request=25,
-                       anchor_ts=anchor.isoformat())
-    engine = ReplayEngine(cfg, RecordingSink, mode="partitioned")
-    t0 = time.time()
-    engine.process_batch(events, 0)
+        cfg = ReplayConfig(speedup_factor=speedup, sender_threads=4,
+                           max_records_per_request=25,
+                           anchor_ts=anchor.isoformat())
+        engine = ReplayEngine(cfg, RecordingSink, mode="partitioned")
+        t0 = time.time()
+        engine.process_batch(events, 0)
 
-    by_sender: dict = {}
-    for fp in glob.glob(rec_dir + "/*.jsonl"):
-        for line in open(fp):
-            d = js.loads(line)
-            ts = dt.datetime.fromisoformat(d["ts"])
-            off = (ts - anchor).total_seconds() / speedup
-            by_sender.setdefault(d["k"], []).append(
-                (off, d["wall"] - t0))
-    n_total = sum(len(v) for v in by_sender.values())
-    assert n_total == engine.stats.total_events > 0
+        by_sender: dict = {}
+        for fp in glob.glob(rec_dir + "/*.jsonl"):
+            for line in open(fp):
+                d = js.loads(line)
+                ts = dt.datetime.fromisoformat(d["ts"])
+                off = (ts - anchor).total_seconds() / speedup
+                by_sender.setdefault(d["k"], []).append(
+                    (off, d["wall"] - t0))
+        n_total = sum(len(v) for v in by_sender.values())
+        assert n_total == engine.stats.total_events > 0
 
-    all_dev, steady = [], []
-    for lst in by_sender.values():
-        lst.sort()
-        launch = lst[0][1] - lst[0][0]      # first-due record's lateness
-        for off, wall_rel in lst:
-            dev = wall_rel - off
-            all_dev.append(dev)
-            if off >= launch + 0.3:
-                steady.append(dev)
-    all_dev.sort()
-    steady.sort()
-    # never early (clock-skew epsilon only)
-    assert all_dev[0] >= -0.05, f"record emitted early: {all_dev[0]:.3f}s"
-    # warm launch must leave a measurable steady-state population
-    assert len(steady) >= n_total // 5, (
-        f"launch latency ate the span: {len(steady)}/{n_total} steady")
-    p50 = steady[len(steady) // 2]
-    p99 = steady[min(len(steady) - 1, int(len(steady) * 0.99))]
-    assert p50 <= 0.75, f"steady-state p50 lateness {p50:.3f}s"
-    assert p99 <= 1.2, f"steady-state p99 lateness {p99:.3f}s"
+        all_dev, steady = [], []
+        for lst in by_sender.values():
+            lst.sort()
+            launch = lst[0][1] - lst[0][0]  # first-due record's lateness
+            for off, wall_rel in lst:
+                dev = wall_rel - off
+                all_dev.append(dev)
+                if off >= launch + 0.3:
+                    steady.append(dev)
+        all_dev.sort()
+        steady.sort()
+        # never early (clock-skew epsilon only)
+        assert all_dev[0] >= -0.05, \
+            f"record emitted early: {all_dev[0]:.3f}s"
+        # warm launch must leave a measurable steady-state population
+        assert len(steady) >= n_total // 5, (
+            f"launch latency ate the span: {len(steady)}/{n_total} steady")
+        p50 = steady[len(steady) // 2]
+        p99 = steady[min(len(steady) - 1, int(len(steady) * 0.99))]
+        assert p50 <= 0.75, f"steady-state p50 lateness {p50:.3f}s"
+        assert p99 <= 1.2, f"steady-state p99 lateness {p99:.3f}s"
+
+    run_load_sensitive(body)
 
 
 def test_reorder_flag_rejected_in_partitioned_mode_without_state():
@@ -500,26 +510,37 @@ def test_reorder_distributed_gate_partitioned(spark, sf_dir, tmp_path):
     assert len(emitted()) == 300
 
 
+@pytest.mark.slow
+@pytest.mark.loadsensitive
 def test_composed_replay_witness_small(tmp_path):
     """The composed replay-at-scale witness (source → durable reorder
     gate → partitioned paced senders → capped sink with retry) pinned
     at sf0.001 so composition regressions surface in-suite; the
     recorded sf0.1 run lives in docs/ROUND11.md. The tool exits
     nonzero unless the emitted multiset is exact, every sender journal
-    is ts-ordered, and every request respects the Kinesis cap."""
+    is ts-ordered, and every request respects the Kinesis cap.
+    Load-sensitive (subprocess pacing under a shared box): retried via
+    conftest.run_load_sensitive when the box reads loaded."""
     import json as js
     import subprocess
     import sys
 
-    out = subprocess.run(
-        [sys.executable, "/root/repo/tools/replay_scale_witness.py",
-         "/root/testdata/sf0.001", "3"],
-        capture_output=True, text=True, timeout=420)
-    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
-    line = [ln for ln in out.stdout.splitlines()
-            if ln.startswith("{")][-1]
-    s = js.loads(line)
-    assert s["emitted"] == s["rows"] == 1000
-    assert s["multiset_exact"] and s["per_sender_ordered"]
-    assert s["request_cap_ok"] and s["retried_records"] > 0
-    assert s["batches"] == 3
+    from conftest import run_load_sensitive
+
+    def body():
+        out = subprocess.run(
+            [sys.executable, "/root/repo/tools/replay_scale_witness.py",
+             "/root/testdata/sf0.001", "3"],
+            capture_output=True, text=True, timeout=420)
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        s = js.loads(line)
+        assert s["emitted"] == s["rows"] == 1000
+        assert s["multiset_exact"] and s["per_sender_ordered"]
+        assert s["request_cap_ok"] and s["retried_records"] > 0
+        assert s["batches"] == 3
+
+    # a loaded box can also push the subprocess past its timeout
+    run_load_sensitive(
+        body, retry_on=(AssertionError, subprocess.TimeoutExpired))

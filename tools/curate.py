@@ -71,6 +71,20 @@ def main():
     t0 = time.monotonic()
     summary: dict = {"sf_dir": sf_dir, "out_dir": out_dir}
 
+    # per-stage wall timings (r11 verdict item 5: the composed-pipeline
+    # sf0.1 -> sf1 scaling table needs per-stage numbers, not just the
+    # total). Stage boundaries are the existing progress prints; each
+    # stage's summary counts force its plan, so the elapsed window is
+    # the stage's real materialization cost.
+    _last = [time.monotonic()]
+    stage_sec: dict = {}
+    summary["stage_sec"] = stage_sec
+
+    def mark(label: str) -> None:
+        now = time.monotonic()
+        stage_sec[label] = round(now - _last[0], 2)
+        _last[0] = now
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     doc_src = load(spark, sf_dir, "documents").select("doc_id", "source")
 
@@ -125,6 +139,7 @@ def main():
                         / F.lit(64.0)).alias("score")).persist())
     quality.count()
     print(f"[1-2] quality+LM scored {summary['docs_in']} docs", flush=True)
+    mark("1-2")
 
     # 2b: distill the (expensive, multi-signal) quality score into a
     # cheap reusable linear model — weak labels from the score's
@@ -165,6 +180,7 @@ def main():
     summary["junk_gate_threshold_keepfrac"] = round(thr_kf, 6)
     print(f"[2b] classifier agreement {summary['clf_agreement']}",
           flush=True)
+    mark("2b")
 
     # 2c (r9 recorded, r10 APPLIED): precision-calibrated junk gate on a
     # BOUNDED validation set — labels synthesized from the expensive
@@ -279,6 +295,7 @@ def main():
             "precision": round(tp / n_dropped, 3) if n_dropped else None,
             "recall": round(tp / len(planted_ids), 3)}
         print(f"[2c] ground truth: {summary['junk_truth']}", flush=True)
+        mark("2c-truth")
     # localCheckpoint: truncate the lineage at the composition joint —
     # every downstream stage otherwise embeds the scoring plan in ITS
     # plan, and by the mixture stage the duplicated mega-lineage OOMs
@@ -292,11 +309,13 @@ def main():
           f"(keepfrac {summary['gate_keepfrac']}, "
           f"p80 {summary.get('gate_p80')}); "
           f"{summary['docs_after_clf_gate']} docs pass", flush=True)
+    mark("2c")
 
     # 3: PII redaction (clean_text replaces text downstream)
     red = text.pii_redact(docs, "doc_id", "text").persist()
     summary["docs_redacted"] = red.filter("n_redactions > 0").count()
     print(f"[3] redacted {summary['docs_redacted']} docs", flush=True)
+    mark("3")
 
     # 4-5: near-dup pairs -> clusters -> keep best-quality representative
     pairs = dedup.minhash_dedup(docs, "doc_id", "text",
@@ -310,6 +329,7 @@ def main():
                                    - summary["docs_after_dedup"])
     print(f"[4-5] dedup kept {summary['docs_after_dedup']} "
           f"(dropped {summary['dup_docs_dropped']})", flush=True)
+    mark("4-5")
 
     kept0 = (red.join(keep, "doc_id")
              .select("doc_id", F.col("clean_text").alias("text")))
@@ -328,6 +348,7 @@ def main():
     print(f"[5b] substring dedup removed "
           f"{summary['span_tokens_removed']} duplicated tokens",
           flush=True)
+    mark("5b")
 
     # 5c: temperature mixture sampling over the source domain — flatten
     # the domain distribution toward sqrt shares at 90% volume
@@ -337,6 +358,7 @@ def main():
     summary["docs_after_mixture"] = kept.count()
     print(f"[5c] mixture sampling kept {summary['docs_after_mixture']}",
           flush=True)
+    mark("5c")
 
     # 6: deterministic split + decontamination of eval against train
     # overflow-safe double-pmod (same identity as the registry split hash)
@@ -353,6 +375,7 @@ def main():
         summary["docs_after_dedup"] - clean.count())
     print(f"[6] decontamination dropped "
           f"{summary['eval_contaminated_dropped']} eval docs", flush=True)
+    mark("6")
 
     # 6b: retrieval audit — persist the BM25 index over the TRAIN split
     # (term-hash-partitioned; queries prune at file listing) and spot-
@@ -378,6 +401,7 @@ def main():
         round(top[0]["score"], 4) if top else None)
     print(f"[6b] retrieval index built; eval-phrase spot-check: "
           f"{summary['retrieval_spotcheck_hits']} train hits", flush=True)
+    mark("6b")
 
     # 6c: chunk the surviving train docs for embedding/RAG prep — the
     # projection-only sliding-window operator (r8 3rd continuation);
@@ -393,6 +417,7 @@ def main():
     print(f"[6c] chunked train docs into {summary['embed_chunks']} "
           f"embedding windows (mean {summary['mean_chunk_tokens']} "
           "tokens)", flush=True)
+    mark("6c")
 
     # 7: BPE tokenize to ids (trained on the SURVIVING train split)
     merges = text.bpe_train(clean.filter("split = 'train'"), "text",
@@ -400,6 +425,7 @@ def main():
     vocab = text.bpe_vocab(clean, "text", merges)
     enc = text.bpe_encode(clean, "text", merges, vocab=vocab)
     summary["vocab_size"] = len(vocab)
+    mark("7")
 
     # 8-9: pack and export
     packed = text.pack_sequences(enc, "doc_id", "bpe_tokens_count",
@@ -420,6 +446,7 @@ def main():
     export.write_manifest(spark, out_dir + "/shards")
     summary["export_manifest_ok"] = bool(
         export.verify_shards(spark, out_dir + "/shards")["ok"])
+    mark("8-9")
 
     # 9b: semantic dedup on the embeddings table — the vector-modality
     # pass a multimodal corpus runs beside the text pipeline, in its
@@ -431,6 +458,7 @@ def main():
     summary["semantic_dups"] = sem.filter("is_dup").count()
     print(f"[9b] semantic dedup (two-level) flagged "
           f"{summary['semantic_dups']} near-dup vectors", flush=True)
+    mark("9b")
 
     # 9c: persisted IVF x SQ8 index over the vector corpus — the
     # retrieval artifact the embed side ships (list pruning at file
@@ -462,6 +490,7 @@ def main():
     print(f"[9c] IVF x SQ8 index built; batched probe mean recall@10 "
           f"{summary['ivfsq_probe_recall_at_10']} over {len(probes)} "
           "queries", flush=True)
+    mark("9c")
 
     # 10: audit sketches — mergeable artifacts: distinct-token
     # cardinality (HLL) + corpus-membership filter (Bloom) with a
@@ -478,6 +507,7 @@ def main():
         bloom, clean.select("doc_id"), "doc_id", m=1 << 18, k=4)
     summary["bloom_membership_ok"] = bool(
         probed.filter("NOT maybe_present").count() == 0)
+    mark("10")
 
     # 10b: curve-ordered audit table — per-doc curation metrics laid out
     # for MULTI-predicate inspection ("low-probability AND long docs"):
@@ -514,6 +544,7 @@ def main():
     summary["audit_files_for_lowq_long_box"] = hit
     print(f"[10b] hilbert audit: {hit}/{len(a_files)} files overlap "
           "the low-quality+long box", flush=True)
+    mark("10b")
     # 11: multimodal audit — the curated corpus's media companion
     # surface, run with the PRODUCTION codec stack (late r10: eight
     # image codec modes incl. WebP VP8L/lossy-VP8 and TIFF, four audio
@@ -543,6 +574,7 @@ def main():
           f"({summary['media_magic_counts']}), "
           f"{summary['media_audio_decoded']} audio blobs decoded",
           flush=True)
+    mark("11")
 
     summary["wall_s"] = round(time.monotonic() - t0, 2)
     print(json.dumps(summary), flush=True)
