@@ -450,14 +450,33 @@ def main():
 
     # 9b: semantic dedup on the embeddings table — the vector-modality
     # pass a multimodal corpus runs beside the text pipeline, in its
-    # 100 TB shape (two-level hierarchical k-means, O(n*sqrt(k)))
+    # 100 TB shape (two-level hierarchical k-means, O(n*sqrt(k))).
+    # k SCALES WITH THE CORPUS (r12 sf1 finding): at fixed k=16 leaves,
+    # 10x vectors meant 10x per-leaf membership and a 100x within-leaf
+    # pair term — stage wall 13.9 -> 137.1 s (9.8x, super-linear once
+    # fixed costs are netted out). Sizing both levels to ~sqrt(n/target)
+    # bounds per-leaf membership at ~TARGET_LEAF regardless of corpus
+    # size, which is the whole point of the two-level O(n*sqrt(k))
+    # shape (docs/SCALE.md). At sf0.1 (2000 vectors) the formula gives
+    # the old 4x4, so small-SF results are unchanged.
+    import math
     from amazon_kinesis_replay_spark.operators import similarity
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    TARGET_LEAF = 125                 # sf0.1's measured-good cell size
+    n_vec = emb.count()
+    side = max(4, math.ceil(math.sqrt(n_vec / TARGET_LEAF)))
+    summary["semdedup_grid"] = f"{side}x{side}"
+    # n_assign=2: the finer grid confines more aggressively, so pair
+    # generation also probes each vector's second-nearest leaf — the
+    # r11-measured recall counter. Measured at sf1 (13x13): 42.9 s and
+    # 8915 dups vs 56.7 s / 4672 at n_assign=1 (the extra pairs cost
+    # less than the window already paid for rn<=2).
     sem = similarity.semantic_dedup_two_level(
-        emb, threshold=0.4, n_coarse=4, n_fine=4)
+        emb, threshold=0.4, n_coarse=side, n_fine=side, n_assign=2)
     summary["semantic_dups"] = sem.filter("is_dup").count()
-    print(f"[9b] semantic dedup (two-level) flagged "
-          f"{summary['semantic_dups']} near-dup vectors", flush=True)
+    print(f"[9b] semantic dedup (two-level, {side}x{side}, n_assign=2) "
+          f"flagged {summary['semantic_dups']} near-dup vectors",
+          flush=True)
     mark("9b")
 
     # 9c: persisted IVF x SQ8 index over the vector corpus — the
