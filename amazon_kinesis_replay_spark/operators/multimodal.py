@@ -732,8 +732,14 @@ def _skip_counter_for(df: DataFrame, on_error: str):
     distinguish 'a few corrupt blobs' from 'a codec regression skipping
     a whole mode'). None under on_error="raise". The caller attaches it
     to the returned frame as `.skipped_rows`; read `.value` on the
-    driver AFTER an action. Standard accumulator caveat: task retries /
-    stage re-executions can double-count, so treat it as an
+    driver AFTER an action. Standard accumulator caveats (r12 review):
+    (a) task retries / stage re-executions can double-count; (b) EVERY
+    action on the un-persisted frame re-runs the kernel and adds the
+    skips again (count() then collect() reads 2x) — persist() the
+    frame or read the meter after exactly one action; (c) the
+    attribute lives on the RETURNED frame object only — any
+    .filter()/.select() derivative is a new DataFrame without it, so
+    capture the meter (or the frame) before composing. An
     observability meter, not an exact count."""
     if on_error != "skip":
         return None

@@ -72,10 +72,18 @@ def read_events(spark: SparkSession, cfg: ReplayConfig,
     the blocks when the frame is unreferenced). Detection additionally
     costs a bodies-unread binaryFile LISTING; only suspect files have
     their bytes re-read. Suspects contributed no rows to the text leg,
-    so the union cannot duplicate. Steady-state 100 TB ingest should
-    transcode once or call `read_events_sniffed` directly;
-    `sniff_fallback=False` restores the single-leg LAZY scan (no
-    checkpoint, no eager jobs)."""
+    so the union cannot duplicate.
+
+    The checkpoint trade (r12 review): materializing the parsed rows
+    costs executor memory/local-disk proportional to the CORPUS (the
+    old shape's second scan cost IO instead), and checkpoint blocks
+    are non-replayable — an executor lost between this call and the
+    caller's action fails with missing blocks rather than recomputing.
+    Right default for the interactive/moderate-corpus case this path
+    serves; for corpus-scale or long-lived-lineage ingest use
+    `sniff_fallback=False` (single-leg LAZY scan, no checkpoint, no
+    eager jobs, full fault-tolerance) after transcoding, or
+    `read_events_sniffed` directly."""
     reader = spark.read.option("ignoreCorruptFiles", "true")
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)

@@ -84,10 +84,26 @@ _SLOW_KEYS = {(n.split("::")[0].rsplit("/", 1)[-1], n.split("::")[1])
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
         fname = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
-        if (fname, item.name.split("[")[0]) in _SLOW_KEYS:
+        key = (fname, item.name.split("[")[0])
+        if key in _SLOW_KEYS:
             item.add_marker(pytest.mark.slow)
+            matched.add(key)
+    # staleness guard (r12 review finding): a renamed/deleted slow test
+    # leaves a dead entry here AND silently rejoins the fast tier.
+    # Only meaningful on a (near-)full collection — a -k/-m/path-
+    # restricted run legitimately misses most keys.
+    if len(items) > 300:
+        stale = _SLOW_KEYS - matched
+        if stale:
+            import warnings
+            warnings.warn(
+                f"conftest.SLOW_TESTS has {len(stale)} entries that "
+                f"matched no collected test (renamed/deleted?): "
+                f"{sorted(stale)[:5]} — regenerate the list from a "
+                "--durations=0 run", stacklevel=1)
 
 
 def _proc_cpu_times():
@@ -108,9 +124,21 @@ def run_load_sensitive(body, max_attempts: int = 3,
     retry after a pause instead of failing the suite on co-tenant
     noise. A failure on a QUIET box (or on the last attempt) raises
     immediately — real regressions are never retried away silently;
-    every retried attempt prints its meters so the log shows why."""
+    every retried attempt prints its meters so the log shows why.
+
+    load1 is sampled at attempt START, not end (r12 review finding):
+    an end-of-window reading includes the test's OWN Spark load, which
+    would read every failing attempt as "loaded" and turn the retry
+    into retry-until-pass for real regressions. The start sample sees
+    only co-tenant work plus the decaying tail of the previous test —
+    an acceptable residual in a sequential suite. steal stays the
+    whole attempt window (the hypervisor meter is never us)."""
     for attempt in range(max_attempts):
         cpu0 = _proc_cpu_times()
+        try:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+        except (OSError, ValueError):
+            load1 = None
         try:
             body()
             return
@@ -120,16 +148,12 @@ def run_load_sensitive(body, max_attempts: int = 3,
             if cpu0 is not None and cpu1 is not None:
                 d = [b - a for a, b in zip(cpu0, cpu1)]
                 steal = 100.0 * d[7] / (sum(d) or 1)
-            try:
-                load1 = float(open("/proc/loadavg").read().split()[0])
-            except (OSError, ValueError):
-                load1 = None
             loaded = ((steal is not None and steal > 1.0)
                       or (load1 is not None and load1 > 6.0))
             if attempt + 1 >= max_attempts or not loaded:
                 raise
             print(f"[load-sensitive retry {attempt + 1}/{max_attempts}] "
                   f"attempt failed on a LOADED box "
-                  f"(steal={steal}, load1={load1}); retrying",
+                  f"(steal={steal}, load1_at_start={load1}); retrying",
                   file=sys.stderr)
             time.sleep(sleep_sec)

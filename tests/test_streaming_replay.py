@@ -322,20 +322,21 @@ def test_partitioned_pacing_fidelity_p99(spark, sf_dir, tmp_path):
 
     class RecordingSink:
         """Executor-side sink that journals (ts, emit wall clock) to a
-        per-instance NDJSON file the driver can aggregate."""
+        per-instance NDJSON file the driver can aggregate. Identity is
+        {pid}-{uuid4}: a worker that frees one partition's sink before
+        creating the next can see id() reuse, which merges two senders'
+        journals AND their grouping key (the r11 witness-tool bug class
+        — same fix, r12 review finding)."""
         def __init__(self):
-            self.f = open(os.path.join(
-                rec_dir, f"{os.getpid()}-{id(self)}.jsonl"), "a")
+            import uuid
+            self.k = f"{os.getpid()}-{uuid.uuid4().hex}"
+            self.f = open(os.path.join(rec_dir, self.k + ".jsonl"), "a")
 
         def put_records(self, records):
             w = time.time()
             for r in records:
-                # key by (pid, id): forked PySpark workers share CPython
-                # object addresses, so bare id(self) collides across
-                # processes (r8 review finding)
                 self.f.write(js.dumps(
-                    {"ts": r["ts"], "wall": w,
-                     "k": f"{os.getpid()}-{id(self)}"}) + "\n")
+                    {"ts": r["ts"], "wall": w, "k": self.k}) + "\n")
             self.f.flush()
             return []
 
