@@ -1039,7 +1039,8 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
                                append: bool = True,
-                               delta_name: str | None = None) -> DataFrame:
+                               delta_name: str | None = None,
+                               n_assign: int = 1) -> DataFrame:
     """Same-cluster pairs INVOLVING the new batch (new x new plus
     new x indexed) against the FROZEN index centroids — the semantic
     twin of embedding_dedup_incremental, at per-batch cost: assign the
@@ -1052,24 +1053,55 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
     SELF-EXCLUDES that partition from its probe, so the returned pairs
     are computed against the pre-append state with no staging barrier
     at all (the substring-index delta pattern, simplified: cells have
-    no counts to sum, so exclusion alone is sufficient)."""
+    no counts to sum, so exclusion alone is sufficient).
+
+    n_assign > 1 (r12) probes each NEW vector's n_assign nearest cells
+    for pair generation — the incremental face of the batch form's
+    confinement-recall counter (`semantic_dedup(n_assign=)`). The
+    APPEND stays primary-only (index format unchanged; redelivery
+    overwrite-by-name untouched), so the widening is ONE-SIDED: a pair
+    is recovered when the NEW vector straddles the boundary (its top-2
+    cells reach the indexed copy's primary cell), not when only the
+    INDEXED copy does. Full two-sided parity with the batch form needs
+    multi-row members — an index-format change deliberately not taken
+    here (ROADMAP r13 candidate). Returned pairs are de-duplicated on
+    (id_a, id_b): two shared cells would otherwise emit the same pair
+    twice."""
     import uuid
     base = _index_dir(spark, path, ("members", "centroids", "meta"))
     cents = spark.read.parquet(base + "/centroids")
     name = delta_name if delta_name is not None else uuid.uuid4().hex
-    asg_new = ivf_assign(new_emb, id_col=id_col, vec_col=vec_col,
-                         centroids=cents)
-    # feeds three pair joins + the append write — cut the lineage once
-    asg_new = asg_new.localCheckpoint()
+    if n_assign <= 1:
+        asg_new = ivf_assign(new_emb, id_col=id_col, vec_col=vec_col,
+                             centroids=cents)
+        # feeds three pair joins + the append write — cut the lineage once
+        asg_new = asg_new.localCheckpoint()
+        probe_new = asg_new
+    else:
+        from pyspark.sql import Window
+        scored = (new_emb.crossJoin(F.broadcast(cents))
+                  .select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"), "centroid_id",
+                          _fast_cosine(F.col(vec_col),
+                                       F.col("c_vec")).alias("sim")))
+        w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
+                                             F.col("centroid_id").asc())
+        multi = (scored.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= n_assign)).localCheckpoint()
+        asg_new = (multi.filter(F.col("rn") == 1)
+                   .select("id", "vec", "centroid_id"))
+        probe_new = multi.select("id", "vec", "centroid_id")
     members = (spark.read.parquet(base + "/members")
                .filter(F.col("part") != name))       # self-exclusion
     old_side = members.select("centroid_id", "id", "vec")
-    new_side = asg_new.select("centroid_id", "id", "vec")
+    new_side = probe_new.select("centroid_id", "id", "vec")
     out = (_cell_pairs(new_side, new_side, _fast_cosine, threshold)
            .unionAll(_cell_pairs(new_side, old_side, _fast_cosine,
                                  threshold))
            .unionAll(_cell_pairs(old_side, new_side, _fast_cosine,
                                  threshold)))
+    if n_assign > 1:
+        out = out.dropDuplicates(["id_a", "id_b"])
     if append:
         (asg_new.select("id", "vec", "centroid_id")
             .write.partitionBy("centroid_id").mode("overwrite")

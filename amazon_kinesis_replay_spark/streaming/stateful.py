@@ -716,7 +716,8 @@ def near_dup_stream_semantic(emb, index_path: str, sink,
                              vec_col: str = "embedding",
                              threshold: float = 0.4,
                              n_centroids: int = 16, n_iters: int = 2,
-                             checkpoint: str | None = None):
+                             checkpoint: str | None = None,
+                             n_assign: int = 1):
     """Streaming SEMANTIC near-dup — the FIFTH modality over
     `_indexed_stream_processor`: the first batch trains the k-means
     centroids and writes the member index
@@ -733,10 +734,19 @@ def near_dup_stream_semantic(emb, index_path: str, sink,
 
     `sink(pairs_df, batch_id)` receives the (id_a, id_b, cosine)
     same-cluster pairs involving the batch. Returns the
-    DataStreamWriter (caller starts it)."""
+    DataStreamWriter (caller starts it).
+
+    n_assign > 1 (r12) widens each incremental batch's pair probe to
+    the batch vectors' n_assign nearest cells — the ONE-SIDED
+    confinement-recall counter (`semantic_dedup_incremental` docstring
+    states the exact semantics and the two-sided limitation; the
+    member index stays primary-only). The bootstrap batch's
+    within-batch pairs stay primary-cell-confined (its rows are
+    compared again by every later batch's widened probe)."""
     _process = _near_dup_semantic_processor(index_path, sink, id_col,
                                             vec_col, threshold,
-                                            n_centroids, n_iters)
+                                            n_centroids, n_iters,
+                                            n_assign=n_assign)
     w = emb.writeStream.foreachBatch(_process)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
@@ -745,7 +755,8 @@ def near_dup_stream_semantic(emb, index_path: str, sink,
 
 def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
                                  vec_col: str, threshold: float,
-                                 n_centroids: int, n_iters: int):
+                                 n_centroids: int, n_iters: int,
+                                 n_assign: int = 1):
     """Semantic-modality body of `near_dup_stream_semantic` (see
     `_indexed_stream_processor`)."""
     from ..operators import similarity
@@ -766,7 +777,8 @@ def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
     def incremental(spark, batch_df, append, batch_id):
         return similarity.semantic_dedup_incremental(
             spark, batch_df, index_path, threshold, id_col, vec_col,
-            append=append, delta_name=f"b{int(batch_id)}")
+            append=append, delta_name=f"b{int(batch_id)}",
+            n_assign=n_assign)
 
     def heal(spark):
         # resolve once: heals a crashed LEGACY rename-aside swap (pre-gen

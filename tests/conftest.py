@@ -49,6 +49,7 @@ SLOW_TESTS = {
     "tests/test_pipeline_ops.py::test_minhash_incremental_matches_batch",
     "tests/test_pipeline_ops.py::test_pq_ann_recall_and_determinism",
     "tests/test_pipeline_ops.py::test_semantic_dedup_multi_assign",
+    "tests/test_pipeline_ops.py::test_semantic_incremental_multi_assign",
     "tests/test_pipeline_ops.py::test_semantic_dedup_two_level_multi_assign",
     "tests/test_pipeline_ops.py::test_semantic_index_retrain_growth_and_inflight",
     "tests/test_pipeline_ops.py::test_semantic_index_swap_heal_rollback_and_rollforward",

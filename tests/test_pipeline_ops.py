@@ -4922,6 +4922,66 @@ def test_semantic_dedup_two_level_multi_assign(spark, sf_dir):
     assert c1 == c2
 
 
+def test_semantic_incremental_multi_assign(spark, sf_dir, tmp_path):
+    """n_assign on the INCREMENTAL face (r12): a new vector whose
+    near-dup sits in a DIFFERENT cell of the frozen index is invisible
+    to the primary-cell probe and recovered when the new side also
+    probes its second-nearest cell. The member index stays
+    primary-only (one-sided widening — the docstring states the
+    two-sided limitation), appends are format-identical, and returned
+    pairs carry no (id_a, id_b) duplicates."""
+    # centroid seeds = ids 0,1 (n_iters=0): cells at +x and +y. The
+    # indexed near-dup (3) lands in cell y; the new vector (2) lands in
+    # cell x with cell y second-nearest. cos(2,3) ~ 0.9991.
+    idx_rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+                (1, [0.0, 1.0, 0.0, 0.0]),
+                (3, [0.69, 0.72, 0.0, 0.0])]
+    idx = spark.createDataFrame(idx_rows,
+                                "vec_id long, embedding array<float>")
+    new = spark.createDataFrame([(2, [0.72, 0.69, 0.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    path = str(tmp_path / "semidx-ma")
+    similarity.semantic_index_write(idx, path, n_centroids=2, n_iters=0)
+
+    p1 = similarity.semantic_dedup_incremental(
+        spark, new, path, threshold=0.99, append=False)
+    assert p1.count() == 0                    # cross-boundary: invisible
+
+    p2 = similarity.semantic_dedup_incremental(
+        spark, new, path, threshold=0.99, append=False, n_assign=2)
+    assert [(r["id_a"], r["id_b"]) for r in p2.collect()] == [(2, 3)]
+
+    # append under n_assign=2 stays PRIMARY-only: one member row for
+    # the new vector, in its nearest cell (x = the id-0 seed's cell)
+    similarity.semantic_dedup_incremental(
+        spark, new, path, threshold=0.99, append=True,
+        delta_name="b1", n_assign=2)
+    gen = similarity._index_dir(spark, path,
+                                ("members", "centroids", "meta"))
+    delta = spark.read.parquet(gen + "/members/part=b1").collect()
+    assert len(delta) == 1 and delta[0]["id"] == 2
+    prim = {r["id"]: r["centroid_id"] for r in similarity.ivf_assign(
+        new, centroids=spark.read.parquet(gen + "/centroids")).collect()}
+    assert delta[0]["centroid_id"] == prim[2]
+
+    # fixture: widened probe is a strict superset generator, duplicate-
+    # free, over a half-corpus index probed by the other half
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = emb.filter("vec_id % 2 = 0")
+    probe = emb.filter("vec_id % 2 = 1")
+    fpath = str(tmp_path / "semidx-fix")
+    similarity.semantic_index_write(half, fpath, n_centroids=8, n_iters=1)
+    s1 = {(r["id_a"], r["id_b"]) for r in
+          similarity.semantic_dedup_incremental(
+              spark, probe, fpath, threshold=0.4, append=False).collect()}
+    rows2 = similarity.semantic_dedup_incremental(
+        spark, probe, fpath, threshold=0.4, append=False,
+        n_assign=2).collect()
+    s2 = {(r["id_a"], r["id_b"]) for r in rows2}
+    assert len(rows2) == len(s2)              # dropDuplicates held
+    assert s1 <= s2
+
+
 def test_tiff_seeded_mutation_fuzz_never_crashes():
     """Corrupt-input robustness for the TIFF decoder (the zstd/brotli
     fuzz contract, extended to the r11 tiled/16-bit surface): 600
