@@ -34,6 +34,16 @@ class TIFFError(ValueError):
     """Malformed TIFF stream (never silently wrong pixels)."""
 
 
+# Decompression-bomb cap, in SAMPLE BYTES (w*h*spp*sample_size, and
+# tile tw*tl*spp*sample_size), r12. 256 MiB keeps worst-case peak
+# memory (output + numpy u4 intermediate) ~1.5 GiB per task. It is a
+# module-level knob (r12 advice): corpora with legitimately large
+# imagery (e.g. >9300x9300 RGB 16-bit) can raise it; the cap-exceeded
+# error message names it so a skip-mode drop is diagnosable as a
+# policy decision, not parse corruption.
+MAX_SAMPLE_BYTES = 1 << 28
+
+
 _TAG_WIDTH = 256
 _TAG_HEIGHT = 257
 _TAG_BITS = 258
@@ -316,11 +326,12 @@ def decode_tiff(raw: bytes):
             f"{bits}-bit TIFF not supported (8- or 16-bit chunky)")
     # second guard once the sample size is known (r11 advice): the cap
     # must bound BYTES, not samples — a <1 MB LZW 16-bit file declaring
-    # near-cap dims would otherwise force multi-GiB allocations. 256 MiB
-    # of sample bytes is generous for a corpus decode kernel and keeps
-    # worst-case peak memory (output + numpy u4 intermediate) ~1.5 GiB.
-    if w * h * spp * ss > (1 << 28):
-        raise TIFFError("implausible image dimensions")
+    # near-cap dims would otherwise force multi-GiB allocations.
+    if w * h * spp * ss > MAX_SAMPLE_BYTES:
+        raise TIFFError(
+            f"image exceeds sample-byte cap ({w}x{h}x{spp}x{ss} > "
+            f"MAX_SAMPLE_BYTES={MAX_SAMPLE_BYTES}); raise "
+            "functions.tiff.MAX_SAMPLE_BYTES for large-imagery corpora")
     if _tag_u(t, _TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar TIFF not supported (chunky)")
     comp = _tag_u(t, _TAG_COMPRESSION, 1)
@@ -338,8 +349,10 @@ def decode_tiff(raw: bytes):
             raise TIFFError("tiled TIFF missing tile tags")
         tw = _tag_u(t, _TAG_TILE_WIDTH)
         tl = _tag_u(t, _TAG_TILE_LENGTH)
-        if tw <= 0 or tl <= 0 or tw * tl * spp * ss > (1 << 28):
-            raise TIFFError("bad tile geometry")
+        if tw <= 0 or tl <= 0 or tw * tl * spp * ss > MAX_SAMPLE_BYTES:
+            raise TIFFError(
+                "bad tile geometry (non-positive dims or tile exceeds "
+                f"sample-byte cap MAX_SAMPLE_BYTES={MAX_SAMPLE_BYTES})")
         offsets = _tag_us(t, _TAG_TILE_OFFSETS)
         counts = _tag_us(t, _TAG_TILE_COUNTS)
         if len(offsets) != len(counts):

@@ -657,16 +657,9 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
         asg = ivf_assign(emb, n_centroids=n_centroids, id_col=id_col,
                          vec_col=vec_col, centroids=cents, exact=exact)
         return _mark_semantic_dups(asg, threshold, scorer)
-    from pyspark.sql import Window
-    scored = (emb.crossJoin(F.broadcast(cents))
-              .select(F.col(id_col).alias("id"),
-                      F.col(vec_col).alias("vec"), "centroid_id",
-                      scorer(F.col(vec_col), F.col("c_vec")).alias("sim")))
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
-                                         F.col("centroid_id").asc())
-    multi = (scored.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= n_assign)).localCheckpoint()
-    asg = (multi.filter(F.col("rn") == 1)
+    multi = _ranked_assign(emb, cents, n_assign, id_col=id_col,
+                           vec_col=vec_col, exact=exact).localCheckpoint()
+    asg = (multi.filter(F.col("assign_rank") == 1)
            .select("id", "vec", "centroid_id"))
     pair_asg = multi.select("id", "vec", "centroid_id")
     return _mark_semantic_dups(asg, threshold, scorer,
@@ -899,6 +892,42 @@ def _cell_pairs(a_side: DataFrame, b_side: DataFrame, scorer,
             .filter(F.col("cosine") >= threshold))
 
 
+def _ranked_assign(emb: DataFrame, cents: DataFrame, n_assign: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   exact: bool = False) -> DataFrame:
+    """(id, vec, centroid_id, assign_rank): each vector's n_assign
+    nearest centroids, rank 1 = primary. The window tie-break (sim
+    desc, centroid_id asc) is ivf_assign's exactly, so rank-1 rows ==
+    ivf_assign output — the multi-assignment generalization every
+    n_assign consumer (batch SemDeDup, the v2 semantic index) shares."""
+    from pyspark.sql import Window
+    scorer = cosine if exact else _fast_cosine
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("vec"), "centroid_id",
+                      scorer(F.col(vec_col), F.col("c_vec")).alias("sim")))
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
+                                         F.col("centroid_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_assign)
+            .select("id", "vec", "centroid_id",
+                    F.col("rn").alias("assign_rank")))
+
+
+def _index_meta(spark, base: str):
+    """(n_centroids, n_at_train, n_assign) from a semantic index's
+    meta/. n_assign is None for a pre-r13 (v1) index — the format
+    discriminator: v1 members carry no assign_rank column and appends
+    must stay schema-compatible with them."""
+    try:
+        m = spark.read.parquet(base + "/meta").head()
+    except Exception:
+        return None, None, None
+    nat = int(m["n_at_train"]) if "n_at_train" in m.__fields__ else None
+    na = int(m["n_assign"]) if "n_assign" in m.__fields__ else None
+    return int(m["n_centroids"]), nat, na
+
+
 def semantic_pairs(emb: DataFrame, threshold: float = 0.4,
                    n_centroids: int = 16, n_iters: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -918,27 +947,42 @@ def semantic_pairs(emb: DataFrame, threshold: float = 0.4,
 
 def semantic_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
                          n_iters: int = 2, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> None:
+                         vec_col: str = "embedding",
+                         n_assign: int = 1) -> None:
     """Persist the semantic-dedup state: trained centroids (frozen — the
     streaming contract; retrain policy belongs to the caller, same as
     the IVF index) and the member table written under
     members/part=base, hive-partitioned by centroid_id so incremental
     probes prune to the batch's cells at FILE LISTING. meta/ is written
-    LAST — the index-complete marker the stream processor probes."""
+    LAST — the index-complete marker the stream processor probes.
+
+    Format v2 (r13): members carry `assign_rank` (1 = primary) and one
+    row PER ASSIGNED CELL — at n_assign > 1 an indexed vector is
+    probe-visible in each of its n_assign nearest cells, which is what
+    makes incremental dedup TWO-SIDED equal to the batch
+    `semantic_dedup(n_assign=)` (a boundary pair between two
+    already-indexed vectors is reachable through either side's
+    secondary cell). meta records n_assign; a pre-r13 index (no
+    n_assign in meta, no assign_rank column) keeps v1 semantics on
+    every read/append path and upgrades on its next retrain."""
     spark = emb.sparkSession
     cents = kmeans_centroids(emb, n_centroids=n_centroids,
                              n_iters=n_iters, id_col=id_col,
                              vec_col=vec_col)
-    asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, centroids=cents)
-    (asg.select("id", "vec", "centroid_id")
+    asg = _ranked_assign(emb, cents, max(int(n_assign), 1),
+                         id_col=id_col, vec_col=vec_col)
+    (asg.select("id", "vec", "assign_rank", "centroid_id")
         .write.partitionBy("centroid_id").mode("overwrite")
         .parquet(path + "/members/part=base"))
     cents.write.mode("overwrite").parquet(path + "/centroids")
-    # count from the WRITTEN parquet (footer metadata), not a second
-    # assignment pass over the corpus
-    n_at_train = spark.read.parquet(path + "/members/part=base").count()
-    spark.createDataFrame([(int(n_centroids), int(n_at_train))],
-                          "n_centroids int, n_at_train long") \
+    # count from the WRITTEN parquet, not a second assignment pass over
+    # the corpus; n_at_train counts VECTORS (rank-1 rows), so growth
+    # accounting is width-independent
+    n_at_train = (spark.read.parquet(path + "/members/part=base")
+                  .filter(F.col("assign_rank") == 1).count())
+    spark.createDataFrame(
+        [(int(n_centroids), int(n_at_train), max(int(n_assign), 1))],
+        "n_centroids int, n_at_train long, n_assign int") \
         .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
@@ -990,43 +1034,54 @@ def semantic_index_maybe_retrain(spark, path: str,
     members = spark.read.parquet(base + "/members")
     committed = (members.filter(~F.col("part").isin(keep))
                  if keep else members)
-    n_now = committed.count()
-    try:
-        meta = spark.read.parquet(base + "/meta").head()
-        n_cent = int(meta["n_centroids"])
-        n_at_train = (int(meta["n_at_train"])
-                      if "n_at_train" in meta.__fields__ else None)
-    except Exception:
-        n_cent, n_at_train = None, None
+    # v2 members hold one row per ASSIGNED CELL; growth and the trainer
+    # both work on VECTORS, i.e. rank-1 (primary) rows. A v1 index (no
+    # assign_rank column) is primary-only already.
+    primary = (committed.filter(F.col("assign_rank") == 1)
+               if "assign_rank" in committed.columns else committed)
+    n_now = primary.count()
+    n_cent, n_at_train, idx_na = _index_meta(spark, base)
     due = n_at_train is None
     if not due:
         due = (n_now - n_at_train) > growth_threshold * max(n_at_train, 1)
     if not due and max_cell_share is not None:
-        biggest = (committed.groupBy("centroid_id")
-                   .agg(F.count("*").alias("n"))
-                   .agg(F.max("n")).head()[0]) or 0
-        due = biggest > max_cell_share * max(n_now, 1)
+        # imbalance is about PROBE cost, so it counts member ROWS per
+        # cell against total member rows (at v1 that's vectors anyway)
+        st = (committed.groupBy("centroid_id")
+              .agg(F.count("*").alias("n"))
+              .agg(F.max("n").alias("mx"), F.sum("n").alias("tot")).head())
+        due = (st["mx"] or 0) > max_cell_share * max(st["tot"] or 0, 1)
     if not due:
         return False
     if n_cent is None:
         n_cent = spark.read.parquet(base + "/centroids").count()
 
-    emb = committed.select(F.col("id").alias("vec_id"),
-                           F.col("vec").alias("embedding"))
+    # trainer dedup-by-id: primary rows feed k-means, so every vector
+    # trains exactly once — the SAME trainer input a fresh batch
+    # semantic_index_write over this corpus would see, which keeps the
+    # retrained geometry identical to the batch twin's (the v2 parity
+    # contract). The alternative (keep secondary rows, i.e. 2x-weight
+    # boundary vectors) was rejected: it pulls centroids toward cell
+    # boundaries and diverges from batch-trained centroids forever.
+    emb = primary.select(F.col("id").alias("vec_id"),
+                         F.col("vec").alias("embedding"))
+    width = idx_na or 1          # v1 upgrades to v2 at width 1
     build = fsutil.gen_begin(spark, path)
     semantic_index_write(emb, build, n_centroids=int(n_cent),
-                         n_iters=n_iters)
+                         n_iters=n_iters, n_assign=width)
     # in-flight deltas re-assign into the BUILD generation (pre-commit):
     # the published generation is complete the instant the marker exists
     if keep:
         cents = spark.read.parquet(build + "/centroids")
         for p in keep:
             old_delta = spark.read.parquet(f"{base}/members/part={p}")
-            reasg = ivf_assign(
+            if "assign_rank" in old_delta.columns:
+                old_delta = old_delta.filter(F.col("assign_rank") == 1)
+            reasg = _ranked_assign(
                 old_delta.select(F.col("id").alias("vec_id"),
                                  F.col("vec").alias("embedding")),
-                centroids=cents)
-            (reasg.select("id", "vec", "centroid_id")
+                cents, width)
+            (reasg.select("id", "vec", "assign_rank", "centroid_id")
              .write.partitionBy("centroid_id").mode("overwrite")
              .parquet(f"{build}/members/part={p}"))
     fsutil.gen_commit(spark, build)
@@ -1040,7 +1095,7 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
                                vec_col: str = "embedding",
                                append: bool = True,
                                delta_name: str | None = None,
-                               n_assign: int = 1) -> DataFrame:
+                               n_assign: int | None = None) -> DataFrame:
     """Same-cluster pairs INVOLVING the new batch (new x new plus
     new x indexed) against the FROZEN index centroids — the semantic
     twin of embedding_dedup_incremental, at per-batch cost: assign the
@@ -1055,42 +1110,35 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
     at all (the substring-index delta pattern, simplified: cells have
     no counts to sum, so exclusion alone is sufficient).
 
-    n_assign > 1 (r12) probes each NEW vector's n_assign nearest cells
-    for pair generation — the incremental face of the batch form's
-    confinement-recall counter (`semantic_dedup(n_assign=)`). The
-    APPEND stays primary-only (index format unchanged; redelivery
-    overwrite-by-name untouched), so the widening is ONE-SIDED: a pair
-    is recovered when the NEW vector straddles the boundary (its top-2
-    cells reach the indexed copy's primary cell), not when only the
-    INDEXED copy does. Full two-sided parity with the batch form needs
-    multi-row members — an index-format change deliberately not taken
-    here (ROADMAP r13 candidate). Returned pairs are de-duplicated on
-    (id_a, id_b): two shared cells would otherwise emit the same pair
-    twice."""
+    Multi-assignment (the confinement-recall counter,
+    `semantic_dedup(n_assign=)`) is TWO-SIDED on a v2 index (r13): the
+    index stores one member row per assigned cell (meta.n_assign of
+    them per vector), so a boundary pair is recovered whichever copy
+    straddles the boundary — incremental dup sets equal the batch
+    form's under the same centroids (parity-pinned by test).
+    `n_assign=None` (default) inherits the INDEX width from meta;
+    passing a value widens/narrows only this batch's PROBE. Appends
+    always write at the index width — the format invariant redelivery
+    overwrite-by-name relies on. On a pre-r13 v1 index (no n_assign in
+    meta) appends stay primary-only and rank-less (schema-compatible
+    with its existing members), so an explicit n_assign>1 there is the
+    old ONE-SIDED widening; retrain upgrades the format. Returned
+    pairs are de-duplicated on (id_a, id_b) whenever either side is
+    multi-assigned: two shared cells would otherwise emit the same
+    pair twice."""
     import uuid
     base = _index_dir(spark, path, ("members", "centroids", "meta"))
     cents = spark.read.parquet(base + "/centroids")
+    _, _, idx_na = _index_meta(spark, base)
+    idx_w = idx_na or 1                      # append width (v1 -> 1)
+    probe_w = idx_w if n_assign is None else max(int(n_assign), 1)
     name = delta_name if delta_name is not None else uuid.uuid4().hex
-    if n_assign <= 1:
-        asg_new = ivf_assign(new_emb, id_col=id_col, vec_col=vec_col,
-                             centroids=cents)
-        # feeds three pair joins + the append write — cut the lineage once
-        asg_new = asg_new.localCheckpoint()
-        probe_new = asg_new
-    else:
-        from pyspark.sql import Window
-        scored = (new_emb.crossJoin(F.broadcast(cents))
-                  .select(F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("vec"), "centroid_id",
-                          _fast_cosine(F.col(vec_col),
-                                       F.col("c_vec")).alias("sim")))
-        w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
-                                             F.col("centroid_id").asc())
-        multi = (scored.withColumn("rn", F.row_number().over(w))
-                 .filter(F.col("rn") <= n_assign)).localCheckpoint()
-        asg_new = (multi.filter(F.col("rn") == 1)
-                   .select("id", "vec", "centroid_id"))
-        probe_new = multi.select("id", "vec", "centroid_id")
+    # one assignment at the widest rank needed; feeds three pair joins
+    # + the append write — cut the lineage once
+    asg = _ranked_assign(new_emb, cents,
+                         max(probe_w, idx_w if append else 1),
+                         id_col=id_col, vec_col=vec_col).localCheckpoint()
+    probe_new = asg.filter(F.col("assign_rank") <= probe_w)
     members = (spark.read.parquet(base + "/members")
                .filter(F.col("part") != name))       # self-exclusion
     old_side = members.select("centroid_id", "id", "vec")
@@ -1100,10 +1148,13 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
                                  threshold))
            .unionAll(_cell_pairs(old_side, new_side, _fast_cosine,
                                  threshold)))
-    if n_assign > 1:
+    if probe_w > 1 or idx_w > 1:
         out = out.dropDuplicates(["id_a", "id_b"])
     if append:
-        (asg_new.select("id", "vec", "centroid_id")
+        delta = asg.filter(F.col("assign_rank") <= idx_w)
+        cols = (["id", "vec", "assign_rank", "centroid_id"]
+                if idx_na is not None else ["id", "vec", "centroid_id"])
+        (delta.select(*cols)
             .write.partitionBy("centroid_id").mode("overwrite")
             .parquet(f"{base}/members/part={name}"))
     return out

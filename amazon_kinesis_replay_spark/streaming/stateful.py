@@ -736,13 +736,13 @@ def near_dup_stream_semantic(emb, index_path: str, sink,
     same-cluster pairs involving the batch. Returns the
     DataStreamWriter (caller starts it).
 
-    n_assign > 1 (r12) widens each incremental batch's pair probe to
-    the batch vectors' n_assign nearest cells — the ONE-SIDED
-    confinement-recall counter (`semantic_dedup_incremental` docstring
-    states the exact semantics and the two-sided limitation; the
-    member index stays primary-only). The bootstrap batch's
-    within-batch pairs stay primary-cell-confined (its rows are
-    compared again by every later batch's widened probe)."""
+    n_assign > 1 is TWO-SIDED since r13: the bootstrap writes a v2
+    index (one member row per assigned cell, n_assign in meta), so
+    both the bootstrap batch's within-batch pairs and every later
+    batch's probe see each vector in all n_assign of its nearest cells
+    — streaming dup sets match `semantic_dedup(n_assign=)` under the
+    same frozen centroids (`semantic_dedup_incremental` docstring has
+    the exact semantics; parity is test-pinned)."""
     _process = _near_dup_semantic_processor(index_path, sink, id_col,
                                             vec_col, threshold,
                                             n_centroids, n_iters,
@@ -765,14 +765,21 @@ def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
         similarity.semantic_index_write(batch_df, index_path,
                                         n_centroids=n_centroids,
                                         n_iters=n_iters, id_col=id_col,
-                                        vec_col=vec_col)
+                                        vec_col=vec_col,
+                                        n_assign=n_assign)
         # reuse the PERSISTED assignment the index write just produced —
         # a semantic_pairs() call here would re-run the whole
-        # broadcast-centroid assignment over the same rows (r8 review)
+        # broadcast-centroid assignment over the same rows (r8 review).
+        # The v2 members hold one row per assigned cell, so this
+        # self-join IS the widened (two-sided) pair probe; de-dup on
+        # the pair key when widened (two shared cells emit twice).
         asg = (batch_df.sparkSession.read.parquet(index_path + "/members")
                .select("centroid_id", "id", "vec"))
-        return similarity._cell_pairs(asg, asg, similarity._fast_cosine,
-                                      threshold)
+        pairs = similarity._cell_pairs(asg, asg, similarity._fast_cosine,
+                                       threshold)
+        if n_assign > 1:
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        return pairs
 
     def incremental(spark, batch_df, append, batch_id):
         return similarity.semantic_dedup_incremental(

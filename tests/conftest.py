@@ -148,7 +148,11 @@ def run_load_sensitive(body, max_attempts: int = 3,
             steal = None
             if cpu0 is not None and cpu1 is not None:
                 d = [b - a for a, b in zip(cpu0, cpu1)]
-                steal = 100.0 * d[7] / (sum(d) or 1)
+                # steal is /proc/stat cpu field 8; kernels/containers
+                # exposing fewer fields read as "steal unknown" (r12
+                # advice: an IndexError here would mask the test's
+                # real assertion failure)
+                steal = 100.0 * d[7] / (sum(d) or 1) if len(d) > 7 else None
             loaded = ((steal is not None and steal > 1.0)
                       or (load1 is not None and load1 > 6.0))
             if attempt + 1 >= max_attempts or not loaded:

@@ -79,7 +79,10 @@ def test_gc_endurance_four_families(spark, sf_dir, tmp_path):
     bm = str(tmp_path / "bm25")
     sub = str(tmp_path / "substr")
     similarity.ivf_sq_index_write(emb200, ivf, n_centroids=4)
-    similarity.semantic_index_write(emb200, sem, n_centroids=4)
+    # n_assign=2: the v2 (multi-row-member) format runs the full
+    # generation lifecycle — retrains must preserve the width (r13)
+    similarity.semantic_index_write(emb200, sem, n_centroids=4,
+                                    n_assign=2)
     retrieval.retrieval_index_write(docs200, bm)
     dedup.substring_index_write(docs200, sub, window=12)
 
@@ -166,3 +169,10 @@ def test_gc_endurance_four_families(spark, sf_dir, tmp_path):
     for fam, path in paths.items():
         gens = _committed_gens(spark, path)
         assert max(gens) == N_CYCLES and len(gens) <= 2, (fam, gens)
+
+    # v2 format survived every retrain: width still recorded, members
+    # still one row per assigned cell (2x the vector count)
+    sem_gen = fsutil.gen_current(spark, sem)
+    assert spark.read.parquet(sem_gen + "/meta").head()["n_assign"] == 2
+    m = spark.read.parquet(sem_gen + "/members")
+    assert m.count() == 2 * m.filter("assign_rank = 1").count()

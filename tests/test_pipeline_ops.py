@@ -4982,6 +4982,186 @@ def test_semantic_incremental_multi_assign(spark, sf_dir, tmp_path):
     assert s1 <= s2
 
 
+def _v2_pair_set(df) -> set:
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def _batch_pair_set(emb, cents, n_assign, threshold) -> set:
+    """Ground-truth pair set of the batch form: widened assignment,
+    same-cell pairs, de-duplicated — what semantic_dedup(n_assign=)
+    marks dups from."""
+    multi = similarity._ranked_assign(emb, cents, n_assign)
+    side = multi.select("centroid_id", "id", "vec")
+    return _v2_pair_set(
+        similarity._cell_pairs(side, side, similarity._fast_cosine,
+                               threshold).dropDuplicates(["id_a", "id_b"]))
+
+
+def test_semantic_index_v2_two_sided_batch_parity(spark, sf_dir,
+                                                  tmp_path):
+    """r13 index-format v2 (the r12-verdict top item): with multi-row
+    members (one row per assigned cell, n_assign in meta), incremental
+    dedup is TWO-SIDED — across the index build, two appends, and one
+    retrain, the union of incremental pair sets equals the batch
+    `semantic_dedup(n_assign=2)` pair/dup sets under the same frozen
+    centroids. The r12 one-sided form lost boundary pairs between two
+    already-indexed vectors; this pins that they are now visible."""
+    from amazon_kinesis_replay_spark import fsutil
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.filter(F.col("vec_id") < 200)
+    b = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    c = emb.filter(F.col("vec_id") >= 350)
+    full = emb
+    path = str(tmp_path / "semv2")
+    similarity.semantic_index_write(a, path, n_centroids=8, n_iters=1,
+                                    n_assign=2)
+    gen = similarity._index_dir(spark, path,
+                                ("members", "centroids", "meta"))
+    meta = spark.read.parquet(gen + "/meta").head()
+    assert meta["n_assign"] == 2
+    members = spark.read.parquet(gen + "/members")
+    n_a = a.count()
+    assert meta["n_at_train"] == n_a          # vectors, not member rows
+    assert members.count() == 2 * n_a         # one row per assigned cell
+    assert members.filter("assign_rank = 1").count() == n_a
+
+    # build-time pairs (what the streaming bootstrap emits), append b1/b2
+    side = members.select("centroid_id", "id", "vec")
+    p0 = _v2_pair_set(similarity._cell_pairs(
+        side, side, similarity._fast_cosine, 0.4)
+        .dropDuplicates(["id_a", "id_b"]))
+    p1 = _v2_pair_set(similarity.semantic_dedup_incremental(
+        spark, b, path, threshold=0.4, append=True, delta_name="b1"))
+    spark.createDataFrame([(1,)], "batch_id long").coalesce(1) \
+        .write.mode("overwrite").parquet(path + "/applied")
+    p2 = _v2_pair_set(similarity.semantic_dedup_incremental(
+        spark, c, path, threshold=0.4, append=True, delta_name="b2"))
+
+    # appends carry the index width: 2 rows per appended vector
+    d1 = spark.read.parquet(gen + "/members/part=b1")
+    assert d1.count() == 2 * b.count()
+    assert d1.filter("assign_rank = 1").count() == b.count()
+
+    # batch twin under the SAME frozen centroids: pair sets AND dup sets
+    cents = spark.read.parquet(gen + "/centroids")
+    assert (p0 | p1 | p2) == _batch_pair_set(full, cents, 2, 0.4)
+    batch_dups = {r["id"] for r in similarity.semantic_dedup(
+        full, threshold=0.4, centroids=cents, n_assign=2)
+        .filter("is_dup").collect()}
+    assert {ib for _, ib in (p0 | p1 | p2)} == batch_dups
+
+    # ---- retrain (everything committed) preserves width + parity ----
+    spark.createDataFrame([(2,)], "batch_id long").coalesce(1) \
+        .write.mode("overwrite").parquet(path + "/applied")
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=0.5)
+    gen2 = similarity._index_dir(spark, path,
+                                 ("members", "centroids", "meta"))
+    meta2 = spark.read.parquet(gen2 + "/meta").head()
+    n_full = full.count()
+    assert meta2["n_assign"] == 2             # width survives the retrain
+    assert meta2["n_at_train"] == n_full      # growth counts vectors
+    m2 = spark.read.parquet(gen2 + "/members")
+    assert m2.count() == 2 * n_full
+    assert m2.filter("assign_rank = 1").count() == n_full
+
+    # a post-retrain probe batch sees exactly the batch twin's pairs
+    # under the NEW centroids (two-sided through the rebuilt members)
+    d = emb.limit(50).select((F.col("vec_id") + 10000).alias("vec_id"),
+                             "embedding")
+    pd_ = _v2_pair_set(similarity.semantic_dedup_incremental(
+        spark, d, path, threshold=0.4, append=False))
+    cents2 = spark.read.parquet(gen2 + "/centroids")
+    want = {(ia, ib) for ia, ib in
+            _batch_pair_set(full.unionByName(d), cents2, 2, 0.4)
+            if ia >= 10000 or ib >= 10000}
+    assert pd_ == want and want               # non-trivial: dups planted
+
+
+def test_semantic_index_v2_retrain_trainer_dedup(spark, tmp_path):
+    """The v2 retrain trainer de-duplicates by id (primary rows only):
+    a boundary vector indexed in two cells must train k-means ONCE —
+    the double-count alternative (keep secondary rows ≈ 2x boundary
+    weighting) would pull centroids toward cell boundaries and diverge
+    from what a fresh batch build over the same corpus trains. Crafted
+    so the two policies differ by ~0.1 in centroid space, far above
+    float noise."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.72, 0.69, 0.0, 0.0]), (3, [0.69, 0.72, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    path = str(tmp_path / "semtrain")
+    similarity.semantic_index_write(emb, path, n_centroids=2, n_iters=1,
+                                    n_assign=2)
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0, n_iters=1)
+    gen = similarity._index_dir(spark, path,
+                                ("members", "centroids", "meta"))
+    got = {r["centroid_id"]: r["c_vec"] for r in
+           spark.read.parquet(gen + "/centroids").collect()}
+    want = {r["centroid_id"]: r["c_vec"] for r in
+            similarity.kmeans_centroids(emb, n_centroids=2,
+                                        n_iters=1).collect()}
+    assert got.keys() == want.keys()
+    for cid, vec in want.items():
+        assert all(abs(x - y) < 1e-6 for x, y in zip(got[cid], vec)), cid
+
+
+def test_semantic_index_v1_backcompat(spark, tmp_path):
+    """A pre-r13 on-disk index (members without assign_rank, meta
+    without n_assign) keeps v1 semantics end-to-end: default probes are
+    primary-width, appends stay rank-less (schema-compatible with the
+    existing members), an explicit n_assign=2 is the old ONE-SIDED
+    widening, and the next retrain upgrades the format in place."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.69, 0.72, 0.0, 0.0])]
+    idx = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    path = str(tmp_path / "semv1")
+    cents = similarity._seed_centroids(idx, 2, "vec_id", "embedding") \
+        .localCheckpoint()
+    asg = similarity.ivf_assign(idx, centroids=cents)
+    (asg.select("id", "vec", "centroid_id")
+        .write.partitionBy("centroid_id").mode("overwrite")
+        .parquet(path + "/members/part=base"))
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame([(2, 3)], "n_centroids int, n_at_train long") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+    new = spark.createDataFrame([(2, [0.72, 0.69, 0.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    # default = index width = 1 on v1: the boundary pair is invisible
+    p = similarity.semantic_dedup_incremental(
+        spark, new, path, threshold=0.99, append=True, delta_name="b1")
+    assert p.count() == 0
+    d1 = spark.read.parquet(path + "/members/part=b1")
+    assert "assign_rank" not in d1.columns    # schema-compatible append
+    assert d1.count() == 1
+    # whole-members read stays one homogeneous schema
+    assert "assign_rank" not in \
+        spark.read.parquet(path + "/members").columns
+    # explicit n_assign=2 on v1 = the old one-sided widening
+    p2 = similarity.semantic_dedup_incremental(
+        spark, new.select((F.col("vec_id") + 10).alias("vec_id"),
+                          "embedding"),
+        path, threshold=0.99, append=False, n_assign=2)
+    # (2,12): same primary cell as the appended copy; (3,12): the
+    # boundary pair only the widened probe reaches
+    assert {(r["id_a"], r["id_b"]) for r in p2.collect()} == {(2, 12),
+                                                              (3, 12)}
+
+    # retrain upgrades the format (width 1): rank column + meta field
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0, n_iters=1)
+    gen = similarity._index_dir(spark, path,
+                                ("members", "centroids", "meta"))
+    m = spark.read.parquet(gen + "/members")
+    assert "assign_rank" in m.columns
+    assert m.filter("assign_rank = 1").count() == m.count() == 4
+    meta = spark.read.parquet(gen + "/meta").head()
+    assert meta["n_assign"] == 1
+
+
 def test_tiff_seeded_mutation_fuzz_never_crashes():
     """Corrupt-input robustness for the TIFF decoder (the zstd/brotli
     fuzz contract, extended to the r11 tiled/16-bit surface): 600

@@ -666,6 +666,48 @@ def test_near_dup_semantic_processor_stream_and_replay(spark, sf_dir,
     assert w is not None
 
 
+def test_near_dup_semantic_stream_two_sided_n_assign(spark, sf_dir,
+                                                     tmp_path):
+    """r13 v2 parity at the STREAMING surface: with n_assign=2 the
+    bootstrap writes a v2 index (one member row per assigned cell) and
+    every batch probes two-sided, so the union of emissions equals the
+    batch n_assign=2 pair set under the bootstrap-frozen centroids —
+    including boundary pairs where only the EARLIER-indexed copy
+    straddles the cell boundary (invisible to the r12 one-sided form)."""
+    from amazon_kinesis_replay_spark.operators import similarity as S
+    from amazon_kinesis_replay_spark.streaming.stateful import (
+        _near_dup_semantic_processor)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250)
+    got: dict[int, set] = {}
+
+    def sink(pairs, batch_id):
+        got[batch_id] = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    index = str(tmp_path / "sem-ma-stream")
+    proc = _near_dup_semantic_processor(index, sink, "vec_id",
+                                        "embedding", 0.4, 8, 2,
+                                        n_assign=2)
+    proc(b0, 0)
+    proc(b1, 1)
+    cents = spark.read.parquet(index + "/centroids")
+    side = S._ranked_assign(emb, cents, 2) \
+        .select("centroid_id", "id", "vec").localCheckpoint()
+    want = {(r["id_a"], r["id_b"]) for r in
+            S._cell_pairs(side, side, S._fast_cosine, 0.4)
+            .dropDuplicates(["id_a", "id_b"]).collect()}
+    assert got[0] | got[1] == want
+    # and the widened set is a strict superset of the primary-only one
+    prim = side.join(
+        S.ivf_assign(emb, centroids=cents).select("id", "centroid_id"),
+        ["id", "centroid_id"], "left_semi")
+    want1 = {(r["id_a"], r["id_b"]) for r in
+             S._cell_pairs(prim, prim, S._fast_cosine, 0.4).collect()}
+    assert want1 < want
+
+
 # -- streaming reorder gate (applyInPandasWithState, late r8) --------------
 
 @pytest.fixture(scope="module")

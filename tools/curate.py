@@ -458,7 +458,11 @@ def main():
     # bounds per-leaf membership at ~TARGET_LEAF regardless of corpus
     # size, which is the whole point of the two-level O(n*sqrt(k))
     # shape (docs/SCALE.md). At sf0.1 (2000 vectors) the formula gives
-    # the old 4x4, so small-SF results are unchanged.
+    # the old 4x4, so the GRID SIZING is unchanged at small SF — but
+    # the same r12 change also switched to n_assign=2 below, which
+    # raises semantic_dups counts at EVERY SF (boundary pairs the
+    # single-assignment pass confines away); don't read a dup-count
+    # delta vs pre-r12 summaries as a grid effect.
     import math
     from amazon_kinesis_replay_spark.operators import similarity
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
