@@ -53,8 +53,9 @@ def _norm_path(col):
 
 def read_events(spark: SparkSession, cfg: ReplayConfig,
                 path_glob_filter: str | None = None,
-                sniff_fallback: bool = True,
-                max_fallback_files: int = 100_000) -> DataFrame:
+                sniff_fallback: bool | str = "auto",
+                max_fallback_files: int = 100_000,
+                auto_salvage_max_bytes: int = 16 << 30) -> DataFrame:
     """Batch scan of an NDJSON prefix -> (payload, ts).
 
     `sniff_fallback` mirrors the reference's catch-CompressorException-
@@ -79,17 +80,51 @@ def read_events(spark: SparkSession, cfg: ReplayConfig,
     old shape's second scan cost IO instead), and checkpoint blocks
     are non-replayable — an executor lost between this call and the
     caller's action fails with missing blocks rather than recomputing.
-    Right default for the interactive/moderate-corpus case this path
-    serves; for corpus-scale or long-lived-lineage ingest use
-    `sniff_fallback=False` (single-leg LAZY scan, no checkpoint, no
-    eager jobs, full fault-tolerance) after transcoding, or
-    `read_events_sniffed` directly."""
+    So the DEFAULT is SIZE-GATED (`"auto"`, r13 — the r12 verdict's
+    one 100 TB-unsafe default): a metadata-only listing aggregate
+    first sums the input; at most `auto_salvage_max_bytes` listed
+    bytes and `max_fallback_files` files, the checkpointed salvage
+    plan runs (the interactive/moderate-corpus case it serves); over
+    either bound the call warns and downgrades to the lazy single-leg
+    text scan — no checkpoint, no eager corpus job, full lineage
+    fault-tolerance, mis-extensioned files dropped as before r10.
+    `sniff_fallback=True` forces salvage regardless of size;
+    `sniff_fallback=False` is the lazy plan with no listing job at
+    all. Corpus-scale ingest that NEEDS per-file salvage should use
+    `read_events_sniffed` (content-sniffing over a lazy binaryFile
+    scan) instead of raising the byte bound."""
     reader = spark.read.option("ignoreCorruptFiles", "true")
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)
     text = reader.text(cfg.source_path)
-    if not sniff_fallback:
+    if sniff_fallback is False:
         return _finish(text, cfg)
+
+    listing_reader = spark.read.format("binaryFile")
+    if path_glob_filter:
+        listing_reader = listing_reader.option("pathGlobFilter",
+                                               path_glob_filter)
+    # selecting only path/length prunes the content column: the
+    # binaryFile scan is a LISTING job, no bytes read
+    listing = listing_reader.load(cfg.source_path).select("path", "length")
+    if cfg.object_suffix_to_skip:
+        listing = listing.filter(
+            ~F.col("path").endswith(cfg.object_suffix_to_skip))
+    if sniff_fallback == "auto":
+        st = listing.agg(F.sum("length").alias("b"),
+                         F.count("*").alias("n")).head()
+        total_b, n_files = int(st["b"] or 0), int(st["n"])
+        if total_b > auto_salvage_max_bytes or n_files > max_fallback_files:
+            import warnings
+            warnings.warn(
+                f"read_events: input ({n_files} files, {total_b} bytes) "
+                "exceeds the auto salvage bound "
+                f"({max_fallback_files} files / {auto_salvage_max_bytes} "
+                "bytes) — using the lazy single-leg text scan (no "
+                "per-file sniff salvage). Pass sniff_fallback=True to "
+                "force salvage, or use read_events_sniffed for "
+                "corpus-scale mixed-codec ingest.")
+            return _finish(text, cfg)
 
     # ONE text scan: parse with path, checkpoint, derive both legs
     parsed = _finish(text.withColumn("path", F.input_file_name()), cfg,
@@ -98,16 +133,7 @@ def read_events(spark: SparkSession, cfg: ReplayConfig,
     # files that contributed at least one parsed row to the text leg
     ok_files = (parsed
                 .select(_norm_path(F.col("path")).alias("norm")).distinct())
-    listing_reader = spark.read.format("binaryFile")
-    if path_glob_filter:
-        listing_reader = listing_reader.option("pathGlobFilter",
-                                               path_glob_filter)
-    # selecting only `path` prunes the content column: listing-only scan
-    listing = listing_reader.load(cfg.source_path).select("path")
-    if cfg.object_suffix_to_skip:
-        listing = listing.filter(
-            ~F.col("path").endswith(cfg.object_suffix_to_skip))
-    suspects = (listing
+    suspects = (listing.select("path")
                 .withColumn("norm", _norm_path(F.col("path")))
                 .join(ok_files, "norm", "left_anti")
                 .select("path")

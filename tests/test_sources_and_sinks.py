@@ -1198,6 +1198,55 @@ def test_read_events_sniff_fallback_mixed_dir(spark, sf_dir, tmp_path):
     assert "FileScan" not in clean_plan, clean_plan
 
 
+def test_read_events_auto_gate_downgrades_large_input(spark, sf_dir,
+                                                      tmp_path):
+    """r13 (r12 verdict item 2): the default `sniff_fallback="auto"` is
+    SIZE-GATED — over the byte bound or the file bound the call warns
+    and returns the lazy single-leg text scan (direct FileScan, no
+    checkpoint, no salvage), removing the corpus-sized eager
+    materialization from the 100 TB default; under the bounds it is the
+    checkpointed salvage plan (pinned by the mixed-dir test above);
+    `sniff_fallback=True` forces salvage regardless of size."""
+    import gzip as _gzip
+
+    from amazon_kinesis_replay_spark.config import ReplayConfig
+    from amazon_kinesis_replay_spark.sources import ndjson
+
+    rows = (load(spark, sf_dir, "events")
+            .select("event_id", "ts").orderBy("ts").limit(40).collect())
+
+    def text_of(chunk):
+        return "\n".join(
+            json.dumps({"event_id": r["event_id"],
+                        "dropoff_datetime": r["ts"].isoformat()})
+            for r in chunk) + "\n"
+
+    (tmp_path / "plain.jsonl").write_text(text_of(rows[:20]))
+    (tmp_path / "mislabeled_gz.jsonl").write_bytes(
+        _gzip.compress(text_of(rows[20:]).encode()))
+    cfg = ReplayConfig(source_path=str(tmp_path),
+                       timestamp_attribute="dropoff_datetime")
+
+    # over the BYTE bound: warn + lazy plan, mislabeled file dropped
+    with pytest.warns(UserWarning, match="auto salvage bound"):
+        big = ndjson.read_events(spark, cfg, auto_salvage_max_bytes=1)
+    assert big.count() == 20
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Scan text" in plan, plan
+
+    # over the FILE bound: same downgrade
+    with pytest.warns(UserWarning, match="auto salvage bound"):
+        many = ndjson.read_events(spark, cfg, max_fallback_files=1)
+    assert many.count() == 20
+
+    # explicit True bypasses the gate: salvage runs, all rows load
+    forced = ndjson.read_events(spark, cfg, sniff_fallback=True,
+                                auto_salvage_max_bytes=1)
+    assert forced.count() == len(rows)
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "Scan text" not in fplan, fplan
+
+
 def test_sampled_seek_matches_java_iterator_twin(spark, tmp_path):
     """Bug-for-bug sampled seek (JsonEventS3Iterator.java:79-101),
     opt-in: the Spark replica must emit EXACTLY what a pure-python
