@@ -84,14 +84,35 @@ def _shift_keys(tbl: pa.Table, shifts: dict[str, str],
     return tbl
 
 
-def _transform_documents(tbl: pa.Table, copy: int) -> pa.Table:
+def _transform_documents(tbl: pa.Table, copy: int,
+                         preserve_stopwords: bool = False) -> pa.Table:
     """Bijective per-copy token renaming: append `q<copy>` to every
     whitespace token (the suffix letter keeps renamed tokens out of the
     source vocabulary even where words already end in digits).
-    Recomputes n_chars = len(text) (source invariant, verified)."""
+    Recomputes n_chars = len(text) (source invariant, verified).
+
+    preserve_stopwords=True (r13, opt-in) identity-maps the engine's
+    EN_STOPWORDS instead of renaming them. Why: the default rename
+    zeroes the stopword-ratio quality signal for every copy but 0
+    (measured at sf1: copy 0 = 0.066, copies 1-9 = exactly 0.0), so
+    quality-calibrated gates see 90% of the tiled corpus as
+    junk-shaped and their volume guards fire by design — planted-junk
+    gate precision/recall cannot be truth-measured on the default
+    tiling. The trade: cross-copy word-shingle Jaccard is no longer
+    exactly zero (shingles made ONLY of stopwords are shared), so keep
+    the default tiling for dedup/ANN scale measurements and this mode
+    for quality-gate measurements."""
     suf = f"q{copy}"
+    keep = frozenset()
+    if preserve_stopwords:
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from amazon_kinesis_replay_spark.operators.text import EN_STOPWORDS
+        keep = frozenset(EN_STOPWORDS)
     texts = tbl["text"].to_pylist()
-    new = [" ".join(t + suf for t in s.split(" ")) for s in texts]
+    new = [" ".join(t if t.lower() in keep else t + suf
+                    for t in s.split(" ")) for s in texts]
     tbl = tbl.set_column(tbl.schema.get_field_index("text"),
                          tbl.schema.field("text"),
                          pa.array(new, pa.string()))
@@ -116,7 +137,8 @@ def _transform_embeddings(tbl: pa.Table, copy: int) -> pa.Table:
     return tbl.set_column(i, tbl.schema.field(i), arr)
 
 
-def generate(src: str, out: str, factor: int) -> None:
+def generate(src: str, out: str, factor: int,
+             preserve_stopwords: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     strides = _strides(src)
     for t in VERBATIM:
@@ -129,7 +151,8 @@ def generate(src: str, out: str, factor: int) -> None:
         for c in range(factor):
             tbl = base if c == 0 else _shift_keys(base, shifts, strides, c)
             if c > 0 and t == "documents":
-                tbl = _transform_documents(tbl, c)
+                tbl = _transform_documents(
+                    tbl, c, preserve_stopwords=preserve_stopwords)
             if c > 0 and t == "embeddings":
                 tbl = _transform_embeddings(tbl, c)
             copies.append(tbl)
@@ -144,5 +167,9 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/root/repo/.localdata/sf1")
+    ap.add_argument("--preserve-stopwords", action="store_true",
+                    help="identity-map EN_STOPWORDS so quality-score "
+                         "signals survive tiling (see "
+                         "_transform_documents docstring)")
     a = ap.parse_args()
-    generate(a.src, a.out, a.factor)
+    generate(a.src, a.out, a.factor, preserve_stopwords=a.preserve_stopwords)
