@@ -989,7 +989,8 @@ def semantic_index_write(emb: DataFrame, path: str, n_centroids: int = 16,
 def semantic_index_maybe_retrain(spark, path: str,
                                  growth_threshold: float = 0.5,
                                  n_iters: int = 2,
-                                 max_cell_share: float | None = None) -> bool:
+                                 max_cell_share: float | None = None,
+                                 n_assign: int | None = None) -> bool:
     """Drift policy for the semantic-dedup index — the twin of
     `ivf_index_maybe_retrain` (same triggers, same audited rename-aside
     swap): incremental appends keep the centroid geometry FROZEN, so
@@ -1017,6 +1018,13 @@ def semantic_index_maybe_retrain(spark, path: str,
     live, and the partial build is collected by the next writer.
     (`_heal_index_swap` still runs when resolving a LEGACY-layout index
     — only the pre-gen code could have left a crashed rename-aside swap.)
+
+    `n_assign=None` (default) PRESERVES the index's assignment width
+    across the retrain; an explicit value re-publishes the index at that
+    width (r13 follow-on: a width CHANGE is just semantic_index_write at
+    the new width inside the same generation commit — a policy knob, not
+    a format change; subsequent `semantic_dedup_incremental(n_assign=
+    None)` probes/appends inherit the new width from meta).
 
     Returns True iff a re-train ran."""
     from .. import fsutil
@@ -1065,7 +1073,10 @@ def semantic_index_maybe_retrain(spark, path: str,
     # boundaries and diverges from batch-trained centroids forever.
     emb = primary.select(F.col("id").alias("vec_id"),
                          F.col("vec").alias("embedding"))
-    width = idx_na or 1          # v1 upgrades to v2 at width 1
+    # width policy: preserve by default; explicit n_assign re-publishes
+    # at the new width (v1 upgrades to v2 at width 1 when preserving)
+    width = (max(int(n_assign), 1) if n_assign is not None
+             else (idx_na or 1))
     build = fsutil.gen_begin(spark, path)
     semantic_index_write(emb, build, n_centroids=int(n_cent),
                          n_iters=n_iters, n_assign=width)

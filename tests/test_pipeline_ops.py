@@ -5107,6 +5107,67 @@ def test_semantic_index_v2_retrain_trainer_dedup(spark, tmp_path):
         assert all(abs(x - y) < 1e-6 for x, y in zip(got[cid], vec)), cid
 
 
+def test_semantic_index_retrain_width_change(spark, tmp_path):
+    """r13 follow-on (ROADMAP candidate): `semantic_index_maybe_retrain(
+    n_assign=)` re-publishes the index at a NEW assignment width inside
+    the same generation commit — a policy knob on the v2 format, not a
+    format change. Default (None) preserves width; after a change the
+    default-width incremental probe inherits the new width from meta and
+    stays equal to the batch twin at that width."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.72, 0.69, 0.0, 0.0]), (3, [0.69, 0.72, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    probe = spark.createDataFrame([(12, [0.71, 0.70, 0.0, 0.0])],
+                                  "vec_id long, embedding array<float>")
+    path = str(tmp_path / "semwidth")
+    subs = ("members", "centroids", "meta")
+    similarity.semantic_index_write(emb, path, n_centroids=2, n_iters=1,
+                                    n_assign=1)
+
+    # widen 1 -> 2 at retrain
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0, n_iters=1, n_assign=2)
+    gen = similarity._index_dir(spark, path, subs)
+    meta = spark.read.parquet(gen + "/meta").head()
+    assert meta["n_assign"] == 2
+    assert meta["n_at_train"] == 4            # vectors, not member rows
+    m = spark.read.parquet(gen + "/members")
+    assert m.count() == 8 and m.filter("assign_rank = 1").count() == 4
+    # default probe inherits width 2: equal to the batch twin, and the
+    # boundary-straddling probe reaches BOTH near-identical vectors
+    cents = spark.read.parquet(gen + "/centroids")
+    p2 = _v2_pair_set(similarity.semantic_dedup_incremental(
+        spark, probe, path, threshold=0.99, append=False))
+    want2 = {(ia, ib) for ia, ib in
+             _batch_pair_set(emb.unionByName(probe), cents, 2, 0.99)
+             if ia == 12 or ib == 12}
+    assert p2 == want2 and {(2, 12), (3, 12)} <= p2
+
+    # default retrain PRESERVES the changed width
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0, n_iters=1)
+    gen = similarity._index_dir(spark, path, subs)
+    assert spark.read.parquet(gen + "/meta").head()["n_assign"] == 2
+
+    # narrow 2 -> 1: member rows collapse to one per vector and the
+    # default probe follows the index back down to primary-only
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0, n_iters=1, n_assign=1)
+    gen = similarity._index_dir(spark, path, subs)
+    assert spark.read.parquet(gen + "/meta").head()["n_assign"] == 1
+    m1 = spark.read.parquet(gen + "/members")
+    assert m1.count() == 4
+    assert m1.filter("assign_rank = 1").count() == 4
+    cents1 = spark.read.parquet(gen + "/centroids")
+    p1 = _v2_pair_set(similarity.semantic_dedup_incremental(
+        spark, probe, path, threshold=0.99, append=False))
+    want1 = {(ia, ib) for ia, ib in
+             _batch_pair_set(emb.unionByName(probe), cents1, 1, 0.99)
+             if ia == 12 or ib == 12}
+    assert p1 == want1
+
+
 def test_semantic_index_v1_backcompat(spark, tmp_path):
     """A pre-r13 on-disk index (members without assign_rank, meta
     without n_assign) keeps v1 semantics end-to-end: default probes are
