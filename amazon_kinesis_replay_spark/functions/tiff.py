@@ -314,8 +314,14 @@ def decode_tiff(raw: bytes):
     # DECLARED dims (the tiled path up front; LZW can synthesize
     # `expected` bytes from a tiny strip), so a crafted header could
     # demand gigabytes before any data-length check fires
-    if w <= 0 or h <= 0 or spp <= 0 or w * h * spp > (1 << 30):
-        raise TIFFError("implausible image dimensions")
+    # coarse early bound before BitsPerSample is parsed; scales with the
+    # module knob so raising MAX_SAMPLE_BYTES past 1 GiB isn't silently
+    # capped here (the byte-exact guards below stay authoritative)
+    if w <= 0 or h <= 0 or spp <= 0 or \
+            w * h * spp > max(1 << 30, MAX_SAMPLE_BYTES):
+        raise TIFFError(
+            f"implausible image dimensions ({w}x{h}x{spp} samples > "
+            f"max(2^30, MAX_SAMPLE_BYTES={MAX_SAMPLE_BYTES}))")
     bits = _tag_us(t, _TAG_BITS) if _TAG_BITS in t else (1,) * spp
     if all(b == 8 for b in bits):
         ss = 1

@@ -710,6 +710,24 @@ def _real_decode_image(raw: bytes) -> tuple[int, int, list[float]]:
     return w, h, _pixel_histogram(pixels)
 
 
+def _codec_caps() -> dict:
+    """Driver-side snapshot of worker-affecting codec knobs (r13 review
+    finding): a module-level knob set on the driver does NOT travel to
+    executors — every Python worker re-imports the package from the
+    shipped zip and sees the defaults. The decode kernels capture this
+    snapshot at plan-build time and re-apply it worker-side, so setting
+    `functions.tiff.MAX_SAMPLE_BYTES` on the driver governs the
+    distributed decode path too (the knob's error message advertises
+    exactly that remediation)."""
+    from ..functions import tiff
+    return {"tiff_max_sample_bytes": tiff.MAX_SAMPLE_BYTES}
+
+
+def _apply_codec_caps(caps: dict) -> None:
+    from ..functions import tiff
+    tiff.MAX_SAMPLE_BYTES = caps["tiff_max_sample_bytes"]
+
+
 #: everything the pure-Python image codecs raise on corrupt/unsupported
 #: payloads: the per-codec error classes are all ValueError subclasses
 #: (TIFFError, WebPError, ...), PNG inflate raises zlib.error, header
@@ -771,8 +789,10 @@ def decode_images(df: DataFrame, fake: bool = False,
     decode_one = _fake_decode_image if fake else _real_decode_image
     skip_errors = _image_decode_errors() if on_error == "skip" else ()
     skip_counter = _skip_counter_for(df, on_error)
+    caps = _codec_caps()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _apply_codec_caps(caps)
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [],
                    "n_bytes": [], "sha1": [], "features": []}
@@ -841,6 +861,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     skip_errors = _image_decode_errors() if on_error == "skip" else ()
     skip_counter = _skip_counter_for(df, on_error)
+    caps = _codec_caps()
 
     def _decode(raw: bytes) -> tuple[int, int, int, bytes]:
         if fake:
@@ -852,6 +873,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
         return w, h, len(pixels) // (w * h), pixels
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _apply_codec_caps(caps)
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [],
                    "channels": [], "pixels": []}
@@ -1014,8 +1036,11 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False,
                         hashlib.sha1(frames[idx]).hexdigest())
             yield pd.DataFrame(rows)
 
+    caps = _codec_caps()
+
     def _sample_decode(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
+        _apply_codec_caps(caps)
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_sha1": [],
                     "width": [], "height": [], "features": []}

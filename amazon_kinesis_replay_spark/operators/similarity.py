@@ -312,17 +312,12 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16,
     """
     cents = centroids if centroids is not None else _seed_centroids(
         emb, n_centroids, id_col, vec_col)
-    scorer = cosine if exact else _fast_cosine
-    scored = (emb.crossJoin(F.broadcast(cents))
-              .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                      "centroid_id",
-                      scorer(F.col(vec_col),
-                             F.col("c_vec")).alias("sim")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
-                                         F.col("centroid_id").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("id", "vec", "centroid_id"))
+    # delegate to the shared ranked-assignment helper at width 1 (r13
+    # review: two verbatim copies of the scored-window block let a
+    # future edit to one silently break the rank-1 == ivf_assign parity
+    # the v2 index format depends on)
+    return _ranked_assign(emb, cents, 1, id_col=id_col, vec_col=vec_col,
+                          exact=exact).drop("assign_rank")
 
 
 def ivf_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
@@ -918,10 +913,20 @@ def _index_meta(spark, base: str):
     """(n_centroids, n_at_train, n_assign) from a semantic index's
     meta/. n_assign is None for a pre-r13 (v1) index — the format
     discriminator: v1 members carry no assign_rank column and appends
-    must stay schema-compatible with them."""
+    must stay schema-compatible with them.
+
+    Only a MISSING/empty meta reads as all-None (pre-r8 index, or the
+    crash window of the coalesce(1) overwrite) — transient read errors
+    PROPAGATE (r13 review finding: a swallowed fs hiccup on a v2 index
+    would misclassify it as v1 and silently append rank-less rows the
+    retrain's primary filter then drops). Callers that can't tolerate
+    all-None on a ranked members table guard on the members schema."""
+    from pyspark.errors import AnalysisException
     try:
         m = spark.read.parquet(base + "/meta").head()
-    except Exception:
+    except AnalysisException:          # meta/ missing / schema-less
+        return None, None, None
+    if m is None:                      # readable but zero rows
         return None, None, None
     nat = int(m["n_at_train"]) if "n_at_train" in m.__fields__ else None
     na = int(m["n_assign"]) if "n_assign" in m.__fields__ else None
@@ -997,9 +1002,11 @@ def semantic_index_maybe_retrain(spark, path: str,
     appended mass degrades cell balance and dup recall over time.
 
     Metadata-scale triggers (partition-column projections only):
-    - GROWTH: committed members exceed `growth_threshold` over the
+    - GROWTH: committed VECTORS exceed `growth_threshold` over the
       count at last train (meta.n_at_train; a pre-r8 meta without it is
-      treated as due).
+      treated as due). On a v2 index the vector count is footer member
+      rows / min(n_assign, n_centroids) — still metadata-scale, no
+      data-column scan.
     - IMBALANCE (`max_cell_share`, opt-in): the largest cell holds more
       than that share of members — the near-identical-append pileup
       growth can't see.
@@ -1042,13 +1049,24 @@ def semantic_index_maybe_retrain(spark, path: str,
     members = spark.read.parquet(base + "/members")
     committed = (members.filter(~F.col("part").isin(keep))
                  if keep else members)
-    # v2 members hold one row per ASSIGNED CELL; growth and the trainer
-    # both work on VECTORS, i.e. rank-1 (primary) rows. A v1 index (no
-    # assign_rank column) is primary-only already.
-    primary = (committed.filter(F.col("assign_rank") == 1)
-               if "assign_rank" in committed.columns else committed)
-    n_now = primary.count()
     n_cent, n_at_train, idx_na = _index_meta(spark, base)
+    if idx_na is None and "assign_rank" in committed.columns:
+        # ranked members but no readable n_assign (meta lost in the
+        # crash window of its overwrite): retrain IS the repair path —
+        # derive the write width from the data so the rebuild preserves
+        # it instead of silently narrowing a v2 index to width 1
+        mx = committed.agg(F.max("assign_rank")).head()[0]
+        idx_na = int(mx) if mx is not None else None
+    # v2 members hold one row per ASSIGNED CELL, exactly
+    # min(n_assign, n_centroids) of them per vector — so the VECTOR
+    # count is footer rows / width, keeping the growth trigger
+    # metadata-scale (no data-column filter scan; r13 review finding).
+    # The trainer below still filters to rank-1 rows, but only runs
+    # when the retrain is already due.
+    width_eff = max(idx_na or 1, 1)
+    if n_cent:
+        width_eff = min(width_eff, int(n_cent))
+    n_now = committed.count() // width_eff
     due = n_at_train is None
     if not due:
         due = (n_now - n_at_train) > growth_threshold * max(n_at_train, 1)
@@ -1064,13 +1082,15 @@ def semantic_index_maybe_retrain(spark, path: str,
     if n_cent is None:
         n_cent = spark.read.parquet(base + "/centroids").count()
 
-    # trainer dedup-by-id: primary rows feed k-means, so every vector
-    # trains exactly once — the SAME trainer input a fresh batch
+    # trainer dedup-by-id: primary (rank-1) rows feed k-means, so every
+    # vector trains exactly once — the SAME trainer input a fresh batch
     # semantic_index_write over this corpus would see, which keeps the
     # retrained geometry identical to the batch twin's (the v2 parity
     # contract). The alternative (keep secondary rows, i.e. 2x-weight
     # boundary vectors) was rejected: it pulls centroids toward cell
     # boundaries and diverges from batch-trained centroids forever.
+    primary = (committed.filter(F.col("assign_rank") == 1)
+               if "assign_rank" in committed.columns else committed)
     emb = primary.select(F.col("id").alias("vec_id"),
                          F.col("vec").alias("embedding"))
     # width policy: preserve by default; explicit n_assign re-publishes
@@ -1152,6 +1172,16 @@ def semantic_dedup_incremental(spark, new_emb: DataFrame, path: str,
     probe_new = asg.filter(F.col("assign_rank") <= probe_w)
     members = (spark.read.parquet(base + "/members")
                .filter(F.col("part") != name))       # self-exclusion
+    if idx_na is None and "assign_rank" in members.columns:
+        # ranked (v2) members but no n_assign in meta: meta is lost or
+        # empty. A rank-less append here would be silently dropped by
+        # the retrain's rank-1 trainer filter — fail loudly instead
+        # (r13 review finding; semantic_index_maybe_retrain repairs by
+        # deriving the width from the members themselves).
+        raise ValueError(
+            f"semantic index at {path!r} has ranked (v2) members but "
+            "meta/ lacks n_assign — refusing a rank-less append/probe; "
+            "run semantic_index_maybe_retrain to repair the meta")
     old_side = members.select("centroid_id", "id", "vec")
     new_side = probe_new.select("centroid_id", "id", "vec")
     out = (_cell_pairs(new_side, new_side, _fast_cosine, threshold)

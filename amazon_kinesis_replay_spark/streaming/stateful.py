@@ -717,7 +717,7 @@ def near_dup_stream_semantic(emb, index_path: str, sink,
                              threshold: float = 0.4,
                              n_centroids: int = 16, n_iters: int = 2,
                              checkpoint: str | None = None,
-                             n_assign: int = 1):
+                             n_assign: int | None = None):
     """Streaming SEMANTIC near-dup — the FIFTH modality over
     `_indexed_stream_processor`: the first batch trains the k-means
     centroids and writes the member index
@@ -742,7 +742,13 @@ def near_dup_stream_semantic(emb, index_path: str, sink,
     batch's probe see each vector in all n_assign of its nearest cells
     — streaming dup sets match `semantic_dedup(n_assign=)` under the
     same frozen centroids (`semantic_dedup_incremental` docstring has
-    the exact semantics; parity is test-pinned)."""
+    the exact semantics; parity is test-pinned). The default (None,
+    r13 review) bootstraps at width 1 but lets every incremental batch
+    INHERIT the index width from meta — so a mid-stream
+    `semantic_index_maybe_retrain(n_assign=)` width change is honored
+    by the running stream instead of being pinned to the value the
+    stream started with; an explicit int forces that width for both
+    the bootstrap and every probe."""
     _process = _near_dup_semantic_processor(index_path, sink, id_col,
                                             vec_col, threshold,
                                             n_centroids, n_iters,
@@ -756,7 +762,7 @@ def near_dup_stream_semantic(emb, index_path: str, sink,
 def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
                                  vec_col: str, threshold: float,
                                  n_centroids: int, n_iters: int,
-                                 n_assign: int = 1):
+                                 n_assign: int | None = None):
     """Semantic-modality body of `near_dup_stream_semantic` (see
     `_indexed_stream_processor`)."""
     from ..operators import similarity
@@ -766,7 +772,7 @@ def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
                                         n_centroids=n_centroids,
                                         n_iters=n_iters, id_col=id_col,
                                         vec_col=vec_col,
-                                        n_assign=n_assign)
+                                        n_assign=n_assign or 1)
         # reuse the PERSISTED assignment the index write just produced —
         # a semantic_pairs() call here would re-run the whole
         # broadcast-centroid assignment over the same rows (r8 review).
@@ -777,7 +783,7 @@ def _near_dup_semantic_processor(index_path: str, sink, id_col: str,
                .select("centroid_id", "id", "vec"))
         pairs = similarity._cell_pairs(asg, asg, similarity._fast_cosine,
                                        threshold)
-        if n_assign > 1:
+        if (n_assign or 1) > 1:
             pairs = pairs.dropDuplicates(["id_a", "id_b"])
         return pairs
 

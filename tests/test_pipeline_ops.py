@@ -5337,6 +5337,87 @@ def test_tiff_16bit_allocation_bomb_guard():
         decode_tiff(bytes(b))
 
 
+def test_decode_images_tiff_cap_knob_reaches_executors(spark):
+    """r13 review (the knob's own error message advertises raising
+    `functions.tiff.MAX_SAMPLE_BYTES` — but a module knob set on the
+    driver never reaches executor Python workers, which re-import the
+    package and see the default): decode kernels snapshot the driver's
+    codec caps at plan-build time and re-apply them worker-side.
+    Proven in the decisive direction — LOWER the knob on the driver and
+    watch valid TIFF blobs get cap-skipped in the distributed path,
+    then restore it and watch them decode."""
+    from amazon_kinesis_replay_spark.functions import tiff
+    from amazon_kinesis_replay_spark.operators.multimodal import (
+        decode_images, resize_images)
+
+    blob = tiff.encode_tiff(8, 8, bytes(8 * 8), spp=1)
+    df = spark.createDataFrame([(1, blob), (2, blob)],
+                               "media_id long, data binary")
+    old = tiff.MAX_SAMPLE_BYTES
+    try:
+        tiff.MAX_SAMPLE_BYTES = 8          # 8x8x1 = 64 samples > 8
+        out = decode_images(df, on_error="skip")
+        assert out.count() == 0            # driver knob reached workers
+        assert out.skipped_rows.value == 2
+        rz = resize_images(df, 4, 4, on_error="skip")
+        assert rz.count() == 0
+        tiff.MAX_SAMPLE_BYTES = old
+        ok = decode_images(df, on_error="skip")
+        assert ok.count() == 2
+        assert ok.skipped_rows.value == 0
+    finally:
+        tiff.MAX_SAMPLE_BYTES = old
+
+
+def test_semantic_index_meta_loss_guard_and_repair(spark, tmp_path):
+    """r13 review: a v2 (ranked-members) index whose meta/ is lost in
+    the crash window of its coalesce(1) overwrite must not be
+    misclassified as v1 — the old swallowed-exception path appended
+    RANK-LESS rows that the retrain's rank-1 trainer filter then
+    silently dropped. Pins: `_index_meta` reads an EMPTY meta as
+    all-None (no AttributeError), the incremental refuses loudly, and
+    `semantic_index_maybe_retrain` repairs by deriving the width from
+    the members themselves (a width-2 index stays width 2)."""
+    import pytest
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.72, 0.69, 0.0, 0.0]), (3, [0.69, 0.72, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    path = str(tmp_path / "semmetaloss")
+    subs = ("members", "centroids", "meta")
+    similarity.semantic_index_write(emb, path, n_centroids=2, n_iters=1,
+                                    n_assign=2)
+    gen = similarity._index_dir(spark, path, subs)
+    # simulate the crash window: meta readable but zero rows
+    spark.createDataFrame(
+        [], "n_centroids int, n_at_train long, n_assign int") \
+        .coalesce(1).write.mode("overwrite").parquet(gen + "/meta")
+    assert similarity._index_meta(spark, gen) == (None, None, None)
+
+    new = spark.createDataFrame([(12, [0.71, 0.70, 0.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="ranked .v2. members"):
+        similarity.semantic_dedup_incremental(spark, new, path,
+                                              threshold=0.99)
+
+    # retrain is the repair path: due (no n_at_train), width derived
+    # from the ranked members (2), meta rebuilt at that width
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=0.5, n_iters=1)
+    gen2 = similarity._index_dir(spark, path, subs)
+    meta = spark.read.parquet(gen2 + "/meta").head()
+    assert meta["n_assign"] == 2 and meta["n_at_train"] == 4
+    m = spark.read.parquet(gen2 + "/members")
+    assert m.count() == 8 and m.filter("assign_rank = 1").count() == 4
+    # and the incremental probe works again at the inherited width
+    p = similarity.semantic_dedup_incremental(spark, new, path,
+                                              threshold=0.99,
+                                              append=False)
+    assert {(r["id_a"], r["id_b"]) for r in p.collect()} == {(2, 12),
+                                                             (3, 12)}
+
+
 def test_decode_images_on_error_skip(spark):
     """The corpus decode policy (r11): on_error='skip' drops
     undecodable blobs (truncated PNG, unknown magic, None payload

@@ -84,6 +84,18 @@ def _shift_keys(tbl: pa.Table, shifts: dict[str, str],
     return tbl
 
 
+def _stopword_keep_set() -> frozenset:
+    """Engine EN_STOPWORDS as a frozenset — resolved once (r13 review:
+    the per-copy form re-inserted the repo root into sys.path on every
+    copy x table call)."""
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from amazon_kinesis_replay_spark.operators.text import EN_STOPWORDS
+    return frozenset(EN_STOPWORDS)
+
+
 def _transform_documents(tbl: pa.Table, copy: int,
                          preserve_stopwords: bool = False) -> pa.Table:
     """Bijective per-copy token renaming: append `q<copy>` to every
@@ -103,13 +115,7 @@ def _transform_documents(tbl: pa.Table, copy: int,
     the default tiling for dedup/ANN scale measurements and this mode
     for quality-gate measurements."""
     suf = f"q{copy}"
-    keep = frozenset()
-    if preserve_stopwords:
-        import sys
-        sys.path.insert(0, os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
-        from amazon_kinesis_replay_spark.operators.text import EN_STOPWORDS
-        keep = frozenset(EN_STOPWORDS)
+    keep = _stopword_keep_set() if preserve_stopwords else frozenset()
     texts = tbl["text"].to_pylist()
     new = [" ".join(t if t.lower() in keep else t + suf
                     for t in s.split(" ")) for s in texts]
