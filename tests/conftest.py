@@ -63,6 +63,7 @@ SLOW_TESTS = {
     # added after the r13 profile run (3 gen-commit retrains, measured
     # 99 s solo / sibling retrain tests run 18-46 s in-suite)
     "tests/test_pipeline_ops.py::test_semantic_index_retrain_width_change",
+    "tests/test_pipeline_ops.py::test_semantic_index_width_exceeds_centroids",
     "tests/test_pipeline_ops.py::test_semantic_index_swap_heal_rollback_and_rollforward",
     "tests/test_pipeline_ops.py::test_semantic_index_v1_backcompat",
     "tests/test_pipeline_ops.py::test_semantic_index_v2_retrain_trainer_dedup",

@@ -5168,6 +5168,40 @@ def test_semantic_index_retrain_width_change(spark, tmp_path):
     assert p1 == want1
 
 
+def test_semantic_index_width_exceeds_centroids(spark, tmp_path):
+    """The v2 format carries arbitrary n_assign, but `_ranked_assign`
+    can only emit min(n_assign, n_centroids) rows per vector — pins
+    that (a) members hold exactly that many rows, (b) the retrain's
+    footer-scale growth accounting divides by the EFFECTIVE width (a
+    meta n_assign larger than k must not deflate the vector count),
+    and (c) a forced retrain preserves the declared width."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.72, 0.69, 0.0, 0.0]), (3, [0.69, 0.72, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    path = str(tmp_path / "semwide")
+    subs = ("members", "centroids", "meta")
+    similarity.semantic_index_write(emb, path, n_centroids=3, n_iters=1,
+                                    n_assign=5)
+    gen = similarity._index_dir(spark, path, subs)
+    meta = spark.read.parquet(gen + "/meta").head()
+    assert meta["n_assign"] == 5 and meta["n_at_train"] == 4
+    m = spark.read.parquet(gen + "/members")
+    assert m.count() == 12                     # min(5, 3) rows/vector
+    assert m.filter("assign_rank = 1").count() == 4
+    # growth sees 12/min(5,3) = 4 vectors == n_at_train: not due
+    assert not similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=10.0)
+    # forced retrain preserves the DECLARED width (5), still 3 rows/vec
+    assert similarity.semantic_index_maybe_retrain(
+        spark, path, growth_threshold=-1.0, n_iters=1)
+    gen2 = similarity._index_dir(spark, path, subs)
+    assert spark.read.parquet(gen2 + "/meta").head()["n_assign"] == 5
+    m2 = spark.read.parquet(gen2 + "/members")
+    assert m2.count() == 12
+    assert m2.filter("assign_rank = 1").count() == 4
+
+
 def test_semantic_index_v1_backcompat(spark, tmp_path):
     """A pre-r13 on-disk index (members without assign_rank, meta
     without n_assign) keeps v1 semantics end-to-end: default probes are
