@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scanwidth import widen_if_narrow
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -276,43 +278,10 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
     exchange is inserted — an unconditional repartition(n) would
     round-robin-shuffle the entire raw corpus even when already n-wide.
 
-    The width probe is ANALYSIS-ONLY: `df.rdd.getNumPartitions()` under
-    AQE eagerly materializes upstream query stages (measured: it submits
-    the shuffle job, which the real query then re-runs), so the decision
-    uses the analyzed plan string + the scan's file listing instead —
-    neither executes anything."""
-    import re as _re
-    spark = df.sparkSession
-    width = spark.sparkContext.defaultParallelism
-    # Parse NODE NAMES from the analyzed-plan tree (first identifier after
-    # the tree-drawing prefix on each line) — a bare substring match would
-    # false-positive on user identifiers like a 'SortKey' column.
-    plan = df._jdf.queryExecution().analyzed().toString()
-    nodes = {m.group(1) for m in
-             _re.finditer(r"^[\s:+|-]*'?([A-Za-z]\w*)", plan, _re.M)}
-    # NOTE deliberately narrow: ops that preserve their child's width
-    # (Generate/explode, Union of narrow scans) are NOT listed — a plan
-    # made only of those over a 1-file scan is still narrow and should
-    # still be repartitioned; listing them would silently skip the widening
-    # (the r3-ADVICE cliff, in the other direction).
-    shuffly = {"Repartition", "RepartitionByExpression", "Join",
-               "Aggregate", "Window", "Deduplicate", "Sort",
-               "MapInPandas", "FlatMapGroupsInPandas"}
-    if not nodes:
-        # Plan parse yielded nothing — node-name format drift in a future
-        # Spark (every analyzed plan has at least one node). Fall back to
-        # repartitioning: a redundant exchange is a bounded cost, while
-        # silently skipping it risks 1-partition shingling — a perf cliff
-        # nothing would flag. (test_plan_quality pins the probe's regex
-        # against the running Spark version.)
-        df = df.repartition(width)
-    elif not nodes & shuffly:
-        try:
-            n_files = len(df.inputFiles())
-        except Exception:
-            n_files = 0
-        if 0 < n_files < width:
-            df = df.repartition(width)
+    The width probe is ANALYSIS-ONLY — see operators/scanwidth.py (r13:
+    the probe that lived here was factored out so the per-row-heavy and
+    Python-boundary query entries share it)."""
+    df = widen_if_narrow(df)
     # `extra`: additional named columns computed in the SAME widened
     # projection (e.g. a token count sharing the tokenize with the shingle
     # build via whole-stage subexpression elimination) — composed pipelines

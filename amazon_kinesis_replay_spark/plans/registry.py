@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions import arn as arnf
 from ..functions import jsonf
 from ..operators import dedup, replay_ops, sampling, similarity, stats, text
+from ..operators.scanwidth import widen_if_narrow
 from ..session import ensure_engine_conf
 from ..tables import load
 
@@ -1315,7 +1316,11 @@ def q_doc_text_profile(spark, sf_dir):
     length — text.repetition_features). All pure column expressions —
     one narrow projection, whole-stage codegen, zero Python."""
     ensure_engine_conf(spark)
-    d = load(spark, sf_dir, "documents")
+    # r13 opt: the ~120-probe expression forest below is pure per-row CPU;
+    # on a few-file corpus the scan is 1 task and the whole forest ran
+    # single-core (measured at full-bench conditions: 1.36 s -> 0.78 s
+    # with the conditional widen; no-op once the scan is already wide).
+    d = widen_if_narrow(load(spark, sf_dir, "documents"))
     # Normalized text for the lang-score probes, materialized ONCE per
     # row behind a Generate barrier (explode of a 1-element array):
     # CollapseProject would otherwise re-inline the regexp into every
@@ -1383,7 +1388,12 @@ def q_doc_pii_redact(spark, sf_dir):
     verified equivalent (test_bpe_train_encode_spark + the r7
     all-SF merge-equality check)."""
     ensure_engine_conf(spark)
-    d = load(spark, sf_dir, "documents")
+    # r13 opt: every leg below (tokenizer train/encode kernels, n-gram
+    # explodes, hashed-DSIR counts) inherits the scan's width; on a
+    # few-file corpus that was 1 task each — the Arrow encode kernels'
+    # parallelism IS the partition count (guide §4). Measured at
+    # full-bench conditions: 14.9 s -> 7.0 s at sf0.1.
+    d = widen_if_narrow(load(spark, sf_dir, "documents"))
     merges = text.bpe_train(d, "text", n_merges=64)
     enc = text.bpe_encode(d.select("doc_id", "text"), "text", merges)
     # late r10: the unigram-LM tokenizer (SentencePiece hard-EM form,
@@ -2642,7 +2652,11 @@ def q_multimodal_decode(spark, sf_dir):
     cross-decode tests."""
     ensure_engine_conf(spark)
     from ..operators import multimodal
-    d = load(spark, sf_dir, "documents")
+    # r13 opt: the synth + decode + resize pandas kernels run at the
+    # scan's width — 1 task on a few-file corpus, serializing the whole
+    # pure-Python codec bench on one core (measured at full-bench
+    # conditions: 12.6 s -> 2.0 s at sf0.1 with the conditional widen).
+    d = widen_if_narrow(load(spark, sf_dir, "documents"))
     media = multimodal.synthesize_image_media(
         d.select(F.col("doc_id").alias("media_id"),
                  F.encode("text", "UTF-8").alias("data")))
@@ -3092,7 +3106,10 @@ def q_multimodal_meta(spark, sf_dir):
       run, not only in tests."""
     ensure_engine_conf(spark)
     from ..operators import multimodal
-    d = load(spark, sf_dir, "documents")
+    # r13 opt: same narrow-scan fix as multimodal_decode — the audio
+    # synth+decode kernels ran single-task on the few-file corpus
+    # (measured at full-bench conditions: 10.5 s -> 1.3 s at sf0.1).
+    d = widen_if_narrow(load(spark, sf_dir, "documents"))
     meta = d.select(
         F.lit("meta").alias("kind"),
         "doc_id",

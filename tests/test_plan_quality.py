@@ -142,6 +142,38 @@ def test_shingle_width_probe_parses_this_spark_version(spark):
         f"'Aggregate' not recognized in {sorted(nodes_agg)[:8]}"
 
 
+@pytest.mark.parametrize("name", ["doc_text_profile", "doc_pii_redact",
+                                  "multimodal_decode", "multimodal_meta"])
+def test_python_boundary_queries_widen_narrow_scans(spark, name):
+    """r13 opt: the per-row-heavy / Arrow-kernel entries must widen a
+    narrow (few-file) documents scan to session parallelism — an
+    expression forest or pandas kernel inherits the scan's width, and the
+    fixture corpora are single-row-group files, so without the widen the
+    whole per-row stage runs on ONE core (measured: multimodal_decode
+    12.6 s -> 2.0 s at sf0.1). The widen is `widen_if_narrow`, so it
+    disappears once the scan is at least parallelism-wide."""
+    p = _plan(spark, name)
+    assert "RoundRobinPartitioning" in p, name
+
+
+def test_widen_if_narrow_is_conditional(spark):
+    """The shared widening probe must be a no-op on inputs whose plan
+    already determines its own width — an unconditional repartition would
+    round-robin-shuffle the whole corpus at 100 TB."""
+    from amazon_kinesis_replay_spark.operators.scanwidth import \
+        widen_if_narrow
+    from amazon_kinesis_replay_spark.tables import load
+    d = load(spark, SF, "documents")
+    w = spark.sparkContext.defaultParallelism
+    widened = widen_if_narrow(d)
+    assert widened is not d, "narrow single-file scan must widen"
+    pw = widened._jdf.queryExecution().executedPlan().toString()
+    assert pw.count("RoundRobinPartitioning") == 1
+    already_wide = d.repartition(w + 4)
+    assert widen_if_narrow(already_wide) is already_wide, \
+        "plan with a width-determining op must pass through untouched"
+
+
 def test_embedding_lsh_exchange_is_narrow(spark):
     """The sign-LSH collision join must shuffle (id, band, bucket) rows
     only — 64-float vectors riding the candidate exchange is dead weight
