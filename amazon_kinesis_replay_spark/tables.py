@@ -30,6 +30,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Session-lifetime parquet-schema memo per table path (r13 opt, guide
+#: §1.2 "per-task work" at the driver): a bare `spark.read.parquet(path)`
+#: runs a footer schema-inference JOB on every call (~150 ms at sf0.1),
+#: and composed queries call `load` up to 6 times per construction —
+#: measured at full-bench conditions the memo takes q5 1.25->0.69 s and
+#: q1/q3 ~-0.4 s each. The first load of a path still infers (so physical
+#: -type drift across fixtures is observed per path); later loads pass
+#: the schema explicitly, which skips only the inference job — path
+#: existence and footer validity are still checked at the action. Memo
+#: is metadata-only (a StructType, session-independent), bounded like
+#: replay_ops._BOUNDS_MEMO.
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        if len(_SCHEMA_MEMO) >= 256:  # bound driver memory
+            _SCHEMA_MEMO.clear()
+        _SCHEMA_MEMO[path] = sch
+    return sch
+
+
 def load(spark: SparkSession, sf_dir: str, name: str,
          events_min_ts: str | None = None) -> DataFrame:
     """Load one fixture table.
@@ -45,7 +69,8 @@ def load(spark: SparkSession, sf_dir: str, name: str,
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_engine_conf(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     ts_dtype = dict(df.dtypes).get("ts")
     # `events.ts` has shipped as two physical parquet types across driver
     # versions; normalize BOTH to microsecond TimestampType (UTC session TZ)
