@@ -463,19 +463,30 @@ def q_q5_local_supplier(spark, sf_dir):
 
 
 def q_q14_promo_effect(spark, sf_dir):
-    """TPC-H Q14-style: lineitem x part join + conditional aggregate ratio."""
+    """TPC-H Q14-style: lineitem x part join + conditional aggregate ratio.
+
+    r13 opt: revenue terms on quantized LONGs with decimal(38,0) sums and
+    the exact-string final conversion — the q1 treatment (bit-exact vs
+    the previous decimal form, checked at sf0.1; 0.52 -> 0.44 s measured
+    at full-bench conditions)."""
     ensure_engine_conf(spark)
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
     p = load(spark, sf_dir, "part")
-    # disc_price is decimal(20,6) (12,2 x 7,4); zero branch matches the type
-    promo = F.when(F.col("p_type").startswith("PROMO"), _disc_price()) \
-        .otherwise(F.lit(0).cast("decimal(20,6)"))
+    price_c = _quant(F.col("l_extendedprice"), 2)
+    disc_bp = _quant(F.col("l_discount"), 4)
+    disc_price_u = price_c * (10000 - disc_bp)      # 10^-6 units
+    promo_u = F.when(F.col("p_type").startswith("PROMO"), disc_price_u) \
+        .otherwise(F.lit(0).cast("long"))
     joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
-    return joined.agg(
-        (F.lit(100.0) * F.sum(promo).cast("double")
-         / F.sum(_disc_price()).cast("double")).alias("promo_revenue_pct"))
+    agg = joined.agg(
+        F.sum(promo_u.cast("decimal(38,0)")).alias("__sp"),
+        F.sum(disc_price_u.cast("decimal(38,0)")).alias("__sd"))
+    return agg.select(
+        (F.lit(100.0) * F.expr(_exact_pow10_double("__sp", 6))
+         / F.expr(_exact_pow10_double("__sd", 6)))
+        .alias("promo_revenue_pct"))
 
 
 _Q7_NATIONS = [f"NATION_{i}" for i in range(5)]
@@ -841,14 +852,17 @@ _ORACLES_TPCH = {
                AND l_quantity BETWEEN 20 AND 50)
     """,
     "q14_promo_effect": f"""
-        SELECT 100.0 * CAST(CAST(sum(
-                   CASE WHEN p_type LIKE 'PROMO%'
-                        THEN {_SQL_DISC_PRICE}
-                        ELSE CAST(0 AS DECIMAL(20,6)) END) AS VARCHAR) AS DOUBLE)
-               / CAST(CAST(sum({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        WITH agg AS (
+            SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN {_SQL_DISC_PRICE_U}
+                            ELSE CAST(0 AS BIGINT) END) AS __sp,
+                   sum({_SQL_DISC_PRICE_U}) AS __sd
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        SELECT 100.0 * {_duck_exact_pow10_double("__sp", 6)}
+               / {_duck_exact_pow10_double("__sd", 6)} AS promo_revenue_pct
+        FROM agg
     """,
     "agg_events_by_type": _agg_events_hll_oracle,   # callable: literal VALUES
     "top_users_by_value": """
@@ -2070,7 +2084,13 @@ def q_dedup_exact(spark, sf_dir):
     from ..operators import similarity as sim
     from ..operators import text as text_ops
     ensure_engine_conf(spark)
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # r13 opt: ten kind families derive from this scan, each with real
+    # per-row work (window hashes, bloom/qhist explodes, suffix ranks,
+    # chunk windows) — single-task on a few-file corpus without the
+    # conditional widen (measured at full-bench conditions: 24.4 ->
+    # 19.4 s at sf0.1).
+    d = widen_if_narrow(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "text")
     copy = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     ex = dedup.exact_dedup(d.unionAll(copy), ["text"], "doc_id")
     ex_rows = ex.select(
@@ -2699,7 +2719,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     variant (similarity.ivf_index_write/ivf_probe_topk) remains
     plan-tested for centroid_id partition pruning."""
     ensure_engine_conf(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    # r13 opt: the exact-mode decimal cosines (2 Lloyd iterations + final
+    # assign + probe) all inherit the scan's width — single-task on a
+    # one-file corpus without the conditional widen (measured at
+    # full-bench conditions: 5.6 -> 3.7 s at sf0.1).
+    emb = widen_if_narrow(load(spark, sf_dir, "embeddings"))
     cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iters=2,
                                         exact=True)
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10,
@@ -2810,7 +2834,11 @@ def q_pairwise_topk_per_label(spark, sf_dir):
       kind='semdedup' (one Lloyd run feeds both).
     """
     ensure_engine_conf(spark)
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    # r13 opt: four kind families of decimal-exact cosine work over this
+    # scan — single-task on a one-file corpus without the conditional
+    # widen (measured at full-bench conditions: 34.3 -> 27.9 s at sf0.1).
+    emb = widen_if_narrow(load(spark, sf_dir, "embeddings")) \
+        .filter(F.col("vec_id") % 5 == 0)
     out = similarity.pairwise_topk_per_label(emb, k=3)
     pair = out.select(
         F.lit("pair").alias("kind"),

@@ -143,7 +143,9 @@ def test_shingle_width_probe_parses_this_spark_version(spark):
 
 
 @pytest.mark.parametrize("name", ["doc_text_profile", "doc_pii_redact",
-                                  "multimodal_decode", "multimodal_meta"])
+                                  "multimodal_decode", "multimodal_meta",
+                                  "dedup_exact", "pairwise_topk_per_label",
+                                  "ann_ivf_topk"])
 def test_python_boundary_queries_widen_narrow_scans(spark, name):
     """r13 opt: the per-row-heavy / Arrow-kernel entries must widen a
     narrow (few-file) documents scan to session parallelism — an
