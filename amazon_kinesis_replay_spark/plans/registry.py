@@ -2845,7 +2845,12 @@ def q_pairwise_topk_per_label(spark, sf_dir):
         F.col("lbl").cast("long").alias("label"), "id_a", "id_b", "cosine",
         F.col("rank").cast("long").alias("rank"),
         F.lit(None).cast("boolean").alias("is_dup"))
-    full = load(spark, sf_dir, "embeddings")
+    # r13 opt: `full` feeds two Lloyd trainings and THREE semantic-dedup
+    # legs of decimal-exact cosine work — without the conditional widen
+    # all of it keys off a one-file narrow scan (measured at full-bench
+    # conditions with the widened sample already in place: -2.0 s,
+    # row-multiset identical).
+    full = widen_if_narrow(load(spark, sf_dir, "embeddings"))
     cents = similarity.kmeans_centroids(full, n_centroids=16, n_iters=2,
                                         exact=True)
 
