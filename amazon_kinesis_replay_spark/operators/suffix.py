@@ -9,17 +9,25 @@ the paper's actual structure DISTRIBUTED, via prefix doubling (the
 classic parallel suffix-array construction — Flick & Aluru 2015 scale it
 to thousands of cores with exactly this DataFrame-shaped recurrence):
 
-  rank_{2w}(i)  =  dense-rank of the pair (rank_w(i), rank_w(i + w))
+  rank_{2w}(i)  =  class-id of the pair (rank_w(i), rank_w(i + w))
 
-Each doubling is two hash joins + one distributed dense-rank (the
-repo's `with_global_index` over the DISTINCT pair table — deterministic
-literal-bounds bucketing, never a single-task sort). ceil(log2 L)
-rounds suffice to group suffixes by their first L tokens, so the cost
-to find duplicated runs of length >= L is O(log L) shuffles of
-corpus-token-scale rows — NOT the O(log N) of a full suffix sort, and
-with no quadratic term anywhere. Per-doc sentinel rows (unique ranks by
-construction, no reserved token string) stop runs from crossing
-document boundaries.
+Each doubling is two hash joins + one equality-class aggregation
+(class id = min member gpos + 1, a plain groupBy + join back). Every
+consumer of the recurrence — the doubling step itself, the two-rank
+trick, duplicated-group detection — uses rank EQUALITY only, so any
+injective-per-class id works; the min-gpos id replaces the r8 design's
+distributed dense-rank (`with_global_index` over the DISTINCT pair
+table), whose per-round approxQuantile bounds job + checkpoint made
+plan construction an eager serial driver-job chain (measured at sf0.1
+full-bench conditions: the dedup_exact sa leg built in 11.4 s before,
+3.7 s after; ORDERED dense ranks, if a suffix-array byproduct ever
+needs them, are one `with_global_index` over the final class table).
+ceil(log2 L) rounds suffice to group suffixes by their first L tokens,
+so the cost to find duplicated runs of length >= L is O(log L)
+shuffles of corpus-token-scale rows — NOT the O(log N) of a full
+suffix sort, and with no quadratic term anywhere. Per-doc sentinel
+rows (unique ranks by construction, no reserved token string) stop
+runs from crossing document boundaries.
 
 `duplicated_runs(min_len=w)` is definitionally equal to
 `duplicate_spans(window=w)` — position p is flagged iff its w-token
@@ -31,8 +39,9 @@ kind='span').
 
 Scale trade (documented, measured in the window module): window hashes
 pay ONE candidate shuffle; prefix doubling pays 2·ceil(log2 L) + 2
-shuffles but yields exact equality classes at ANY length and the rank
-order needed for suffix-array byproducts. Use window hashes as the
+shuffles but yields exact equality classes at ANY length (and ordered
+suffix ranks for one more global index over the final class table).
+Use window hashes as the
 default; this tier exists for audits and for sub-window-length exact
 runs (`min_len` need not snap to a window size).
 """
@@ -43,7 +52,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _tokens
-from .replay_ops import with_global_cumsum, with_global_index
+from .replay_ops import with_global_cumsum
 
 
 def corpus_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -78,27 +87,33 @@ def corpus_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 "token"))
 
 
-def _dense_rank_of(df: DataFrame, key_cols: list[str],
-                   out: str = "__r") -> DataFrame:
-    """Distributed dense rank: global index over the DISTINCT key table
-    (equal keys -> equal rank, rank order = key order), joined back."""
-    keys = with_global_index(df.select(*key_cols).distinct(), key_cols,
-                             out_col=out)
-    return df.join(keys, key_cols)
+def _class_ids(df: DataFrame, key_cols: list[str],
+               out: str = "__r") -> DataFrame:
+    """Injective equality-class id per distinct key: min member gpos + 1
+    (equal keys -> equal id, distinct keys -> distinct ids — the ids
+    are NOT ordered like the keys; every consumer in this module needs
+    equality only, see the module docstring). +1 keeps real-position
+    ids >= 1, disjoint from the per-doc sentinels' negative ids and
+    from the past-corpus-end placeholder 0. One shuffle-side aggregate
+    + one join back — no eager driver job, unlike the dense-rank
+    formulation it replaced (r13)."""
+    cls = df.groupBy(*key_cols).agg((F.min("gpos") + 1).alias(out))
+    return df.join(cls, key_cols)
 
 
 def suffix_ranks(tok: DataFrame, upto: int) -> DataFrame:
     """(gpos, rank) where two positions share `rank` iff their suffixes
     agree on the first `upto` tokens (upto = a power of two; sentinel
-    and past-corpus-end positions rank uniquely). Prefix doubling:
-    log2(upto) rounds, each = one shifted self-join + one distributed
-    dense-rank; per-round localCheckpoint cuts the iterative lineage
-    (the k-means/classifier convention — plan analysis must not grow
-    with round count)."""
+    and past-corpus-end positions rank uniquely). Rank values carry
+    EQUALITY semantics only (min-gpos class ids, not order-dense — see
+    `_class_ids`). Prefix doubling: log2(upto) rounds, each = one
+    shifted self-join + one class-id aggregation; per-round
+    localCheckpoint cuts the iterative lineage (the k-means/classifier
+    convention — plan analysis must not grow with round count)."""
     if upto < 1 or upto & (upto - 1):
         raise ValueError(f"upto must be a positive power of two: {upto}")
-    real = _dense_rank_of(tok.filter(F.col("token").isNotNull())
-                          .select("gpos", "token"), ["token"])
+    real = _class_ids(tok.filter(F.col("token").isNotNull())
+                      .select("gpos", "token"), ["token"])
     sent = tok.filter(F.col("token").isNull()).select(
         "gpos", (-(F.col("gpos") + 1)).alias("__r"))
     cur = (real.select("gpos", "__r").unionByName(sent)
@@ -110,7 +125,7 @@ def suffix_ranks(tok: DataFrame, upto: int) -> DataFrame:
         pairs = (cur.join(shifted, "gpos", "left")
                  .select("gpos", "rank",
                          F.coalesce("rank2", F.lit(0)).alias("rank2")))
-        cur = (_dense_rank_of(pairs, ["rank", "rank2"])
+        cur = (_class_ids(pairs, ["rank", "rank2"])
                .select("gpos", F.col("__r").alias("rank"))
                .localCheckpoint())
         width *= 2
@@ -188,8 +203,8 @@ def longest_duplicated_run(df: DataFrame, id_col: str, text_col: str,
     the loop forever)."""
     tok = corpus_tokens(df, id_col, text_col).localCheckpoint()
 
-    real = _dense_rank_of(tok.filter(F.col("token").isNotNull())
-                          .select("gpos", "token"), ["token"])
+    real = _class_ids(tok.filter(F.col("token").isNotNull())
+                      .select("gpos", "token"), ["token"])
     sent = tok.filter(F.col("token").isNull()).select(
         "gpos", (-(F.col("gpos") + 1)).alias("__r"))
     ranks = {1: (real.select("gpos", "__r").unionByName(sent)
@@ -217,7 +232,7 @@ def longest_duplicated_run(df: DataFrame, id_col: str, text_col: str,
         pairs = (cur.join(shifted, "gpos", "left")
                  .select("gpos", "rank",
                          F.coalesce("rank2", F.lit(0)).alias("rank2")))
-        return (_dense_rank_of(pairs, ["rank", "rank2"])
+        return (_class_ids(pairs, ["rank", "rank2"])
                 .select("gpos", F.col("__r").alias("rank"))
                 .localCheckpoint())
 
