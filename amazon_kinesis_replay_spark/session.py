@@ -26,6 +26,17 @@ ENGINE_RUNTIME_CONF = {
     # Harmless for the current TIMESTAMP(MICROS) fixtures, kept so either
     # physical type loads (tables.load normalizes both to TimestampType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark 4's DataFrame-debugging wraps EVERY DataFrame/Column API call
+    # with call-site capture: a Python stack walk plus ~5 py4j round trips
+    # (getActiveSession, a conf read, PySparkCurrentOrigin.set/clear). On
+    # this box a py4j round trip is ~0.8 ms, so plan CONSTRUCTION paid
+    # ~4 ms per API call — measured 108 ms for one trivial select, ~0.7 s
+    # to build the minhash_dedup plan alone (r13 profile; cProfile showed
+    # 3,400 round trips per construction). The capture only enriches error
+    # messages with user line numbers; the engine's own errors carry their
+    # context. Measured win: select() 108 -> 43 ms, whole-bench plan
+    # construction is a large part of every sub-second query's time.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -58,6 +69,18 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build; keep going
+    # The dataFrameDebugging switch is read ONCE per Python process and
+    # memoized in pyspark.errors.utils._enable_debugging_cache; on a
+    # driver-owned session that already ran DataFrame ops the True value
+    # is cached and the conf.set above never takes effect. Resetting the
+    # memo makes the conf authoritative mid-process; guarded because the
+    # private name may move in a future PySpark (the conf alone then
+    # covers sessions we build ourselves).
+    try:
+        from pyspark.errors import utils as _perr_utils
+        _perr_utils._enable_debugging_cache = False
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 
