@@ -318,10 +318,18 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 
 def _signature_from_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
     """Signature aggregation over (id, shingle) rows (see
-    minhash_signature for the hash-family discussion)."""
+    minhash_signature for the hash-family discussion).
+
+    The aggregate columns are built as SQL-expression strings, not nested
+    Column calls: each py4j round trip costs ~0.8 ms on this box and the
+    Column form paid ~6 round trips per hash column at plan-construction
+    time (r13 profile: the bench timer bills construction to the query).
+    `xxhash64({i}, __h0)` parses the seed as the same INT literal
+    `F.lit(i)` produced, so the hash values — and therefore the banded
+    candidate set — are bit-identical (asserted in the r13 A/B)."""
     hashed = sh.withColumn("__h0", F.xxhash64("shingle"))
     return hashed.groupBy("id").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
+        F.expr(f"min(xxhash64({i}, __h0)) AS h{i}")
         for i in range(num_hashes)
     ])
 
@@ -362,18 +370,7 @@ def _lsh_pairs_from_signature(sig: DataFrame, num_hashes: int,
                               bands: int) -> DataFrame:
     """Banded self-equi-join over a precomputed signature (see
     minhash_lsh_pairs for the banding discussion)."""
-    rows_per_band = num_hashes // bands
-    band_entries = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.col(f"h{b * rows_per_band + r}")
-                           for r in range(rows_per_band)])).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    band_entries = _band_entries_from_signature(sig, num_hashes, bands)
     a, b = band_entries.alias("a"), band_entries.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -988,20 +985,20 @@ def minhash_dedup_incremental(spark, new_df: DataFrame, path: str,
 
 def _band_entries_from_signature(sig: DataFrame, num_hashes: int,
                                  bands: int) -> DataFrame:
-    """(id, band, bucket) rows of the banded signature (the persisted
-    form of _lsh_pairs_from_signature's join input)."""
+    """(id, band, bucket) rows of the banded signature (the shared join
+    input of _lsh_pairs_from_signature and the persisted incremental
+    index). One `inline(array(struct(...)))` selectExpr instead of
+    nested Column calls: band/bucket VALUES are unchanged (same INT band
+    literal, same xxhash64-over-concat_ws bucket — asserted bit-equal in
+    the r13 A/B); what changes is plan-construction cost (~0.15 s fewer
+    py4j round trips at 16 bands, billed to the query by the bench)."""
     rows_per_band = num_hashes // bands
-    return sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.col(f"h{b * rows_per_band + r}")
-                           for r in range(rows_per_band)])).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    structs = ",".join(
+        "struct({b} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)"
+        .format(b=b, cols=",".join(f"h{b * rows_per_band + r}"
+                                   for r in range(rows_per_band)))
+        for b in range(bands))
+    return sig.selectExpr("id", f"inline(array({structs}))")
 
 
 # --------------------------------------------------------------------------
