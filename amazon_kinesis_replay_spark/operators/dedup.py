@@ -604,23 +604,25 @@ def _sign_band_keys(src: DataFrame, n_bands: int,
                     band_bits: int) -> DataFrame:
     """(id, band, bucket) sign-LSH keys of an (id, v) table. Candidate
     generation shuffles ONLY these rows — the float vectors never ride
-    through the LSH join; they are joined back for surviving pairs."""
-    def band_bucket_v(b: int) -> Column:
-        bucket = F.lit(0)
-        for j in range(band_bits):
-            bit = F.when(
-                F.element_at(F.col("v"), b * band_bits + j + 1) >= 0,
-                F.lit(1)).otherwise(F.lit(0))
-            bucket = bucket * 2 + bit
-        return bucket.cast("int")
+    through the LSH join; they are joined back for surviving pairs.
 
-    return src.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_bucket_v(b).alias("bucket"))
-            for b in range(n_bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    Built as one inline(array(struct(...))) selectExpr: the Column form
+    paid ~8 py4j round trips per sign bit (~500 per call at 8x8) of
+    plan-construction latency the bench bills to the query. Bucket
+    VALUES are unchanged — same left-associated (bit*2+bit) chain, same
+    INT cast (pinned by test_sql_twin_builders_bit_equal)."""
+    def band_bucket_sql(b: int) -> str:
+        bucket = "0"
+        for j in range(band_bits):
+            bit = (f"(CASE WHEN element_at(v, {b * band_bits + j + 1}) >= 0 "
+                   f"THEN 1 ELSE 0 END)")
+            bucket = f"({bucket} * 2 + {bit})"
+        return f"CAST({bucket} AS INT)"
+
+    structs = ",".join(
+        f"struct({b} AS band, {band_bucket_sql(b)} AS bucket)"
+        for b in range(n_bands))
+    return src.selectExpr("id", f"inline(array({structs}))")
 
 
 def _with_vec_norm(src: DataFrame) -> DataFrame:
@@ -629,8 +631,8 @@ def _with_vec_norm(src: DataFrame) -> DataFrame:
     both norms per pair — the dominant interpreted-HOF cost at sf0.1:
     1.65 s -> 1.15 s for the pre-filter stage with norms hoisted)."""
     from . import similarity
-    return src.withColumn("n", F.sqrt(similarity._fast_dot(
-        F.col("v"), F.col("v"))))
+    return src.selectExpr(
+        "*", f"sqrt({similarity._fast_dot_sql('v', 'v')}) AS n")
 
 
 def _verify_cosine_pairs(withn: DataFrame, cand_ids: DataFrame,
@@ -656,14 +658,13 @@ def _verify_cosine_pairs(withn: DataFrame, cand_ids: DataFrame,
     vb = withn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                       F.col("n").alias("nb"))
     cand = cand_ids.join(va, "id_a").join(vb, "id_b")
-    dot = (similarity._fast_dot_fixed(F.col("va"), F.col("vb"), dim)
-           if dim is not None
-           else similarity._fast_dot(F.col("va"), F.col("vb")))
-    fast = cand.withColumn("__fc", dot / (F.col("na") * F.col("nb")))
+    dot_sql = (similarity._fast_dot_fixed_sql("va", "vb", dim)
+               if dim is not None
+               else similarity._fast_dot_sql("va", "vb"))
+    fast = cand.selectExpr("*", f"({dot_sql} / (na * nb)) AS __fc")
     survivors = fast.filter(F.col("__fc") >= threshold - 1e-6)
-    scored = survivors.select(
-        "id_a", "id_b",
-        similarity.cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    scored = survivors.selectExpr(
+        "id_a", "id_b", f"{similarity.cosine_sql('va', 'vb')} AS cosine")
     return scored.filter(F.col("cosine") >= threshold)
 
 

@@ -34,6 +34,60 @@ def _qprod(v: Column) -> Column:
     return F.floor(v * F.lit(_Q_SCALE) + F.lit(0.5))
 
 
+# --- SQL-string twins of the Column builders below (r13 optimization) ----
+#
+# Plan construction is billed to the query by the bench, and each py4j
+# round trip costs ~0.8 ms on this box; the Column forms of these
+# expressions paid tens of round trips per use. The _sql twins take the
+# operand's SQL text (a column name or a composed sub-expression) and
+# return one string a caller parses with a single F.expr/selectExpr call.
+# Every numeric literal carries the type the Column form produced
+# (D-suffixed doubles for F.lit(float), 0L for F.lit(0).cast("long")),
+# so the parsed tree computes bit-identical values — asserted against
+# the Column forms over real embedding pairs in
+# tests/test_pipeline_ops.py::test_sql_twin_builders_bit_equal.
+
+def _exact_dot_sql(a: str, b: str) -> str:
+    """SQL twin of `_exact_dot` (values bit-identical)."""
+    return (f"(CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1.0E12D + 0.5D)), "
+            f"0L, (acc, v) -> acc + v) AS DOUBLE) / 1.0E12D)")
+
+
+def _norm_sql(a: str) -> str:
+    """SQL twin of `_norm`."""
+    return f"sqrt({_exact_dot_sql(a, a)})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """SQL twin of `cosine`."""
+    return f"({_exact_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def _fast_dot_sql(a: str, b: str) -> str:
+    """SQL twin of `_fast_dot`."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _fast_dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """SQL twin of `_fast_dot_fixed`: the identical balanced tree of
+    element_at products (explicit parentheses pin the same association,
+    so the pairwise summation is bit-identical), plus the same loud
+    width guard."""
+    terms = [f"(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+             f"CAST(element_at({b}, {i + 1}) AS DOUBLE))"
+             for i in range(dim)]
+    while len(terms) > 1:
+        terms = [f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms)
+                 else terms[i] for i in range(0, len(terms), 2)]
+    msg = f"_fast_dot_fixed: vector width != pinned dim={dim}"
+    chk = (f"coalesce(CAST(assert_true(size({a}) = {dim} AND "
+           f"size({b}) = {dim}, '{msg}') AS DOUBLE), 0.0D)")
+    return f"({terms[0]} + {chk})"
+
+
 def _exact_dot(a: Column, b: Column) -> Column:
     """Order-independent, engine-exact dot product -> double: quantized
     products (64 of them, each |q| <= ~4e12) sum exactly in a long, and
@@ -142,8 +196,7 @@ def brute_force_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     """
     scored = (
         emb.crossJoin(F.broadcast(query_df))
-        .select(F.col(id_col),
-                cosine(F.col(vec_col), F.col("q_vec")).alias("cosine"))
+        .selectExpr(id_col, f"{cosine_sql(vec_col, 'q_vec')} AS cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 

@@ -61,6 +61,18 @@ def _hll_bucket_rho(value_col: Column, p: int):
     return bucket.cast("long").alias("bucket"), rho.cast("int").alias("rho")
 
 
+def _hll_bucket_rho_sql(col: str, p: int) -> tuple[str, str]:
+    """Spark-SQL twins of `_hll_bucket_rho` (r13 construction-cost pass;
+    same bit-slicing expressions, values identical)."""
+    h = f"xxhash64({col})"
+    bucket = f"CAST(shiftrightunsigned({h}, {64 - p}) AS BIGINT)"
+    bits = (f"lpad(conv(format_string('%d', shiftrightunsigned("
+            f"shiftleft({h}, {p}), 1)), 10, 2), 64, '0')")
+    rho = (f"CAST(CASE WHEN (instr({bits}, '1') - 1) = -1 "
+           f"THEN {64 - p + 1} ELSE (instr({bits}, '1') - 1) END AS INT)")
+    return bucket, rho
+
+
 def hll_register_table(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     """HLL register table for one column: (bucket, max_rho) with
     2^p buckets. bucket = top p bits of xxhash64(value); rho = position

@@ -17,19 +17,49 @@ from pyspark.sql import functions as F
 #: Tiny English function-word list for the n-gram/stopword heuristic.
 EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+# -- Spark-SQL string twins (r13 optimization) -----------------------------
+#
+# The scalar text features accept a COLUMN NAME (str) besides a Column:
+# the str path composes ONE SQL string parsed with a single F.expr call,
+# where the Column path paid a py4j round trip (~0.8 ms of driver latency
+# on this box, billed to the query by the bench) per builder call —
+# hundreds per profile query. The strings spell every literal with the
+# type the Column form produced (D-suffixed doubles, '\\s+' so the
+# parser's escape pass yields the same regex) and are pinned value-equal
+# to the Column forms in tests/test_pipeline_ops.py::test_text_expr_twins_value_equal.
 
-def tokens(text_col: Column) -> Column:
+
+def tokens_expr(c: str) -> str:
+    """SQL twin of `tokens` (c: column name / SQL fragment)."""
+    return f"split(trim(lower({c})), '\\\\s+')"
+
+
+def _sq(s: str) -> str:
+    """Single-quoted SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def tokens(text_col: Column | str) -> Column:
+    if isinstance(text_col, str):
+        return F.expr(tokens_expr(text_col))
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
-def token_count(text_col: Column) -> Column:
+def token_count(text_col: Column | str) -> Column:
     """Whitespace token count."""
+    if isinstance(text_col, str):
+        return F.expr(f"size({tokens_expr(text_col)})")
     return F.size(tokens(text_col))
 
 
-def bpe_token_estimate(text_col: Column) -> Column:
+def bpe_token_estimate(text_col: Column | str) -> Column:
     """BPE-ish token-count estimate: word-piece regex matches plus the
     classic chars/4 correction for long words, all integer arithmetic."""
+    if isinstance(text_col, str):
+        return F.expr(
+            f"greatest(size({tokens_expr(text_col)}), "
+            f"CAST(ceil(length({text_col}) / 4) AS INT))"
+        ).alias("bpe_tokens")
     words = token_count(text_col)
     chars = F.length(text_col)
     return F.greatest(words, F.ceil(chars / F.lit(4)).cast("int")).alias("bpe_tokens")
@@ -367,17 +397,32 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str,
                     .alias("perplexity")))
 
 
-def stopword_ratio(text_col: Column,
+def stopword_ratio_expr(c: str,
+                        stopwords: tuple[str, ...] = EN_STOPWORDS) -> str:
+    """SQL twin of `stopword_ratio`."""
+    toks = tokens_expr(c)
+    words = ",".join(_sq(w) for w in stopwords)
+    return (f"(CAST(size(filter({toks}, t -> t IN ({words}))) AS DOUBLE)"
+            f" / size({toks}))")
+
+
+def stopword_ratio(text_col: Column | str,
                    stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    if isinstance(text_col, str):
+        return F.expr(stopword_ratio_expr(text_col, stopwords))
     toks = tokens(text_col)
     stops = F.filter(toks, lambda t: t.isin(*stopwords))
     return F.size(stops).cast("double") / F.size(toks)
 
 
-def lang_id(text_col: Column, threshold: float = 0.02) -> Column:
+def lang_id(text_col: Column | str, threshold: float = 0.02) -> Column:
     """Heuristic language-ID: English iff stopword ratio >= threshold.
     (Real pipelines swap in fastText/CLD3 via a Pandas UDF; the surrounding
     plan — a narrow projection — is identical.)"""
+    if isinstance(text_col, str):
+        return F.expr(
+            f"CASE WHEN {stopword_ratio_expr(text_col)} >= {threshold}D "
+            f"THEN 'en' ELSE 'unknown' END")
     return F.when(stopword_ratio(text_col) >= threshold, F.lit("en")) \
         .otherwise(F.lit("unknown"))
 
@@ -457,6 +502,9 @@ def lang_scores(text_col: Column,
     (measured +2 s on the bench entry; the documented MinHash-trap
     class)."""
     profiles = profiles or LANG_TRIGRAMS
+    if isinstance(text_col, str):
+        return {lang: F.expr(s) for lang, s in lang_scores_exprs(
+            text_col, profiles, pre_normalized).items()}
     t = (text_col if pre_normalized
          else F.regexp_replace(F.lower(text_col), r"\s+", " "))
     out = {}
@@ -469,6 +517,23 @@ def lang_scores(text_col: Column,
         lits = F.array(*[F.lit(g.replace("_", " ")) for g in grams])
         hits = F.size(F.filter(lits, lambda g: t.contains(g)))
         out[lang] = hits.cast("double") / F.lit(float(len(grams)))
+    return out
+
+
+def lang_scores_exprs(c: str, profiles: dict[str, tuple[str, ...]],
+                       pre_normalized: bool) -> dict[str, str]:
+    """Spark-SQL twins of the per-language coverage scores (the str fast
+    path of lang_scores / lang_id_multi): same HOF-filter-over-literal-
+    array shape, same double division — one parsed expression per
+    language instead of ~2 py4j round trips per gram literal."""
+    t = (c if pre_normalized
+         else f"regexp_replace(lower({c}), '\\\\s+', ' ')")
+    out = {}
+    for lang, grams in profiles.items():
+        arr = ",".join(_sq(g.replace("_", " ")) for g in grams)
+        out[lang] = (f"(CAST(size(filter(array({arr}), "
+                     f"g -> contains({t}, g))) AS DOUBLE)"
+                     f" / {float(len(grams))}D)")
     return out
 
 
@@ -502,6 +567,9 @@ def lang_id_multi(text_col: Column,
     Pure codegen'd scalar expressions like the single-profile form:
     O(Σ|profiles|) contains-probes per row, no shuffle, no UDF."""
     profiles = profiles or LANG_TRIGRAMS
+    if isinstance(text_col, str):
+        return F.expr(lang_id_multi_expr(text_col, profiles, min_score,
+                                         pre_normalized))
     cands = []
     for i, (lang, score) in enumerate(
             lang_scores(text_col, profiles,
@@ -512,6 +580,24 @@ def lang_id_multi(text_col: Column,
     best = F.greatest(*cands) if len(cands) > 1 else cands[0]
     return F.when(best["s"] >= F.lit(min_score), best["l"]) \
         .otherwise(F.lit("unknown"))
+
+
+def lang_id_multi_expr(c: str,
+                       profiles: dict[str, tuple[str, ...]] | None = None,
+                       min_score: float = 0.05,
+                       pre_normalized: bool = False) -> str:
+    """SQL twin of `lang_id_multi` (the str fast path): the same
+    greatest-over-(score, -index, lang) structs argmax. `best` appears
+    twice (condition + value) exactly as the Column tree references its
+    `best` node twice."""
+    profiles = profiles or LANG_TRIGRAMS
+    scores = lang_scores_exprs(c, profiles, pre_normalized)
+    cands = ",".join(
+        f"struct({s} AS s, {-i} AS i, {_sq(lang)} AS l)"
+        for i, (lang, s) in enumerate(scores.items()))
+    best = f"greatest({cands})" if len(scores) > 1 else f"({cands})"
+    return (f"CASE WHEN {best}.s >= {min_score}D "
+            f"THEN {best}.l ELSE 'unknown' END")
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -555,6 +641,9 @@ def repetition_features(text_col: Column) -> dict[str, Column]:
     - mean_word_len: non-whitespace chars per whitespace token; degenerate
       corpora fall far outside the 3..10 band real pipelines keep.
     """
+    if isinstance(text_col, str):
+        return {k: F.expr(s)
+                for k, s in repetition_features_exprs(text_col).items()}
     lines = F.split(text_col, "\n")
     paras = F.split(text_col, r"\n\s*\n")
     n_lines = F.size(lines)
@@ -573,6 +662,29 @@ def repetition_features(text_col: Column) -> dict[str, Column]:
         "bullet_line_frac": bullet.cast("double") / n_lines,
         "ellipsis_line_frac": ellips.cast("double") / n_lines,
         "mean_word_len": solid.cast("double") / n_tok,
+    }
+
+
+def repetition_features_exprs(c: str) -> dict[str, str]:
+    """SQL twins of `repetition_features` (str fast path; same regexes —
+    '\\\\n' parses to the \\n escape, matching the literal-newline split
+    of the Column form — same double-division shapes)."""
+    lines = f"split({c}, '\\\\n')"
+    paras = f"split({c}, '\\\\n\\\\s*\\\\n')"
+
+    def dup_frac(arr: str) -> str:
+        return (f"(CAST(size({arr}) - size(array_distinct({arr})) "
+                f"AS DOUBLE) / size({arr}))")
+
+    bullet = f"size(filter({lines}, ln -> ln rlike '^\\\\s*[-*•]'))"
+    ellips = f"size(filter({lines}, ln -> ln rlike '\\\\.\\\\.\\\\.\\\\s*$'))"
+    return {
+        "dup_line_frac": dup_frac(lines),
+        "dup_para_frac": dup_frac(paras),
+        "bullet_line_frac": f"(CAST({bullet} AS DOUBLE) / size({lines}))",
+        "ellipsis_line_frac": f"(CAST({ellips} AS DOUBLE) / size({lines}))",
+        "mean_word_len": (f"(CAST(length(regexp_replace({c}, '\\\\s+', '')) "
+                          f"AS DOUBLE) / size({tokens_expr(c)}))"),
     }
 
 
@@ -700,10 +812,13 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                              chunk_tokens), " ").alias("chunk_text"))
 
 
-def fingerprint(text_col: Column) -> Column:
+def fingerprint(text_col: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
     (Content-defined rolling-hash chunking reduces to the same normalize+
     hash shape; md5 keeps the oracle cross-engine checkable.)"""
+    if isinstance(text_col, str):
+        return F.expr(f"md5(regexp_replace(trim(lower({text_col})), "
+                      f"'\\\\s+', ' '))")
     norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
     return F.md5(norm)
 

@@ -350,6 +350,19 @@ def _quant(col, scale: int):
     return F.floor(col * (10 ** scale) + F.lit(0.5)).cast("long")
 
 
+def _quant_sql(col: str, scale: int) -> str:
+    """Spark-SQL twin of `_quant` (r13 construction-cost pass): same
+    double ops, same BIGINT result — `* 100` binds an INT literal and
+    `0.5D` a double exactly like the Column form."""
+    return f"CAST(floor({col} * {10 ** scale} + 0.5D) AS BIGINT)"
+
+
+def _disc_price_sql() -> str:
+    """Spark-SQL twin of `_disc_price` (decimal money x rate product)."""
+    return (f"(CAST(l_extendedprice AS {_DEC_MONEY}) * "
+            f"(CAST(1 AS {_DEC_RATE}) - CAST(l_discount AS {_DEC_RATE})))")
+
+
 def _exact_pow10_double(sum_col: str, scale: int) -> str:
     """SQL: exact integer-decimal sum -> DOUBLE in ONE correctly-rounded
     step. `CAST(sum AS DOUBLE)/10^s` would round twice (the integer sum
@@ -382,32 +395,29 @@ def q_q1_pricing_summary(spark, sf_dir):
     ensure_engine_conf(spark)
     l = load(spark, sf_dir, "lineitem") \
         .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-    qty_c = _quant(F.col("l_quantity"), 2)
-    price_c = _quant(F.col("l_extendedprice"), 2)
-    disc_bp = _quant(F.col("l_discount"), 4)
-    tax_bp = _quant(F.col("l_tax"), 4)
-    disc_price_u = price_c * (10000 - disc_bp)      # 10^-6 units
-    charge_u = disc_price_u * (10000 + tax_bp)      # 10^-10 units
+    qty_c = _quant_sql("l_quantity", 2)
+    price_c = _quant_sql("l_extendedprice", 2)
+    disc_bp = _quant_sql("l_discount", 4)
+    tax_bp = _quant_sql("l_tax", 4)
+    disc_price_u = f"({price_c} * (10000 - {disc_bp}))"      # 10^-6 units
+    charge_u = f"({disc_price_u} * (10000 + {tax_bp}))"      # 10^-10 units
     d38 = "decimal(38,0)"
     agg = l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty_c.cast(d38)).alias("__sq"),
-        F.sum(price_c.cast(d38)).alias("__sp"),
-        F.sum(disc_price_u.cast(d38)).alias("__sd"),
-        F.sum(charge_u.cast(d38)).alias("__sc"),
-        F.sum(disc_bp.cast(d38)).alias("__sdisc"),
-        F.count("*").alias("count_order"))
-    return agg.select(
+        F.expr(f"sum(CAST({qty_c} AS {d38})) AS __sq"),
+        F.expr(f"sum(CAST({price_c} AS {d38})) AS __sp"),
+        F.expr(f"sum(CAST({disc_price_u} AS {d38})) AS __sd"),
+        F.expr(f"sum(CAST({charge_u} AS {d38})) AS __sc"),
+        F.expr(f"sum(CAST({disc_bp} AS {d38})) AS __sdisc"),
+        F.expr("count(*) AS count_order"))
+    return agg.selectExpr(
         "l_returnflag", "l_linestatus",
-        F.expr(_exact_pow10_double("__sq", 2)).alias("sum_qty"),
-        F.expr(_exact_pow10_double("__sp", 2)).alias("sum_base_price"),
-        F.expr(_exact_pow10_double("__sd", 6)).alias("sum_disc_price"),
-        F.expr(_exact_pow10_double("__sc", 10)).alias("sum_charge"),
-        (F.expr(_exact_pow10_double("__sq", 2)) / F.col("count_order"))
-        .alias("avg_qty"),
-        (F.expr(_exact_pow10_double("__sp", 2)) / F.col("count_order"))
-        .alias("avg_price"),
-        (F.expr(_exact_pow10_double("__sdisc", 4)) / F.col("count_order"))
-        .alias("avg_disc"),
+        f"{_exact_pow10_double('__sq', 2)} AS sum_qty",
+        f"{_exact_pow10_double('__sp', 2)} AS sum_base_price",
+        f"{_exact_pow10_double('__sd', 6)} AS sum_disc_price",
+        f"{_exact_pow10_double('__sc', 10)} AS sum_charge",
+        f"({_exact_pow10_double('__sq', 2)} / count_order) AS avg_qty",
+        f"({_exact_pow10_double('__sp', 2)} / count_order) AS avg_price",
+        f"({_exact_pow10_double('__sdisc', 4)} / count_order) AS avg_disc",
         "count_order")
 
 
@@ -426,7 +436,8 @@ def q_q3_shipping_priority(spark, sf_dir):
     return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
             .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+            .agg(F.expr(f"CAST(sum({_disc_price_sql()}) AS DOUBLE) "
+                        "AS revenue"))
             .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
             .limit(10))
 
@@ -459,7 +470,8 @@ def q_q5_local_supplier(spark, sf_dir):
             .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("s_nationkey") == F.col("c_nationkey")))
             .groupBy("n_name")
-            .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+            .agg(F.expr(f"CAST(sum({_disc_price_sql()}) AS DOUBLE) "
+                        "AS revenue")))
 
 
 def q_q14_promo_effect(spark, sf_dir):
@@ -474,19 +486,17 @@ def q_q14_promo_effect(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
     p = load(spark, sf_dir, "part")
-    price_c = _quant(F.col("l_extendedprice"), 2)
-    disc_bp = _quant(F.col("l_discount"), 4)
-    disc_price_u = price_c * (10000 - disc_bp)      # 10^-6 units
-    promo_u = F.when(F.col("p_type").startswith("PROMO"), disc_price_u) \
-        .otherwise(F.lit(0).cast("long"))
+    disc_price_u = (f"({_quant_sql('l_extendedprice', 2)} * "
+                    f"(10000 - {_quant_sql('l_discount', 4)}))")  # 1e-6 u
+    promo_u = (f"(CASE WHEN p_type LIKE 'PROMO%' THEN {disc_price_u} "
+               f"ELSE CAST(0 AS BIGINT) END)")
     joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     agg = joined.agg(
-        F.sum(promo_u.cast("decimal(38,0)")).alias("__sp"),
-        F.sum(disc_price_u.cast("decimal(38,0)")).alias("__sd"))
-    return agg.select(
-        (F.lit(100.0) * F.expr(_exact_pow10_double("__sp", 6))
-         / F.expr(_exact_pow10_double("__sd", 6)))
-        .alias("promo_revenue_pct"))
+        F.expr(f"sum(CAST({promo_u} AS decimal(38,0))) AS __sp"),
+        F.expr(f"sum(CAST({disc_price_u} AS decimal(38,0))) AS __sd"))
+    return agg.selectExpr(
+        f"(100.0D * {_exact_pow10_double('__sp', 6)} "
+        f"/ {_exact_pow10_double('__sd', 6)}) AS promo_revenue_pct")
 
 
 _Q7_NATIONS = [f"NATION_{i}" for i in range(5)]
@@ -620,34 +630,32 @@ def q_agg_events_by_type(spark, sf_dir):
     group so an event_type whose user_ids are ALL NULL keeps its
     aggregate row with zeroed HLL stats — the r7 inner join dropped it
     (r8 advice item; oracle mirrors via LEFT JOIN + COALESCE)."""
-    from ..operators.sketches import _hll_bucket_rho
-    e = _events(spark, sf_dir).select(
+    from ..operators.sketches import _hll_bucket_rho_sql
+    e = _events(spark, sf_dir).selectExpr(
         "event_type", "user_id",
-        F.col("value").cast(_DEC_VALUE).alias("val"))
+        f"CAST(value AS {_DEC_VALUE}) AS val")
     l1 = e.groupBy("event_type", "user_id").agg(
-        F.count("*").alias("n1"), F.sum("val").alias("sv1"))
-    bucket, rho = _hll_bucket_rho(F.col("user_id"), p=10)
+        F.expr("count(*) AS n1"), F.expr("sum(val) AS sv1"))
+    bucket, rho = _hll_bucket_rho_sql("user_id", p=10)
     # xxhash64(NULL) degenerates to the seed — a NULL user_id must land
     # in the NULL bucket (excluded from registers), not bucket(seed)
-    not_null = F.col("user_id").isNotNull()
-    l2 = (l1.select(
+    l2 = (l1.selectExpr(
         "event_type", "n1", "sv1",
-        F.when(not_null, bucket).alias("bucket"),
-        F.when(not_null, rho).alias("rho"),
-        not_null.cast("long").alias("u1"))
+        f"CASE WHEN user_id IS NOT NULL THEN {bucket} END AS bucket",
+        f"CASE WHEN user_id IS NOT NULL THEN {rho} END AS rho",
+        "CAST((user_id IS NOT NULL) AS BIGINT) AS u1")
         .groupBy("event_type", "bucket").agg(
-            F.sum("n1").alias("n2"), F.sum("sv1").alias("sv2"),
-            F.sum("u1").alias("users2"), F.max("rho").alias("max_rho")))
+            F.expr("sum(n1) AS n2"), F.expr("sum(sv1) AS sv2"),
+            F.expr("sum(u1) AS users2"), F.expr("max(rho) AS max_rho")))
     return l2.groupBy("event_type").agg(
-        F.sum("n2").alias("n"),
-        F.sum("sv2").cast("double").alias("sum_value"),
-        (F.sum("sv2").cast("double") / F.sum("n2")).alias("avg_value"),
-        F.sum("users2").alias("n_users"),
-        F.count("bucket").alias("hll_occupied"),
-        F.coalesce(F.sum("max_rho"), F.lit(0)).cast("long")
-        .alias("hll_rho_sum"),
-        F.coalesce(F.sum(F.col("bucket") * F.col("max_rho")), F.lit(0))
-        .cast("long").alias("hll_checksum"))
+        F.expr("sum(n2) AS n"),
+        F.expr("CAST(sum(sv2) AS DOUBLE) AS sum_value"),
+        F.expr("(CAST(sum(sv2) AS DOUBLE) / sum(n2)) AS avg_value"),
+        F.expr("sum(users2) AS n_users"),
+        F.expr("count(bucket) AS hll_occupied"),
+        F.expr("CAST(coalesce(sum(max_rho), 0) AS BIGINT) AS hll_rho_sum"),
+        F.expr("CAST(coalesce(sum(bucket * max_rho), 0) AS BIGINT) "
+               "AS hll_checksum"))
 
 
 def q_top_users_by_value(spark, sf_dir):
@@ -1422,50 +1430,53 @@ def q_doc_text_profile(spark, sf_dir):
     # CollapseProject would otherwise re-inline the regexp into every
     # one of the 120 contains probes (measured +2 s on this entry —
     # the MinHash-trap class; see lang_scores docstring).
-    d = d.select("doc_id", "text", F.explode(F.array(
-        F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("__nt"))
-    t = F.col("text")
-    rep = text.repetition_features(t)
-    n_tok = text.token_count(t)
-    n_chars = F.length(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    punct_ratio = n_punct.cast("double") / n_chars
-    stop_ratio = text.stopword_ratio(t)
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000),
-                    F.lit(1.0)).otherwise(F.lit(0.0))
-    score = (F.lit(0.4) * len_ok
-             + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-             + F.lit(0.3) * F.least(stop_ratio * 10, F.lit(1.0)))
-    head = F.substring(t, 1, 24)
-    return d.select(
+    #
+    # r13 opt: the whole ~120-probe forest is composed as SQL strings in
+    # ONE selectExpr (plus one for the Generate barrier) — the Column
+    # form paid ~2,400 py4j round trips of plan-construction latency per
+    # bench run (measured; the expr twins are pinned value-equal in
+    # tests/test_text_ops.py::test_text_expr_twins).
+    d = d.selectExpr(
+        "doc_id", "text",
+        "explode(array(regexp_replace(lower(text), '\\\\s+', ' '))) AS __nt")
+    n_tok = f"size({text.tokens_expr('text')})"
+    punct_ratio = ("(CAST(length(text) - length(regexp_replace(text, "
+                   "'[^\\\\w\\\\s]', '')) AS DOUBLE) / length(text))")
+    stop_ratio = text.stopword_ratio_expr("text")
+    len_ok = (f"(CASE WHEN {n_tok} >= 10 AND {n_tok} <= 100000 "
+              "THEN 1.0D ELSE 0.0D END)")
+    score = (f"(0.4D * {len_ok} + 0.3D * (1.0D - {punct_ratio}) "
+             f"+ 0.3D * least({stop_ratio} * 10, 1.0D))")
+    rep = text.repetition_features_exprs("text")
+    head = "substring(text, 1, 24)"
+    return d.selectExpr(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        text.bpe_token_estimate(t).cast("long").alias("bpe_tokens"),
-        n_chars.cast("long").alias("n_chars"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        text.lang_id(t).alias("lang_pred"),
-        score.alias("quality_score"),
-        text.fingerprint(t).alias("fingerprint"),
-        F.upper(head).alias("head_upper"),
-        F.length(F.trim(t)).cast("long").alias("len_trimmed"),
-        F.regexp_replace(head, "a", "@").alias("head_subst"),
-        F.levenshtein(head, F.lit("the quick brown fox jump"))
-        .cast("long").alias("lev_to_probe"),
-        rep["dup_line_frac"].alias("dup_line_frac"),
-        rep["dup_para_frac"].alias("dup_para_frac"),
-        rep["bullet_line_frac"].alias("bullet_line_frac"),
-        rep["ellipsis_line_frac"].alias("ellipsis_line_frac"),
-        rep["mean_word_len"].alias("mean_word_len"),
+        f"CAST({n_tok} AS BIGINT) AS n_tokens",
+        f"CAST(greatest({n_tok}, CAST(ceil(length(text) / 4) AS INT)) "
+        "AS BIGINT) AS bpe_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        f"{punct_ratio} AS punct_ratio",
+        f"{stop_ratio} AS stop_ratio",
+        f"CASE WHEN {stop_ratio} >= 0.02D THEN 'en' ELSE 'unknown' END "
+        "AS lang_pred",
+        f"{score} AS quality_score",
+        "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) "
+        "AS fingerprint",
+        f"upper({head}) AS head_upper",
+        "CAST(length(trim(text)) AS BIGINT) AS len_trimmed",
+        f"regexp_replace({head}, 'a', '@') AS head_subst",
+        f"CAST(levenshtein({head}, 'the quick brown fox jump') AS BIGINT) "
+        "AS lev_to_probe",
+        *[f"{s} AS {k}" for k, s in rep.items()],
         # r8 3rd continuation: multi-language trigram-profile coverage
         # scores + argmax (text.lang_id_multi) — exact int/|profile|
         # doubles, so the oracle rederives them from the SAME profile
         # dict via text.lang_scores_sql (single source of truth)
-        *[s.alias(f"lang_{lang}")
-          for lang, s in text.lang_scores(
-              F.col("__nt"), pre_normalized=True).items()],
-        text.lang_id_multi(F.col("__nt"), pre_normalized=True)
-        .alias("lang_pred_multi"))
+        *[f"{s} AS lang_{lang}"
+          for lang, s in text.lang_scores_exprs(
+              "__nt", text.LANG_TRIGRAMS, True).items()],
+        f"{text.lang_id_multi_expr('__nt', pre_normalized=True)} "
+        "AS lang_pred_multi")
 
 
 def q_doc_pii_redact(spark, sf_dir):
@@ -3347,14 +3358,19 @@ def q_training_data_pipeline(spark, sf_dir):
     per-document features. One Catalyst plan end to end."""
     ensure_engine_conf(spark)
     d = load(spark, sf_dir, "documents")
-    rep = text.repetition_features(F.col("text"))
-    enriched = d.select(
+    # r13 opt: feature forest as ONE selectExpr of the pinned expr twins
+    # (construction round trips; values unchanged — see doc_text_profile)
+    sr = text.stopword_ratio_expr("text")
+    enriched = d.selectExpr(
         "doc_id",
-        text.lang_id(F.col("text")).alias("lang_pred"),
-        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        text.fingerprint(F.col("text")).alias("fingerprint"),
-        text.stopword_ratio(F.col("text")).alias("stop_ratio"),
-        rep["dup_line_frac"].alias("dup_line_frac"))
+        f"CASE WHEN {sr} >= 0.02D THEN 'en' ELSE 'unknown' END "
+        "AS lang_pred",
+        f"CAST(size({text.tokens_expr('text')}) AS BIGINT) AS n_tokens",
+        "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) "
+        "AS fingerprint",
+        f"{sr} AS stop_ratio",
+        f"{text.repetition_features_exprs('text')['dup_line_frac']} "
+        "AS dup_line_frac")
     kept = enriched.filter(
         (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10)
         & (F.col("dup_line_frac") <= 0.3))

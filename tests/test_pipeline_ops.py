@@ -5547,3 +5547,112 @@ def test_image_codecs_raise_only_skip_tuple_under_mutation():
                 _decode_pixels(mut)
             except errs:
                 pass
+
+
+def test_sql_twin_builders_bit_equal(spark, sf_dir):
+    """The r13 _sql twins of the similarity expression builders (added to
+    cut py4j plan-construction round trips) must compute BIT-identical
+    doubles to the Column forms they replace — the exact-dot family
+    feeds oracle-gated outputs, and the sign-band buckets decide the
+    candidate set. Checked over every fixture embedding pair against a
+    reference vector plus the self-pair (norm path)."""
+    import struct
+
+    from amazon_kinesis_replay_spark.operators import similarity as S
+    from amazon_kinesis_replay_spark.operators.dedup import _sign_band_keys
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    q = emb.filter("id = 0").selectExpr("v AS q_vec")
+    pairs = emb.crossJoin(F.broadcast(q))
+
+    old = pairs.select(
+        "id",
+        S._exact_dot(F.col("v"), F.col("q_vec")).alias("d"),
+        S.cosine(F.col("v"), F.col("q_vec")).alias("c"),
+        S._fast_dot(F.col("v"), F.col("q_vec")).alias("f"),
+        S._fast_dot_fixed(F.col("v"), F.col("q_vec"), 64).alias("fx"),
+    ).orderBy("id").collect()
+    new = pairs.selectExpr(
+        "id",
+        f"{S._exact_dot_sql('v', 'q_vec')} AS d",
+        f"{S.cosine_sql('v', 'q_vec')} AS c",
+        f"{S._fast_dot_sql('v', 'q_vec')} AS f",
+        f"{S._fast_dot_fixed_sql('v', 'q_vec', 64)} AS fx",
+    ).orderBy("id").collect()
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    assert len(old) == len(new) > 0
+    for o, n in zip(old, new):
+        assert o["id"] == n["id"]
+        for col in ("d", "c", "f", "fx"):
+            assert bits(o[col]) == bits(n[col]), (o["id"], col)
+
+    # sign-band buckets: the selectExpr inline form must reproduce the
+    # Column form's (id, band, bucket) rows exactly (8 bands x 8 bits)
+    def old_band_keys(src, n_bands, band_bits):
+        def band_bucket_v(b):
+            bucket = F.lit(0)
+            for j in range(band_bits):
+                bit = F.when(
+                    F.element_at(F.col("v"), b * band_bits + j + 1) >= 0,
+                    F.lit(1)).otherwise(F.lit(0))
+                bucket = bucket * 2 + bit
+            return bucket.cast("int")
+        return src.select(
+            "id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         band_bucket_v(b).alias("bucket"))
+                for b in range(n_bands)
+            ])).alias("bb"),
+        ).select("id", "bb.band", "bb.bucket")
+
+    got = sorted(map(tuple, _sign_band_keys(emb, 8, 8).collect()))
+    want = sorted(map(tuple, old_band_keys(emb, 8, 8).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_text_expr_twins_value_equal(spark, sf_dir):
+    """The r13 str fast paths of the text feature builders (one parsed
+    SQL string instead of a py4j round trip per Column call) must be
+    value-equal to the Column forms over every fixture document —
+    these feed the oracle-gated doc_text_profile / training pipeline
+    columns."""
+    import struct
+
+    from amazon_kinesis_replay_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.explode(F.array(F.regexp_replace(
+            F.lower("text"), r"\s+", " "))).alias("__nt"))
+
+    def cols(use_str):
+        t = "text" if use_str else F.col("text")
+        nt = "__nt" if use_str else F.col("__nt")
+        rep = T.repetition_features(t)
+        return [
+            T.token_count(t).alias("tc"),
+            T.bpe_token_estimate(t).alias("bpe"),
+            T.stopword_ratio(t).alias("sr"),
+            T.lang_id(t).alias("li"),
+            T.fingerprint(t).alias("fp"),
+            *[v.alias("r_" + k) for k, v in rep.items()],
+            *[s.alias("lang_" + l) for l, s in
+              T.lang_scores(nt, pre_normalized=True).items()],
+            T.lang_id_multi(nt, pre_normalized=True).alias("lm"),
+        ]
+
+    old = d.select("doc_id", *cols(False)).orderBy("doc_id").collect()
+    new = d.select("doc_id", *cols(True)).orderBy("doc_id").collect()
+
+    def canon(v):
+        return struct.pack("<d", v) if isinstance(v, float) else v
+
+    assert len(old) == len(new) > 0
+    for o, n in zip(old, new):
+        for k in o.asDict():
+            assert canon(o[k]) == canon(n[k]), (o["doc_id"], k, o[k], n[k])
