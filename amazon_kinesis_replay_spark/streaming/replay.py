@@ -46,6 +46,31 @@ from ..config import ReplayConfig
 from .sinks import SinkStats, chunked, send_with_retry
 
 
+def _iso_strings(ts_col):
+    """Vectorized `Timestamp.isoformat()` twin for a tz-naive pandas ts
+    Series (r13, guide §1.2 per-task work): numpy datetime_as_string per
+    precision tier — bare seconds when the sub-second part is zero,
+    6-digit micros when micro-exact, 9-digit nanos otherwise — exactly
+    the variable-precision strings the per-row isoformat loop emitted
+    (pinned elementwise in test_streaming_replay). The loop measured
+    ~0.47 s per 100k rows — ~60% of the driver-mode emit.
+
+    Returns an OBJECT ndarray: fixed-width U-assignment would silently
+    truncate the longer nano strings into a micro-width array."""
+    import numpy as np
+    arr = ts_col.to_numpy()
+    ns = arr.astype("int64")
+    sub = ns % 1_000_000_000
+    out = np.datetime_as_string(arr, unit="us").astype(object)
+    sec = sub == 0
+    if sec.any():
+        out[sec] = np.datetime_as_string(arr[sec], unit="s").astype(object)
+    nsm = (sub % 1000) != 0
+    if nsm.any():
+        out[nsm] = np.datetime_as_string(arr[nsm], unit="ns").astype(object)
+    return out
+
+
 @dataclass
 class ReplayStats:
     """Live statistics mirroring RePlayer.java:145-162 +
@@ -331,7 +356,7 @@ class ReplayEngine:
         offs = (ts_col - self._first_event_ts).dt.total_seconds().to_numpy()
         targets = (self._ingestion_start
                    + np.maximum(offs, 0.0) / self.cfg.speedup_factor)
-        iso = [t.isoformat() for t in ts_col]
+        iso = _iso_strings(ts_col)
         payloads = pdf["payload"].values
         n, step = len(pdf), self.cfg.max_records_per_request
         for lo in range(0, n, step):
@@ -456,7 +481,7 @@ class ReplayEngine:
                 offs = (ts_col - first_ts).dt.total_seconds().to_numpy()
                 targets = (ingestion_start_wall
                            + np.maximum(offs, 0.0) / speedup)
-                iso = [t.isoformat() for t in ts_col]
+                iso = _iso_strings(ts_col)
                 payloads = pdf["payload"].values
                 m = len(pdf)
                 n += m

@@ -545,3 +545,26 @@ def test_composed_replay_witness_small(tmp_path):
     # a loaded box can also push the subprocess past its timeout
     run_load_sensitive(
         body, retry_on=(AssertionError, subprocess.TimeoutExpired))
+
+
+def test_iso_strings_matches_isoformat_elementwise():
+    """The r13 vectorized emit-timestamp formatter must reproduce
+    Timestamp.isoformat() exactly at every precision tier the variable
+    -precision contract has: bare seconds, milli/micro fractions,
+    nanosecond remainders, and pre-epoch values."""
+    import pandas as pd
+
+    from amazon_kinesis_replay_spark.streaming.replay import _iso_strings
+
+    ts = pd.Series(pd.to_datetime([
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00.500000",
+        "2024-01-01 00:00:00.000001",
+        "2024-01-01 00:00:00.123456789",
+        "1969-12-31 23:59:59.500000",
+        "1969-12-31 23:59:59",
+        "2038-01-19 03:14:07.999999",
+    ], format="mixed"))
+    got = list(_iso_strings(ts))
+    want = [t.isoformat() for t in ts]
+    assert got == want
