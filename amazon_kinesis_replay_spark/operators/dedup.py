@@ -43,10 +43,14 @@ def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
-def word_shingles(text_col: Column, k: int = 3) -> Column:
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as an array column — computed with
     transform over an index sequence, no explode needed until the op
-    requires per-shingle rows."""
+    requires per-shingle rows. Given a column NAME, composes one parsed
+    SQL expression (r13 construction-cost pass; value-equal by the same
+    ops — pinned via the oracle gates of every shingle consumer)."""
+    if isinstance(text_col, str):
+        return F.expr(word_shingles_expr(text_col, k))
     toks = _tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -54,6 +58,15 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return F.array_distinct(
         F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def word_shingles_expr(c: str, k: int = 3) -> str:
+    """SQL twin of `word_shingles` (c: column name / SQL fragment)."""
+    toks = f"split(trim(lower({c})), '\\\\s+')"
+    grams = (f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+             f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))")
+    return (f"array_distinct(CASE WHEN size({toks}) >= {k} THEN {grams} "
+            f"ELSE array(concat_ws(' ', {toks})) END)")
 
 
 # --------------------------------------------------------------------------
@@ -167,11 +180,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             # Net: the frequency aggregation and the candidate join shuffle
             # 8-byte longs instead of shingle strings.
             shh = sh.withColumn("sid", F.xxhash64("shingle"))
-            freq = shh.groupBy("sid").agg(F.count("*").alias("freq"))
-            w = Window.partitionBy("id").orderBy(F.col("freq").asc(),
-                                                 F.col("shingle").asc())
-            ranked = (shh.join(freq, "sid")
-                      .withColumn("rank", F.row_number().over(w)))
+            freq = shh.groupBy("sid").agg(F.expr("count(*) AS freq"))
+            ranked = shh.join(freq, "sid").selectExpr(
+                "*", "row_number() OVER (PARTITION BY id "
+                "ORDER BY freq ASC, shingle ASC) AS rank")
         # Persisted: the self-join consumes the prefix index twice, and
         # exchange reuse across differently-pruned branches is not
         # guaranteed (see replay_ops.with_global_index) — without the
@@ -183,13 +195,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # and shrink the prefix by one — a silent recall loss. The slack
         # can only lengthen the prefix (more candidates, never fewer).
         pref = (ranked.join(sizes, "id")
-                .filter(F.col("rank") <= F.col("n_shingles")
-                        - F.ceil(F.lit(threshold) * F.col("n_shingles")
-                                 - F.lit(1e-9)) + 1)
+                .filter(f"rank <= n_shingles - ceil({threshold!r}D "
+                        f"* n_shingles - 1e-09D) + 1")
                 .select("id", "sid", "rank", "n_shingles")
                 .persist())
         a, b = pref.alias("a"), pref.alias("b")
-        an, bn = F.col("a.n_shingles"), F.col("b.n_shingles")
         # PPJoin's two further EXACT pruning conditions (both admit a
         # superset of true pairs; the 1e-9 slack makes float rounding err
         # only toward keeping a candidate, never dropping one):
@@ -199,14 +209,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         #   pair's FIRST common shingle maximizes that bound over its
         #   collisions, so requiring ANY collision to reach
         #   alpha = ceil(t/(1+t)(|A|+|B|)) is exact.
-        alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
-                       * (an + bn) - F.lit(1e-9))
-        cand = (a.join(b, (F.col("a.sid") == F.col("b.sid"))
-                       & (F.col("a.id") < F.col("b.id"))
-                       & (bn.cast("double") >= F.lit(threshold) * an - F.lit(1e-9))
-                       & (an.cast("double") >= F.lit(threshold) * bn - F.lit(1e-9))
-                       & (F.lit(1) + F.least(an - F.col("a.rank"),
-                                             bn - F.col("b.rank")) >= alpha))
+        t = repr(threshold)
+        cond = F.expr(
+            f"a.sid = b.sid AND a.id < b.id "
+            f"AND CAST(b.n_shingles AS DOUBLE) >= "
+            f"{t}D * a.n_shingles - 1e-09D "
+            f"AND CAST(a.n_shingles AS DOUBLE) >= "
+            f"{t}D * b.n_shingles - 1e-09D "
+            f"AND 1 + least(a.n_shingles - a.rank, "
+            f"b.n_shingles - b.rank) >= "
+            f"ceil({threshold / (1.0 + threshold)!r}D "
+            f"* (a.n_shingles + b.n_shingles) - 1e-09D)")
+        cand = (a.join(b, cond)
                 .select(F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"))
                 .distinct())
@@ -236,18 +250,15 @@ def _verify_jaccard(arrays: DataFrame, cand: DataFrame,
     intermediate was ~#candidates x doc_size rows: verification cost is
     now proportional to candidate count, not candidate count times
     document size."""
-    withn = arrays.withColumn("n", F.size("shs"))
-    va = withn.select(F.col("id").alias("id_a"),
-                      F.col("shs").alias("sh_a"), F.col("n").alias("na"))
-    vb = withn.select(F.col("id").alias("id_b"),
-                      F.col("shs").alias("sh_b"), F.col("n").alias("nb"))
+    va = arrays.selectExpr("id AS id_a", "shs AS sh_a", "size(shs) AS na")
+    vb = arrays.selectExpr("id AS id_b", "shs AS sh_b", "size(shs) AS nb")
+    common = "size(array_intersect(sh_a, sh_b))"
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("jaccard", F.col("common").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .selectExpr("id_a", "id_b",
+                    f"(CAST({common} AS DOUBLE) / (na + nb - {common})) "
+                    "AS jaccard")
+        .filter(f"jaccard >= {threshold!r}D")
     )
 
 
@@ -288,7 +299,7 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
     # persist the result once and feed every leg from it.
     return df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("shs"),
+        word_shingles(text_col, k).alias("shs"),
         *[c.alias(n) for n, c in (extra or {}).items()])
 
 

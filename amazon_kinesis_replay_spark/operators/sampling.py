@@ -59,6 +59,13 @@ def hash_ppm(id_col: Column) -> Column:
                   * F.lit(_SAMPLE_MULT), F.lit(_PPM))
 
 
+def hash_ppm_expr(id_sql: str) -> str:
+    """SQL twin of `hash_ppm` (r13 construction-cost pass; same types —
+    the multiplier parses as BIGINT, {_PPM} as INT, like the lits)."""
+    return (f"pmod(pmod(CAST({id_sql} AS BIGINT), {_PPM}) "
+            f"* {_SAMPLE_MULT}, {_PPM})")
+
+
 def deterministic_sample(df: DataFrame, id_col: str,
                          rate: float) -> DataFrame:
     """Uniform deterministic subsample: keep iff
@@ -103,34 +110,33 @@ def temperature_mixture_rates(df: DataFrame, domain_col: str,
     # finding). Integer-valued weights stay exact in double, so the
     # T=2 cross-engine bit-match is unchanged.
     counts = (df.groupBy(domain_col)
-              .agg(F.count("*").alias("n_docs"))
+              .agg(F.expr("count(*) AS n_docs"))
               .withColumn("__w", w.cast("double")))
-    base = F.col("__w") * F.col("n_docs").cast("double")
+    # r13: the rate pipeline below is composed as SQL strings (one
+    # selectExpr) — the withColumn chain paid ~500 py4j round trips of
+    # construction latency per composed-query build; ops and literal
+    # types are unchanged (sqrt/multiply/divide doubles, the
+    # floor-quantized decimal(38,0) window total), so rate_ppm is
+    # bit-identical (doc_train_split's oracle gate pins it).
     if temperature == 2.0:
-        s = F.sqrt(base)
+        s = "sqrt(__w * CAST(n_docs AS DOUBLE))"
     else:
-        s = F.pow(base, F.lit(1.0 / temperature))
-    counts = counts.withColumn("__s", s)
+        s = f"power(__w * CAST(n_docs AS DOUBLE), {1.0 / temperature!r}D)"
     # cross-domain totals as an UNPARTITIONED window over the counts
     # frame — acceptable precisely because this frame is
     # domain-cardinality (metadata), and it keeps a (harmless but
     # plan-pin-tripping) broadcast-nested-loop totals join out of every
     # composed query's physical plan. The decimal window-sum is the
     # same exact order-independent total the agg form computed.
-    wall = Window.partitionBy()
-    from .similarity import _Q_SCALE, _qprod
-    counts = counts.withColumn(
-        "__stot",
-        F.sum(_qprod(F.col("__s")).cast("decimal(38,0)")).over(wall)
-        .cast("double") / F.lit(_Q_SCALE)).withColumn(
-        "__ntot", F.sum("n_docs").over(wall).cast("double"))
-    rate = F.least(
-        F.lit(1.0),
-        (F.lit(float(target_frac)) * F.col("__ntot"))
-        * (F.col("__s") / F.col("__stot")) / F.col("n_docs").cast("double"))
-    return counts.select(
-        domain_col, "n_docs",
-        F.floor(rate * F.lit(float(_PPM))).cast("long").alias("rate_ppm"))
+    stot = ("(CAST(sum(CAST(floor(__s * 1.0E12D + 0.5D) "
+            "AS decimal(38,0))) OVER () AS DOUBLE) / 1.0E12D)")
+    rate = (f"least(1.0D, ({float(target_frac)!r}D "
+            f"* CAST(sum(n_docs) OVER () AS DOUBLE)) "
+            f"* (__s / {stot}) / CAST(n_docs AS DOUBLE))")
+    return (counts.selectExpr("*", f"{s} AS __s")
+            .selectExpr(domain_col, "n_docs",
+                        f"CAST(floor({rate} * {float(_PPM)!r}D) AS BIGINT) "
+                        "AS rate_ppm"))
 
 
 def mixture_sample(df: DataFrame, id_col: str, domain_col: str,
@@ -154,11 +160,10 @@ def mixture_sample(df: DataFrame, id_col: str, domain_col: str,
     # domain's rate (review finding)
     return (df.join(F.broadcast(r),
                     F.col(domain_col).eqNullSafe(F.col("__dom")))
-            .drop("__dom")
-            .withColumn("mix_rate_ppm", F.col("rate_ppm"))
-            .drop("rate_ppm")
-            .withColumn("mix_kept",
-                        hash_ppm(F.col(id_col)) < F.col("mix_rate_ppm")))
+            .selectExpr(*df.columns,
+                        "rate_ppm AS mix_rate_ppm",
+                        f"({hash_ppm_expr(id_col)} < rate_ppm) "
+                        "AS mix_kept"))
 
 
 # --------------------------------------------------------------------------

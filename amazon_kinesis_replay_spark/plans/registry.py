@@ -1594,12 +1594,12 @@ def q_doc_train_split(spark, sf_dir):
     # keeps the product < 2.7e11 — the bare product overflows a long (ANSI
     # exception) for ids >= ~3.5e9, a latent hazard on 100 TB id spaces
     # (r8 advice item; oracle SQL mirrors the same rewrite)
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(100))
-                    * F.lit(2654435761), F.lit(100)).cast("long")
-    split = d.select(
-        "doc_id", bucket.alias("bucket"),
-        F.when(bucket < 80, "train").when(bucket < 90, "valid")
-        .otherwise("test").alias("split"), "text")
+    bucket = "CAST(pmod(pmod(doc_id, 100) * 2654435761, 100) AS BIGINT)"
+    split = d.selectExpr(
+        "doc_id", f"{bucket} AS bucket",
+        f"CASE WHEN {bucket} < 80 THEN 'train' "
+        f"WHEN {bucket} < 90 THEN 'valid' ELSE 'test' END AS split",
+        "text")
     # Composition (re-decided r7 by measurement): contamination persists
     # its own NARROW (id, shs) table; the packing and assembly legs scan
     # the parquet directly (pushed-down, cheap). The "one shared widened
@@ -1615,7 +1615,7 @@ def q_doc_train_split(spark, sf_dir):
     cont = dedup.cross_split_contamination(
         split, "doc_id", "text", "split", k=3)
     packed = text.pack_sequences(
-        split.withColumn("__n_tok", text.token_count(F.col("text"))),
+        split.withColumn("__n_tok", text.token_count("text")),
         "doc_id", "__n_tok", seq_len=512)
     # r7c: temperature mixture sampling rides this entry (it is the
     # registry's sampling/split surface): per-source sqrt-temperature
