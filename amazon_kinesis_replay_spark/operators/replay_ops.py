@@ -198,23 +198,22 @@ def with_global_index(df: DataFrame, order_cols: list[str],
     serializes the dataset through a single task.
     """
     tagged, n_parts = _range_tagged(df, order_cols, num_partitions)
-    cols = [F.col(c) for c in order_cols]
-    w = Window.partitionBy("__pid").orderBy(*cols)
+    order_sql = ", ".join(f"`{c}`" for c in order_cols)
     local = (tagged.repartition(n_parts, F.col("__pid"))
-             .withColumn("__local_rn", F.row_number().over(w)))
+             .selectExpr("*", "row_number() OVER (PARTITION BY __pid "
+                              f"ORDER BY {order_sql}) AS __local_rn"))
     # Offsets from the same literal-bounds pid expression: map-side partial
     # counts, then a cumsum window over #partitions rows — O(parallelism),
     # not O(data).
-    off_w = (Window.orderBy("__pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
     off_df = (tagged.groupBy("__pid")
-              .agg(F.count("*").alias("__cnt"))
-              .withColumn("__off", F.coalesce(F.sum("__cnt").over(off_w),
-                                              F.lit(0)).cast("long"))
-              .drop("__cnt"))
+              .agg(F.expr("count(*) AS __cnt"))
+              .selectExpr("__pid",
+                          "CAST(coalesce(sum(__cnt) OVER (ORDER BY __pid "
+                          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+                          "PRECEDING), 0) AS BIGINT) AS __off"))
     return (local.join(F.broadcast(off_df), "__pid")
-            .withColumn(out_col, F.col("__local_rn") + F.col("__off"))
-            .drop("__pid", "__local_rn", "__off"))
+            .selectExpr(*[f"`{c}`" for c in df.columns],
+                        f"(__local_rn + __off) AS `{out_col}`"))
 
 
 def _range_tagged(df: DataFrame, order_cols: list[str],
@@ -276,23 +275,22 @@ def with_global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
     Equivalent result to `coalesce(sum(v) over (order by ... rows between
     unbounded preceding and 1 preceding), 0)`."""
     tagged, n_parts = _range_tagged(df, order_cols, num_partitions)
-    cols = [F.col(c) for c in order_cols]
-    w = (Window.partitionBy("__pid").orderBy(*cols)
-         .rowsBetween(Window.unboundedPreceding, -1))
+    order_sql = ", ".join(f"`{c}`" for c in order_cols)
     local = (tagged.repartition(n_parts, F.col("__pid"))
-             .withColumn("__local_cum",
-                         F.coalesce(F.sum(value_col).over(w),
-                                    F.lit(0)).cast("long")))
-    off_w = (Window.orderBy("__pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
+             .selectExpr("*",
+                         f"CAST(coalesce(sum(`{value_col}`) OVER "
+                         f"(PARTITION BY __pid ORDER BY {order_sql} "
+                         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+                         "PRECEDING), 0) AS BIGINT) AS __local_cum"))
     off_df = (tagged.groupBy("__pid")
-              .agg(F.sum(value_col).alias("__psum"))
-              .withColumn("__off", F.coalesce(F.sum("__psum").over(off_w),
-                                              F.lit(0)).cast("long"))
-              .drop("__psum"))
+              .agg(F.expr(f"sum(`{value_col}`) AS __psum"))
+              .selectExpr("__pid",
+                          "CAST(coalesce(sum(__psum) OVER (ORDER BY __pid "
+                          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+                          "PRECEDING), 0) AS BIGINT) AS __off"))
     return (local.join(F.broadcast(off_df), "__pid")
-            .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
-            .drop("__pid", "__local_cum", "__off"))
+            .selectExpr(*[f"`{c}`" for c in df.columns],
+                        f"(__local_cum + __off) AS `{out_col}`"))
 
 
 def assign_batches(df: DataFrame, order_cols: list[str],
