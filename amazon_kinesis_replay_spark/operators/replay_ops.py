@@ -216,14 +216,52 @@ def with_global_index(df: DataFrame, order_cols: list[str],
                         f"(__local_rn + __off) AS `{out_col}`"))
 
 
+def _advisory_bytes(spark) -> int:
+    """AQE's advisory partition size in bytes (the same target its own
+    coalescing aims for), with the Spark default as fallback."""
+    try:
+        s = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        b = int(spark.sparkContext._jvm.org.apache.spark.network.util
+                .JavaUtils.byteStringAsBytes(s))
+        return b if b > 0 else 64 << 20
+    except Exception:
+        return 64 << 20
+
+
+def _adaptive_parts(df: DataFrame) -> int:
+    """Scale-adaptive bucket count for the explicit repartition-by-pid:
+    ceil(plan-estimated bytes / AQE advisory partition size), capped at
+    `spark.sql.shuffle.partitions` (guide §2.2: size partitions by bytes,
+    not by a constant). AQE's own coalescing cannot help here — it never
+    coalesces an explicit repartition(n, col) — so the same byte target
+    is applied at plan build instead. The pid scheme's RESULT is invariant
+    to the bucket count (bounds only place boundaries; offsets come from
+    actual per-bucket aggregates), so this only changes task counts: tiny
+    inputs stop paying `shuffle.partitions` near-empty window tasks per
+    action, and at scale the estimate exceeds the cap, which keeps the
+    cluster-tuned width. Falls back to the configured width when the
+    plan has no usable size estimate. The ANALYZED plan's stats are used
+    (2 ms vs a ~345 ms first-call optimizer run for the same file-size
+    estimate — measured on the pack-leg input at sf0.1)."""
+    spark = df.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = int(df._jdf.queryExecution().analyzed()
+                   .stats().sizeInBytes())
+    except Exception:
+        return conf_parts
+    if size <= 0 or size >= (1 << 60):  # unknown/absurd estimate
+        return conf_parts
+    return max(1, min(conf_parts, -(-size // _advisory_bytes(spark))))
+
+
 def _range_tagged(df: DataFrame, order_cols: list[str],
                   num_partitions: int | None) -> tuple[DataFrame, int]:
     """Tag every row with a deterministic range-bucket `__pid` on the first
     order column (the shared engine of with_global_index /
     with_global_cumsum; see with_global_index for the scheme discussion)."""
     spark = df.sparkSession
-    n_parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = num_partitions or _adaptive_parts(df)
     key = _range_bucket_key(df, order_cols[0])
 
     probs = [i / n_parts for i in range(1, n_parts)]

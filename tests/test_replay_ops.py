@@ -189,3 +189,26 @@ def test_bounds_memo_keys_on_plan_not_table(spark):
     assert sorted(a.values()) == list(range(1, 501))
     assert sorted(b.values()) == list(range(1, 501))
     assert a[0] == 1 and b[1999] == 500
+
+
+def test_adaptive_parts_scales_with_input_size(spark, sf_dir):
+    """r13 perf: the explicit repartition-by-pid bucket count is derived
+    from the plan's size estimate (ceil(bytes / AQE advisory size), capped
+    at shuffle.partitions) instead of always shuffle.partitions — AQE
+    never coalesces an explicit repartition(n, col), so tiny inputs paid
+    32 near-empty window tasks per action. The numbering itself is
+    invariant to the bucket count (bounds only place boundaries; offsets
+    come from actual per-bucket aggregates)."""
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    # the shipped fixtures are far below one advisory partition
+    assert replay_ops._adaptive_parts(e) == 1
+    # a frame with no file-backed stats falls back to the configured width
+    mem = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    assert replay_ops._adaptive_parts(mem) == conf_parts
+    # numbering parity: adaptive bucket count == any forced bucket count
+    a = {r["event_id"]: r["rn"] for r in replay_ops.with_global_index(
+        e, ["ts", "event_id"], out_col="rn").collect()}
+    b = {r["event_id"]: r["rn"] for r in replay_ops.with_global_index(
+        e, ["ts", "event_id"], out_col="rn", num_partitions=8).collect()}
+    assert a == b
