@@ -197,11 +197,18 @@ def with_global_index(df: DataFrame, order_cols: list[str],
     Equivalent result to `row_number() over (order by ...)` but never
     serializes the dataset through a single task.
     """
-    tagged, n_parts = _range_tagged(df, order_cols, num_partitions)
+    tagged, n_parts, single = _range_tagged(df, order_cols, num_partitions)
     order_sql = ", ".join(f"`{c}`" for c in order_cols)
     local = (tagged.repartition(n_parts, F.col("__pid"))
              .selectExpr("*", "row_number() OVER (PARTITION BY __pid "
                               f"ORDER BY {order_sql}) AS __local_rn"))
+    if single:
+        # One bucket (tiny input or constant key): every offset is 0 by
+        # construction — skip the offsets aggregate + join outright (the
+        # constant-__pid equi-join would also constant-fold into a
+        # nested-loop join against the 1-row offsets table).
+        return local.selectExpr(*[f"`{c}`" for c in df.columns],
+                                f"__local_rn AS `{out_col}`")
     # Offsets from the same literal-bounds pid expression: map-side partial
     # counts, then a cumsum window over #partitions rows — O(parallelism),
     # not O(data).
@@ -256,10 +263,13 @@ def _adaptive_parts(df: DataFrame) -> int:
 
 
 def _range_tagged(df: DataFrame, order_cols: list[str],
-                  num_partitions: int | None) -> tuple[DataFrame, int]:
+                  num_partitions: int | None) -> tuple[DataFrame, int, bool]:
     """Tag every row with a deterministic range-bucket `__pid` on the first
     order column (the shared engine of with_global_index /
-    with_global_cumsum; see with_global_index for the scheme discussion)."""
+    with_global_cumsum; see with_global_index for the scheme discussion).
+    The third element is True when everything lands in ONE bucket (no
+    bounds): callers then skip the offsets branch — offsets are 0 by
+    construction."""
     spark = df.sparkSession
     n_parts = num_partitions or _adaptive_parts(df)
     key = _range_bucket_key(df, order_cols[0])
@@ -296,7 +306,7 @@ def _range_tagged(df: DataFrame, order_cols: list[str],
         pid = F.size(F.filter(barr, lambda b: b <= key))
     else:  # empty input, constant key, or a single partition
         pid = F.lit(0)
-    return df.withColumn("__pid", pid), n_parts
+    return df.withColumn("__pid", pid), n_parts, not bounds
 
 
 def with_global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
@@ -312,7 +322,7 @@ def with_global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
 
     Equivalent result to `coalesce(sum(v) over (order by ... rows between
     unbounded preceding and 1 preceding), 0)`."""
-    tagged, n_parts = _range_tagged(df, order_cols, num_partitions)
+    tagged, n_parts, single = _range_tagged(df, order_cols, num_partitions)
     order_sql = ", ".join(f"`{c}`" for c in order_cols)
     local = (tagged.repartition(n_parts, F.col("__pid"))
              .selectExpr("*",
@@ -320,6 +330,10 @@ def with_global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
                          f"(PARTITION BY __pid ORDER BY {order_sql} "
                          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
                          "PRECEDING), 0) AS BIGINT) AS __local_cum"))
+    if single:
+        # One bucket: offsets are 0 by construction (see with_global_index).
+        return local.selectExpr(*[f"`{c}`" for c in df.columns],
+                                f"__local_cum AS `{out_col}`")
     off_df = (tagged.groupBy("__pid")
               .agg(F.expr(f"sum(`{value_col}`) AS __psum"))
               .selectExpr("__pid",

@@ -94,9 +94,20 @@ def test_global_index_single_full_shuffle_no_range_sampling(spark):
     p = idx._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in p
     assert p.count("REPARTITION_BY") == 1           # the one data shuffle
-    # counts branch shuffles partial aggregates only — asserted by the two
-    # HashAggregate levels around its exchange
-    assert p.count("HashAggregate") >= 2
+    # r13: at fixture scale the adaptive bucket count is 1 and the offsets
+    # branch is skipped outright (offsets are 0 by construction) — no
+    # aggregate, no join, no nested-loop fallback from the constant pid
+    assert "HashAggregate" not in p and "Join" not in p
+    # multi-bucket regime (forced): counts branch shuffles partial
+    # aggregates only — the two HashAggregate levels around its exchange —
+    # and attaches via a broadcast equi-join, never a nested loop
+    idx8 = replay_ops.with_global_index(e, ["ts", "event_id"],
+                                        num_partitions=8)
+    p8 = idx8._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in p8
+    assert p8.count("REPARTITION_BY") == 1
+    assert p8.count("HashAggregate") >= 2
+    assert "NestedLoopJoin" not in p8
 
 
 def test_shingle_rows_repartition_is_conditional(spark):
