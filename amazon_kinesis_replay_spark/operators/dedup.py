@@ -380,8 +380,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 def _lsh_pairs_from_signature(sig: DataFrame, num_hashes: int,
                               bands: int) -> DataFrame:
     """Banded self-equi-join over a precomputed signature (see
-    minhash_lsh_pairs for the banding discussion)."""
-    band_entries = _band_entries_from_signature(sig, num_hashes, bands)
+    minhash_lsh_pairs for the banding discussion).
+
+    The band-entry table is PERSISTED: it feeds both sides of the
+    self-join, and exchange reuse does not dedupe the two subtrees (same
+    failure mode as the ngram prefix index — see the `pref` persist in
+    ngram_jaccard_pairs), so without the persist the whole signature
+    aggregation (explode x num_hashes seeded hashes + groupBy) executed
+    once PER JOIN SIDE (r13 profile: two identical ~3 s-CPU map stages
+    with byte-identical shuffle writes; interleaved A/B at sf0.1 bench
+    conditions: 4.06 -> 1.63 s whole-query on a like-loaded box). Cache
+    lifetime follows the ngram_jaccard_pairs note: bounded
+    MEMORY_AND_DISK entries, bands x corpus-id rows — a fraction of the
+    shingle cache that already rides the same queries."""
+    band_entries = _band_entries_from_signature(sig, num_hashes,
+                                                bands).persist()
     a, b = band_entries.alias("a"), band_entries.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -514,6 +527,10 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     hash must agree exactly on >=1 of 4 chunks — pigeonhole), then verify
     with bit_count on the XOR. Avoids the full cross-join.
     """
+    # Persisted for the same both-sides-of-a-self-join reason as the
+    # band-entry table in _lsh_pairs_from_signature: without it the
+    # token-explode + 64-bit-vote aggregation executes once per join
+    # side (exchange reuse does not dedupe the subtrees).
     sim = simhash64(df, id_col, text_col)
     chunks = sim.select(
         "id", "simhash",
@@ -523,7 +540,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
             for c in range(4)
         ])).alias("ch"),
-    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk")
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk").persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
