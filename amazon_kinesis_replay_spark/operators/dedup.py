@@ -459,16 +459,28 @@ def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
     # unpersisted frame here would recompute its whole plan once per
     # consumer branch — exactly the bug the internal persist prevents.
     if arrays is None:
-        arrays = shingle_arrays(df, id_col, text_col, k).persist()
+        # r13 opt: the split label rides the persisted shingle cache
+        # (`extra=`) instead of being re-attached per branch — the
+        # train/eval branches each re-ran the labels broadcast join over
+        # ALL exploded shingle rows (interleaved A/B on the full
+        # doc_train_split query at sf0.1 bench conditions: 1.57 -> 1.13 s;
+        # rows identical). One extra small string per cached row.
+        arrays = shingle_arrays(df, id_col, text_col, k,
+                                extra={split_col: F.col(split_col)}
+                                ).persist()
+        labels = arrays.select("id", split_col)
+        sh = (arrays.select("id", F.explode("shs").alias("shingle"),
+                            F.col(split_col))
+              .withColumn("sid", F.xxhash64("shingle")))
     else:
         from pyspark import StorageLevel
         if arrays.storageLevel == StorageLevel.NONE:
             arrays = arrays.persist()
         arrays = arrays.select("id", "shs")
-    labels = df.select(F.col(id_col).alias("id"), F.col(split_col))
-    sh = (arrays.select("id", F.explode("shs").alias("shingle"))
-          .withColumn("sid", F.xxhash64("shingle"))
-          .join(labels, "id"))
+        labels = df.select(F.col(id_col).alias("id"), F.col(split_col))
+        sh = (arrays.select("id", F.explode("shs").alias("shingle"))
+              .withColumn("sid", F.xxhash64("shingle"))
+              .join(labels, "id"))
     is_train = F.col(split_col) == train_value
     # No .distinct() on the train side: LEFT SEMI is an existence join, so
     # the hash build dedupes internally — a pre-distinct would only add a
