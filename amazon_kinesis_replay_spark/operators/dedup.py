@@ -337,12 +337,22 @@ def _signature_from_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
     time (r13 profile: the bench timer bills construction to the query).
     `xxhash64({i}, __h0)` parses the seed as the same INT literal
     `F.lit(i)` produced, so the hash values — and therefore the banded
-    candidate set — are bit-identical (asserted in the r13 A/B)."""
+    candidate set — are bit-identical (asserted in the r13 A/B).
+
+    The num_hashes MIN aggregates ride ONE struct-of-aggregates expr
+    (r13 opt, same round-trip motive): `agg(struct(min(..) AS h0, ..))`
+    parses in a single F.expr call instead of one per hash column
+    (measured 180 -> 30 round trips at 32 hashes). Catalyst rewrites it
+    to the identical Aggregate (per-hash partial_min; the struct is
+    assembled only in the final-agg output and immediately re-projected
+    to top-level columns), so plan and values are unchanged — pinned by
+    the existing recall/oracle tests plus the struct-vs-loop equality
+    check in test_pipeline_ops."""
     hashed = sh.withColumn("__h0", F.xxhash64("shingle"))
-    return hashed.groupBy("id").agg(*[
-        F.expr(f"min(xxhash64({i}, __h0)) AS h{i}")
-        for i in range(num_hashes)
-    ])
+    mins = ", ".join(f"min(xxhash64({i}, __h0)) AS h{i}"
+                     for i in range(num_hashes))
+    return (hashed.groupBy("id").agg(F.expr(f"struct({mins}) AS __s"))
+            .select("id", "__s.*"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -397,10 +407,9 @@ def _lsh_pairs_from_signature(sig: DataFrame, num_hashes: int,
                                                 bands).persist()
     a, b = band_entries.alias("a"), band_entries.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, F.expr("a.band = b.band AND a.bucket = b.bucket "
+                         "AND a.id < b.id"))
+        .selectExpr("a.id AS id_a", "b.id AS id_b")
         .distinct()
     )
 
@@ -469,36 +478,40 @@ def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
                                 extra={split_col: F.col(split_col)}
                                 ).persist()
         labels = arrays.select("id", split_col)
-        sh = (arrays.select("id", F.explode("shs").alias("shingle"),
-                            F.col(split_col))
-              .withColumn("sid", F.xxhash64("shingle")))
+        sh = arrays.selectExpr(
+            "id", "explode(shs) AS shingle", split_col) \
+            .selectExpr("*", "xxhash64(shingle) AS sid")
     else:
         from pyspark import StorageLevel
         if arrays.storageLevel == StorageLevel.NONE:
             arrays = arrays.persist()
         arrays = arrays.select("id", "shs")
-        labels = df.select(F.col(id_col).alias("id"), F.col(split_col))
-        sh = (arrays.select("id", F.explode("shs").alias("shingle"))
-              .withColumn("sid", F.xxhash64("shingle"))
+        labels = df.selectExpr(f"{id_col} AS id", split_col)
+        sh = (arrays.selectExpr("id", "explode(shs) AS shingle")
+              .selectExpr("*", "xxhash64(shingle) AS sid")
               .join(labels, "id"))
-    is_train = F.col(split_col) == train_value
+    # Predicates/projections as parsed expr strings (r13 opt: round
+    # trips); `train_value` rides a single-quoted SQL literal — escape
+    # embedded quotes so a label like "it's" stays one literal.
+    tv = train_value.replace("'", "''")
+    is_train = f"({split_col} = '{tv}')"
     # No .distinct() on the train side: LEFT SEMI is an existence join, so
     # the hash build dedupes internally — a pre-distinct would only add a
     # full extra shuffle of the train shingles (measured r7: one fewer
     # shuffle stage, same pair set; per-doc shingles are already distinct
     # from word_shingles, so only cross-doc repeats reach the build side).
     train_g = sh.filter(is_train).select("sid", "shingle")
-    hits = (sh.filter(~is_train)
+    hits = (sh.filter(f"NOT {is_train}")
             .join(train_g, ["sid", "shingle"], "left_semi")
             .groupBy("id")
-            .agg(F.count("*").alias("__n_shared")))
+            .agg(F.expr("count(*) AS __n_shared")))
     return (labels.join(hits, "id", "left")
-            .select("id",
-                    F.coalesce(F.col("__n_shared"), F.lit(0)).cast("long")
-                    .alias("n_shared_train_grams"),
-                    (~is_train & (F.coalesce(F.col("__n_shared"),
-                                             F.lit(0)) > 0))
-                    .alias("contaminated")))
+            .selectExpr(
+                "id",
+                "CAST(coalesce(__n_shared, 0) AS BIGINT) "
+                "AS n_shared_train_grams",
+                f"((NOT {is_train}) AND coalesce(__n_shared, 0) > 0) "
+                "AS contaminated"))
 
 
 # --------------------------------------------------------------------------
@@ -630,10 +643,9 @@ def embedding_cosine_dedup(emb: DataFrame, threshold: float = 0.4,
     keys = _sign_band_keys(src, n_bands, band_bits)
     a, b = keys.alias("a"), keys.alias("b")
     cand_ids = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, F.expr("a.band = b.band AND a.bucket = b.bucket "
+                         "AND a.id < b.id"))
+        .selectExpr("a.id AS id_a", "b.id AS id_b")
         .distinct()
     )
     return _verify_cosine_pairs(_with_vec_norm(src), cand_ids, threshold,

@@ -2299,8 +2299,7 @@ def q_minhash_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     out = dedup.minhash_dedup(d, "doc_id", "text", num_hashes=32, bands=16,
                               k=3, threshold=_JACCARD_THRESHOLD)
-    return out.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
-                      "jaccard")
+    return out.selectExpr("id_a", "id_b", "jaccard")
 
 
 def q_simhash_dedup(spark, sf_dir):

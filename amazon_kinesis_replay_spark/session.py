@@ -63,7 +63,19 @@ def build_spark(app_name: str = "amazon-kinesis-replay-spark",
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Re-assert runtime-settable engine configs on an externally built
     session (the driver owns the session in `__spark_entry__` calls), and
-    make this package importable on executor Python workers."""
+    make this package importable on executor Python workers.
+
+    Memoized per session object (r13 opt): the assertion is ~34 py4j
+    round trips (~10 ms on this box), `tables.load` calls this on every
+    load — memo hits included — and a composed query construction loads
+    up to 6 tables, so the re-assertion dominated memo-hit load cost.
+    Runtime confs persist for the session's lifetime, so asserting once
+    per session is equivalent; a test that deliberately flips one of
+    these confs mid-session (e.g. AQE off) now keeps its setting across
+    engine calls instead of having it silently re-asserted away."""
+    if getattr(spark, "_akrs_conf_asserted", False):
+        _ship_package(spark)
+        return spark
     for k, v in ENGINE_RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -81,6 +93,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         _perr_utils._enable_debugging_cache = False
     except Exception:
         pass
+    spark._akrs_conf_asserted = True
     _ship_package(spark)
     return spark
 

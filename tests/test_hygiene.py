@@ -166,3 +166,25 @@ def test_bench_publish_is_self_describing():
     src = open("/root/repo/bench.py").read()
     assert '"published_attempt_quiet": _attempt_is_quiet(best)' in src
     assert '"quiet_fail_meters": _quiet_failures(best)' in src
+
+
+def test_ensure_engine_conf_memoized_per_session(spark):
+    """r13 opt: ensure_engine_conf is ~34 py4j round trips and
+    tables.load calls it on EVERY load (memo hits included), so it is
+    memoized per session object. Pins both halves of the contract:
+    (a) a repeat call is a no-op — it must NOT re-assert a conf a test
+    deliberately flipped mid-session (AQE-off tests rely on their
+    setting surviving engine calls); (b) the memo flag is set, so the
+    fast path is actually taken."""
+    from amazon_kinesis_replay_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    assert getattr(spark, "_akrs_conf_asserted", False) is True
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        ensure_engine_conf(spark)  # memo hit: must not override
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, orig)

@@ -5656,3 +5656,27 @@ def test_text_expr_twins_value_equal(spark, sf_dir):
     for o, n in zip(old, new):
         for k in o.asDict():
             assert canon(o[k]) == canon(n[k]), (o["doc_id"], k, o[k], n[k])
+
+
+def test_minhash_signature_struct_agg_bit_equal(spark, sf_dir):
+    """r13 opt: _signature_from_rows builds its num_hashes MIN aggregates
+    as ONE struct-of-aggregates expr (one F.expr parse instead of one per
+    hash column). The signature values — which define the banded
+    candidate set — must be bit-identical to the per-column loop form,
+    and the schema must stay flat (id, h0..h{n-1})."""
+    from amazon_kinesis_replay_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    arrays = dedup.shingle_arrays(d, "doc_id", "text", 3).persist()
+    sh = arrays.select("id", F.explode("shs").alias("shingle"))
+
+    new = dedup._signature_from_rows(sh, 8)
+    hashed = sh.withColumn("__h0", F.xxhash64("shingle"))
+    old = hashed.groupBy("id").agg(*[
+        F.expr(f"min(xxhash64({i}, __h0)) AS h{i}") for i in range(8)])
+
+    assert new.columns == ["id"] + [f"h{i}" for i in range(8)]
+    a = sorted(tuple(r) for r in old.collect())
+    b = sorted(tuple(r) for r in new.collect())
+    assert a == b and len(a) > 0
+    arrays.unpersist()
