@@ -15,6 +15,15 @@ from pyspark.sql import functions as F
 
 from .scanwidth import widen_if_narrow
 
+
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into a parsed expr
+    string (embedded backticks escaped by doubling) — public-API column
+    names with spaces/hyphens/dots must resolve as plain identifiers,
+    exactly as the pre-r13 F.col form did (r13 ADVICE)."""
+    return f"`{name.replace('`', '``')}`"
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -479,22 +488,31 @@ def cross_split_contamination(df: DataFrame, id_col: str, text_col: str,
                                 ).persist()
         labels = arrays.select("id", split_col)
         sh = arrays.selectExpr(
-            "id", "explode(shs) AS shingle", split_col) \
+            "id", "explode(shs) AS shingle", _bt(split_col)) \
             .selectExpr("*", "xxhash64(shingle) AS sid")
     else:
         from pyspark import StorageLevel
         if arrays.storageLevel == StorageLevel.NONE:
             arrays = arrays.persist()
         arrays = arrays.select("id", "shs")
-        labels = df.selectExpr(f"{id_col} AS id", split_col)
+        labels = df.selectExpr(f"{_bt(id_col)} AS id", _bt(split_col))
         sh = (arrays.selectExpr("id", "explode(shs) AS shingle")
               .selectExpr("*", "xxhash64(shingle) AS sid")
               .join(labels, "id"))
     # Predicates/projections as parsed expr strings (r13 opt: round
-    # trips); `train_value` rides a single-quoted SQL literal — escape
-    # embedded quotes so a label like "it's" stays one literal.
-    tv = train_value.replace("'", "''")
-    is_train = f"({split_col} = '{tv}')"
+    # trips); `train_value` rides a single-quoted SQL literal. Escape
+    # BACKSLASHES FIRST, then double quotes (r13 ADVICE): Spark SQL
+    # string literals process C-style backslash escapes, so an unescaped
+    # backslash silently changes the literal ("a\b" matched zero rows —
+    # every eval doc would report uncontaminated), and a trailing
+    # backslash before the doubled quote shifts the literal boundary.
+    tv = train_value.replace("\\", "\\\\").replace("'", "''")
+    # Identifiers are interpolated into expr strings — backtick-quote
+    # them (with embedded-backtick escaping) so public-API column names
+    # needing quoting (spaces, hyphens, dots) keep resolving as they did
+    # under the pre-r13 F.col form.
+    split_q = _bt(split_col)
+    is_train = f"({split_q} = '{tv}')"
     # No .distinct() on the train side: LEFT SEMI is an existence join, so
     # the hash build dedupes internally — a pre-distinct would only add a
     # full extra shuffle of the train shingles (measured r7: one fewer

@@ -373,9 +373,27 @@ def _exact_pow10_double(sum_col: str, scale: int) -> str:
     >2^53 integer->double rule)."""
     if scale == 0:
         return f"CAST({sum_col} AS DOUBLE)"
-    p = 10 ** scale
-    return (f"CAST(concat(CAST({sum_col} div {p} AS STRING), '.', "
-            f"lpad(CAST({sum_col} % {p} AS STRING), {scale}, '0')) "
+    # r14 rewrite (r13 verdict item 9, plus a deeper bug the new unit
+    # test exposed): the previous `sum div 10^s` form was broken twice —
+    # (a) div/% on a NEGATIVE decimal both carry the sign, so the concat
+    # produced a malformed "-1.-5"-style string; (b) Spark's IntegralDivide
+    # on decimals returns LONG and silently WRAPS past 2^63 (measured:
+    # abs(1.2e28) div 100 -> a negative long), so the very >2^63 sums the
+    # decimal(38,0) accumulators exist for would have produced wrong
+    # values at 100 TB row counts. Compose the decimal point by STRING
+    # slicing of the exact digit string instead — no integer arithmetic,
+    # exact for every decimal(38,0) value, sign carried explicitly. The
+    # non-negative sub-2^63 path yields the identical string (hence
+    # identical double bits) as the old form — pinned by
+    # test_exact_pow10_double_signed.
+    d = f"CAST(abs({sum_col}) AS STRING)"
+    # left-pad with zeros to at least scale+1 digits (repeat(), not
+    # lpad() — lpad TRUNCATES strings longer than its target length)
+    pd = (f"concat(repeat('0', greatest(0, {scale + 1} - length({d}))), "
+          f"{d})")
+    return (f"CAST(concat(CASE WHEN {sum_col} < 0 THEN '-' ELSE '' END, "
+            f"substring({pd}, 1, length({pd}) - {scale}), '.', "
+            f"substring({pd}, length({pd}) - {scale} + 1, {scale})) "
             f"AS DOUBLE)")
 
 

@@ -74,8 +74,21 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     these confs mid-session (e.g. AQE off) now keeps its setting across
     engine calls instead of having it silently re-asserted away."""
     if getattr(spark, "_akrs_conf_asserted", False):
-        _ship_package(spark)
-        return spark
+        # Sentinel spot-check on memo hits (r13 ADVICE): the memo assumes
+        # the driver never mutates a runtime conf between entry calls on
+        # the same session. Verify the cheapest result-critical conf (UTC
+        # session timezone — 1 round trip) and fall through to the full
+        # re-assertion if it drifted; a DELIBERATE mid-session flip of a
+        # non-sentinel conf (e.g. the AQE-off streaming tests) still
+        # survives, which the memo test pins.
+        try:
+            tz_ok = (spark.conf.get("spark.sql.session.timeZone")
+                     == ENGINE_RUNTIME_CONF["spark.sql.session.timeZone"])
+        except Exception:
+            tz_ok = True
+        if tz_ok:
+            _ship_package(spark)
+            return spark
     for k, v in ENGINE_RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)

@@ -2383,6 +2383,61 @@ def test_cross_split_contamination_13gram(spark):
     assert out12[2]["contaminated"] and out12[3]["contaminated"]
 
 
+def test_cross_split_contamination_escaping(spark):
+    """r13 ADVICE regression pins: (a) a train_value containing a
+    BACKSLASH must still match its rows (Spark SQL literals process
+    C-style escapes — the unescaped form matched zero rows, silently
+    reporting every eval doc uncontaminated); (b) a quote+backslash mix
+    must not shift the literal boundary; (c) column names that need
+    backtick quoting must keep resolving through the expr-string path."""
+    rows = [
+        (1, r"tr\ain", "alpha beta gamma delta"),
+        (2, "test",  "x alpha beta gamma y"),     # shares 1 train shingle
+        (3, "test",  "one two three four"),       # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    out = {r["id"]: r for r in dedup.cross_split_contamination(
+        df, "doc_id", "text", "split", train_value=r"tr\ain").collect()}
+    assert (out[2]["n_shared_train_grams"], out[2]["contaminated"]) == (1, True)
+    assert (out[3]["n_shared_train_grams"], out[3]["contaminated"]) == (0, False)
+    assert (out[1]["n_shared_train_grams"], out[1]["contaminated"]) == (0, False)
+
+    tricky = r"it's x\'"                           # quote + backslash mix
+    rows2 = [(1, tricky, "alpha beta gamma delta"),
+             (2, "test", "x alpha beta gamma y")]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id long, `my split` string, text string")
+    out2 = {r["id"]: r for r in dedup.cross_split_contamination(
+        df2, "doc_id", "text", "my split", train_value=tricky).collect()}
+    assert (out2[2]["n_shared_train_grams"], out2[2]["contaminated"]) == (1, True)
+
+    # caller-precomputed-arrays branch exercises the id_col/split_col
+    # backtick path too
+    arrays = dedup.shingle_arrays(df2, "doc_id", "text", 3)
+    out3 = {r["id"]: r for r in dedup.cross_split_contamination(
+        df2, "doc_id", "text", "my split", train_value=tricky,
+        arrays=arrays).collect()}
+    assert out3 == out2
+
+
+def test_exact_pow10_double_signed(spark):
+    """_exact_pow10_double (r13 verdict item 9): the exact decimal-string
+    -> double conversion must (a) keep its previous bits on non-negative
+    sums and (b) now compose a well-formed signed string for NEGATIVE
+    sums instead of the malformed '-1.-5' concat that ANSI-threw."""
+    from amazon_kinesis_replay_spark.plans.registry import _exact_pow10_double
+    vals = [0, 1, 5, 99, 12345678901234567890123456789,
+            -1, -5, -99, -105, -12345678901234567890123456789]
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string") \
+        .selectExpr("CAST(s AS decimal(38,0)) AS v")
+    for scale in (2, 4, 10):
+        got = [r["d"] for r in df.selectExpr(
+            f"{_exact_pow10_double('v', scale)} AS d").collect()]
+        exp = [float(f"{'-' if v < 0 else ''}{abs(v) // 10**scale}."
+                     f"{abs(v) % 10**scale:0{scale}d}") for v in vals]
+        assert got == exp, (scale, got, exp)
+
+
 def test_pq_ann_recall_and_determinism(spark, sf_dir):
     """Product quantization: codebooks are (n_subs x n_codes) and
     deterministic across retrains; codes compress every vector to n_subs
