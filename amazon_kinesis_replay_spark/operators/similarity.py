@@ -704,7 +704,8 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
                    n_centroids: int = 16, n_iters: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    centroids: DataFrame | None = None,
-                   exact: bool = False, n_assign: int = 1) -> DataFrame:
+                   exact: bool = False, n_assign: int = 1,
+                   ranked: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
     embedding space, then mark semantic duplicates WITHIN each cluster —
@@ -728,11 +729,31 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
     most n_assign^2 (~n_assign in practice); output rows, centroid_id
     (the PRIMARY assignment) and min-id-wins semantics are unchanged —
     extra assignments only GENERATE candidate pairs.
+
+    `ranked` (r14, guide §5 "cache what is reused"): an optional
+    caller-precomputed `_ranked_assign(emb, cents, >= n_assign)` table
+    (MATERIALIZED — localCheckpoint or persist), letting callers that
+    run several n_assign variants over the SAME corpus and centroids
+    (the pairwise_topk_per_label gate runs n_assign=1 and 2) pay the
+    broadcast-centroid scoring scan once instead of once per variant.
+    Rank-k rows of a wider table are identical to a narrower run's by
+    the window's own definition (rn <= n filtered to rn <= m ==
+    rn <= m), so results are unchanged — pinned by
+    test_semantic_dedup_shared_ranked_bit_equal.
     """
     cents = centroids if centroids is not None else kmeans_centroids(
         emb, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col,
         vec_col=vec_col, exact=exact)
     scorer = cosine if exact else _fast_cosine
+    if ranked is not None:
+        asg = (ranked.filter(F.col("assign_rank") == 1)
+               .select("id", "vec", "centroid_id"))
+        if n_assign <= 1:
+            return _mark_semantic_dups(asg, threshold, scorer)
+        pair_asg = (ranked.filter(F.col("assign_rank") <= n_assign)
+                    .select("id", "vec", "centroid_id"))
+        return _mark_semantic_dups(asg, threshold, scorer,
+                                   pair_asg=pair_asg)
     if n_assign <= 1:
         asg = ivf_assign(emb, n_centroids=n_centroids, id_col=id_col,
                          vec_col=vec_col, centroids=cents, exact=exact)

@@ -82,8 +82,26 @@ def bpe_pretoken_count(text_col: Column) -> Column:
     return F.regexp_count(text_col, F.lit(BPE_PRETOKEN_PATTERN))
 
 
+def word_piece_counts(df: DataFrame, text_col: str,
+                      max_words: int = 1_000_000) -> DataFrame:
+    """The capped (piece, cnt) pre-token frequency table both tokenizer
+    trainers consume: one JVM-regex explode + map-side-combinable
+    groupBy over the corpus, kept to the `max_words` MOST FREQUENT
+    pieces (ties by piece — determinism). Factored out (r14, r13 verdict
+    item 4) so a caller training BOTH tokenizers over one corpus (the
+    doc_pii_redact gate) aggregates the corpus once and persists this
+    table across the two trainings instead of re-scanning per trainer."""
+    return (df.select(F.explode(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
+        .alias("piece"))
+        .groupBy("piece").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(int(max_words)))
+
+
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 200,
-              max_words: int = 1_000_000) -> list[tuple[str, str]]:
+              max_words: int = 1_000_000,
+              word_counts: DataFrame | None = None) -> list[tuple[str, str]]:
     """Train a BPE merge table on a corpus — distributed where the data
     is big, driver-side where it is small (the aggregate-then-fit shape
     of the IVF k-means trainer): pre-tokenization and piece counting run
@@ -99,15 +117,15 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 200,
     natural text is heavy-tailed, so the tail's effect on merge ranks is
     negligible — the cap bounds driver memory at 100 TB, it does not
     change the algorithm. Returns the ordered merge list (feed to
-    `bpe_encode`)."""
-    pieces = df.select(F.explode(F.regexp_extract_all(
-        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
-        .alias("piece"))
-    top = (pieces.groupBy("piece").agg(F.count("*").alias("cnt"))
-           .orderBy(F.col("cnt").desc(), F.col("piece"))
-           .limit(int(max_words)).collect())
+    `bpe_encode`).
+
+    `word_counts` (r14): an optional caller-precomputed
+    `word_piece_counts` table (persist it when shared) — the merge loop
+    collects it directly instead of re-aggregating the corpus."""
+    top = (word_counts if word_counts is not None
+           else word_piece_counts(df, text_col, max_words)).collect()
     from ..functions import bpe as _bpe
-    return _bpe.learn_bpe({r["piece"]: r["cnt"] for r in top}, n_merges)
+    return _bpe.learn_bpe({r[0]: r[1] for r in top}, n_merges)
 
 
 def bpe_vocab(df: DataFrame, text_col: str,
@@ -173,7 +191,8 @@ def bpe_encode(df: DataFrame, text_col: str,
 def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 512,
                   n_iters: int = 2, seed_size: int = 4096,
                   max_piece_len: int = 8,
-                  max_words: int = 1_000_000) -> dict[str, float]:
+                  max_words: int = 1_000_000,
+                  word_counts: DataFrame | None = None) -> dict[str, float]:
     """Train a unigram-LM subword tokenizer (SentencePiece
     `--model_type=unigram`, Kudo 2018) DISTRIBUTED, in the hard-EM
     (Viterbi) form whose corpus-scale aggregates are all exact integers
@@ -198,13 +217,21 @@ def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 512,
     same word counts yields the IDENTICAL table (the registry gate's
     twin contract)."""
     from ..functions import unigram as _ug
-    words = (df.select(F.explode(F.regexp_extract_all(
-        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
-        .alias("word"))
-        .groupBy("word").agg(F.count("*").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("word"))
-        .limit(int(max_words)))
-    words = words.persist()
+    # `word_counts` (r14): optional caller-shared word_piece_counts
+    # table — identical derivation (same regex, same cap contract), so
+    # the trained scores are unchanged; the caller owns its persistence
+    # and this function must not unpersist it.
+    caller_owned = word_counts is not None
+    if caller_owned:
+        words = word_counts.selectExpr("piece AS word", "cnt")
+    else:
+        words = (df.select(F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
+            .alias("word"))
+            .groupBy("word").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("word"))
+            .limit(int(max_words)))
+        words = words.persist()
     try:
         def _partials(counter_of) -> DataFrame:
             """Run a word->Counter kernel as mapInPandas with per-batch
@@ -254,7 +281,8 @@ def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 512,
             bc.unpersist()
         return scores
     finally:
-        words.unpersist()
+        if not caller_owned:
+            words.unpersist()
 
 
 def unigram_vocab(scores: dict[str, float]) -> dict[str, int]:

@@ -1519,17 +1519,28 @@ def q_doc_pii_redact(spark, sf_dir):
     # parallelism IS the partition count (guide §4). Measured at
     # full-bench conditions: 14.9 s -> 7.0 s at sf0.1.
     d = widen_if_narrow(load(spark, sf_dir, "documents"))
-    merges = text.bpe_train(d, "text", n_merges=64)
+    # r14 (r13 verdict item 4): BOTH tokenizer trainings consume the
+    # same capped pre-token frequency table (same regex, same cap
+    # contract) — aggregate the corpus ONCE, persist the vocab-scale
+    # result across the two trainings, and unpersist when both are done
+    # (the trainings are eager; nothing in the returned plan references
+    # the table). Was: two independent corpus scans + aggregations.
+    wc = text.word_piece_counts(d, "text").persist()
+    try:
+        merges = text.bpe_train(d, "text", n_merges=64, word_counts=wc)
+        # late r10: the unigram-LM tokenizer (SentencePiece hard-EM form,
+        # text.unigram_train — distributed seed + Viterbi E-steps over the
+        # word-count table, exact-integer aggregates) rides this entry the
+        # same way BPE does: the oracle retrains driver-only via
+        # functions.unigram.train_unigram over the SAME capped word counts
+        # and embeds per-doc token counts, so the distributed train+encode
+        # path is hash-checked end-to-end.
+        ug_scores = text.unigram_train(d, "text", vocab_size=256,
+                                       n_iters=2, seed_size=1024,
+                                       word_counts=wc)
+    finally:
+        wc.unpersist()
     enc = text.bpe_encode(d.select("doc_id", "text"), "text", merges)
-    # late r10: the unigram-LM tokenizer (SentencePiece hard-EM form,
-    # text.unigram_train — distributed seed + Viterbi E-steps over the
-    # word-count table, exact-integer aggregates) rides this entry the
-    # same way BPE does: the oracle retrains driver-only via
-    # functions.unigram.train_unigram over the SAME capped word counts
-    # and embeds per-doc token counts, so the distributed train+encode
-    # path is hash-checked end-to-end.
-    ug_scores = text.unigram_train(d, "text", vocab_size=256,
-                                   n_iters=2, seed_size=1024)
     ug_enc = text.unigram_encode(d.select("doc_id", "text"), "text",
                                  ug_scores)
     # r7b: the n-gram LM pipeline rides the same entry with EXACT-INTEGER
@@ -2882,11 +2893,21 @@ def q_pairwise_topk_per_label(spark, sf_dir):
     full = widen_if_narrow(load(spark, sf_dir, "embeddings"))
     cents = similarity.kmeans_centroids(full, n_centroids=16, n_iters=2,
                                         exact=True)
+    # r14 (r13 verdict item 5): the flat kinds ran the broadcast-centroid
+    # scoring scan TWICE — once inside semantic_dedup(n_assign=1)
+    # (ivf_assign) and once inside n_assign=2 (_ranked_assign); rank-1
+    # rows of the width-2 table are ivf_assign's output by the window's
+    # own tie-break (the documented _ranked_assign parity), so ONE
+    # materialized width-2 table feeds both kinds. Results bit-identical
+    # (oracle hash re-verified; parity pinned in
+    # test_semantic_dedup_shared_ranked_bit_equal).
+    ranked2 = similarity._ranked_assign(full, cents, 2,
+                                        exact=True).localCheckpoint()
 
     def _sem_rows(kind: str, n_assign: int):
         sem = similarity.semantic_dedup(
             full, threshold=0.4, centroids=cents, exact=True,
-            n_assign=n_assign)
+            n_assign=n_assign, ranked=ranked2)
         return sem.select(
             F.lit(kind).alias("kind"),
             F.col("centroid_id").cast("long").alias("label"),

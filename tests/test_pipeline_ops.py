@@ -2438,6 +2438,27 @@ def test_exact_pow10_double_signed(spark):
         assert got == exp, (scale, got, exp)
 
 
+def test_semantic_dedup_shared_ranked_bit_equal(spark, sf_dir):
+    """r14 (r13 verdict item 5): a caller-shared width-2 ranked
+    assignment must reproduce BOTH flat SemDeDup kinds bit-for-bit —
+    rank-1 rows of the wider table are ivf_assign's output by the
+    window's own tie-break, so n_assign=1 fed from `ranked` equals the
+    self-computed run, and n_assign=2 equals its own."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=1,
+                                        exact=True)
+    ranked2 = similarity._ranked_assign(emb, cents, 2,
+                                        exact=True).localCheckpoint()
+    for n_assign in (1, 2):
+        base = {tuple(r) for r in similarity.semantic_dedup(
+            emb, threshold=0.4, centroids=cents, exact=True,
+            n_assign=n_assign).collect()}
+        shared = {tuple(r) for r in similarity.semantic_dedup(
+            emb, threshold=0.4, centroids=cents, exact=True,
+            n_assign=n_assign, ranked=ranked2).collect()}
+        assert shared == base, f"n_assign={n_assign}"
+
+
 def test_pq_ann_recall_and_determinism(spark, sf_dir):
     """Product quantization: codebooks are (n_subs x n_codes) and
     deterministic across retrains; codes compress every vector to n_subs
