@@ -168,6 +168,33 @@ def test_bench_publish_is_self_describing():
     assert '"quiet_fail_meters": _quiet_failures(best)' in src
 
 
+def test_operator_persists_are_catalog_reclaimable(spark, sf_dir):
+    """r13 verdict item 7: operator-internal persists (shingle arrays,
+    PPJoin prefix index, LSH band entries) are created inside registry
+    queries whose callers never get control back, so they must be
+    CATALOG-scoped — one `spark.catalog.clearCache()` (what bench.py now
+    runs between samples) must reclaim every block. A raw RDD-level
+    persist would dodge the catalog and accrete storage for the life of
+    a long-running session; this pins that none exists on the persisted-
+    subtree query paths. (localCheckpoint blocks are ContextCleaner-
+    reclaimed on GC and are deliberately out of scope here — the checked
+    queries use catalog persists only.)"""
+    from amazon_kinesis_replay_spark.plans import QUERIES
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    for name in ("minhash_dedup", "ngram_jaccard_dedup", "doc_train_split"):
+        QUERIES[name].fn(spark, sf_dir).write.format(
+            "noop").mode("overwrite").save()
+    assert jsc.getPersistentRDDs().size() > base, \
+        "fixture drift: these queries are expected to persist subtrees"
+    spark.catalog.clearCache()
+    assert jsc.getPersistentRDDs().size() <= base, (
+        "operator persists survived clearCache — an RDD-level persist "
+        "outside the catalog leaks storage in long-lived sessions")
+
+
 def test_ensure_engine_conf_memoized_per_session(spark):
     """r13 opt: ensure_engine_conf is ~34 py4j round trips and
     tables.load calls it on EVERY load (memo hits included), so it is
